@@ -1,0 +1,111 @@
+"""Sinks K1–K9: upsert/merge semantics, appends, overwrites, quarantine.
+
+The reference writes row-at-a-time INSERT/UPDATE with RETURNING keys and a
+pg unique-violation handler (``staffing-roster-pipeline.py:128-224``,
+``projects-pipeline.py:271-335``). The engine expresses every upsert as a
+set-based MERGE. Two layers:
+
+- :func:`merge_upsert` — the *dataset semantics* of MERGE (new-over-old by
+  key) as a pure DataFrame expression. Oracle-able as SQL; also the
+  ``foreachBatch`` body for streaming sinks.
+- writers — Parquet append/overwrite for materialization. On a lakehouse
+  deployment the same dataset op becomes ``MERGE INTO`` (Delta/Iceberg); on
+  JDBC it becomes a keyed batch upsert with ``batchsize`` — both preserve
+  these semantics. Constraint violations are quarantine rows (E001), never
+  exceptions (``23505 → DataConflictError`` at
+  ``staffing-roster-pipeline.py:146-151``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ibc_spark.ops.validate import E_DATA_CONFLICT
+
+
+def merge_upsert(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key: str | list[str],
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """K1/K3/K4/K5 — MERGE result state: matched old rows take ``new``'s
+    values for ``update_cols`` (all non-key columns by default); unmatched
+    new rows are inserted; unmatched old rows pass through.
+
+    One shuffle on the key (or zero if ``new`` is broadcast-small — Catalyst
+    decides). The reference's exclude-the-match-key rule
+    (``staffing-roster-pipeline.py:170-174``) falls out naturally: the key
+    is the join column.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    update_cols = update_cols or [c for c in new.columns if c not in keys]
+    passthrough = [c for c in old.columns if c not in keys]
+
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__new_{c}") for c in update_cols],
+    )
+    merged = old.join(n, on=keys, how="full_outer")
+    out_cols = [F.col(k) for k in keys]
+    for c in passthrough:
+        if c in update_cols:
+            out_cols.append(F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return merged.select(*out_cols)
+
+
+def dedup_for_merge(new: DataFrame, *, key: str | list[str], order_col: str) -> DataFrame:
+    """Pre-MERGE duplicate suppression: keep the LAST row per key in ingest
+    order — the sequential loop's implicit behavior when a sheet repeats a
+    key (second occurrence hits the update path,
+    ``staffing-roster-pipeline.py:275-279``)."""
+    from ibc_spark.ops.mutate import last_write_wins
+
+    return last_write_wins(new, key=key, order_col=order_col)
+
+
+def conflict_quarantine(new: DataFrame, *, key: str | list[str], order_col: str) -> DataFrame:
+    """Rows that would violate the unique key (all but the surviving row per
+    key) as E001 quarantine rows — engine replacement for the pg 23505
+    handler (``staffing-roster-pipeline.py:146-151``)."""
+    from pyspark.sql import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    losers = (
+        new.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") > 1).drop("__rn")
+    )
+    return losers.select(
+        F.to_json(F.struct(*new.columns)).alias("source_row"),
+        F.lit(E_DATA_CONFLICT).alias("error_code"),
+        F.concat(
+            F.lit("duplicate key: "), F.concat_ws("|", *[F.col(k) for k in keys])
+        ).alias("reason"),
+    )
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Materialize. ``partition_by`` = on-disk partition pruning for later
+    reads; at 100 TB choose low-cardinality columns (date, region)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def job_metrics(**counts: int) -> str:
+    """K8 — the reference's stdout summary JSON
+    (``staffing-roster-pipeline.py:303-304``)."""
+    import json
+
+    return json.dumps(counts)

@@ -1,0 +1,819 @@
+"""Query registry — the driver contract surface.
+
+Every implemented operator from SURVEY.md §2 (and the §7.7 extensions) gets a
+named entry: a PySpark implementation ``(spark, sf_dir) -> DataFrame`` built
+on the ``ibc_spark.ops`` library, plus (where SQL-expressible) an ANSI-SQL
+oracle that DuckDB runs over the same parquet tables. The driver hash-compares
+the two at sf0.01.
+
+Cross-engine determinism rules used throughout (so value hashes match):
+
+- Float aggregations are NEVER summed as doubles (summation order differs
+  across engines). Inputs are cast to pinned-scale DECIMALs, summed exactly,
+  and the final result cast to DOUBLE — bit-identical on both engines.
+- Averages are ``CAST(exact_sum AS DOUBLE) / count`` — one deterministic
+  double division.
+- Weekday numbering: Spark ``dayofweek`` is 1=Sunday; DuckDB's is 0=Sunday —
+  oracles use ``dayofweek(x)+1``.
+- Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibc_spark.io_.sinks import merge_upsert
+from ibc_spark.io_.sources import read_table
+from ibc_spark.ops import scalars
+from ibc_spark.ops.joins import (
+    changed_rows,
+    dangling_keys,
+    exists_in,
+    resolve_fk,
+    resolve_roles,
+)
+from ibc_spark.ops.mutate import bulk_mutate, last_write_wins
+from ibc_spark.ops.reshape import unpivot_columns
+from ibc_spark.ops.validate import validate_split
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dec(c: Column | str, precision: int = 10, scale: int = 2) -> Column:
+    """Pin a float column to an exact decimal for order-insensitive sums."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(f"decimal({precision},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship + headline analytical queries (E1-shape: scan → join → agg → top-k)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT c_custkey) AS n_customers
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
+
+    Scale posture: facts (lineitem, orders) are shuffled on their join keys
+    by Catalyst/AQE; `nation` (25 rows) is broadcast explicitly. The date
+    filter is pushed into the orders parquet scan; only the five referenced
+    lineitem columns are read.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+
+    revenue = dec("l_extendedprice", 10, 2) * (
+        F.lit(1) - dec("l_discount", 4, 2)
+    ).cast("decimal(4,2)")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(10,2))
+                         * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                    AS DECIMAL(16,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(10,2))
+                              * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                         AS DECIMAL(16,4))
+                         * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: single scan, map-side partial agg
+    into a 6-group aggregate — the canonical whole-stage-codegen pipeline."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= "2000-12-01"
+    )
+    one_minus_disc = (F.lit(1) - dec("l_discount", 4, 2)).cast("decimal(4,2)")
+    one_plus_tax = (F.lit(1) + dec("l_tax", 4, 2)).cast("decimal(4,2)")
+    disc_price = (dec("l_extendedprice", 10, 2) * one_minus_disc).cast("decimal(16,4)")
+    charge = (disc_price * one_plus_tax).cast("decimal(18,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 10, 2)).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice", 10, 2)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (
+                F.sum(dec("l_quantity", 10, 2)).cast("double") / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            (
+                F.sum(dec("l_discount", 4, 2)).cast("double") / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_shipdate  > TIMESTAMP '1996-07-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped top-k: join + group + global top-10.
+
+    The ORDER BY ... LIMIT compiles to Spark's TakeOrderedAndProject — a
+    per-partition top-k then a k-row merge on the driver, NOT a global sort;
+    this is the shape that survives a 100× scale-up.
+    """
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1996-07-01")
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1996-07-01"
+    )
+    revenue = dec("l_extendedprice", 10, 2) * (
+        F.lit(1) - dec("l_discount", 4, 2)
+    ).cast("decimal(4,2)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume (customer and supplier in the
+    same nation). supplier + nation broadcast; facts shuffle once each."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice", 10, 2) * (
+        F.lit(1) - dec("l_discount", 4, 2)
+    ).cast("decimal(4,2)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalars X1–X6 (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+_BOOLISH = "CASE event_id % 10 WHEN 0 THEN 'Yes' WHEN 1 THEN 'no' WHEN 2 THEN 'TRUE' WHEN 3 THEN 'false' WHEN 4 THEN '1' WHEN 5 THEN '0' WHEN 6 THEN 'maybe' WHEN 7 THEN '' WHEN 8 THEN ' yes ' ELSE NULL END"
+
+
+@query(
+    "scalar_parse_boolean",
+    oracle=f"""
+    WITH t AS (SELECT event_id, {_BOOLISH} AS tok FROM events)
+    SELECT event_id, tok,
+           CASE WHEN lower(trim(tok)) IN ('yes','true','1') THEN TRUE
+                WHEN lower(trim(tok)) IN ('no','false','0') THEN FALSE
+                ELSE FALSE END AS parsed
+    FROM t
+    """,
+)
+def scalar_parse_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — full truth table of parse_boolean (junk and NULL → false) over a
+    deterministically synthesized boolean-ish column."""
+    ev = read_table(spark, sf_dir, "events")
+    tok = (
+        F.when(F.col("event_id") % 10 == 0, "Yes")
+        .when(F.col("event_id") % 10 == 1, "no")
+        .when(F.col("event_id") % 10 == 2, "TRUE")
+        .when(F.col("event_id") % 10 == 3, "false")
+        .when(F.col("event_id") % 10 == 4, "1")
+        .when(F.col("event_id") % 10 == 5, "0")
+        .when(F.col("event_id") % 10 == 6, "maybe")
+        .when(F.col("event_id") % 10 == 7, "")
+        .when(F.col("event_id") % 10 == 8, " yes ")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return ev.select(
+        "event_id",
+        tok.alias("tok"),
+        scalars.parse_boolean(tok).alias("parsed"),
+    )
+
+
+@query(
+    "scalar_nullif_blank_safe_long",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN trim(regexp_extract(props, '"k":\\s*(\\d+)', 1)) = '' THEN NULL
+                ELSE regexp_extract(props, '"k":\\s*(\\d+)', 1) END AS k_raw,
+           TRY_CAST(trim(regexp_extract(props, '"k":\\s*(\\d+)', 1)) AS BIGINT) AS k_num
+    FROM events
+    """,
+)
+def scalar_nullif_blank_safe_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 + X5 — blank→NULL normalization and junk-safe numeric cast over a
+    regexp-extracted field (property parsing without a JSON extension
+    dependency on the oracle side)."""
+    ev = read_table(spark, sf_dir, "events")
+    raw = F.regexp_extract(F.col("props"), '"k":\\s*(\\d+)', 1)
+    return ev.select(
+        "event_id",
+        scalars.nullif_blank(raw).alias("k_raw"),
+        scalars.safe_long(raw).alias("k_num"),
+    )
+
+
+@query(
+    "scalar_split_trim_lower",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(
+             list_filter(list_transform(string_split(p_name, ' '), x -> lower(trim(x))),
+                         x -> x <> ''),
+             ',') AS tokens
+    FROM part
+    """,
+)
+def scalar_split_trim_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — tokenize a delimited cell (trim+lower, drop empties), emitted as
+    a joined string so the hash is array-representation-agnostic."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.array_join(scalars.split_trim_lower(F.col("p_name"), " "), ",").alias("tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Validation F1–F3 with quarantine (SURVEY §2.2) — over a deterministically
+# dirtied customer frame (testdata itself is clean).
+# ---------------------------------------------------------------------------
+
+_DIRTY_CUSTOMER = """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 17 = 0 THEN ''
+                WHEN c_custkey % 19 = 0 THEN NULL
+                ELSE c_name END AS c_name,
+           CASE WHEN c_custkey % 23 = 0 THEN '  ' ELSE c_mktsegment END AS c_mktsegment,
+           c_acctbal
+    FROM customer
+"""
+
+
+def _dirty_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 17 == 0, "")
+        .when(F.col("c_custkey") % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(F.col("c_custkey") % 23 == 0, "  ")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_acctbal",
+    )
+
+
+@query(
+    "validate_quarantine",
+    oracle=f"""
+    WITH t AS ({_DIRTY_CUSTOMER})
+    SELECT c_custkey,
+           concat('Missing required columns: ',
+                  array_to_string(list_filter(
+                      [CASE WHEN c_name IS NULL OR trim(c_name) = '' THEN 'c_name' END,
+                       CASE WHEN c_mktsegment IS NULL OR trim(c_mktsegment) = '' THEN 'c_mktsegment' END],
+                      x -> x IS NOT NULL), ', ')) AS reason,
+           'E003' AS error_code
+    FROM t
+    WHERE (c_name IS NULL OR trim(c_name) = '')
+       OR (c_mktsegment IS NULL OR trim(c_mktsegment) = '')
+    """,
+)
+def validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3 — the quarantine side of required-field validation, with the
+    reference's reason-string shape (errors as data, E003)."""
+    split = validate_split(
+        _dirty_customer(spark, sf_dir), ["c_name", "c_mktsegment"], cache=False
+    )
+    return split.quarantine.select(
+        "c_custkey",
+        F.col("_reason").alias("reason"),
+        F.col("_error_code").alias("error_code"),
+    )
+
+
+@query(
+    "validate_valid_rows",
+    oracle=f"""
+    WITH t AS ({_DIRTY_CUSTOMER})
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM t
+    WHERE NOT ((c_name IS NULL OR trim(c_name) = '')
+            OR (c_mktsegment IS NULL OR trim(c_mktsegment) = ''))
+    """,
+)
+def validate_valid_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3 — the valid complement from the same single-pass split."""
+    split = validate_split(
+        _dirty_customer(spark, sf_dir), ["c_name", "c_mktsegment"], cache=False
+    )
+    return split.valid
+
+
+@query(
+    "job_summary_metrics",
+    oracle=f"""
+    WITH t AS ({_DIRTY_CUSTOMER})
+    SELECT COUNT(*) FILTER (WHERE NOT ((c_name IS NULL OR trim(c_name) = '')
+                                    OR (c_mktsegment IS NULL OR trim(c_mktsegment) = ''))) AS valid_rows,
+           COUNT(*) FILTER (WHERE (c_name IS NULL OR trim(c_name) = '')
+                                OR (c_mktsegment IS NULL OR trim(c_mktsegment) = '')) AS invalid_rows
+    FROM t
+    """,
+)
+def job_summary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 — the reference's stdout summary {valid_rows, invalid_rows}
+    (``staffing-roster-pipeline.py:303-304``) as a one-row metrics frame."""
+    tagged = _dirty_customer(spark, sf_dir).withColumn(
+        "__invalid",
+        scalars.is_blank("c_name") | scalars.is_blank("c_mktsegment"),
+    )
+    return tagged.agg(
+        F.sum(F.when(~F.col("__invalid"), 1).otherwise(0)).alias("valid_rows"),
+        F.sum(F.when(F.col("__invalid"), 1).otherwise(0)).alias("invalid_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins J1–J6 (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+_PROBE_ORDERS = """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS probe_key
+    FROM orders
+"""
+
+
+def _probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("probe_key"),
+    )
+
+
+@query(
+    "fk_resolve_left",
+    oracle=f"""
+    WITH t AS ({_PROBE_ORDERS})
+    SELECT o_orderkey, probe_key, c_name AS cust_name, c_mktsegment AS segment,
+           c_name IS NOT NULL AS matched
+    FROM t LEFT JOIN customer ON probe_key = c_custkey
+    """,
+)
+def fk_resolve_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 — set-based key resolution replacing the reference's per-row
+    ``SELECT user_id FROM users WHERE email=%s`` probes: one broadcast left
+    join resolves every row in one pass."""
+    facts = _probe_orders(spark, sf_dir)
+    resolved = resolve_fk(
+        facts,
+        read_table(spark, sf_dir, "customer"),
+        fact_key="probe_key",
+        dim_key="c_custkey",
+        payload={"c_name": "cust_name", "c_mktsegment": "segment"},
+    )
+    return resolved.select(
+        "o_orderkey",
+        "probe_key",
+        "cust_name",
+        "segment",
+        F.col("cust_name").isNotNull().alias("matched"),
+    )
+
+
+@query(
+    "fk_dangling_anti",
+    oracle=f"""
+    WITH t AS ({_PROBE_ORDERS})
+    SELECT o_orderkey, probe_key
+    FROM t
+    WHERE probe_key IS NOT NULL
+      AND probe_key NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def fk_dangling_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — dangling-FK detection as an anti-join (reference raises
+    InvalidFormatError per missing netid, ``projects-pipeline.py:124-125``;
+    the engine quarantines)."""
+    facts = _probe_orders(spark, sf_dir)
+    return dangling_keys(
+        facts,
+        read_table(spark, sf_dir, "customer"),
+        fact_key="probe_key",
+        dim_key="c_custkey",
+    ).select("o_orderkey", "probe_key")
+
+
+@query(
+    "exists_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — EXISTS as a left-semi join (replaces per-row ``SELECT 1`` probes)."""
+    return exists_in(
+        read_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        read_table(spark, sf_dir, "orders"),
+        probe_key="c_custkey",
+        dim_key="o_custkey",
+    )
+
+
+@query(
+    "exists_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (negated) — NOT EXISTS as a left-anti join."""
+    return exists_in(
+        read_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        read_table(spark, sf_dir, "orders"),
+        probe_key="c_custkey",
+        dim_key="o_custkey",
+        negate=True,
+    )
+
+
+@query(
+    "resolve_roles_multi",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             o_custkey AS em_key,
+             (o_custkey * 7 + 13) % 1500 AS sm_key,
+             (o_custkey * 11 + 5) % 1500 AS pm_key
+      FROM orders)
+    SELECT o_orderkey, em_key, sm_key, pm_key,
+           em.c_name AS em_name, sm.c_name AS sm_name, pm.c_name AS pm_name
+    FROM t
+    LEFT JOIN customer em ON t.em_key = em.c_custkey
+    LEFT JOIN customer sm ON t.sm_key = sm.c_custkey
+    LEFT JOIN customer pm ON t.pm_key = pm.c_custkey
+    """,
+)
+def resolve_roles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — multi-role resolution against one dim (the reference's 5-way
+    aliased LEFT JOIN, ``projects-pipeline.py:226-238``): N broadcast hash
+    probes of the same dim, zero fact shuffles."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("em_key"),
+        ((F.col("o_custkey") * 7 + 13) % 1500).alias("sm_key"),
+        ((F.col("o_custkey") * 11 + 5) % 1500).alias("pm_key"),
+    )
+    resolved = resolve_roles(
+        o,
+        read_table(spark, sf_dir, "customer"),
+        role_keys={"em_key": "em_name", "sm_key": "sm_name", "pm_key": "pm_name"},
+        dim_key="c_custkey",
+        dim_id="c_name",
+    )
+    return resolved.select(
+        "o_orderkey", "em_key", "sm_key", "pm_key", "em_name", "sm_name", "pm_name"
+    )
+
+
+_NEW_CUSTOMER = """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+"""
+
+
+def _new_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+
+
+@query(
+    "changed_rows_scd",
+    oracle=f"""
+    WITH new AS ({_NEW_CUSTOMER})
+    SELECT new.c_custkey, new.c_acctbal, new.c_mktsegment
+    FROM new JOIN customer old ON new.c_custkey = old.c_custkey
+    WHERE new.c_acctbal IS DISTINCT FROM old.c_acctbal
+       OR new.c_mktsegment IS DISTINCT FROM old.c_mktsegment
+    """,
+)
+def changed_rows_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — null-safe SCD change detection (skip-if-unchanged,
+    ``projects-pipeline.py:247-260``) as a set operation."""
+    return changed_rows(
+        _new_customer(spark, sf_dir),
+        read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ),
+        key="c_custkey",
+        compare=["c_acctbal", "c_mktsegment"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Upsert/MERGE + dedup + mutations (SURVEY §2.1 K*, §2.6 U*)
+# ---------------------------------------------------------------------------
+
+_MERGE_OLD = "SELECT c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey FROM customer WHERE c_custkey < 1200"
+_MERGE_NEW = """
+    SELECT c_custkey, concat(c_name, '_v2') AS c_name, c_acctbal + 100.0 AS c_acctbal,
+           'UPDATED' AS c_mktsegment
+    FROM customer WHERE c_custkey BETWEEN 1000 AND 1400
+"""
+
+
+@query(
+    "merge_upsert_state",
+    oracle=f"""
+    WITH old AS ({_MERGE_OLD}), new AS ({_MERGE_NEW})
+    SELECT COALESCE(old.c_custkey, new.c_custkey) AS c_custkey,
+           COALESCE(new.c_name, old.c_name) AS c_name,
+           COALESCE(new.c_acctbal, old.c_acctbal) AS c_acctbal,
+           COALESCE(new.c_mktsegment, old.c_mktsegment) AS c_mktsegment,
+           old.c_nationkey AS c_nationkey
+    FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
+    """,
+)
+def merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K3/K4/K5 — MERGE result state (matched→update, unmatched-new→
+    insert, unmatched-old→passthrough) as one full-outer join. This dataset
+    op is the body of every reference upsert; on Delta/Iceberg it becomes
+    ``MERGE INTO`` with identical semantics."""
+    c = read_table(spark, sf_dir, "customer")
+    old = c.where(F.col("c_custkey") < 1200).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey"
+    )
+    new = c.where(F.col("c_custkey").between(1000, 1400)).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("_v2")).alias("c_name"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    return merge_upsert(old, new, key="c_custkey")
+
+
+@query(
+    "dedup_last_write_wins",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1
+    """,
+)
+def dedup_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-MERGE duplicate suppression: last row per key in ingest order
+    (the sequential loop's implicit second-occurrence-wins behavior)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return last_write_wins(o, key="o_custkey", order_col="o_orderkey")
+
+
+@query(
+    "bulk_mutate_end_semester",
+    oracle="""
+    SELECT c_custkey, 'Deferred' AS status,
+           c_acctbal + 1 AS c_acctbal
+    FROM customer
+    """,
+)
+def bulk_mutate_end_semester(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4/K6 — whole-table literal set + arithmetic increment
+    (``end-semester-pipeline.py:50-58``): pure map stage, no shuffle."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = bulk_mutate(
+        c.withColumn("status", F.lit(None).cast("string")),
+        updates={"status": "Deferred"},
+        increments={"c_acctbal": 1},
+    )
+    return out.select("c_custkey", "status", "c_acctbal")
+
+
+@query(
+    "unpivot_attributes",
+    oracle="""
+    SELECT o_orderkey, 'status' AS attr, o_orderstatus AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'priority' AS attr, o_orderpriority AS val FROM orders
+    """,
+)
+def unpivot_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/K7 — unpivot N columns → (id, attr, value) rows via ``stack``
+    (the link-table fan-out shape, ``projects-pipeline.py:186-199``)."""
+    o = read_table(spark, sf_dir, "orders")
+    return unpivot_columns(
+        o,
+        ids=["o_orderkey"],
+        value_cols={"o_orderstatus": "status", "o_orderpriority": "priority"},
+        var_name="attr",
+        value_name="val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reshape A2 analogues (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weekday_bitstring",
+    oracle="""
+    SELECT o_custkey,
+           concat(
+             CASE WHEN bool_or(dayofweek(o_orderdate) + 1 = 1) THEN '1' ELSE '0' END,
+             CASE WHEN bool_or(dayofweek(o_orderdate) + 1 = 2) THEN '1' ELSE '0' END,
+             CASE WHEN bool_or(dayofweek(o_orderdate) + 1 = 3) THEN '1' ELSE '0' END,
+             CASE WHEN bool_or(dayofweek(o_orderdate) + 1 = 4) THEN '1' ELSE '0' END,
+             CASE WHEN bool_or(dayofweek(o_orderdate) + 1 = 5) THEN '1' ELSE '0' END,
+             CASE WHEN bool_or(dayofweek(o_orderdate) + 1 = 6) THEN '1' ELSE '0' END,
+             CASE WHEN bool_or(dayofweek(o_orderdate) + 1 = 7) THEN '1' ELSE '0' END
+           ) AS weekdays
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def weekday_bitstring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 analogue — per-key presence bitstring (the availability-matrix
+    build: collect the category set per key, expand to a fixed-width
+    bitstring; one shuffle, set semantics identical to the reference's
+    bit-setting loop at ``staffing-roster-pipeline.py:94-114``)."""
+    o = read_table(spark, sf_dir, "orders")
+    agged = o.groupBy("o_custkey").agg(
+        F.collect_set(F.dayofweek("o_orderdate")).alias("__days")
+    )
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(7)),
+        lambda i: F.array_contains(F.col("__days"), i),
+    )
+    return agged.select("o_custkey", scalars.bits_to_string(bits).alias("weekdays"))
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 pivot face — long→wide with a static pivot value list (never a
+    value-discovery scan at scale)."""
+    o = read_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ("F", "O", "P")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time rollup (streaming-shaped aggregation, batch-checked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over the events table — the batch face of the
+    Structured Streaming job in ibc_spark.streaming (same logical plan under
+    ``readStream`` + watermark)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 10, 2)).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -1,0 +1,41 @@
+"""Every registry query with an oracle must match DuckDB exactly at the
+driver's correctness scale factor (sf0.01 by default)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tests.parity import assert_parity
+
+
+def _names():
+    from ibc_spark.registry import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_oracle_parity(spark, duck, name):
+    from ibc_spark.registry import ORACLES, QUERIES
+
+    df = QUERIES[name](spark, SF_ORACLE)
+    assert_parity(name, df, duck, ORACLES[name])
+
+
+def test_all_queries_return_rows(spark):
+    from ibc_spark.registry import QUERIES
+
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_ORACLE)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "revenue" in df.columns
