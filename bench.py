@@ -1,0 +1,71 @@
+"""Benchmark harness — times the engine's queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the `noop` write format (full
+computation of every output column, no driver-side result transfer), after a
+JVM/session warmup pass on the smallest table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the analytical queries + the heaviest operator families.
+# Trivial scalar demos are included too — they cost ~0 and keep per-round
+# coverage visible in BENCH history.
+HEADLINE: list[str] | None = None  # None → all registry queries
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ibc_spark.registry import QUERIES
+    from ibc_spark.session import get_spark
+
+    spark = get_spark("ibc_spark_bench")
+
+    # Warmup: spin executors + codegen on a tiny scan.
+    from ibc_spark.io_.sources import read_table
+
+    read_table(spark, sf_dir, "nation").count()
+
+    names = HEADLINE or sorted(QUERIES)
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            materialize(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # a failing query must not hide the others
+            timings[name] = -1.0
+            print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "ibc_spark_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
