@@ -9,7 +9,7 @@ bitstrings. Per-row Python there; here a pure DataFrame wide→long→wide plan
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ibc_spark.ops.scalars import bits_to_string, split_trim_lower
@@ -45,7 +45,12 @@ def availability_pivot(
         slot_cols = [c for c in df.columns if slot_marker in c]
     slot_cols = sorted(slot_cols)
     if not slot_cols:
-        raise ValueError(f"no slot columns matching {slot_marker!r} in schema")
+        # Reference behavior: no slot columns → all-zero availability, not a
+        # failure (empty slot list at ``staffing-roster-pipeline.py:90-93``).
+        zeros = "0" * n_slots
+        return df.select(key).dropDuplicates().select(
+            key, *[F.lit(zeros).alias(f"availability_{short}") for short in DAY_SHORT]
+        )
     if len(slot_cols) > n_slots:
         raise ValueError(
             f"{len(slot_cols)} slot columns exceed the {n_slots}-slot layout: {slot_cols}"
@@ -61,22 +66,28 @@ def availability_pivot(
         key, "slot_idx", F.explode(split_trim_lower(F.col("cell"))).alias("day")
     ).where(F.col("day").isin(*DAYS))
 
-    # long → wide: for each day, a 30-bit vector with bit slot_idx set.
-    per_day_bits = [
-        F.transform(
+    # long → wide: per day, collect the slot-index set, then expand it to a
+    # fixed-width bit vector (no aggregate inside the lambda — that shape
+    # breaks codegen; set-collection then membership-expansion is the
+    # partial-agg-friendly form).
+    agged = days.groupBy(key).agg(
+        *[
+            F.collect_set(F.when(F.col("day") == day, F.col("slot_idx"))).alias(
+                f"__set_{short}"
+            )
+            for day, short in zip(DAYS, DAY_SHORT)
+        ]
+    )
+    def _bits(col_name: str) -> Column:
+        return F.transform(
             F.sequence(F.lit(0), F.lit(n_slots - 1)),
-            lambda i: F.coalesce(
-                F.max(F.when((F.col("day") == day) & (F.col("slot_idx") == i), True)),
-                F.lit(False),
-            ),
-        ).alias(f"__bits_{short}")
-        for day, short in zip(DAYS, DAY_SHORT)
-    ]
-    agged = days.groupBy(key).agg(*per_day_bits)
+            lambda i: F.array_contains(F.col(col_name), i),
+        )
+
     out = agged.select(
         key,
         *[
-            bits_to_string(F.col(f"__bits_{short}")).alias(f"availability_{short}")
+            bits_to_string(_bits(f"__set_{short}")).alias(f"availability_{short}")
             for short in DAY_SHORT
         ],
     )
