@@ -1,0 +1,278 @@
+"""Deduplication operators for training-data pipelines (SURVEY §7.7).
+
+Five families, each designed around its 100 TB shuffle profile:
+
+- exact        — hash-groupBy on a normalization key: ONE shuffle.
+- n-gram Jaccard — blocked pairwise verification: shuffle on the blocking
+                 key only; never an unblocked cross join.
+- MinHash+LSH  — signatures are a narrow map; banding turns near-dup search
+                 into an equi-join on band keys (the standard
+                 shingle→minhash→band→bucket-join plan, cf. Broder '97 /
+                 MMDS ch.3). Candidate verification is a second narrow map.
+- SimHash      — 16-bit signature via a single array fold; dup groups are a
+                 groupBy on the signature. Zero pairwise work.
+- embedding cosine — blocked pairwise cosine with deterministic left-fold
+                 dot products.
+
+No Python UDFs anywhere — signatures and similarities are Column
+expressions (xxhash64, higher-order array functions), so the whole path
+stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ibc_spark.ext.text import tokens
+
+MERSENNE = 2147483647  # 2^31-1
+
+
+def norm_key(c: Column | str, n_tokens: int = 5) -> Column:
+    """Normalization key: first-n lowercased tokens. The exact-dedup key for
+    near-identical prefixes (headers, boilerplate)."""
+    return F.array_join(F.slice(tokens(c), 1, n_tokens), " ")
+
+
+def dedup_exact(df: DataFrame, *, key: Column | str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the minimum id per key; report group size.
+    One hash-shuffle on the key; map-side partial aggregation."""
+    key = F.col(key) if isinstance(key, str) else key
+    return (
+        df.groupBy(key.alias("dedup_key"))
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard of two (distinct-element) arrays, as a double."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Blocked pairwise near-dup detection: within each block, emit ordered
+    pairs whose shingle-set Jaccard ≥ threshold.
+
+    The block column bounds the pair count (shuffle on block key, pairwise
+    work only inside blocks). At 100 TB the block key is a cheap routing
+    signature (LSH band, simhash prefix, source bucket) — see
+    :func:`minhash_lsh_pairs` for the self-routing variant.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("block"),
+        shingles(tokens(F.col(text_col)), n).alias("sh"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("id_a"), F.col("block"), F.col("sh").alias("sh_a")
+    )
+    b = base.select(
+        F.col("doc_id").alias("id_b"), F.col("block"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, on="block").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_row(sh: Column, k: int) -> Column:
+    """k-permutation MinHash signature of a shingle array: for hash i,
+    min over shingles of ((2i+1)·h(s) + i²+7) mod 2^31-1, with h = xxhash64
+    folded into [0, p)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: ((2 * i + 1) * F.pmod(F.xxhash64(s), F.lit(MERSENNE)) + i * i + 7)
+                % F.lit(MERSENNE),
+            )
+        ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, *, id_col: str, text_col: str, k: int = 32, n: int = 3
+) -> DataFrame:
+    """(id, signature array<long>[k]) — narrow map, no shuffle."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _minhash_row(shingles(tokens(F.col(text_col)), n), k).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs.
+
+    Plan shape: signature map → explode k/bands band keys per doc →
+    self-equi-join on (band_idx, band_hash) → distinct candidate pairs →
+    exact Jaccard verification. The only shuffles are the band-key join and
+    the final distinct — both on keys whose cardinality LSH keeps high (no
+    mega-buckets unless the data truly is one dup class; AQE skew-split
+    covers that).
+    """
+    rows_per_band = k // bands
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    ).select(
+        "doc_id",
+        shingles(F.col("toks"), n).alias("sh"),
+    )
+    sigs = base.select("doc_id", "sh", _minhash_row(F.col("sh"), k).alias("sig"))
+
+    banded = sigs.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_idx", "band.band_hash")
+
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_hash"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_hash"
+    )
+    cands = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(toks: Column, bits: int = 16) -> Column:
+    """SimHash signature: per bit, fold +1/−1 votes from each token's
+    xxhash64; bit set where the vote sum is positive. One pass over the
+    token array, no explode, no shuffle. Bit positions are compile-time
+    Python ints (shift amounts can't be lambda variables)."""
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long"))
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    terms = [
+        F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_groups(
+    df: DataFrame, *, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Near-dup groups = identical simhash. groupBy on the signature; at
+    larger Hamming radii, join on signature ⊕ single-bit masks."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), simhash(tokens(F.col(text_col)), bits).alias("simhash")
+    )
+    return sh.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("kept_id"),
+        F.array_sort(F.collect_list("doc_id")).alias("members"),
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Deterministic cosine: element products then a LEFT FOLD sum (same
+    result bit-for-bit in any engine that folds left-to-right in doubles)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Blocked embedding near-dup: ordered pairs within a block whose cosine
+    ≥ threshold. Same blocking contract as :func:`ngram_jaccard_pairs`."""
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(block_col).alias("block"), F.col(vec_col).alias("v")
+    )
+    a = base.select(F.col("vid").alias("id_a"), "block", F.col("v").alias("v_a"))
+    b = base.select(F.col("vid").alias("id_b"), "block", F.col("v").alias("v_b"))
+    return (
+        a.join(b, on="block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §7.7).
+
+All pure Column expressions over the ``documents`` table — JVM-side,
+codegen'd, no Python in the hot path. Designed for 100 TB: every function is
+a narrow per-row projection (zero shuffle); the only shuffles in the
+downstream queries are the final aggregations.
+
+Operators: tokenization, token counting (whitespace + BPE-ish regex),
+quality scoring (length/punct/stopword ratios), n-gram-heuristic language
+ID, rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+#: word-or-single-punct pieces — a BPE-ish lower bound on subword count.
+BPE_ISH = r"\w+|[^\w\s]"
+PUNCT = r"[^\w\s]"
+
+#: Small per-language stopword lists for the n-gram/stopword heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "los", "una"),
+    "de": ("der", "die", "und", "das", "ist", "von", "ein"),
+    "fr": ("le", "les", "et", "des", "est", "une", "dans"),
+}
+CJK_RANGE = "[\\u4e00-\\u9fff]"
+
+FINGERPRINT_MOD = 2147483647  # 2^31-1; keeps acc*31+c within int64
+
+
+def tokens(c: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda x: x != "")
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_count(c: Column | str) -> Column:
+    """Sub-word-ish piece count: words + individual punctuation marks."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH), 0))
+
+
+def punct_count(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(c, F.lit(PUNCT), 0))
+
+
+def stopword_count(c: Column | str, lang: str = "en") -> Column:
+    words = LANG_STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens(c), lambda t: t.isin(*words))
+    )
+
+
+def quality_metrics(c: Column | str) -> dict[str, Column]:
+    """Document quality signals (each a deterministic double):
+
+    - ``n_tokens``/``n_chars`` — raw sizes
+    - ``avg_token_len`` — chars per token
+    - ``punct_ratio`` — punctuation marks per char
+    - ``stopword_ratio`` — English stopwords per token (fluency proxy)
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "n_chars": n_chars.cast("long"),
+        "avg_token_len": (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast(
+                "double"
+            )
+            / F.greatest(n_tok, F.lit(1))
+        ),
+        "punct_ratio": punct_count(c).cast("double") / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": stopword_count(c).cast("double") / F.greatest(n_tok, F.lit(1)),
+    }
+
+
+def lang_id(c: Column | str) -> Column:
+    """Heuristic language ID: CJK characters → ``zh``; otherwise the
+    language with the highest stopword hit count (ties resolve in en → es →
+    de → fr order, matching the deterministic CASE in the SQL oracle);
+    no hits at all → ``und``."""
+    c = F.col(c) if isinstance(c, str) else c
+    toks = tokens(c)
+
+    def _hits(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    counts = {lang: _hits(words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*counts.values())
+    out = F.lit("und")
+    # build the when-chain in reverse priority so earlier langs win ties
+    for lang in reversed(list(LANG_STOPWORDS)):
+        out = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(out)
+    return F.when(F.regexp_count(c, F.lit(CJK_RANGE)) > 0, F.lit("zh")).otherwise(out)
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Rolling polynomial hash of the character stream, mod 2^31-1 — a
+    deterministic document fingerprint computable identically in any engine
+    with a left fold (``acc·31 + codepoint mod p``)."""
+    c = F.col(c) if isinstance(c, str) else c
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )

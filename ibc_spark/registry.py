@@ -817,3 +817,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# Extension operators (SURVEY §7.7) register themselves on import.
+from ibc_spark import registry_ext  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,277 @@
+"""Extension-operator registry entries (SURVEY §7.7): dedup, similarity
+search, text analysis, multimodal plumbing — each over the ``documents`` /
+``embeddings`` testdata tables, oracle-checked where the construction is
+SQL-expressible (xxhash64-based signatures are not; those entries take the
+driver's rows-only check and are verified against exact methods in pytest).
+
+Shares the cross-engine determinism rules of ``ibc_spark.registry`` —
+notably: every similarity is a LEFT FOLD in doubles on both engines, so
+values match bit-for-bit before the defensive ROUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibc_spark.ext import dedup, multimodal, similarity, text
+from ibc_spark.io_.sources import read_table
+from ibc_spark.registry import query
+
+# Shared SQL fragments (DuckDB list-lambda dialect).
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),"
+    " i -> array_to_string(list_slice(toks, i, i+2), ' ')))"
+)
+_FOLD_SUM_D = "list_reduce(list_prepend(CAST(0 AS DOUBLE), {}), (acc,x) -> acc + x)"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _FOLD_SUM_D.format(f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))")
+    na = _FOLD_SUM_D.format(f"list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))")
+    nb = _FOLD_SUM_D.format(f"list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))")
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_pieces
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (pure codegen, zero shuffle)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_ish_count("text").alias("n_pieces"),
+    )
+
+
+@query(
+    "text_quality_metrics",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> length(t))),
+                            (acc,x) -> acc + x) AS DOUBLE) / greatest(len(toks), 1) AS avg_token_len,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(list_filter(toks, t -> list_contains(['the','of','and','to','in','is','a'], t))) AS DOUBLE)
+               / greatest(len(toks), 1) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: sizes, avg token length, punctuation + stopword
+    ratios — the filter columns of a pretraining quality gate."""
+    d = read_table(spark, sf_dir, "documents")
+    m = text.quality_metrics("text")
+    return d.select("doc_id", *[expr.alias(name) for name, expr in m.items()])
+
+
+_LANG_HITS = {
+    "en": "['the','of','and','to','in','is','a']",
+    "es": "['el','la','de','que','y','los','una']",
+    "de": "['der','die','und','das','ist','von','ein']",
+    "fr": "['le','les','et','des','est','une','dans']",
+}
+_LANG_COUNTS = ", ".join(
+    f"len(list_filter(toks, t -> list_contains({lst}, t))) AS c_{lang}"
+    for lang, lst in _LANG_HITS.items()
+)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, text, {_LANG_COUNTS} FROM t)
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN c_en > 0 AND c_en >= greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+                WHEN c_es > 0 AND c_es >= greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+                WHEN c_de > 0 AND c_de >= greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+                WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_es, c_de, c_fr) THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM c
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID (CJK fast path, en→es→de→fr ties)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                    list_transform(string_split(text, ''), c -> ascii(c))),
+                       (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (engine-portable left fold)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_prefix",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, array_to_string(list_slice({_TOKS}, 1, 5), ' ') AS dedup_key
+               FROM documents)
+    SELECT dedup_key, min(doc_id) AS kept_id, count(*) AS group_size
+    FROM t GROUP BY dedup_key
+    """,
+)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 5-token-prefix normalization key (hash groupBy —
+    ONE shuffle regardless of scale)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(d, key=dedup.norm_key("text", 5), id_col="doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked 3-gram Jaccard near-dup pairs (block = source)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", block_col="source", n=3, threshold=0.05
+    )
+
+
+@query("dedup_minhash_lsh")  # xxhash64-based → rows-only driver check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands) near-dup pairs, exact-Jaccard verified.
+    pytest cross-checks recall against the exact pairs at threshold 0.5."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text", k=32, bands=8, n=3, threshold=0.5
+    )
+
+
+@query("dedup_simhash")  # xxhash64-based → rows-only driver check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16) signature groups (collision groups = near-dup clusters)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_groups(d, id_col="doc_id", text_col="text", bits=16)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked embedding-cosine near-dup pairs (block = label)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(
+        e, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+      FROM c JOIN q ON query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors — the ANN correctness
+    baseline (broadcast queries × corpus scan + per-query window)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.topk_bruteforce(
+        e, e.where(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+@query("ann_topk_lsh")  # xxhash64-derived hyperplanes → rows-only check
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (multi-probe, exact re-rank); pytest
+    measures recall against the brute-force baseline."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.topk_lsh(
+        e,
+        e.where(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH t AS (SELECT doc_id, octet_length(encode(substring(text, 1, 64))) AS byte_len,
+                      ascii(substring(text, 1, 1)) AS head_byte
+               FROM documents)
+    SELECT doc_id, byte_len, head_byte,
+           list_transform(range(1, 9), i -> CAST((byte_len * i) % 97 AS FLOAT)) AS fake_embedding
+    FROM t
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column attach + Arrow-batched mapInPandas feature extraction
+    (deterministic fake decode — the codec seam is stubbed, the Spark
+    plumbing is real and hash-checked)."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_binary(d))
