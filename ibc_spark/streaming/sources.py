@@ -1,0 +1,50 @@
+"""Streaming sources over the events testdata.
+
+The batch face is ``ibc_spark.io_.sources.read_table(spark, sf, "events")``;
+this module exposes the identical frame as an unbounded stream via the file
+source. A file-source stream needs an explicit schema (no inference mid-
+stream), so the batch reader's schema is reused — guaranteeing the streaming
+and batch plans see the same columns/types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibc_spark.io_.sources import read_table
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over the events parquet with the batch schema.
+
+    ``events.ts`` arrives as parquet TIMESTAMP(NANOS) which Spark reads as
+    ``bigint`` under ``nanosAsLong`` (see ``io_.sources.read_table``); the
+    same micros truncation is applied here so event-time semantics match the
+    batch face exactly.
+
+    At scale: ``max_files_per_trigger`` bounds per-microbatch input so a
+    backlog replay doesn't produce one giant batch.
+    """
+    # Batch read once to pin the on-disk schema (also sets nanosAsLong).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    disk_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    reader = spark.readStream.schema(disk_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equivalent bounded frame — used by tests to check stream results
+    against the batch plan."""
+    return read_table(spark, sf_dir, "events")

@@ -1,0 +1,170 @@
+"""Streaming surface tests (SURVEY §7.6).
+
+Each stream runs with ``trigger(availableNow=True)`` over the bounded events
+table, so results are deterministic and checkable against the equivalent
+batch plan — the standard way to unit-test Structured Streaming logic.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ibc_spark.streaming import (
+    dedup_events_stream,
+    hourly_rollup_stream,
+    run_merge_stream,
+    running_user_totals,
+    session_window_stream,
+    sliding_window_stream,
+)
+from ibc_spark.streaming.sources import batch_events, read_events_stream
+
+from .conftest import SF_SMOKE
+
+
+def _run_to_memory(spark, df, name: str, output_mode: str, tmpdir) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", f"{tmpdir}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@pytest.fixture()
+def events_stream(spark):
+    return read_events_stream(spark, SF_SMOKE)
+
+
+def test_stream_schema_matches_batch(spark, events_stream):
+    assert events_stream.isStreaming
+    assert events_stream.schema == batch_events(spark, SF_SMOKE).schema
+
+
+def test_hourly_rollup_stream_matches_batch(spark, events_stream, tmp_path):
+    name = f"roll_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        spark, hourly_rollup_stream(events_stream), name, "append", tmp_path
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table(name).collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch_events(spark, SF_SMOKE)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    # The watermark may hold back the final (open) hour in append mode; all
+    # emitted windows must match the batch plan exactly.
+    assert len(got) >= len(expected) - len(
+        {k[1] for k in expected}
+    ), "stream emitted too few windows"
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_sliding_window_emits_multiple_windows_per_row(spark, events_stream, tmp_path):
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        spark,
+        sliding_window_stream(events_stream, length="1 hour", slide="30 minutes"),
+        name,
+        "append",
+        tmp_path,
+    )
+    out = spark.table(name)
+    n_events_batch = batch_events(spark, SF_SMOKE).count()
+    # each event belongs to 2 sliding windows; emitted (closed) windows only
+    assert out.agg(F.sum("n_events")).first()[0] > n_events_batch
+
+
+def test_session_window_stream(spark, events_stream, tmp_path):
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        spark, session_window_stream(events_stream, gap="30 minutes"), name, "append", tmp_path
+    )
+    out = spark.table(name)
+    assert out.count() > 0
+    bad = out.where(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
+    # sessions per user don't overlap
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    overlaps = (
+        out.withColumn("prev_end", F.lag("session_end").over(w))
+        .where(F.col("prev_end") > F.col("session_start"))
+        .count()
+    )
+    assert overlaps == 0
+
+
+def test_dedup_stream(spark, events_stream, tmp_path):
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(spark, dedup_events_stream(events_stream), name, "append", tmp_path)
+    out = spark.table(name)
+    n_distinct = batch_events(spark, SF_SMOKE).select("event_id").distinct().count()
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_foreach_batch_merge_stream(spark, events_stream, tmp_path):
+    target = str(tmp_path / "target")
+    run_merge_stream(
+        spark,
+        events_stream.select("event_id", "user_id", "event_type", "ts", "value"),
+        target,
+        str(tmp_path / "ckpt_merge"),
+    )
+    out = spark.read.parquet(target)
+    n_distinct = batch_events(spark, SF_SMOKE).select("event_id").distinct().count()
+    assert out.count() == n_distinct
+    # MERGE is idempotent: running the same stream again (fresh checkpoint →
+    # full replay) must not change the target.
+    run_merge_stream(
+        spark,
+        read_events_stream(spark, SF_SMOKE).select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        ),
+        target,
+        str(tmp_path / "ckpt_merge2"),
+    )
+    assert spark.read.parquet(target).count() == n_distinct
+
+
+def test_running_user_totals_stateful(spark, events_stream, tmp_path):
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        spark,
+        running_user_totals(events_stream.select("user_id", "value")),
+        name,
+        "update",
+        tmp_path,
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in spark.table(name).collect()}
+    expected = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in batch_events(spark, SF_SMOKE)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("t"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for uid, (n, total) in expected.items():
+        assert got[uid][0] == n
+        assert got[uid][1] == pytest.approx(total, abs=0.05)
