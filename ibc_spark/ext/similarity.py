@@ -8,8 +8,8 @@
   (sign-of-projection, Charikar '02) bucket the corpus; candidates come
   from an equi-join on the signature (optionally with multi-probe on
   1-bit-flipped signatures), then exact re-ranking. Hyperplanes are
-  xxhash64-derived, so signatures are deterministic and reproducible with
-  no stored model.
+  fixed-seed PRNG plan-time constants, so signatures are deterministic and
+  reproducible with no stored model.
 
 All Column-expression math (fold-based dot products) — no UDFs, no
 driver-side vectors.
@@ -51,30 +51,30 @@ def topk_bruteforce(
     )
 
 
+def lsh_hyperplanes(bits: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic hyperplane matrix (bits × dim) in [-0.5, 0.5), built
+    ONCE at plan-construction time (PCG64 with a fixed seed — reproducible,
+    model-free). Plan-time constants keep the per-row work at ``bits`` dot
+    products instead of re-deriving ``bits·dim`` hash values per row."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-0.5, 0.5, size=(bits, dim)).tolist()
+
+
 def lsh_signature(vec: Column, *, bits: int = 12, dim: int = 64, seed: int = 7) -> Column:
-    """Random-hyperplane signature: bit i = sign(v · w_i), with hyperplane
-    components w_ij derived from xxhash64(seed, i·dim+j) → centered
-    pseudo-uniform in [-0.5, 0.5). Deterministic, model-free."""
+    """Random-hyperplane signature: bit i = sign(v · w_i) (Charikar '02).
+    Hyperplanes are embedded as literal arrays, so Catalyst constant-folds
+    them and each row pays only the fold-based dot products."""
+    planes = lsh_hyperplanes(bits, dim, seed)
     dv = F.transform(vec, lambda x: x.cast("double"))
-
-    def proj(i: int) -> Column:
-        weights = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (
-                F.pmod(F.xxhash64(F.lit(seed), j + F.lit(i * dim)), F.lit(100003)).cast(
-                    "double"
-                )
-                / 100003.0
-                - 0.5
-            ),
-        )
-        return F.aggregate(
-            F.zip_with(dv, weights, lambda x, w: x * w), F.lit(0.0), lambda acc, x: acc + x
-        )
-
     out = F.lit(0).cast("long")
     for i in range(bits):  # bit index is a Python int: shiftable, unrollable
-        out = out + F.when(proj(i) > 0, F.lit(1 << i).cast("long")).otherwise(
+        w = F.array(*[F.lit(float(x)) for x in planes[i]])
+        proj = F.aggregate(
+            F.zip_with(dv, w, lambda x, wt: x * wt), F.lit(0.0), lambda acc, x: acc + x
+        )
+        out = out + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return out

@@ -239,7 +239,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_topk_lsh")  # xxhash64-derived hyperplanes → rows-only check
+@query("ann_topk_lsh")  # PRNG-derived hyperplanes → rows-only check
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (multi-probe, exact re-rank); pytest
     measures recall against the brute-force baseline."""
