@@ -1,0 +1,191 @@
+"""Analytical operators beyond the reference surface: windows, set ops,
+multi-level aggregation, as-of and range joins.
+
+The reference has none of these (SURVEY §2.7: no window functions, no set
+ops, no ORDER BY). They are first-class capabilities of the Spark engine and
+each gets an oracle-checked registry entry. Scale notes per operator:
+
+- Window functions shuffle once on the partition key; never use a global
+  (unpartitioned) window at scale — every query here partitions.
+- As-of join is implemented as the union-merge plan: tag both sides, one
+  shuffle on (key), one ordered window pass carrying the last right-side
+  payload forward. This is the linear-time formulation — no range-explosion
+  join, no per-row subquery — and the standard way to get point-in-time
+  joins on engines without a native ASOF operator.
+- Range (interval) joins against a SMALL bucket table broadcast the buckets
+  (nested-loop against k buckets is O(k) per row, k tiny). For big-big
+  interval joins, bucketize the range into grid cells first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+def rank_in_groups(
+    df: DataFrame,
+    *,
+    partition_by: str | list[str],
+    order_by: list[Column],
+    top_n: int | None = None,
+) -> DataFrame:
+    """row_number / rank / dense_rank over a partitioned, deterministically
+    ordered window; optionally keep only the top-n rows per group."""
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    w = Window.partitionBy(*parts).orderBy(*order_by)
+    out = df.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+    if top_n is not None:
+        out = out.where(F.col("rn") <= top_n)
+    return out
+
+
+def lag_lead_delta(
+    df: DataFrame,
+    *,
+    partition_by: str,
+    order_by: str,
+    value_col: str,
+) -> DataFrame:
+    """Previous/next value and delta-from-previous per key in event order —
+    the SCD/time-series neighbor pattern."""
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    prev = F.lag(value_col).over(w)
+    return df.select(
+        "*",
+        prev.alias("prev_value"),
+        F.lead(value_col).over(w).alias("next_value"),
+        (F.col(value_col) - prev).alias("delta"),
+    )
+
+
+def running_total(
+    df: DataFrame,
+    *,
+    partition_by: str,
+    order_by: str,
+    value_col: str,
+    precision: int = 12,
+    scale: int = 2,
+) -> DataFrame:
+    """Running sum per key in event order. The accumulator is an exact
+    DECIMAL (summation-order-independent), surfaced as DOUBLE."""
+    w = (
+        Window.partitionBy(partition_by)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        "*",
+        F.sum(F.col(value_col).cast(f"decimal({precision},{scale})"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    ``right.ts <= left.ts`` for the same key (backward as-of, boundary
+    inclusive — DuckDB ``ASOF LEFT JOIN`` semantics).
+
+    Union-merge plan: rights are deduped to one row per (key, ts) (latest
+    ``tiebreak_col`` wins), both sides are tagged and unioned, and ONE
+    window pass per key in (ts, side) order carries the last non-null
+    payload forward onto left rows. Cost: one shuffle on ``key`` + a linear
+    scan per partition — independent of how many rights precede each left
+    (a range join would be quadratic in that count).
+    """
+    pay_dst = list(payload.values())
+
+    r = right
+    if tiebreak_col is not None:
+        # one right row per (key, ts): ASOF is otherwise ambiguous when
+        # several rights share the boundary timestamp.
+        wdd = Window.partitionBy(key, right_ts).orderBy(F.col(tiebreak_col).desc())
+        r = (
+            r.withColumn("__rn", F.row_number().over(wdd))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    r = r.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(s).alias(f"__p_{d}") for s, d in payload.items()],
+    )
+
+    l = left.select(
+        *left.columns,
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[s].dataType).alias(f"__p_{d}") for s, d in payload.items()],
+    )
+
+    merged = l.unionByName(
+        r.select(
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+            "__k",
+            "__ts",
+            "__side",
+            *[f"__p_{d}" for d in pay_dst],
+        )
+    )
+    # rights sort before lefts at equal ts (__side 0 < 1) → boundary is
+    # inclusive: a right at exactly left.ts is visible to that left.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        *left.columns,
+        "__side",
+        *[F.last(f"__p_{d}", ignorenulls=True).over(w).alias(d) for d in pay_dst],
+    )
+    return filled.where(F.col("__side") == 1).drop("__side")
+
+
+# ---------------------------------------------------------------------------
+# Range / interval join
+# ---------------------------------------------------------------------------
+
+
+def range_join_buckets(
+    facts: DataFrame,
+    buckets: DataFrame,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Attach a bucket row to each fact where ``lo <= value < hi``. The
+    bucket table is broadcast; the join is a nested loop over k buckets —
+    O(k) per fact row, embarrassingly parallel."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(buckets), on=cond, how="left")

@@ -819,5 +819,240 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Analytical operators beyond the reference (ops.analytics): windows, set
+# ops, rollup/cube/grouping sets, as-of + range joins
+# ---------------------------------------------------------------------------
+
+from ibc_spark.ops.analytics import (  # noqa: E402
+    asof_join,
+    lag_lead_delta,
+    range_join_buckets,
+    rank_in_groups,
+    running_total,
+)
+
+
+@query(
+    "window_rank_top3",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(rank()       OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY row_number() OVER w <= 3
+    """,
+)
+def window_rank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority class: partitioned ranked window
+    (row_number/rank/dense_rank). One shuffle on the partition key; never a
+    global window."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return rank_in_groups(
+        o,
+        partition_by="o_orderpriority",
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        top_n=3,
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("rn").cast("int").alias("rn"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("drnk").cast("int").alias("drnk"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_value,
+           lead(o_totalprice) OVER w AS next_value,
+           o_totalprice - lag(o_totalprice) OVER w AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor values + delta per customer in order-key order (lag/lead)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return lag_lead_delta(
+        o, partition_by="o_custkey", order_by="o_orderkey", value_col="o_totalprice"
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running spend per customer — exact-decimal accumulator window."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return running_total(
+        o, partition_by="o_custkey", order_by="o_orderkey", value_col="o_totalprice"
+    ).select("o_orderkey", "o_custkey", "running_total")
+
+
+@query(
+    "setop_intersect_except_union",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'only_1995' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'either' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 UNION SELECT o_custkey FROM y96)
+    """,
+)
+def setop_intersect_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION cohorts of 1995-vs-1996 buyers, stacked
+    into one labeled frame (set ops are absent from the reference —
+    SURVEY §2.7)."""
+    o = read_table(spark, sf_dir, "orders")
+    y95 = (
+        o.where(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    y96 = (
+        o.where(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    tag = lambda df, c: df.select(F.lit(c).alias("cohort"), "o_custkey")  # noqa: E731
+    return (
+        tag(y95.intersect(y96), "both")
+        .unionAll(tag(y95.exceptAll(y96), "only_1995"))
+        .unionAll(tag(y95.union(y96).distinct(), "either"))
+    )
+
+
+@query(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(status, priority) with grouping id — multi-level totals in one
+    pass (Spark expands grouping sets before the single shuffle)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice", 12, 2)).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions (all 4 grouping sets)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    l AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT l.click_id, l.user_id, l.ts,
+           r.ts AS last_purchase_ts, r.value AS last_purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click gets the user's latest prior (or
+    simultaneous) purchase. Union-merge plan — one shuffle on user_id, one
+    linear window pass; no range explosion (see ops.analytics.asof_join)."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"ts": "last_purchase_ts", "value": "last_purchase_value"},
+        tiebreak_col="event_id",
+    )
+
+
+@query(
+    "range_join_qty_buckets",
+    oracle="""
+    WITH buckets(lo, hi, bucket) AS (
+      VALUES (0.0, 10.0, 'xs'), (10.0, 20.0, 's'), (20.0, 35.0, 'm'), (35.0, 51.0, 'l')
+    )
+    SELECT bucket,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY bucket
+    """,
+)
+def range_join_qty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join of lineitem quantity into static buckets (broadcast
+    nested-loop over 4 buckets → O(1) per row), then aggregate."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    buckets = li.sparkSession.createDataFrame(
+        [(0.0, 10.0, "xs"), (10.0, 20.0, "s"), (20.0, 35.0, "m"), (35.0, 51.0, "l")],
+        "lo double, hi double, bucket string",
+    )
+    joined = range_join_buckets(li, buckets, value_col="l_quantity")
+    return joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_extendedprice", 12, 2)).cast("double").alias("total_price"),
+    )
+
+
 # Extension operators (SURVEY §7.7) register themselves on import.
 from ibc_spark import registry_ext  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,128 @@
+"""Unit tests for ops.analytics (windows, as-of join, range join) on
+handcrafted frames where the expected result is computable by eye.
+Registry-level oracle parity for the same operators is covered by
+test_oracle_parity via the driver contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ibc_spark.ops.analytics import (
+    asof_join,
+    lag_lead_delta,
+    range_join_buckets,
+    rank_in_groups,
+    running_total,
+)
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def clicks(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01T10:00:00")),
+            (2, 10, ts("2024-01-01T12:00:00")),
+            (3, 10, ts("2024-01-01T09:00:00")),  # before any purchase
+            (4, 20, ts("2024-01-01T10:00:00")),  # user with no purchases
+            (5, 30, ts("2024-01-01T10:00:00")),  # exactly at purchase ts
+        ],
+        "click_id long, user_id long, ts timestamp",
+    )
+
+
+@pytest.fixture()
+def purchases(spark):
+    return spark.createDataFrame(
+        [
+            (100, 10, ts("2024-01-01T09:30:00"), 5.0),
+            (101, 10, ts("2024-01-01T11:00:00"), 7.0),
+            (102, 30, ts("2024-01-01T10:00:00"), 9.0),
+            (103, 30, ts("2024-01-01T10:00:00"), 11.0),  # same-ts tie → max event_id
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+
+
+def test_asof_join_semantics(clicks, purchases):
+    out = {
+        r["click_id"]: (r["last_ts"], r["last_value"])
+        for r in asof_join(
+            clicks,
+            purchases,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            payload={"ts": "last_ts", "value": "last_value"},
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1] == (ts("2024-01-01T09:30:00"), 5.0)  # latest <= 10:00
+    assert out[2] == (ts("2024-01-01T11:00:00"), 7.0)  # latest <= 12:00
+    assert out[3] == (None, None)  # click precedes all purchases
+    assert out[4] == (None, None)  # user never purchased
+    assert out[5] == (ts("2024-01-01T10:00:00"), 11.0)  # inclusive boundary, tie → id 103
+
+
+def test_rank_in_groups_determinism(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0, 1), ("a", 5.0, 2), ("a", 3.0, 3), ("b", 9.0, 4)],
+        "grp string, v double, id long",
+    )
+    rows = {
+        r["id"]: (r["rn"], r["rnk"], r["drnk"])
+        for r in rank_in_groups(
+            df, partition_by="grp", order_by=[F.col("v").desc()]
+        ).collect()
+    }
+    # ties on v=5.0: rank/dense_rank agree, row_number splits arbitrarily
+    assert {rows[1][0], rows[2][0]} == {1, 2}
+    assert rows[1][1:] == (1, 1) and rows[2][1:] == (1, 1)
+    assert rows[3] == (3, 3, 2)  # rank skips past the tie, dense_rank doesn't
+    assert rows[4] == (1, 1, 1)
+
+
+def test_lag_lead_and_running_total(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 5.0), (2, 4, 7.0)],
+        "k long, seq long, v double",
+    )
+    ll = {
+        r["seq"]: (r["prev_value"], r["next_value"], r["delta"])
+        for r in lag_lead_delta(
+            df, partition_by="k", order_by="seq", value_col="v"
+        ).collect()
+    }
+    assert ll[1] == (None, 20.0, None)
+    assert ll[2] == (10.0, 5.0, 10.0)
+    assert ll[3] == (20.0, None, -15.0)
+    assert ll[4] == (None, None, None)
+
+    rt = {
+        r["seq"]: r["running_total"]
+        for r in running_total(
+            df, partition_by="k", order_by="seq", value_col="v"
+        ).collect()
+    }
+    assert rt == {1: 10.0, 2: 30.0, 3: 35.0, 4: 7.0}
+
+
+def test_range_join_buckets_edges(spark):
+    facts = spark.createDataFrame(
+        [(0.0,), (9.99,), (10.0,), (49.0,), (99.0,)], "v double"
+    )
+    buckets = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 50.0, "high")], "lo double, hi double, bucket string"
+    )
+    out = {
+        r["v"]: r["bucket"]
+        for r in range_join_buckets(facts, buckets, value_col="v").collect()
+    }
+    assert out == {0.0: "low", 9.99: "low", 10.0: "high", 49.0: "high", 99.0: None}
