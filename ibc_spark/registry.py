@@ -1054,5 +1054,192 @@ def range_join_qty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Skew mitigation (ops.skew) — same results as the plain plans (the oracle
+# IS the plain SQL), different physical distribution
+# ---------------------------------------------------------------------------
+
+from ibc_spark.ops.skew import salted_agg, salted_join  # noqa: E402
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (partial per (key, salt), final per
+    key): the explicit fix for a hot GROUP BY key. Decimal partials make
+    the re-combine exact, so the result hash-matches the unsalted oracle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_suppkey"],
+        aggs={
+            "sum_qty_dec": ("sum", dec("l_quantity", 10, 2)),
+            "n_items": ("count", F.lit(1)),
+        },
+        n_salts=16,
+        salt_on=F.col("l_orderkey"),
+    )
+    return out.select(
+        "l_suppkey", F.col("sum_qty_dec").cast("double").alias("sum_qty"), "n_items"
+    )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim equi-join: dim replicated per salt, fact routed by a
+    deterministic salt — bounds any task's share of a hot key to 1/n."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return salted_join(
+        o, c, on="c_custkey", n_salts=8, fact_salt_on=F.col("o_orderkey")
+    ).select("o_orderkey", "c_name")
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after 30
+    idle minutes. lag → marker → running sum → group. One shuffle on
+    user_id shared by both windows and the final aggregate (same
+    partitioning, Catalyst reuses the exchange). Streaming face:
+    ``ibc_spark.streaming.session_window_stream``."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "scalar_subquery_big_spenders",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s, COUNT(*) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    thr AS (SELECT CAST(SUM(s) AS DOUBLE) / COUNT(*) AS avg_spend FROM spend)
+    SELECT o_custkey, CAST(s AS DOUBLE) AS total_spend, n AS n_orders
+    FROM spend, thr
+    WHERE CAST(s AS DOUBLE) > 2 * avg_spend
+    """,
+)
+def scalar_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers spending >2× the average customer: scalar-subquery shape
+    as a broadcast cross join of a 1-row aggregate (never a driver
+    collect). Exact-decimal sums; one deterministic double division."""
+    o = read_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", 12, 2)).alias("s"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    thr = spend.agg(
+        (F.sum("s").cast("double") / F.count(F.lit(1))).alias("avg_spend")
+    )
+    return (
+        spend.crossJoin(F.broadcast(thr))
+        .where(F.col("s").cast("double") > 2 * F.col("avg_spend"))
+        .select(
+            "o_custkey", F.col("s").cast("double").alias("total_spend"), "n_orders"
+        )
+    )
+
+
+@query(
+    "histogram_order_values",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS bin_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS bin_max
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values — binning entirely map-side,
+    one tiny shuffle over #bins groups."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("bin_min"),
+            F.max("o_totalprice").cast("double").alias("bin_max"),
+        )
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: pull a typed field out of a JSON string
+    column (JVM-side get_json_object — no UDF, prunes to two columns)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
 # Extension operators (SURVEY §7.7) register themselves on import.
 from ibc_spark import registry_ext  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,138 @@
+"""Physical-plan assertions — the 100 TB posture, checked mechanically.
+
+These tests read `.explain("formatted")` output and assert the plan shapes
+that matter at scale: filters pushed into parquet scans, columns pruned,
+small dims broadcast, top-k compiled to TakeOrderedAndProject (not a global
+sort), salted aggregation producing two balanced shuffles, and bucketed
+joins running with NO shuffle at all.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ibc_spark.io_.sources import read_table
+from ibc_spark.registry import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def n_nodes(plan: str, name: str) -> int:
+    """Count physical nodes in formatted explain (each node appears once in
+    the tree as `+- Name (i)` and once as a `(i) Name` detail header)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}", plan, flags=re.M))
+
+
+def test_flagship_pushdown_prune_broadcast(spark):
+    df = QUERIES["flagship_revenue_by_nation"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    # date predicate reaches the orders parquet scan
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1].split("\n")[0] or (
+        "GreaterThanOrEqual(o_orderdate" in plan
+    )
+    # lineitem scan reads only the referenced columns, not the whole table
+    li_schemas = [
+        seg.split("\n")[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+        if "l_orderkey" in seg.split("\n")[0]
+    ]
+    assert li_schemas and all("l_shipdate" not in s for s in li_schemas), li_schemas
+    # the 25-row nation dim joins as a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_single_shuffle_partial_agg(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    # map-side partial + final aggregate around exactly one exchange
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "HashAggregate") == 2
+    # whole-stage codegen spans show as *(n) markers once AQE finalizes
+    df.collect()
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "*(" in simple
+
+
+def test_q3_topk_not_global_sort(spark):
+    df = QUERIES["q3_shipping_priority"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort node
+
+
+def test_exists_semi_is_semi_join(spark):
+    plan = plan_of(QUERIES["exists_semi"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_salted_agg_two_shuffles_same_result(spark):
+    df = QUERIES["skew_salted_agg"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Exchange") == 2  # balanced partial + final
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    plain = {
+        r["l_suppkey"]: (r["sum_qty"], r["n_items"])
+        for r in li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(10,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .collect()
+    }
+    salted = {r["l_suppkey"]: (r["sum_qty"], r["n_items"]) for r in df.collect()}
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    df = QUERIES["skew_salted_join"](spark, SF_SMOKE)
+    o = read_table(spark, SF_SMOKE, "orders")
+    c = read_table(spark, SF_SMOKE, "customer")
+    plain = set(
+        (r["o_orderkey"], r["c_name"])
+        for r in o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name")
+        .collect()
+    )
+    assert set((r["o_orderkey"], r["c_name"]) for r in df.collect()) == plain
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Pre-bucketed tables co-locate join keys: the sort-merge join runs
+    with ZERO Exchange nodes — the shuffle was paid once at write time.
+    This is the layout for repeated big-big joins at 100 TB."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    read_table(spark, SF_SMOKE, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).option("path", str(tmp_path / "b_orders")).mode("overwrite").saveAsTable("b_orders")
+    read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", str(tmp_path / "b_lineitem")
+    ).mode("overwrite").saveAsTable("b_lineitem")
+    # force the shuffle-join path (at sf0.001 AQE would rather broadcast;
+    # at 100 TB neither side broadcasts — that's the case bucketing serves)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # bucket layout replaces the shuffle
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -1,0 +1,85 @@
+"""Source-reader tests: explicit-schema permissive reads with corrupt-record
+quarantine, binaryFile ingest, and JDBC reader configuration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ibc_spark.io_.sources import (
+    dataframe_from_rows,
+    jdbc_reader,
+    read_binary_files,
+    read_csv,
+    read_json_rows,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.LongType()),
+    ]
+)
+
+
+def test_read_json_rows_quarantines_bad_records(spark, tmp_path):
+    p = tmp_path / "rows.jsonl"
+    p.write_text(
+        '{"name": "alice", "score": 10}\n'
+        'this is not json\n'
+        '{"name": "bob", "score": "NaNish"}\n'
+    )
+    df = read_json_rows(spark, str(p), SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert [(r["name"], r["score"]) for r in good] == [("alice", 10)]
+    assert len(bad) == 2  # malformed line + type-mismatched score
+
+
+def test_read_csv_quarantines_bad_records(spark, tmp_path):
+    p = tmp_path / "rows.csv"
+    p.write_text("name,score\nalice,10\nbob,notanumber\n")
+    df = read_csv(spark, str(p), SCHEMA)
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert [(r["name"], r["score"]) for r in good] == [("alice", 10)]
+    assert len(bad) == 1 and "notanumber" in bad[0]["_corrupt_record"]
+
+
+def test_read_binary_files(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "b.txt").write_bytes(b"hello")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 1
+    assert rows[0]["length"] == 3 and bytes(rows[0]["content"]) == b"\x00\x01\x02"
+
+
+def test_jdbc_reader_requires_bounds(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        jdbc_reader(spark, "jdbc:postgresql://x/db", "users", partition_column="id")
+    # configured reader builds without touching a database
+    r = jdbc_reader(
+        spark,
+        "jdbc:postgresql://x/db",
+        "users",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=4,
+    )
+    assert r is not None
+
+
+def test_dataframe_from_rows_union_schema(spark):
+    df = dataframe_from_rows(
+        spark, [{"a": 1, "b": "x"}, {"b": "y", "c": 3.5}]
+    )
+    assert set(df.columns) == {"a", "b", "c"}
+    got = {r["b"]: (r["a"], r["c"]) for r in df.collect()}
+    assert got == {"x": ("1", None), "y": (None, "3.5")}
