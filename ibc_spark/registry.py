@@ -1241,5 +1241,61 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer distribution INCLUDING
+    zero-order customers (left join preserves them; COUNT of the nullable
+    key counts only matches). Two aggregations, the second over a tiny
+    domain."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q18_large_orders_having",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_custkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(10,2))) > 150
+    """,
+)
+def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: post-aggregation HAVING filter on an exact-decimal
+    sum (filter applies AFTER the shuffle — Catalyst cannot push it, which
+    is the point of the shape)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(dec("l_quantity", 10, 2)).alias("total_qty_dec"))
+        .where(F.col("total_qty_dec") > 150)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
 # Extension operators (SURVEY §7.7) register themselves on import.
 from ibc_spark import registry_ext  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,130 @@
+"""Property-based checks (SURVEY §5.3): the Spark Column implementations
+must agree with an independent pure-Python reference on arbitrary inputs.
+
+Each property batches all generated examples into ONE DataFrame so a
+hypothesis example costs a row, not a Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ibc_spark.ext.dedup import jaccard, shingles
+from ibc_spark.ext.text import tokens
+from ibc_spark.io_.sinks import merge_upsert
+from ibc_spark.ops import scalars
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# -- python references ------------------------------------------------------
+
+
+def ref_parse_boolean(v: str | None) -> bool:
+    if v is None:
+        return False
+    s = v.strip().lower()
+    if s in ("yes", "true", "1"):
+        return True
+    return False  # 'no'/'false'/'0' and ALL junk → False (X1 truth table)
+
+
+def ref_tokens(text: str) -> list[str]:
+    return [t for t in text.lower().split() if t]
+
+
+def ref_shingles(text: str, n: int = 3) -> list[str]:
+    toks = ref_tokens(text)
+    if not toks:
+        return [""]
+    m = max(len(toks) - n + 1, 1)
+    out = []
+    for i in range(m):
+        s = " ".join(toks[i : i + n])
+        if s not in out:
+            out.append(s)
+    return out
+
+
+# -- properties -------------------------------------------------------------
+
+boolish = st.one_of(
+    st.none(),
+    st.sampled_from(["yes", "no", "true", "false", "1", "0", "YES ", " No", "TrUe"]),
+    st.text(max_size=8),
+)
+
+
+@SLOW
+@given(st.lists(boolish, min_size=1, max_size=50))
+def test_parse_boolean_matches_reference(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v string")
+    got = {
+        r["i"]: r["p"] for r in df.select("i", scalars.parse_boolean("v").alias("p")).collect()
+    }
+    assert got == {i: ref_parse_boolean(v) for i, v in enumerate(vals)}
+
+
+texty = st.text(
+    alphabet=st.sampled_from(list("abc xyz\t.!?")), min_size=0, max_size=60
+)
+
+
+@SLOW
+@given(st.lists(texty, min_size=1, max_size=30))
+def test_shingles_match_reference(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: r["sh"]
+        for r in df.select("i", shingles(tokens(F.col("t")), 3).alias("sh")).collect()
+    }
+    assert got == {i: ref_shingles(t) for i, t in enumerate(texts)}
+
+
+@SLOW
+@given(
+    st.lists(st.booleans(), min_size=0, max_size=30),
+)
+def test_bits_to_string_roundtrip(spark, bits):
+    df = spark.createDataFrame([(bits,)], "b array<boolean>")
+    s = df.select(scalars.bits_to_string("b").alias("s")).first()["s"]
+    assert s == "".join("1" if b else "0" for b in bits)
+
+
+keyed_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(-100, 100)), min_size=0, max_size=20
+)
+
+
+@SLOW
+@given(old=keyed_rows, new=keyed_rows)
+def test_merge_upsert_matches_dict_semantics(spark, old, new):
+    # one row per key (merge's contract); dict-union gives the expected state
+    old_d = {k: v for k, v in old}
+    new_d = {k: v for k, v in new}
+    old_df = spark.createDataFrame(
+        [(k, v) for k, v in old_d.items()], "k long, v long"
+    ) if old_d else spark.createDataFrame([], "k long, v long")
+    new_df = spark.createDataFrame(
+        [(k, v) for k, v in new_d.items()], "k long, v long"
+    ) if new_d else spark.createDataFrame([], "k long, v long")
+    got = {r["k"]: r["v"] for r in merge_upsert(old_df, new_df, key="k").collect()}
+    assert got == {**old_d, **new_d}
+
+
+@SLOW
+@given(
+    a=st.lists(st.text(alphabet="abcd", min_size=1, max_size=3), min_size=1, max_size=10),
+    b=st.lists(st.text(alphabet="abcd", min_size=1, max_size=3), min_size=1, max_size=10),
+)
+def test_jaccard_matches_reference(spark, a, b):
+    sa, sb = list(dict.fromkeys(a)), list(dict.fromkeys(b))
+    df = spark.createDataFrame([(sa, sb)], "a array<string>, b array<string>")
+    got = df.select(jaccard(F.col("a"), F.col("b")).alias("j")).first()["j"]
+    expected = len(set(sa) & set(sb)) / len(set(sa) | set(sb))
+    assert abs(got - expected) < 1e-12
