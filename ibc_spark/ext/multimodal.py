@@ -92,3 +92,96 @@ def extract_features(df: DataFrame, *, dim: int = 8) -> DataFrame:
             )
 
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, *, width: int = 4, height: int = 4
+) -> DataFrame:
+    """Resize stage over the binary column (Arrow-batched ``mapInPandas``).
+
+    The interpolation kernel is STUBBED with a deterministic byte
+    down-sample (stride slicing of the payload into width·height bytes,
+    zero-padded) — the seam where a real decoder+resampler (Pillow/
+    torchvision) plugs in. Schema, batch iteration, and binary-out plumbing
+    are the real contract a production resize uses.
+    """
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        n = width * height
+        out_px = []
+
+        def px(b: bytes) -> bytes:
+            if not b:
+                return bytes(n)
+            stride = max(len(b) // n, 1)
+            sampled = b[::stride][:n]
+            return sampled + bytes(n - len(sampled))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": pdf["payload"].map(px),
+                }
+            )
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, *, n_frames: int = 3, frame_size: int = 8
+) -> DataFrame:
+    """Frame-sampling stage (video analogue): emit ``n_frames`` evenly-
+    spaced byte windows per payload — a 1:N ``mapInPandas`` fan-out (one
+    media row in, one row per sampled frame out), which is exactly the
+    shape a real keyframe extractor produces. Codec seam stubbed; the
+    offsets are deterministic so the output is oracle-checkable."""
+
+    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, offs, chunks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = payload or b""
+                span = max(len(b) - frame_size, 0)
+                for i in range(n_frames):
+                    off = (span * i) // max(n_frames - 1, 1)
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    chunks.append(bytes(b[off : off + frame_size]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "frame_bytes": chunks,
+                }
+            )
+
+    return df.mapInPandas(_frames, FRAME_SCHEMA)

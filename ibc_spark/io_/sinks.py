@@ -109,3 +109,42 @@ def job_metrics(**counts: int) -> str:
     import json
 
     return json.dumps(counts)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_mb: int = 256,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_file_mb`` files (the steady-state maintenance job every
+    large ingest needs — thousands of tiny files destroy scan throughput
+    and NameNode/listing latency at 100 TB).
+
+    File count is derived from the actual on-disk byte size, not row
+    counts; ``sort_within_by`` optionally sorts within partitions so
+    min/max page stats become selective for later scans. Returns the
+    number of output files."""
+    import math
+
+    df = spark.read.parquet(src_path)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
+    statuses = fs.listStatus(jvm.org.apache.hadoop.fs.Path(src_path))
+    total_bytes = (
+        sum(
+            s.getLen()
+            for s in statuses
+            if s.getPath().getName().endswith(".parquet")
+        )
+        or 1
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files

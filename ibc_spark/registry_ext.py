@@ -209,6 +209,114 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_PAIRS = f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM (SELECT vec_id, label, embedding FROM embeddings) a
+    JOIN (SELECT vec_id, label, embedding FROM embeddings) b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {{cos}} >= 0.3
+"""
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_COS_PAIRS.format(cos=_cos_sql('a.embedding', 'b.embedding'))}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
+    )
+    SELECT a AS member_id, min(b) AS kept_id, a = min(b) AS is_kept
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS via iterative connected components over the
+    embedding-cosine pair graph (ext.graph: min-label propagation,
+    O(log n) self-join iterations, lineage checkpointed). The DuckDB
+    oracle computes the same components with a recursive transitive
+    closure — tractable at oracle scale, quadratic-in-cluster-size at
+    100 TB, which is why the engine iterates instead."""
+    from ibc_spark.ext.graph import dedup_clusters
+
+    pairs = dedup.embedding_neardup_pairs(
+        read_table(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        threshold=0.3,
+    )
+    return dedup_clusters(pairs).select("member_id", "kept_id", "is_kept")
+
+
+@query(
+    "text_quality_gate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                 / greatest(length(text), 1) AS punct_ratio,
+             CAST(len(list_filter(toks, x -> list_contains(['the','of','and','to','in','is','a'], x))) AS DOUBLE)
+                 / greatest(len(toks), 1) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           n_tokens BETWEEN 10 AND 5000
+             AND punct_ratio < 0.30
+             AND stopword_ratio >= 0.01 AS keep,
+           concat(
+             CASE WHEN n_tokens NOT BETWEEN 10 AND 5000 THEN 'length;' ELSE '' END,
+             CASE WHEN punct_ratio >= 0.30 THEN 'punct;' ELSE '' END,
+             CASE WHEN stopword_ratio < 0.01 THEN 'stopwords;' ELSE '' END
+           ) AS drop_reasons
+    FROM m
+    """,
+)
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining quality gate: length + punctuation + stopword
+    thresholds → keep/drop with stacked reason codes (errors-as-data, same
+    convention as the validation quarantine)."""
+    d = read_table(spark, sf_dir, "documents")
+    m = text.quality_metrics("text")
+    scored = d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    )
+    bad_len = ~F.col("n_tokens").between(10, 5000)
+    bad_punct = F.col("punct_ratio") >= 0.30
+    bad_stop = F.col("stopword_ratio") < 0.01
+    return scored.select(
+        "doc_id",
+        (~bad_len & ~bad_punct & ~bad_stop).alias("keep"),
+        F.concat(
+            F.when(bad_len, "length;").otherwise(""),
+            F.when(bad_punct, "punct;").otherwise(""),
+            F.when(bad_stop, "stopwords;").otherwise(""),
+        ).alias("drop_reasons"),
+    )
+
+
+@query("approx_sketch_stats")  # HLL/quantile sketches are engine-specific → rows-only
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB profiling: HyperLogLog distinct users
+    and approximate value quantiles per event type — O(KB) state per group
+    regardless of cardinality (the streaming/interactive alternative to
+    exact distincts). pytest bounds the error vs exact answers."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -275,3 +383,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing is real and hash-checked)."""
     d = read_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.attach_binary(d))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH t AS (SELECT doc_id, encode(substring(text, 1, 64)) AS payload FROM documents),
+    f AS (SELECT doc_id, hex(payload) AS payload_hex,
+                 greatest(octet_length(payload) - 8, 0) AS span FROM t)
+    SELECT doc_id, frame_idx,
+           CAST((span * frame_idx) // 2 AS BIGINT) AS frame_offset,
+           substring(payload_hex, CAST((span * frame_idx) // 2 AS BIGINT) * 2 + 1, 16) AS frame_hex
+    FROM f CROSS JOIN (VALUES (0), (1), (2)) AS fi(frame_idx)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1:N mapInPandas fan-out of evenly-spaced byte
+    windows per media payload (the keyframe-extraction shape; codec seam
+    stubbed, offsets + bytes hash-checked via hex)."""
+    d = read_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(
+        multimodal.attach_binary(d), n_frames=3, frame_size=8
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_offset",
+        F.hex("frame_bytes").alias("frame_hex"),
+    )

@@ -98,3 +98,25 @@ def test_multimodal_batch_shapes(spark, docs):
     assert len(rows) == docs.count()
     assert all(len(r["fake_embedding"]) == 8 for r in rows)
     assert all(r["byte_len"] > 0 for r in rows)
+
+
+def test_multimodal_resize_and_frames(spark):
+    from ibc_spark.ext.multimodal import attach_binary, resize_images, sample_frames
+    from ibc_spark.io_.sources import read_table
+    from .conftest import SF_SMOKE
+
+    media = attach_binary(read_table(spark, SF_SMOKE, "documents").limit(20))
+    rs = resize_images(media, width=4, height=4).collect()
+    assert len(rs) == 20
+    assert all(len(bytes(r["pixels"])) == 16 for r in rs)
+
+    fr = sample_frames(media, n_frames=3, frame_size=8)
+    rows = fr.collect()
+    assert len(rows) == 60  # 1:N fan-out
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for frames in by_doc.values():
+        offs = [r["frame_offset"] for r in sorted(frames, key=lambda r: r["frame_idx"])]
+        assert offs == sorted(offs)  # evenly spaced, nondecreasing
+        assert all(len(bytes(r["frame_bytes"])) <= 8 for r in frames)

@@ -1,0 +1,69 @@
+"""Tests for iterative connected components and sketch accuracy bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ibc_spark.ext.graph import connected_components, dedup_clusters
+from ibc_spark.io_.sources import read_table
+
+from .conftest import SF_SMOKE
+
+
+def test_connected_components_handcrafted(spark):
+    # components: {1,2,3,4} (chain), {10,11}, {20} (self-loop)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 40-node path needs ~log2(40) doubling rounds < max_iter
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = connected_components(edges, max_iter=50).collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == 41
+
+
+def test_dedup_clusters_one_kept_per_component(spark):
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 7), (100, 101)], "id_a long, id_b long"
+    )
+    rows = dedup_clusters(edges).collect()
+    kept = [r for r in rows if r["is_kept"]]
+    assert {r["kept_id"] for r in kept} == {5, 100}
+    assert all(r["kept_id"] == r["member_id"] for r in kept)
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["kept_id"], []).append(r)
+    assert sorted(by_cluster) == [5, 100]
+    assert sum(r["is_kept"] for r in rows) == 2
+
+
+def test_approx_sketches_within_bounds(spark):
+    ev = read_table(spark, SF_SMOKE, "events")
+    approx = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("au"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        )
+        .collect()
+    )
+    exact = {
+        r["event_type"]: (r["eu"], r["ep50"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("eu"),
+            F.expr("percentile(value, 0.5)").alias("ep50"),
+        )
+        .collect()
+    }
+    for r in approx:
+        eu, ep50 = exact[r["event_type"]]
+        assert abs(r["au"] - eu) <= max(2, 0.05 * eu)
+        assert abs(r["p50"] - ep50) <= max(0.5, 0.05 * abs(ep50))
