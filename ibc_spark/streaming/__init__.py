@@ -19,6 +19,7 @@ from ibc_spark.streaming.windows import (
     sliding_window_stream,
 )
 from ibc_spark.streaming.dedup import dedup_events_stream
+from ibc_spark.streaming.joins import clicks_to_purchases_stream
 from ibc_spark.streaming.merge_sink import foreach_batch_merge, run_merge_stream
 from ibc_spark.streaming.stateful import running_user_totals
 
@@ -27,6 +28,7 @@ __all__ = [
     "hourly_rollup_stream",
     "sliding_window_stream",
     "session_window_stream",
+    "clicks_to_purchases_stream",
     "dedup_events_stream",
     "foreach_batch_merge",
     "run_merge_stream",
