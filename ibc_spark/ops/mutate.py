@@ -89,3 +89,68 @@ def bulk_mutate(df: DataFrame, updates: Mapping[str, object], increments: Mappin
     for col, delta in increments.items():
         out = out.withColumn(col, F.col(col) + F.lit(delta))
     return out
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    *,
+    key: str,
+    compare: list[str],
+    effective_date,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD Type-2: apply ``updates`` to a versioned dimension, KEEPING
+    history. The reference's upserts are Type-1 (overwrite, K3–K5); Type-2
+    is the warehouse-grade variant the engine adds:
+
+    - current rows whose compared attributes changed (null-safe ``<=>``)
+      are CLOSED: ``valid_to = effective_date``, ``is_current = false``;
+    - a new open version is inserted per changed or brand-new key;
+    - unchanged current rows and already-closed history pass through.
+
+    One shuffle on ``key``; history rows never rejoin anything. On a
+    lakehouse this whole dataset op is the MERGE source for ``MERGE INTO``.
+    ``current`` must carry ``from_col``/``to_col``/``current_col``;
+    ``updates`` carries ``key`` + ``compare``.
+    """
+    eff = F.lit(effective_date).cast(current.schema[from_col].dataType)
+    hist = current.where(~F.col(current_col))
+    open_rows = current.where(F.col(current_col))
+
+    u = updates.select(
+        F.col(key),
+        F.lit(True).alias("__in_updates"),
+        *[F.col(c).alias(f"__u_{c}") for c in compare],
+    )
+    joined = open_rows.join(u, on=key, how="full_outer")
+    cond = None  # any compared attribute differs (null-safe)
+    for c in compare:
+        term = ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+        cond = term if cond is None else (cond | term)
+    in_updates = F.col("__in_updates").isNotNull()
+    is_new_key = F.col(from_col).isNull()  # no current row for this key
+    is_changed = in_updates & ~is_new_key & cond
+
+    kept_open = joined.where(~is_new_key & (~in_updates | ~is_changed)).select(
+        key, *compare, from_col, to_col, current_col
+    )
+    closed = joined.where(is_changed).select(
+        key,
+        *compare,
+        F.col(from_col),
+        eff.alias(to_col),
+        F.lit(False).alias(current_col),
+    )
+    new_versions = joined.where(is_changed | is_new_key).select(
+        key,
+        *[F.col(f"__u_{c}").alias(c) for c in compare],
+        eff.alias(from_col),
+        F.lit(None).cast(current.schema[to_col].dataType).alias(to_col),
+        F.lit(True).alias(current_col),
+    )
+    return hist.select(key, *compare, from_col, to_col, current_col).unionAll(
+        kept_open
+    ).unionAll(closed).unionAll(new_versions)

@@ -1297,5 +1297,142 @@ def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scd2_customer_history",
+    oracle=f"""
+    WITH cur AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ),
+    upd AS ({_NEW_CUSTOMER}),
+    changed AS (
+      SELECT u.c_custkey FROM upd u JOIN cur c USING (c_custkey)
+      WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+         OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+    )
+    SELECT c_custkey, c_acctbal, c_mktsegment, valid_from,
+           CASE WHEN c_custkey IN (SELECT c_custkey FROM changed)
+                THEN DATE '2026-01-01' END AS valid_to,
+           c_custkey NOT IN (SELECT c_custkey FROM changed) AS is_current
+    FROM cur
+    UNION ALL
+    SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+           DATE '2026-01-01', CAST(NULL AS DATE), TRUE
+    FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 versioned upsert: changed rows are closed (valid_to set)
+    and a new open version inserted; unchanged rows pass through. The
+    reference only does Type-1 overwrites — this is the history-keeping
+    warehouse variant (ops.mutate.scd2_apply)."""
+    from ibc_spark.ops.mutate import scd2_apply
+
+    c = read_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return scd2_apply(
+        current,
+        _new_customer(spark, sf_dir),
+        key="c_custkey",
+        compare=["c_acctbal", "c_mktsegment"],
+        effective_date="2026-01-01",
+    )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-column profile (null rate, cardinality, range) —
+    ingest-time data quality snapshot (ops.profile)."""
+    from ibc_spark.ops.profile import profile_numeric
+
+    o = read_table(spark, sf_dir, "orders")
+    return profile_numeric(o, ["o_custkey", "o_totalprice"])
+
+
+@query(
+    "sql_api_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_api_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: the same plan authored as ``spark.sql``
+    over registered views (identical Catalyst plan to the DataFrame API —
+    both are the declarative front door)."""
+    from ibc_spark.io_.sources import register_views
+
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "udtf_explode_words",
+    oracle="""
+    SELECT doc_id, word, CAST(length(word) AS INT) AS word_len
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+      FROM (SELECT doc_id, text FROM documents WHERE doc_id < 50)
+    )
+    """,
+)
+def udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (1:N table function). Row-at-a-time Python — NOT
+    the hot path (the same result is a built-in explode/split, which is how
+    the engine's own tokenizers work); registered to prove the API parity
+    for user-defined table functions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, word_len: int")
+    class ExplodeWords:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield w, len(w)
+
+    spark.udtf.register("explode_words", ExplodeWords)
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, word, word_len "
+        "FROM __udtf_docs, LATERAL explode_words(text)"
+    )
+
+
 # Extension operators (SURVEY §7.7) register themselves on import.
 from ibc_spark import registry_ext  # noqa: E402,F401  (registration side effect)

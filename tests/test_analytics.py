@@ -126,3 +126,50 @@ def test_range_join_buckets_edges(spark):
         for r in range_join_buckets(facts, buckets, value_col="v").collect()
     }
     assert out == {0.0: "low", 9.99: "low", 10.0: "high", 49.0: "high", 99.0: None}
+
+
+def test_scd2_apply_semantics(spark):
+    import datetime as dtm
+
+    from ibc_spark.ops.mutate import scd2_apply
+
+    d = dtm.date
+    current = spark.createDataFrame(
+        [
+            # closed history row for key 1
+            (1, 10.0, "A", d(2019, 1, 1), d(2020, 1, 1), False),
+            # open rows
+            (1, 20.0, "A", d(2020, 1, 1), None, True),   # will change
+            (2, 30.0, "B", d(2020, 1, 1), None, True),   # unchanged
+            (3, 40.0, "C", d(2020, 1, 1), None, True),   # not in updates
+        ],
+        "k long, v double, seg string, valid_from date, valid_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, 25.0, "A"),   # changed value
+            (2, 30.0, "B"),   # identical → no-op
+            (9, 99.0, "Z"),   # brand-new key
+        ],
+        "k long, v double, seg string",
+    )
+    out = scd2_apply(
+        current, updates, key="k", compare=["v", "seg"], effective_date="2026-01-01"
+    ).collect()
+    rows = {(r["k"], r["valid_from"]): r for r in out}
+    assert len(out) == 6
+    # history passthrough
+    assert rows[(1, d(2019, 1, 1))]["is_current"] is False
+    # changed row closed at effective date
+    closed = rows[(1, d(2020, 1, 1))]
+    assert closed["valid_to"] == d(2026, 1, 1) and closed["is_current"] is False
+    assert closed["v"] == 20.0  # closed version keeps OLD values
+    # new version opened
+    new = rows[(1, d(2026, 1, 1))]
+    assert new["v"] == 25.0 and new["valid_to"] is None and new["is_current"] is True
+    # unchanged + untouched rows stay open
+    assert rows[(2, d(2020, 1, 1))]["is_current"] is True
+    assert rows[(3, d(2020, 1, 1))]["is_current"] is True
+    # brand-new key inserted open at effective date
+    nk = rows[(9, d(2026, 1, 1))]
+    assert nk["v"] == 99.0 and nk["is_current"] is True
