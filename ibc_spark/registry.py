@@ -1436,3 +1436,7 @@ def udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Extension operators (SURVEY §7.7) register themselves on import.
 from ibc_spark import registry_ext  # noqa: E402,F401  (registration side effect)
+
+# Remaining TPC-H query shapes (correlated EXISTS/NOT EXISTS, global-scalar
+# HAVING, argmax-by-aggregate, disjunctive predicates, ...).
+from ibc_spark import registry_tpch  # noqa: E402,F401  (registration side effect)

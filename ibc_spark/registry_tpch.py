@@ -1,0 +1,611 @@
+"""Remaining TPC-H query shapes — the analytical patterns not yet covered by
+the headline set in ``registry.py``.
+
+The reference (`/root/reference`, see SURVEY.md §2.7) has no analytical
+queries at all; these entries exist to make the engine's coverage of the
+standard warehouse query shapes explicit and oracle-checked: correlated
+EXISTS / NOT EXISTS (Q4/Q22), pure-scan aggregation with full predicate
+pushdown (Q6), multi-dim fact joins with CASE aggregation (Q7/Q9/Q14),
+aggregate-then-top-k (Q10), HAVING against a global scalar (Q11),
+argmax-by-aggregate (Q15), distinct-count with NOT-IN exclusion (Q16),
+correlated-average filters (Q17), disjunctive OR-of-ANDs predicates (Q19),
+and aggregate-driven semi-join chains (Q20).
+
+Determinism rules are the same as registry.py: every float aggregate goes
+through a pinned-scale DECIMAL so Spark and DuckDB hash identically; final
+doubles are produced by exactly one cast/division on both sides; every
+computed column is aliased identically in the Spark plan and the oracle.
+
+Scale posture (100 TB): every query here is a scan → (shuffle) join →
+partial+final agg pipeline with no driver-side collection. `nation` /
+`region` (25 / 5 rows) are broadcast explicitly; `part` and `supplier`
+scale with the data and are left to sort-merge/AQE; per-group aggregates
+that feed a second join (Q11/Q15/Q17/Q20) reduce to one row per key before
+the join, so the second shuffle moves group-level — not row-level — data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibc_spark.io_.sources import read_table
+from ibc_spark.registry import dec, query
+
+
+@query(
+    "q4_exists_late_items",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_exists_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an extra non-equi condition
+    (item shipped after the order date), expressed as a LEFT SEMI join.
+    Semi joins short-circuit per probe row and never duplicate the left
+    side, so the aggregate input stays exactly one row per order."""
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount > 0.04 AND l_discount < 0.08
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table scan, every predicate pushed into the
+    parquet reader, one global aggregate. At 100 TB this is the query that
+    proves pushdown + column pruning: only 4 of 11 lineitem columns are
+    read and row groups outside the shipdate range are skipped via
+    min/max statistics."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") > 0.04)
+        & (F.col("l_discount") < 0.08)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec("l_extendedprice", 10, 2) * dec("l_discount", 4, 2))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+                AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l_shipdate) AS INTEGER)
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension (nation) joined twice under two
+    roles (supplier's vs customer's), with a symmetric pair predicate and a
+    per-year CASE-free rollup. Both nation joins are broadcast; the pair
+    filter lands right after them so the big fact join output is pruned
+    before aggregation."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = dec("l_extendedprice", 10, 2) * (
+        F.lit(1) - dec("l_discount", 4, 2)
+    ).cast("decimal(4,2)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("volume"))
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle="""
+    SELECT n_name, CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, CAST(YEAR(o_orderdate) AS INTEGER)
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-table star with a substring filter on the part
+    dimension and a (nation, year) rollup. The LIKE filter shrinks `part`
+    before it joins the fact table — at scale the filtered part side is
+    what AQE converts to a broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = read_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")).select(
+        "p_partkey"
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = dec("l_extendedprice", 10, 2) * (
+        F.lit(1) - dec("l_discount", 4, 2)
+    ).cast("decimal(4,2)")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(revenue).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_items_topk",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                 * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) DESC,
+             c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: aggregate then top-k. The sort key is the EXACT
+    decimal sum (identical ordering on both engines; ties broken by
+    c_custkey) and the limit is pushed into TakeOrderedAndProject — no
+    global sort materializes at any scale."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = dec("l_extendedprice", 10, 2) * (
+        F.lit(1) - dec("l_discount", 4, 2)
+    ).cast("decimal(4,2)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).alias("revenue_dec"))
+        .orderBy(F.col("revenue_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH tot AS (
+      SELECT SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS total,
+             COUNT(DISTINCT l_partkey) AS n_parts
+      FROM lineitem
+    )
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS part_value
+    FROM lineitem, tot
+    GROUP BY l_partkey, total, n_parts
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(10,2))) * n_parts * 10 > total * 12
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group aggregate filtered against a global
+    scalar aggregate (HAVING sum > fraction-of-total). The fraction is
+    scale-free — parts worth more than 1.2x the average part value — so
+    the query returns rows at every SF (a fixed fraction of total, as in
+    literal Q11, selects nothing once part count grows). The comparison is
+    cross-multiplied (`value * n_parts * 10 > total * 12`) so it stays in
+    exact integer/decimal arithmetic on both engines; the global
+    (total, n_parts) pair is a broadcast one-row frame."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice", 10, 2)).alias("value_dec")
+    )
+    total = li.agg(
+        F.sum(dec("l_extendedprice", 10, 2)).alias("total"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_dec") * F.col("n_parts") * 10 > F.col("total") * 12)
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q14_promo_revenue_pct",
+    oracle="""
+    SELECT CAST(100 * SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(10,2))
+                         * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                    ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                      * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+                  AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio (promo revenue share).
+    Numerator and denominator are exact decimal sums computed in the same
+    partial-aggregate pass; the percentage is produced by exactly one
+    double division, written identically in the oracle."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = dec("l_extendedprice", 10, 2) * (
+        F.lit(1) - dec("l_discount", 4, 2)
+    ).cast("decimal(4,2)")
+    zero = F.lit(0).cast("decimal(10,2)")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(zero)).alias(
+                "promo_dec"
+            ),
+            F.sum(revenue).alias("total_dec"),
+        )
+        .select(
+            (
+                (F.col("promo_dec") * 100).cast("double")
+                / F.col("total_dec").cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                 * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+               AS total_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_dec = (SELECT MAX(total_dec) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax by aggregate — revenue per supplier for a
+    quarter, then the supplier(s) hitting the maximum. The max is a
+    broadcast one-row frame; equality on exact decimals keeps the answer
+    identical across engines (double max comparison would not be)."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    revenue = dec("l_extendedprice", 10, 2) * (
+        F.lit(1) - dec("l_discount", 4, 2)
+    ).cast("decimal(4,2)")
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("total_dec"))
+    mx = rev.agg(F.max("total_dec").alias("max_dec"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_dec") == F.col("max_dec"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_dec").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "q16_supplier_cnt_by_brand",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 10, 20, 30, 40, 50)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_cnt_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo with a NOT-IN
+    exclusion list. The exclusion (suppliers in deficit) is an anti join —
+    the distributed-safe form of NOT IN when the subquery is guaranteed
+    non-null. Distinct-count shuffles (brand, size, suppkey) once, then
+    counts per group."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 10, 20, 30, 40, 50)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = read_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "leftanti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH stats AS (
+      SELECT l_partkey AS sp_partkey, COUNT(*) AS cnt,
+             SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part  ON p_partkey = l_partkey
+    JOIN stats ON sp_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND CAST(l_quantity AS DECIMAL(10,2)) * 2 * cnt < sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below half their group's average — the
+    correlated scalar-subquery pattern, decorrelated into an
+    aggregate-then-join-back. The `qty < 0.5 * avg` predicate is
+    cross-multiplied to `2 * qty * cnt < sum` so it evaluates in exact
+    decimal arithmetic on both engines (a double average would make
+    boundary rows engine-dependent)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("l_quantity", 10, 2)).alias("sum_qty"),
+    )
+    p = read_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(stats, F.col("sp_partkey") == F.col("l_partkey"))
+        .where(dec("l_quantity", 10, 2) * 2 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice", 10, 2)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
+    factors the common sub-predicates: the brand/size disjunction is pushed
+    to the part scan and the quantity envelope (1..30) to the lineitem
+    scan, so each side is pruned before the join even though no single
+    conjunct applies globally."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    revenue = dec("l_extendedprice", 10, 2) * (
+        F.lit(1) - dec("l_discount", 4, 2)
+    ).cast("decimal(4,2)")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q20_promo_volume_suppliers",
+    oracle="""
+    WITH qualifying AS (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(10,2))) > 100
+    )
+    SELECT n_name, COUNT(*) AS promo_suppliers
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
+    GROUP BY n_name
+    """,
+)
+def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: an aggregate-derived key set driving a semi join
+    (suppliers who moved >100 units of PROMO parts in a year, counted per
+    nation). The HAVING reduces the fact table to one row per supplier
+    before the semi join, so the join input is group-sized, not
+    row-sized."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    p = read_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    qualifying = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity", 10, 2)).alias("sum_qty"))
+        .where(F.col("sum_qty") > 100)
+        .select("l_suppkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("promo_suppliers"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT COUNT(*) AS cnt, SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS total
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cnt > total
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1996-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS anti join + a filter against a global
+    average (customers above the mean positive balance with no orders
+    before 1996 — every synthetic customer eventually orders, so the
+    window-less literal Q22 predicate would select nothing).
+    `bal > avg` is cross-multiplied to `bal * cnt > sum` so the threshold
+    is exact-decimal on both engines; the (cnt, sum) scalar pair is a
+    broadcast one-row frame."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("c_acctbal", 12, 2)).alias("total"),
+    )
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1996-01-01"
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(pos))
+        .where(dec("c_acctbal", 12, 2) * F.col("cnt") > F.col("total"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "leftanti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("totacctbal"),
+        )
+    )

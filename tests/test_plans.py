@@ -169,3 +169,38 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert n == 1  # tiny input compacts to one right-sized file
     assert len(glob.glob(f"{dst}/*.parquet")) == 1
     assert spark.read.parquet(dst).count() == read_table(spark, SF_SMOKE, "events").count()
+
+
+def test_q6_full_pushdown_single_scan(spark):
+    """Q6: every predicate reaches the lineitem parquet scan; only the four
+    referenced columns are read; no join, one exchange for the global agg."""
+    df = QUERIES["q6_forecast_revenue"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters: ")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_extendedprice" in schema
+    assert "l_returnflag" not in schema and "l_orderkey" not in schema, schema
+    assert "Join" not in plan
+
+
+def test_q10_topk_no_global_sort(spark):
+    plan = plan_of(QUERIES["q10_returned_items_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+
+
+def test_q4_semi_q16_anti_q22_anti(spark):
+    assert "LeftSemi" in plan_of(QUERIES["q4_exists_late_items"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan_of(QUERIES["q16_supplier_cnt_by_brand"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan_of(QUERIES["q22_idle_rich_customers"](spark, SF_SMOKE))
+
+
+def test_q19_disjunction_factored_to_scans(spark):
+    """The brand/size disjunction must prune the part scan and the quantity
+    envelope the lineitem scan, even though no single conjunct is global."""
+    plan = plan_of(QUERIES["q19_disjunctive_predicates"](spark, SF_SMOKE))
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters: ")[1:]]
+    assert any("p_brand" in s or "p_size" in s for s in pushed), pushed
+    assert any("l_quantity" in s for s in pushed), pushed
