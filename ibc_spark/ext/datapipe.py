@@ -1,0 +1,98 @@
+"""Training-dataset assembly operators: deterministic splits, vocabulary
+building, and token-budget packing.
+
+The reference (`/root/reference`, SURVEY.md §2) has no dataset-assembly
+surface at all; these are the operations an LLM training-data pipeline runs
+after cleaning/dedup (the `ext.dedup` / `ext.text` stage): carve the corpus
+into reproducible train/val/test splits, build a global token vocabulary,
+and bin documents into fixed token budgets for sequence packing.
+
+Scale posture (100 TB):
+
+- Splits are STATELESS — a pure arithmetic hash of the key column, no
+  sampling, no driver-side randomness, no shuffle. Every executor decides
+  each row's split independently, and the assignment is stable across runs,
+  re-partitions, and engines (the multiplicative hash uses only 64-bit
+  integer arithmetic, so DuckDB computes bit-identical buckets).
+- Vocabulary building is explode → partial-agg → top-k: the per-partition
+  partial aggregation collapses each partition to its distinct terms before
+  the single shuffle, and the final top-k is TakeOrdered (no global sort).
+- Packing is a per-group running sum (window) — one shuffle on the group
+  column; each group's documents are processed in a single partition's
+  sorted stream, which is exactly the layout a downstream packer wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative constant (golden-ratio scaled to 2^32). The hash is
+# `(key * KNUTH) mod 2^32`, uniform on the low bits for sequential keys and
+# computable in exact 64-bit arithmetic by every engine.
+_KNUTH = 2654435761
+_MOD = 4294967296
+
+
+def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer key column."""
+    key = F.col(key) if isinstance(key, str) else key
+    return (key.cast("long") * F.lit(_KNUTH)) % _MOD % n_buckets
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 90), ("val", 5), ("test", 5)),
+) -> DataFrame:
+    """Assign every row to a named split by hashing ``key``.
+
+    ``splits`` is (name, percent) with percents summing to 100. Rows with
+    equal keys always land in the same split (so near-dup clusters keyed by
+    their kept-id stay together — no train/test leakage)."""
+    total = sum(p for _, p in splits)
+    if total != 100:
+        raise ValueError(f"split percents must sum to 100, got {total}")
+    bucket = hash_bucket(key, 100)
+    expr: Column | None = None
+    edge = 0
+    for name, pct in splits:
+        edge += pct
+        cond = bucket < edge
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def vocab_topk(
+    df: DataFrame, tokens_col: Column, k: int = 100, doc_id: str = "doc_id"
+) -> DataFrame:
+    """Global top-k vocabulary: (term, term_count, doc_freq), ordered by
+    count desc with term as the deterministic tie-break. ``tokens_col`` is
+    an array<string> column expression."""
+    exploded = df.select(F.col(doc_id), F.explode(tokens_col).alias("term"))
+    counts = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).alias("term_count"),
+        F.countDistinct(doc_id).alias("doc_freq"),
+    )
+    return counts.orderBy(F.col("term_count").desc(), F.col("term")).limit(k)
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    group: str,
+    order: str,
+    n_tokens: Column,
+    budget: int,
+) -> DataFrame:
+    """Assign each document a pack/bin id so consecutive documents (by
+    ``order`` within ``group``) share a bin of ~``budget`` tokens:
+    ``bin = floor(exclusive_prefix_sum(n_tokens) / budget)``.
+
+    This is token-offset binning — the streaming-friendly, shuffle-once
+    packing used when documents are concatenated in corpus order (documents
+    straddling a boundary are split by the downstream tokenizer). It is
+    deterministic and window-expressible, unlike bin-packing heuristics
+    that need stateful iteration."""
+    w = Window.partitionBy(group).orderBy(order)
+    cum = F.sum(n_tokens).over(w) - n_tokens  # exclusive prefix sum
+    return df.withColumn("bin_id", F.floor(cum / F.lit(budget)))

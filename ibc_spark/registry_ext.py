@@ -411,3 +411,96 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_offset",
         F.hex("frame_bytes").alias("frame_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly (ext.datapipe): splits, vocabulary, packing
+# ---------------------------------------------------------------------------
+
+from ibc_spark.ext import datapipe  # noqa: E402
+
+
+@query(
+    "split_train_val_test",
+    oracle="""
+    WITH b AS (
+      SELECT n_chars,
+             (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM b
+    GROUP BY 1
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 corpus split via a multiplicative hash of
+    doc_id — stateless (no sampling, no shuffle for the assignment itself),
+    stable across runs and engines, leakage-safe for rows sharing a key.
+    Summarized per split for the hash check."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        datapipe.hash_split(d, "doc_id", (("train", 90), ("val", 5), ("test", 5)))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "vocab_top_terms",
+    oracle=f"""
+    SELECT term, COUNT(*) AS term_count, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+    GROUP BY term
+    ORDER BY term_count DESC, term
+    LIMIT 100
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 vocabulary with collection frequency and document
+    frequency. Explode → partial agg → TakeOrdered; the tie-break on term
+    makes the top-k deterministic across engines."""
+    d = read_table(spark, sf_dir, "documents")
+    return datapipe.vocab_topk(d, text.tokens("text"), k=100)
+
+
+@query(
+    "pack_token_budget_bins",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    binned AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / 512.0) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT source, bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    FROM binned
+    GROUP BY source, bin_id
+    """,
+)
+def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by token offset: documents are binned into ~512-
+    token packs in corpus order per source (bin = floor(exclusive prefix
+    sum / budget)), then summarized per bin. One shuffle on source; the
+    running sum streams each group in sorted order."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    packed = datapipe.pack_by_token_budget(
+        d, group="source", order="doc_id", n_tokens=F.col("n_tokens"), budget=512
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )

@@ -120,3 +120,44 @@ def test_multimodal_resize_and_frames(spark):
         offs = [r["frame_offset"] for r in sorted(frames, key=lambda r: r["frame_idx"])]
         assert offs == sorted(offs)  # evenly spaced, nondecreasing
         assert all(len(bytes(r["frame_bytes"])) <= 8 for r in frames)
+
+
+def test_hash_split_deterministic_and_complete(spark, docs):
+    from ibc_spark.ext.datapipe import hash_split
+
+    a = hash_split(docs, "doc_id")
+    b = hash_split(docs.repartition(7), "doc_id")
+    # every row gets a split; assignment is stable under repartition
+    assert a.where(F.col("split").isNull()).count() == 0
+    mism = (
+        a.select("doc_id", "split")
+        .join(b.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .where(F.col("split") != F.col("s2"))
+    )
+    assert mism.count() == 0
+    # rough proportions at the default 90/5/5
+    frac = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(frac.values())
+    assert frac["train"] / total > 0.8 and frac["test"] / total < 0.15
+
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", (("train", 50), ("val", 10)))
+
+
+def test_pack_by_token_budget_bound(spark, docs):
+    from ibc_spark.ext.datapipe import pack_by_token_budget
+    from ibc_spark.ext.text import token_count
+
+    budget = 256
+    d = docs.select("source", "doc_id", token_count("text").alias("n_tokens"))
+    packed = pack_by_token_budget(d, "source", "doc_id", F.col("n_tokens"), budget)
+    stats = (
+        packed.groupBy("source", "bin_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    # exclusive-prefix binning: a bin never exceeds budget + its largest doc
+    assert stats and all(r["tot"] <= budget + r["mx"] for r in stats)
+    # bin ids are dense from 0 per source
+    mins = packed.groupBy("source").agg(F.min("bin_id").alias("m")).collect()
+    assert all(r["m"] == 0 for r in mins)
