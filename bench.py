@@ -41,6 +41,10 @@ def main() -> None:
     read_table(spark, sf_dir, "nation").count()
 
     names = HEADLINE or sorted(QUERIES)
+    only = os.environ.get("BENCH_NAMES")  # comma-separated subset, for local iteration
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in wanted]
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in names:
@@ -48,6 +52,7 @@ def main() -> None:
         try:
             materialize(QUERIES[name](spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"BENCH {name}: {timings[name]:.2f}s", file=sys.stderr)
         except Exception as exc:  # a failing query must not hide the others
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)

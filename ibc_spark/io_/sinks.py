@@ -148,3 +148,18 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def write_orc(
+    df,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — columnar alternative to parquet for Hive-compatible
+    consumers; same partitioning guidance as ``write_parquet``."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

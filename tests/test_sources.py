@@ -83,3 +83,21 @@ def test_dataframe_from_rows_union_schema(spark):
     assert set(df.columns) == {"a", "b", "c"}
     got = {r["b"]: (r["a"], r["c"]) for r in df.collect()}
     assert got == {"x": ("1", None), "y": (None, "3.5")}
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    from ibc_spark.io_.sinks import write_orc
+    from ibc_spark.io_.sources import read_orc, read_table
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "orders_orc")
+    orders = read_table(spark, SF_SMOKE, "orders")
+    write_orc(orders, path, partition_by=["o_orderstatus"])
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    # partition pruning: only one status directory is scanned
+    pruned = back.where(F.col("o_orderstatus") == "O")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
