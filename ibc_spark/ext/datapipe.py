@@ -96,3 +96,26 @@ def pack_by_token_budget(
     w = Window.partitionBy(group).orderBy(order)
     cum = F.sum(n_tokens).over(w) - n_tokens  # exclusive prefix sum
     return df.withColumn("bin_id", F.floor(cum / F.lit(budget)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its key's hash
+    bucket falls below the stratum's percentage.
+
+    The workhorse of corpus mixing ("downsample web text to 10%, keep all
+    books"): stateless (same engine-independent multiplicative hash as
+    ``hash_split``, so the decision is reproducible and join-free), zero
+    shuffle, and composable with ``hash_split`` — a key lands in the same
+    bucket everywhere, so sampling then splitting never leaks a dropped
+    document back in. ``rates`` maps stratum value → keep-percent [0,100]."""
+    bucket = hash_bucket(key, 100)
+    rate: Column = F.lit(default_pct)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum) == value, F.lit(pct)).otherwise(rate)
+    return df.where(bucket < rate)

@@ -118,3 +118,27 @@ def fingerprint(c: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
     )
+
+
+#: PII patterns kept to RE2-safe syntax (no backrefs / lookaround) so the
+#: same pattern string runs in Spark (Java regex) and DuckDB (RE2).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_redaction_count(c: Column | str) -> Column:
+    """Number of PII spans (emails + phone-shaped numbers) in the text."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(c, F.lit(EMAIL_RE)) + F.regexp_count(c, F.lit(PHONE_RE))
+
+
+def pii_scrub(c: Column | str) -> Column:
+    """Replace every email / phone-shaped span with a typed placeholder.
+
+    Pure per-row projection (zero shuffle); at 100 TB this runs inside
+    whole-stage codegen on the scan, so scrubbing is I/O-bound. Order
+    matters only across overlapping patterns — emails are replaced first so
+    digit runs inside a local-part are not half-scrubbed by the phone rule."""
+    c = F.col(c) if isinstance(c, str) else c
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")

@@ -504,3 +504,118 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+@query(
+    "text_repetition_metrics",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             MAX(cnt) AS top_cnt
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS dup_token_frac,
+           CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac
+    FROM per_doc
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of tokens that are repeats of an earlier token and the share of the
+    single most frequent token. Explode → (doc, term) partial count →
+    per-doc rollup: two map-side-combining aggregations on the same doc_id
+    key (AQE coalesces them into one shuffle's worth of group-level rows),
+    instead of an O(n²) per-row higher-order-function scan — the shape that
+    survives book-length documents at 100 TB."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(text.tokens("text")).alias("term"))
+    counts = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("n_tokens") - F.col("n_distinct")).cast("double") / nt).alias(
+            "dup_token_frac"
+        ),
+        (F.col("top_cnt").cast("double") / nt).alias("top_token_frac"),
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact ' || source || '@example.com or 555-123-4567'
+                 AS seeded_text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(seeded_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(seeded_text, '\\d{3}-\\d{3}-\\d{4}'))
+               AS n_redactions,
+           regexp_replace(
+             regexp_replace(seeded_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS scrubbed
+    FROM seeded
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text: emails and phone-shaped numbers replaced by
+    typed placeholders, with a per-document redaction count. The testdata
+    corpus is synthetic word-soup, so deterministic PII is seeded into each
+    row first — the parity check then proves the Java-regex and RE2 engines
+    scrub identically. Pure projection: runs inside the scan's codegen
+    stage, no shuffle (patterns kept to RE2-safe syntax; see
+    ``ext.text.EMAIL_RE``)."""
+    d = read_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("@example.com or 555-123-4567"),
+    )
+    return d.select(
+        "doc_id",
+        text.pii_redaction_count(seeded).alias("n_redactions"),
+        text.pii_scrub(seeded).alias("scrubbed"),
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 % 100
+          < CASE lang WHEN 'en' THEN 10 ELSE 50 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing via deterministic stratified sampling: downsample the
+    dominant language to 10% while keeping 50% of everything else. The
+    keep/drop decision is the same engine-independent multiplicative hash
+    as ``split_train_val_test`` — stateless, zero-shuffle, reproducible,
+    and consistent with the split assignment (no resurrected drops)."""
+    d = read_table(spark, sf_dir, "documents")
+    rates = {"de": 50, "es": 50, "fr": 50, "zh": 50}
+    return datapipe.stratified_sample(
+        d, "doc_id", "lang", {"en": 10, **rates}, default_pct=50
+    ).select("doc_id", "lang")
