@@ -361,6 +361,23 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_topk_ivf")  # sample-trained quantizer → rows-only check
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed approximate top-5 (k-means coarse quantizer trained on a
+    bounded fixed-seed sample, nprobe cells probed per query, exact
+    re-rank); pytest measures recall against the brute-force baseline."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.topk_ivf(
+        e,
+        e.where(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_centroids=16,
+        nprobe=6,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -81,6 +81,29 @@ def test_lsh_topk_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.3, f"LSH recall collapsed: {recall}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+    """IVF with nprobe=6 of 16 cells must recall a solid fraction of the
+    exact top-5, and nprobe=16 (probe every cell) must equal brute force —
+    the full-probe case degenerates to an exact search by construction."""
+    from ibc_spark.ext.similarity import topk_bruteforce, topk_ivf
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = topk_bruteforce(emb, q, id_col="vec_id", vec_col="embedding", k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    approx = topk_ivf(
+        emb, q, id_col="vec_id", vec_col="embedding", k=5, n_centroids=16, nprobe=6
+    )
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.3, "IVF recall collapsed"
+
+    full = topk_ivf(
+        emb, q, id_col="vec_id", vec_col="embedding", k=5, n_centroids=16, nprobe=16
+    )
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert f == e, "full-probe IVF must match brute force"
+
+
 def test_multimodal_decode_stub_is_loud():
     from ibc_spark.ext.multimodal import decode_image
 
