@@ -16,8 +16,10 @@
   ``nprobe`` nearest cells, candidates come from an equi-join on cell id,
   then exact re-ranking. Cell assignment is one Arrow-batched matmul.
 
-All Column-expression math (fold-based dot products) — no UDFs, no
-driver-side vectors.
+Dense-vector math (signatures, cell assignment, pairwise scoring) runs as
+Arrow-batched pandas UDFs — one numpy pass per batch; everything else
+(bucketing, joins, ranking) is Column expressions. No per-row Python, no
+driver-side vectors beyond the bounded IVF training sample.
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ibc_spark.ext.dedup import cosine
+from ibc_spark.ext.dedup import cosine_fast
 
 
 def topk_bruteforce(
@@ -49,7 +51,7 @@ def topk_bruteforce(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         c.join(q, on=F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cos", cosine_fast(F.col("q_vec"), F.col("c_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -182,7 +184,7 @@ def topk_ivf(
         c.join(F.broadcast(q), on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
-    scored = cands.withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    scored = cands.withColumn("cos", cosine_fast(F.col("q_vec"), F.col("c_vec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -272,7 +274,7 @@ def topk_lsh(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    scored = cands.withColumn("cos", cosine_fast(F.col("q_vec"), F.col("c_vec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
