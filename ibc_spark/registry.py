@@ -1122,8 +1122,8 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       FROM marked
     )
     SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
@@ -1142,11 +1142,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # Exact-interval gap test (microsecond precision), matching the oracle's
+    # `ts - lag(ts) > INTERVAL 30 MINUTE` — a cast("long") diff would truncate
+    # to whole seconds and split sessions differently for sub-second gaps.
     marked = ev.withColumn(
         "new_session",
         F.when(
             prev_ts.isNull()
-            | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+            | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
             1,
         ).otherwise(0),
     )

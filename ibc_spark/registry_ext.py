@@ -449,7 +449,7 @@ from ibc_spark.ext import datapipe  # noqa: E402
                 WHEN bucket < 95 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM b
     GROUP BY 1
     """,
@@ -501,7 +501,7 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - n_tokens) / 512.0) AS BIGINT) AS bin_id
       FROM toks
     )
-    SELECT source, bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    SELECT source, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM binned
     GROUP BY source, bin_id
     """,
