@@ -28,16 +28,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Knuth's multiplicative constant (golden-ratio scaled to 2^32). The hash is
-# `(key * KNUTH) mod 2^32`, uniform on the low bits for sequential keys and
-# computable in exact 64-bit arithmetic by every engine.
+# `(pmod(key, 2^31) * KNUTH) mod 2^32`, uniform on the low bits for
+# sequential keys and computable in exact 64-bit arithmetic by every engine:
+# the pmod-reduced key is < 2^31, so the product stays < 2^63 (no int64
+# overflow under ANSI Spark, no HUGEINT promotion in DuckDB), and pmod keeps
+# every remainder non-negative even for negative keys.
 _KNUTH = 2654435761
-_MOD = 4294967296
+_KEY_MOD = 2147483648  # 2^31
+_MOD = 4294967296  # 2^32
 
 
 def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
-    """Deterministic bucket in [0, n_buckets) from an integer key column."""
+    """Deterministic bucket in [0, n_buckets) from an integer key column.
+    Safe for negative keys and keys above 2^32 (see module constant note).
+    SQL mirror: ``((key % 2^31 + 2^31) % 2^31 * KNUTH) % 2^32 % n``."""
     key = F.col(key) if isinstance(key, str) else key
-    return (key.cast("long") * F.lit(_KNUTH)) % _MOD % n_buckets
+    reduced = F.pmod(key.cast("long"), F.lit(_KEY_MOD))
+    return F.pmod(F.pmod(reduced * F.lit(_KNUTH), F.lit(_MOD)), F.lit(n_buckets))
 
 
 def hash_split(

@@ -108,15 +108,22 @@ def ivf_centroids(
     seed: int = 7,
 ) -> np.ndarray:
     """Train the IVF coarse quantizer: Lloyd k-means on a bounded,
-    deterministic sample of the corpus (``sortWithinPartitions``-free: a
-    fixed-seed Bernoulli sample capped by ``limit``). The sample is the
-    ONLY driver-side transfer — O(sample_rows · dim) regardless of corpus
-    size, which is exactly how IVF quantizers are trained at scale (FAISS
-    trains on ~100k vectors for billion-row indexes). Returns an
-    L2-normalized (n_centroids × dim) matrix so that argmax-dot == nearest
-    centroid by cosine."""
-    frac_sample = corpus.select(vec_col).sample(fraction=1.0, seed=seed).limit(sample_rows)
-    mat = np.stack(frac_sample.toPandas()[vec_col].to_numpy()).astype(np.float64)
+    deterministic sample of the corpus. The sample is drawn by ordering on
+    a seeded xxhash64 of the vector and taking the first ``sample_rows`` —
+    a TakeOrderedAndProject (per-partition top-N, then a driver merge of
+    N-row heads), so it is uniform w.r.t. any physical layout: a corpus
+    sorted or clustered by content still yields centroids spread over the
+    whole distribution. The sample is the ONLY driver-side transfer —
+    O(sample_rows · dim) regardless of corpus size, which is exactly how
+    IVF quantizers are trained at scale (FAISS trains on ~100k vectors for
+    billion-row indexes). Returns an L2-normalized (n_centroids × dim)
+    matrix so that argmax-dot == nearest centroid by cosine."""
+    sample = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+        .limit(sample_rows)
+    )
+    mat = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     centers = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -157,6 +164,7 @@ def topk_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 7,
+    sample_rows: int = 2048,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: corpus rows land in their single
     nearest cell, queries probe their ``nprobe`` nearest cells, and the
@@ -168,7 +176,11 @@ def topk_ivf(
     cross join. Recall/latency trade is the standard IVF dial: raise
     ``nprobe`` toward ``n_centroids`` to approach brute-force."""
     centers = ivf_centroids(
-        corpus, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+        corpus,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        seed=seed,
+        sample_rows=sample_rows,
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -132,11 +132,22 @@ def asof_join(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
+    # The payload travels as ONE struct so `last(ignorenulls=True)` picks all
+    # fields from the SAME matched right row — per-column fills would let a
+    # NULL field back-fill from an older right row, mixing rows (DuckDB ASOF
+    # is whole-row).
+    from pyspark.sql.types import StructField, StructType
+
+    pay_type = StructType(
+        [StructField(d, right.schema[s].dataType) for s, d in payload.items()]
+    )
     r = r.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(s).alias(f"__p_{d}") for s, d in payload.items()],
+        F.struct(
+            *[F.col(s).alias(d) for s, d in payload.items()]
+        ).alias("__p"),
     )
 
     l = left.select(
@@ -144,7 +155,7 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[s].dataType).alias(f"__p_{d}") for s, d in payload.items()],
+        F.lit(None).cast(pay_type).alias("__p"),
     )
 
     merged = l.unionByName(
@@ -153,7 +164,7 @@ def asof_join(
             "__k",
             "__ts",
             "__side",
-            *[f"__p_{d}" for d in pay_dst],
+            "__p",
         )
     )
     # rights sort before lefts at equal ts (__side 0 < 1) → boundary is
@@ -163,10 +174,11 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    last_pay = F.last("__p", ignorenulls=True).over(w)
     filled = merged.select(
         *left.columns,
         "__side",
-        *[F.last(f"__p_{d}", ignorenulls=True).over(w).alias(d) for d in pay_dst],
+        *[last_pay[d].alias(d) for d in pay_dst],
     )
     return filled.where(F.col("__side") == 1).drop("__side")
 

@@ -89,7 +89,18 @@ def salted_join(
     gets a deterministic salt; every dim row is replicated once per salt;
     the join key becomes (on, salt). Dim-side cost is n_salts× rows — use
     only when the dim is modest but above the broadcast threshold and the
-    fact keys are skewed."""
+    fact keys are skewed.
+
+    Only ``inner``/``left`` (and their aliases) are allowed: with a right or
+    full join, every unmatched dim row would survive once per salt replica,
+    silently inflating the result n_salts×."""
+    normalized = how.lower().replace("_", "").replace("outer", "")
+    if normalized not in ("inner", "left", "leftsemi", "leftanti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only "
+            f"(inner/left/semi/anti), got {how!r}: right/full would "
+            "duplicate unmatched dim rows per salt"
+        )
     salt = (
         F.pmod(fact_salt_on, F.lit(n_salts))
         if fact_salt_on is not None

@@ -442,7 +442,8 @@ from ibc_spark.ext import datapipe  # noqa: E402
     oracle="""
     WITH b AS (
       SELECT n_chars,
-             (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+             ((doc_id % 2147483648 + 2147483648) % 2147483648
+              * 2654435761) % 4294967296 % 100 AS bucket
       FROM documents
     )
     SELECT CASE WHEN bucket < 90 THEN 'train'
@@ -621,7 +622,8 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang
     FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296 % 100
+    WHERE ((doc_id % 2147483648 + 2147483648) % 2147483648
+           * 2654435761) % 4294967296 % 100
           < CASE lang WHEN 'en' THEN 10 ELSE 50 END
     """,
 )

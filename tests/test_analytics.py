@@ -71,6 +71,46 @@ def test_asof_join_semantics(clicks, purchases):
     assert out[5] == (ts("2024-01-01T10:00:00"), 11.0)  # inclusive boundary, tie → id 103
 
 
+def test_asof_join_payload_is_whole_row(spark):
+    """A matched right row with a NULL payload field must NOT back-fill that
+    field from an older right row — all payload fields come from the same
+    as-of row (DuckDB ASOF whole-row semantics)."""
+    left = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01T12:00:00"))],
+        "click_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, ts("2024-01-01T09:00:00"), 5.0, "old"),
+            (101, 10, ts("2024-01-01T11:00:00"), None, "new"),  # matched row
+        ],
+        "event_id long, user_id long, ts timestamp, value double, tag string",
+    )
+    [row] = asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"value": "last_value", "tag": "last_tag"},
+        tiebreak_col="event_id",
+    ).collect()
+    assert row["last_tag"] == "new"
+    assert row["last_value"] is None, "NULL field must not mix in an older row"
+
+
+def test_salted_join_rejects_dim_preserving_sides(spark):
+    from ibc_spark.ops.skew import salted_join
+
+    f = spark.createDataFrame([(1, "x")], "k long, a string")
+    d = spark.createDataFrame([(1, "y")], "k long, b string")
+    for how in ("right", "full", "fullouter", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(f, d, on="k", n_salts=4, how=how)
+    # fact-preserving sides stay allowed
+    assert salted_join(f, d, on="k", n_salts=4, how="left").count() == 1
+
+
 def test_rank_in_groups_determinism(spark):
     df = spark.createDataFrame(
         [("a", 5.0, 1), ("a", 5.0, 2), ("a", 3.0, 3), ("b", 9.0, 4)],

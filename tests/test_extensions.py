@@ -167,6 +167,71 @@ def test_hash_split_deterministic_and_complete(spark, docs):
         hash_split(docs, "doc_id", (("train", 50), ("val", 10)))
 
 
+def test_hash_bucket_extreme_keys_match_duckdb(spark):
+    """Negative keys and keys above 2^32 must still land in [0, 100) and be
+    bit-identical to the SQL mirror of the hash (DuckDB as the reference
+    engine) — the pre-fix formula overflowed int64 for keys > ~3.49e9 and
+    went negative for negative keys."""
+    import duckdb
+
+    from ibc_spark.ext.datapipe import hash_bucket
+
+    keys = [-(2**62), -3, -1, 0, 1, 2**31 - 1, 2**31, 2**32 + 7, 2**61 + 5]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select("k", hash_bucket("k", 100).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        [(want,)] = con.sql(
+            f"SELECT ((({k}::BIGINT % 2147483648) + 2147483648) % 2147483648"
+            " * 2654435761) % 4294967296 % 100"
+        ).fetchall()
+        assert got[k] == want, f"key {k}: spark={got[k]} duck={want}"
+        assert 0 <= got[k] < 100
+    con.close()
+
+
+def test_stratified_sample_extreme_keys_respect_rate(spark):
+    """Negative keys must be subject to the configured rate, not kept
+    unconditionally (the pre-fix % produced negative buckets, always < rate)."""
+    from ibc_spark.ext.datapipe import stratified_sample
+
+    df = spark.createDataFrame(
+        [(k, "en") for k in range(-2000, 0)], "doc_id long, lang string"
+    )
+    kept = stratified_sample(df, "doc_id", "lang", {"en": 10}).count()
+    assert kept < 400, f"negative keys ignored the 10% rate: kept {kept}/2000"
+
+
+def test_ivf_recall_on_sorted_corpus(spark, emb):
+    """The quantizer's training sample must be layout-independent: on a
+    corpus SORTED by content (first embedding component), a head-of-scan
+    'sample' trains centroids on one corner of the space and recall
+    collapses for the rest. Hash-ordered sampling must not care."""
+    from ibc_spark.ext.similarity import topk_bruteforce, topk_ivf
+
+    sorted_corpus = emb.orderBy(F.col("embedding")[0]).coalesce(4).cache()
+    q = emb.where(F.col("vec_id") % 97 == 0)  # queries spread over the space
+    exact = topk_bruteforce(sorted_corpus, q, id_col="vec_id", vec_col="embedding", k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx = topk_ivf(
+        sorted_corpus,
+        q,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_centroids=16,
+        nprobe=6,
+        sample_rows=512,
+    )
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    sorted_corpus.unpersist()
+    assert recall >= 0.3, f"IVF recall collapsed on sorted corpus: {recall}"
+
+
 def test_pack_by_token_budget_bound(spark, docs):
     from ibc_spark.ext.datapipe import pack_by_token_budget
     from ibc_spark.ext.text import token_count
