@@ -88,6 +88,157 @@ def conflict_quarantine(new: DataFrame, *, key: str | list[str], order_col: str)
     )
 
 
+def upsert_sql(
+    table: str,
+    cols: list[str],
+    key_cols: list[str],
+    *,
+    paramstyle: str = "qmark",
+) -> str:
+    """Dialect-portable keyed upsert statement:
+    ``INSERT … ON CONFLICT (key) DO UPDATE SET c = excluded.c`` — the
+    SQLite/Postgres form of the reference's insert-else-update pair
+    (``staffing-roster-pipeline.py:128-224``), but set-based per batch.
+    ``paramstyle``: ``qmark`` (sqlite3) or ``format`` (pg8000/psycopg)."""
+    ph = "?" if paramstyle == "qmark" else "%s"
+    update_cols = [c for c in cols if c not in key_cols]
+    sql = (
+        f"INSERT INTO {table} ({', '.join(cols)}) "
+        f"VALUES ({', '.join([ph] * len(cols))}) "
+        f"ON CONFLICT ({', '.join(key_cols)})"
+    )
+    if update_cols:
+        sets = ", ".join(f"{c} = excluded.{c}" for c in update_cols)
+        return f"{sql} DO UPDATE SET {sets}"
+    return f"{sql} DO NOTHING"
+
+
+def dbapi_upsert(
+    df: DataFrame,
+    *,
+    table: str,
+    key_cols: str | list[str],
+    connection_factory,
+    batch_size: int = 500,
+    paramstyle: str = "qmark",
+    quarantine_table: str | None = None,
+) -> None:
+    """Executor-parallel keyed upsert into any DB-API database — the engine's
+    WRITE face of the reference's Postgres sink (K1–K5,
+    ``staffing-roster-pipeline.py:128-224``, ``projects-pipeline.py:271-335``),
+    replacing its per-row driver loop with one connection per PARTITION and
+    ``executemany`` batches of ``batch_size``.
+
+    ``connection_factory`` is a zero-arg picklable callable returning a DB-API
+    connection — it runs on the EXECUTOR, so credentials/config must be
+    baked into it (same contract as ``foreachBatch`` JDBC writers). Rows that
+    still violate a constraint inside a batch (NOT NULL, CHECK, FK …) are
+    retried row-at-a-time; persistent offenders are written to
+    ``quarantine_table`` ``(error_code, reason, source_row)`` as E001 —
+    quarantine-as-data, never a failed job — or re-raised as
+    ``DataConflictError`` when no quarantine table is configured.
+
+    Scale posture: parallelism = partition count (``df.repartition(n)`` to
+    match the database's write headroom); each task holds one transaction,
+    committing at partition end, so a task retry replays its whole
+    partition — idempotent because the statement is a keyed upsert.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cols = list(df.columns)
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"key columns {missing} not in frame columns {cols}")
+    sql = upsert_sql(table, cols, keys, paramstyle=paramstyle)
+    q_ph = "?" if paramstyle == "qmark" else "%s"
+    q_sql = (
+        f"INSERT INTO {quarantine_table} (error_code, reason, source_row) "
+        f"VALUES ({q_ph}, {q_ph}, {q_ph})"
+        if quarantine_table
+        else None
+    )
+
+    def write_partition(rows) -> None:
+        import json
+
+        from ibc_spark.errors import DataConflictError, DatabaseConnectionError
+
+        it = iter(rows)
+        first = next(it, None)
+        if first is None:
+            return
+        try:
+            conn = connection_factory()
+        except Exception as e:
+            raise DatabaseConnectionError(f"Database connection failed: {e}") from e
+        try:
+            cur = conn.cursor()
+            batch: list[tuple] = []
+
+            def flush() -> None:
+                if not batch:
+                    return
+                try:
+                    cur.executemany(sql, batch)
+                except Exception:
+                    # isolate offenders without losing the good rows
+                    for params in batch:
+                        try:
+                            cur.execute(sql, params)
+                        except Exception as row_err:
+                            payload = json.dumps(dict(zip(cols, params)), default=str)
+                            if q_sql is None:
+                                raise DataConflictError(
+                                    f"constraint violation writing {table}: {row_err}"
+                                ) from row_err
+                            cur.execute(q_sql, (E_DATA_CONFLICT, str(row_err), payload))
+                batch.clear()
+
+            import itertools
+
+            for row in itertools.chain([first], it):
+                batch.append(tuple(row[c] for c in cols))
+                if len(batch) >= batch_size:
+                    flush()
+            flush()
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)
+
+
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    batchsize: int = 1000,
+    isolation_level: str = "READ_COMMITTED",
+    properties: dict[str, str] | None = None,
+):
+    """Plain JDBC append/overwrite writer (no upsert — use
+    :func:`dbapi_upsert` for keyed merges): configures
+    ``df.write.format('jdbc')`` with ``batchsize`` and
+    ``isolationLevel`` per SURVEY §2.8. Returns the configured writer
+    (call ``.save()``) so tests can exercise configuration without a
+    JDBC driver on the classpath."""
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", isolation_level)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    return writer
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -199,3 +199,46 @@ def run(raw: DataFrame, users: DataFrame, consultants: DataFrame, projects: Data
         quarantine=quarantine,
         metrics=metrics,
     )
+
+
+def main(argv: list[str] | None = None) -> int:
+    """spark-submit entry: run E2 against the current state snapshots and
+    print the summary JSON (``{"valid_rows": N, "invalid_rows": M}`` —
+    ``projects-pipeline.py:393-396``)."""
+    from ibc_spark.pipelines import cli
+    from ibc_spark.schemas import CONSULTANTS_SCHEMA, PROJECTS_SCHEMA, USERS_SCHEMA
+
+    args = cli.build_parser(
+        "ibc_spark.pipelines.projects",
+        "E2 projects pipeline (sheet -> projects/links merge + role updates)",
+        needs_rows=True,
+    ).parse_args(argv)
+
+    def body() -> dict[str, int]:
+        spark = cli.get_session("projects", args.master)
+        raw = cli.load_rows(spark, args)
+        users = cli.load_state(spark, args.state_dir, "users", USERS_SCHEMA)
+        consultants = cli.load_state(
+            spark, args.state_dir, "consultants", CONSULTANTS_SCHEMA
+        )
+        projects = cli.load_state(spark, args.state_dir, "projects", PROJECTS_SCHEMA)
+        result = run(raw, users, consultants, projects)
+        cli.write_outputs(
+            args.output,
+            {
+                "projects": result.projects,
+                "users": result.users,
+                "consultants": result.consultants,
+                "consultant_projects": result.links,
+                "quarantine": result.quarantine,
+            },
+        )
+        return cli.metrics_row(result.metrics)
+
+    return cli.run_main(body)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -131,3 +131,44 @@ def run(
         quarantine=quarantine,
         metrics=metrics,
     )
+
+
+def main(argv: list[str] | None = None) -> int:
+    """spark-submit entry: fetch/load sheet rows, run E1 against the current
+    state snapshots, write result tables, print the K8 summary JSON
+    (``{"valid_rows": N, "invalid_rows": M}`` —
+    ``staffing-roster-pipeline.py:303-304``)."""
+    from ibc_spark.pipelines import cli
+    from ibc_spark.schemas import CONSULTANTS_SCHEMA, USERS_SCHEMA
+
+    args = cli.build_parser(
+        "ibc_spark.pipelines.staffing_roster",
+        "E1 staffing-roster pipeline (sheet -> users/consultants merge)",
+        needs_rows=True,
+    ).parse_args(argv)
+
+    def body() -> dict[str, int]:
+        spark = cli.get_session("staffing_roster", args.master)
+        raw = cli.load_rows(spark, args)
+        users = cli.load_state(spark, args.state_dir, "users", USERS_SCHEMA)
+        consultants = cli.load_state(
+            spark, args.state_dir, "consultants", CONSULTANTS_SCHEMA
+        )
+        result = run(raw, users, consultants)
+        cli.write_outputs(
+            args.output,
+            {
+                "users": result.users,
+                "consultants": result.consultants,
+                "quarantine": result.quarantine,
+            },
+        )
+        return cli.metrics_row(result.metrics)
+
+    return cli.run_main(body)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

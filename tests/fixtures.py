@@ -7,6 +7,11 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from ibc_spark.io_.sources import dataframe_from_rows
+from ibc_spark.schemas import (  # noqa: F401  (re-exported for tests)
+    CONSULTANTS_SCHEMA,
+    PROJECTS_SCHEMA,
+    USERS_SCHEMA,
+)
 
 SLOTS = [f"Slot {i:02d} (GMT-0600)" for i in range(1, 31)]
 
@@ -59,60 +64,6 @@ def roster_rows() -> list[dict]:
             }
         ),
     ]
-
-
-USERS_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("name", T.StringType()),
-        T.StructField("email", T.StringType()),
-        T.StructField("gender", T.StringType()),
-        T.StructField("race", T.StringType()),
-        T.StructField("us_citizen", T.BooleanType()),
-        T.StructField("residency", T.BooleanType()),
-        T.StructField("first_gen", T.BooleanType()),
-        T.StructField("curr_role", T.StringType()),
-        T.StructField("netid", T.StringType()),
-    ]
-)
-
-CONSULTANTS_SCHEMA = T.StructType(
-    [T.StructField("user_id", T.LongType())]
-    + [
-        T.StructField(c, T.StringType())
-        for c in ("year", "major", "minor", "college", "consultants_score")
-    ]
-    + [T.StructField("semesters_in_ibc", T.IntegerType())]
-    + [
-        T.StructField(c, T.StringType())
-        for c in (
-            "time_zone",
-            "willing_to_travel",
-            "industry_interests",
-            "functional_area_interests",
-            "status",
-        )
-    ]
-    + [T.StructField("week_before_finals_availability", T.BooleanType())]
-    + [
-        T.StructField(f"availability_{d}", T.StringType())
-        for d in ("mon", "tue", "wed", "thu", "fri", "sat", "sun")
-    ]
-)
-
-PROJECTS_SCHEMA = T.StructType(
-    [
-        T.StructField("project_id", T.LongType()),
-        T.StructField("project_name", T.StringType()),
-        T.StructField("project_semester", T.StringType()),
-        T.StructField("client_name", T.StringType()),
-        T.StructField("em_id", T.LongType()),
-        T.StructField("sm_id", T.LongType()),
-        T.StructField("pm_id", T.LongType()),
-        T.StructField("sc1_id", T.LongType()),
-        T.StructField("sc2_id", T.LongType()),
-    ]
-)
 
 
 def users_state(spark: SparkSession):

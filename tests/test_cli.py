@@ -1,0 +1,106 @@
+"""spark-submit CLI mains for E1-E3: fixture rows in, state snapshots in,
+ONE summary JSON line on stdout, result parquet out — orchestration parity
+with the reference's workflow_dispatch jobs."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from tests.fixtures import (
+    consultants_state,
+    project_rows,
+    projects_state,
+    roster_rows,
+    users_state,
+)
+
+
+def write_state(spark, tmp_path):
+    state = str(tmp_path / "state")
+    users_state(spark).write.mode("overwrite").parquet(f"{state}/users.parquet")
+    consultants_state(spark).write.mode("overwrite").parquet(
+        f"{state}/consultants.parquet"
+    )
+    projects_state(spark).write.mode("overwrite").parquet(f"{state}/projects.parquet")
+    return state
+
+
+def last_stdout_json(capsys) -> dict:
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.strip()]
+    return json.loads(lines[-1])
+
+
+def test_staffing_roster_main(spark, tmp_path, capsys):
+    from ibc_spark.pipelines.staffing_roster import main
+
+    rows_file = tmp_path / "rows.json"
+    rows_file.write_text(json.dumps(roster_rows()))
+    state = write_state(spark, tmp_path)
+    out = str(tmp_path / "out")
+
+    rc = main(["--rows", str(rows_file), "--state-dir", state, "--output", out])
+    assert rc == 0
+    summary = last_stdout_json(capsys)
+    # fixture: 3 valid rows (one a duplicate email -> 2 surviving), 2 invalid
+    assert summary == {"valid_rows": 2, "invalid_rows": 2}
+    users = spark.read.parquet(os.path.join(out, "users.parquet"))
+    assert users.where(users.email == "alice@x.edu").count() == 1
+    assert os.path.exists(os.path.join(out, "quarantine.parquet"))
+
+
+def test_projects_main(spark, tmp_path, capsys):
+    from ibc_spark.pipelines.projects import main
+
+    rows_file = tmp_path / "rows.json"
+    rows_file.write_text(json.dumps(project_rows()))
+    state = write_state(spark, tmp_path)
+    out = str(tmp_path / "out")
+
+    rc = main(["--rows", str(rows_file), "--state-dir", state, "--output", out])
+    assert rc == 0
+    summary = last_stdout_json(capsys)
+    assert summary == {"valid_rows": 3, "invalid_rows": 2}
+    links = spark.read.parquet(os.path.join(out, "consultant_projects.parquet"))
+    assert links.count() > 0
+
+
+def test_end_semester_main(spark, tmp_path, capsys):
+    from ibc_spark.pipelines.end_semester import main
+
+    state = write_state(spark, tmp_path)
+    out = str(tmp_path / "out")
+
+    rc = main(["--state-dir", state, "--output", out])
+    assert rc == 0
+    assert last_stdout_json(capsys) == {"updated_rows": 4}
+    cons = spark.read.parquet(os.path.join(out, "consultants.parquet"))
+    assert cons.where(cons.status == "Deferred").count() == 4
+
+
+def test_first_run_with_no_state(spark, tmp_path, capsys):
+    """No --state-dir: pipelines start from empty snapshots (first run)."""
+    from ibc_spark.pipelines.staffing_roster import main
+
+    rows_file = tmp_path / "rows.json"
+    rows_file.write_text(json.dumps(roster_rows()))
+
+    rc = main(["--rows", str(rows_file)])
+    assert rc == 0
+    summary = last_stdout_json(capsys)
+    assert summary["valid_rows"] == 2 and summary["invalid_rows"] == 2
+
+
+def test_main_reports_taxonomy_failure(tmp_path, capsys, spark):
+    """Missing input -> reference-style failure line + exit 1 (E005)."""
+    from ibc_spark.pipelines.staffing_roster import main
+
+    env_url = os.environ.pop("WEB_APP_URL", None)
+    try:
+        rc = main([])
+    finally:
+        if env_url is not None:
+            os.environ["WEB_APP_URL"] = env_url
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "Pipeline failed with error E005" in out
