@@ -28,12 +28,47 @@ def materialize(df) -> int:
     return 0
 
 
+def prior_bench() -> dict[str, float]:
+    """Per-query timings from the newest BENCH_r*.json next to this script
+    (for delta reporting); {} when this is the first round."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return {}
+    path = max(rounds)[1]
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        queries = doc.get("queries")
+        if queries is None and isinstance(doc.get("parsed"), dict):
+            queries = doc["parsed"].get("queries")
+        if queries is None and isinstance(doc.get("tail"), str):
+            # driver snapshots keep only the raw output tail: scrape pairs
+            queries = {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(r'"(\w+)": (-?\d+\.\d+)', doc["tail"])
+            }
+        return {k: float(v) for k, v in (queries or {}).items()}
+    except (OSError, ValueError, TypeError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ibc_spark.registry import QUERIES
     from ibc_spark.session import get_spark
 
+    # progress bars are disabled in get_spark (static conf) so stdout stays
+    # a single parseable JSON line.
     spark = get_spark("ibc_spark_bench")
+    previous = prior_bench()
 
     # Warmup: spin executors + codegen on a tiny scan.
     from ibc_spark.io_.sources import read_table
@@ -52,13 +87,18 @@ def main() -> None:
         try:
             materialize(QUERIES[name](spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 4)
-            print(f"BENCH {name}: {timings[name]:.2f}s", file=sys.stderr)
+            delta = ""
+            if name in previous and previous[name] > 0:
+                pct = 100.0 * (timings[name] - previous[name]) / previous[name]
+                delta = f" ({pct:+.0f}% vs prior round {previous[name]:.2f}s)"
+            print(f"BENCH {name}: {timings[name]:.2f}s{delta}", file=sys.stderr)
         except Exception as exc:  # a failing query must not hide the others
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -68,7 +108,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
+        ),
+        flush=True,
     )
 
 

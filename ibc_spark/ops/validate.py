@@ -57,13 +57,17 @@ def validate_split(
     *,
     extra_rules: list[tuple[Column, str]] | None = None,
     error_code: str = E_INVALID_FORMAT,
-    cache: bool = True,
+    cache: bool = False,
 ) -> ValidationSplit:
     """F1/F2/F3 — split into valid / quarantine with captured reasons.
 
     ``extra_rules`` is a list of ``(violation_predicate, reason)`` applied
     after the required-field check; the first matching rule wins (the
     reference reports one reason per row).
+
+    ``cache`` defaults to False — a library caller at 100 TB must opt into
+    materialization; the E1/E2 pipelines (which consume BOTH sides of a
+    small sheet batch) pass ``cache=True``.
     """
     reason = missing_required_reason(required)
     for predicate, msg in extra_rules or []:

@@ -56,7 +56,7 @@ def run(raw: DataFrame, users: DataFrame, consultants: DataFrame, projects: Data
     raw = raw.withColumn("_row_idx", F.monotonically_increasing_id())
     canon = coalesce_headers(raw, PROJECTS_KEY_MAP)
 
-    split = validate_split(canon, ["project_name"])
+    split = validate_split(canon, ["project_name"], cache=True)
     valid = split.valid
 
     # J2 — one broadcast join per role column against the users dim.

@@ -82,7 +82,7 @@ def run(
     canon = canon.join(avail, on="_row_idx", how="left")
 
     # F1/F3 — validate, split, quarantine with reference reason strings.
-    split = validate_split(canon, REQUIRED)
+    split = validate_split(canon, REQUIRED, cache=True)
     quarantine = quarantine_frame(split.quarantine)
     valid = split.valid
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ibc_spark.io_.sinks import merge_upsert
 from ibc_spark.io_.sources import read_table
-from ibc_spark.ops import scalars
+from ibc_spark.ops import mutate, normalize, scalars
 from ibc_spark.ops.joins import (
     changed_rows,
     dangling_keys,
@@ -426,6 +426,69 @@ def job_summary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.agg(
         F.sum(F.when(~F.col("__invalid"), 1).otherwise(0)).alias("valid_rows"),
         F.sum(F.when(F.col("__invalid"), 1).otherwise(0)).alias("invalid_rows"),
+    )
+
+
+@query(
+    "coalesce_headers_p1",
+    oracle="""
+    SELECT CASE WHEN c_custkey % 7 = 0 THEN upper(c_name) ELSE c_name END
+             AS customer_name,
+           c_mktsegment AS segment,
+           CAST(NULL AS VARCHAR) AS fax,
+           c_custkey
+    FROM customer
+    """,
+)
+def coalesce_headers_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — candidate-header fallback (``projects-pipeline.py:59-82``
+    KEY_MAP): every 7th row's primary header is blank and falls through to
+    the alternate spelling; a mapped-but-absent header yields a NULL column;
+    unknown columns pass through."""
+    c = read_table(spark, sf_dir, "customer")
+    sheet = c.select(
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(""))
+        .otherwise(F.col("c_name"))
+        .alias("Customer Name"),
+        F.upper(F.col("c_name")).alias("customer_name_alt"),
+        F.col("c_mktsegment").alias("Market Segment"),
+        "c_custkey",
+    )
+    return normalize.coalesce_headers(
+        sheet,
+        {
+            "customer_name": ["Customer Name", "customer_name_alt"],
+            "segment": ["segment", "Market Segment"],
+            "fax": ["fax", "Fax"],
+        },
+    )
+
+
+@query(
+    "mark_where_in_u2",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+                                   WHERE o_orderpriority = '1-URGENT')
+                THEN 'URGENT' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def mark_where_in_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — conditional status mark for keys present in a driving set
+    (``projects-pipeline.py:167-183`` mark_consultant_returning): broadcast
+    semi-join shape — the dim is scanned once, the key set is deduped and
+    broadcast, no row explosion."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    urgent = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return mutate.mark_where_in(
+        c, urgent, key="c_custkey", updates={"c_mktsegment": "URGENT"}
     )
 
 

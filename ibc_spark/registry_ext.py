@@ -174,13 +174,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # xxhash64-based → rows-only driver check
+@query("dedup_minhash_lsh")  # rows-only driver check — waiver documented below
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands) near-dup pairs, exact-Jaccard verified.
-    pytest cross-checks recall against the exact pairs at threshold 0.5."""
+
+    ORACLE WAIVER: at working threshold 0.5 the output is candidate-
+    generation-dependent — a 0.5-similarity pair's banding hit probability
+    is 1-(1-0.5^4)^8 ≈ 0.40, so the pair set is a function of the xxhash64
+    signatures, which no SQL engine reproduces. Correctness is covered by
+    (a) pytest recall-vs-exact (every exact pair ≥0.8 must be recalled) and
+    precision (every emitted pair's EXACT jaccard ≥ 0.5 — the operator
+    verifies candidates before emitting), and (b) the oracle-checked
+    ``dedup_minhash_verified`` entry below, which runs this same operator
+    at a threshold where banding recall is ~1 and the output therefore
+    equals the exact pair set."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         d, id_col="doc_id", text_col="text", k=32, bands=8, n=3, threshold=0.5
+    )
+
+
+@query(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM base a JOIN base b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH at CONFIDENCE threshold 0.8 with a deep signature
+    (k=64, 16 bands of 4 rows), oracled against the exact global pair set:
+    a 0.8-similarity pair's probability of missing every band is
+    (1-0.8^4)^16 ≈ 2e-4 and ≥0.87 pairs ≈ 4e-15; the signatures are
+    seeded/deterministic, so on fixed data the LSH output equals the exact
+    pair set (the parity suite proves it per dataset; any regression in the
+    banding plumbing breaks the hash match). The oracle is the O(n²)
+    cross-join ONLY the oracle pays — the operator under test stays the
+    banded equi-join."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text", k=64, bands=16, n=3, threshold=0.8
     )
 
 

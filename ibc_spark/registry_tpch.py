@@ -279,9 +279,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice", 10, 2)).alias("value_dec")
     )
-    total = li.agg(
-        F.sum(dec("l_extendedprice", 10, 2)).alias("total"),
-        F.countDistinct("l_partkey").alias("n_parts"),
+    # Two-level aggregate: the global (total, n_parts) derives from per_part
+    # (sum of group sums / count of groups), so both branches consume the
+    # SAME groupBy exchange — one lineitem scan, one shuffle, ReusedExchange
+    # on the second branch (asserted in tests/test_plans.py).
+    total = per_part.agg(
+        F.sum("value_dec").alias("total"),
+        F.count(F.lit(1)).alias("n_parts"),
     )
     return (
         per_part.join(F.broadcast(total))

@@ -197,6 +197,17 @@ def test_q4_semi_q16_anti_q22_anti(spark):
     assert "LeftAnti" in plan_of(QUERIES["q22_idle_rich_customers"](spark, SF_SMOKE))
 
 
+def test_q11_shares_one_lineitem_scan(spark):
+    """Q11's global (total, n_parts) is a two-level aggregate over the
+    per-part groups, so the executed plan reuses the groupBy exchange
+    (ReusedExchange) instead of scanning lineitem twice."""
+    df = QUERIES["q11_important_parts"](spark, SF_SMOKE)
+    df.collect()  # AQE finalizes exchange reuse at execution
+    plan = plan_of(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+
+
 def test_q19_disjunction_factored_to_scans(spark):
     """The brand/size disjunction must prune the part scan and the quantity
     envelope the lineitem scan, even though no single conjunct is global."""
