@@ -139,6 +139,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_tags(
+    corpus: DataFrame,
+    testset: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: tag each corpus document with the number
+    of distinct word ``n``-grams it shares with a held-out test set (the
+    standard GPT-3/PaLM-style 8-gram overlap check — a training pipeline
+    drops or redacts ``contaminated`` rows before training so benchmark
+    answers don't leak into the model).
+
+    Plan shape at 100 TB: corpus shingles are an explode (narrow); the test
+    set's distinct shingles are orders of magnitude smaller than the corpus
+    (benchmarks are MBs, corpora TBs) and BROADCAST, so the membership probe
+    is a map-side hash semi-join — no corpus shuffle on n-gram keys; the
+    only wide op is the per-doc hit count, one shuffle on ``id_col``.
+    Returns (doc_id, n_hits, contaminated) for every corpus row.
+    """
+    c_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("g"),
+    )
+    t_sh = (
+        testset.select(F.explode(shingles(tokens(F.col(text_col)), n)).alias("g"))
+        .dropDuplicates()
+    )
+    # shingles() already emits distinct n-grams per doc → count(*) == distinct
+    hits = (
+        c_sh.join(F.broadcast(t_sh), on="g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ids = corpus.select(F.col(id_col).alias("doc_id"))
+    return ids.join(hits, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        F.col("n_hits").isNotNull().alias("contaminated"),
+    )
+
+
 def _hash_shingles(sh: Column) -> Column:
     """xxhash64 per shingle folded into [0, 2^31-1) — computed ONCE per
     shingle; the k permutations below are arithmetic over these hashes."""

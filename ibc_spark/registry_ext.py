@@ -225,6 +225,46 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLES8 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-7,1)+1),"
+    " i -> array_to_string(list_slice(toks, i, i+7), ' ')))"
+)
+
+
+@query(
+    "decontaminate_against_holdout",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES8}) AS g
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    test AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_hits
+      FROM (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 97 <> 0) s
+      JOIN test USING (g)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           h.doc_id IS NOT NULL AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_against_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style 8-gram overlap): every 97th
+    document plays the held-out benchmark; the rest of the corpus is tagged
+    with its shared-8-gram count. Test-set shingles broadcast (map-side
+    membership probe), one shuffle on doc_id for the hit count."""
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    holdout = d.where(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_tags(
+        corpus, holdout, id_col="doc_id", text_col="text", n=8
+    )
+
+
 @query("dedup_simhash")  # xxhash64-based → rows-only driver check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(16) signature groups (collision groups = near-dup clusters)."""

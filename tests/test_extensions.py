@@ -167,6 +167,32 @@ def test_hash_split_deterministic_and_complete(spark, docs):
         hash_split(docs, "doc_id", (("train", 50), ("val", 10)))
 
 
+def test_contamination_tags_planted_overlap(spark):
+    """A corpus doc sharing an 8-gram with the test set is tagged with the
+    right hit count; clean docs get n_hits=0, contaminated=False."""
+    from ibc_spark.ext.dedup import contamination_tags
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {bench} trailing text here"),  # contains the 8-gram
+            (2, "totally unrelated content with no overlap at all whatsoever"),
+            (3, f"{bench}"),  # the 8-gram alone
+        ],
+        "doc_id long, text string",
+    )
+    testset = spark.createDataFrame([(100, f"prefix {bench} suffix")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in contamination_tags(
+            corpus, testset, id_col="doc_id", text_col="text", n=8
+        ).collect()
+    }
+    assert out[1][1] is True and out[1][0] >= 1
+    assert out[2] == (0, False)
+    assert out[3] == (1, True)
+
+
 def test_hash_bucket_extreme_keys_match_duckdb(spark):
     """Negative keys and keys above 2^32 must still land in [0, 100) and be
     bit-identical to the SQL mirror of the hash (DuckDB as the reference
