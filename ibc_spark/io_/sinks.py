@@ -122,6 +122,7 @@ def dbapi_upsert(
     batch_size: int = 500,
     paramstyle: str = "qmark",
     quarantine_table: str | None = None,
+    savepoints: bool = True,
 ) -> None:
     """Executor-parallel keyed upsert into any DB-API database — the engine's
     WRITE face of the reference's Postgres sink (K1–K5,
@@ -142,6 +143,12 @@ def dbapi_upsert(
     match the database's write headroom); each task holds one transaction,
     committing at partition end, so a task retry replays its whole
     partition — idempotent because the statement is a keyed upsert.
+
+    ``savepoints`` guards the batch and each row-retry with
+    SAVEPOINT/ROLLBACK TO — required on engines (Postgres) where any
+    statement error aborts the enclosing transaction, making a plain
+    row-at-a-time retry impossible; SQLite accepts the same syntax. Disable
+    only for DB-API targets without savepoint support.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     cols = list(df.columns)
@@ -177,14 +184,28 @@ def dbapi_upsert(
             def flush() -> None:
                 if not batch:
                     return
+                if savepoints:
+                    cur.execute("SAVEPOINT ibc_flush")
                 try:
                     cur.executemany(sql, batch)
+                    if savepoints:
+                        cur.execute("RELEASE SAVEPOINT ibc_flush")
                 except Exception:
-                    # isolate offenders without losing the good rows
+                    # isolate offenders without losing the good rows; on
+                    # engines that abort the transaction on error (Postgres)
+                    # the savepoint rollback is what makes the retry legal
+                    if savepoints:
+                        cur.execute("ROLLBACK TO SAVEPOINT ibc_flush")
                     for params in batch:
+                        if savepoints:
+                            cur.execute("SAVEPOINT ibc_row")
                         try:
                             cur.execute(sql, params)
+                            if savepoints:
+                                cur.execute("RELEASE SAVEPOINT ibc_row")
                         except Exception as row_err:
+                            if savepoints:
+                                cur.execute("ROLLBACK TO SAVEPOINT ibc_row")
                             payload = json.dumps(dict(zip(cols, params)), default=str)
                             if q_sql is None:
                                 raise DataConflictError(
