@@ -105,6 +105,78 @@ def pack_by_token_budget(
     return df.withColumn("bin_id", F.floor(cum / F.lit(budget)))
 
 
+def chunk_token_windows(
+    df: DataFrame,
+    *,
+    id_col: str,
+    tokens_col: Column,
+    chunk_size: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with optional
+    overlap — the context-window chunking step before tokenization/packing
+    (RAG indexing and long-doc training both need it).
+
+    Window i covers tokens ``[i*stride, i*stride + chunk_size)``; the last
+    window is emitted as long as it starts inside the document, so trailing
+    tokens are never dropped (it may be short). Pure explode over a
+    ``sequence`` of offsets — narrow, zero shuffle, and the token array is
+    sliced per window without re-tokenizing (the array enters as a direct
+    function argument, not a lambda body).
+
+    Returns (id, chunk_idx, chunk_tokens, n_chunk_tokens).
+    """
+    if stride is None:
+        stride = chunk_size
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_col.alias("__toks"))
+    # number of windows: ceil(max(n - chunk_size, 0) / stride) + 1 for n > 0
+    n = F.size(F.col("__toks"))
+    n_windows = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((F.greatest(n - chunk_size, F.lit(0)) + stride - 1) / stride) + 1
+    )
+    # NB: Spark's sequence(0, -1) is a DESCENDING [0, -1], not empty — an
+    # empty doc must produce an empty array explicitly before the explode.
+    idxs = F.when(n_windows > 0, F.sequence(F.lit(0), (n_windows - 1).cast("int")))
+    out = toks.select(
+        "doc_id",
+        "__toks",
+        F.explode(idxs).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_size)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        chunk.alias("chunk_tokens"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def mix_epochs(
+    df: DataFrame,
+    *,
+    stratum: str,
+    epochs: dict[str, int],
+    default_epochs: int = 1,
+) -> DataFrame:
+    """Corpus mixture weighting by integer epoch counts: replicate each
+    row ``epochs[stratum]`` times with an ``epoch`` column (0-based) — the
+    deterministic form of "books x3, web x1" upsampling a training run
+    feeds the shuffler. Zero-shuffle explode; fractional rates compose with
+    :func:`stratified_sample` (e.g. 2.5 epochs = 3 epochs + keep 50%% of
+    epoch 2)."""
+    if any(e < 0 for e in epochs.values()) or default_epochs < 0:
+        raise ValueError("epoch counts must be >= 0")
+    n: Column = F.lit(default_epochs)
+    for value, count in sorted(epochs.items()):
+        n = F.when(F.col(stratum) == value, F.lit(count)).otherwise(n)
+    # NB: sequence(0, -1) would be a descending [0, -1]; 0-epoch strata
+    # must drop via an explicit NULL (explode of NULL emits nothing).
+    reps = F.when(n > 0, F.sequence(F.lit(0), (n - 1).cast("int")))
+    return df.withColumn("epoch", F.explode(reps))
+
+
 def stratified_sample(
     df: DataFrame,
     key: str,

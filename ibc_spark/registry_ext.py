@@ -606,6 +606,57 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_token_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 0 THEN 0
+                  ELSE CAST(floor((greatest(len(toks) - 12, 0) + 4) / 5) AS BIGINT) + 1
+             END AS n_windows
+      FROM t
+    )
+    SELECT doc_id,
+           unnest(range(0, n_windows)) AS chunk_idx,
+           list_slice(toks, unnest(range(0, n_windows)) * 5 + 1,
+                            unnest(range(0, n_windows)) * 5 + 12) AS chunk_tokens,
+           CAST(len(list_slice(toks, unnest(range(0, n_windows)) * 5 + 1,
+                                     unnest(range(0, n_windows)) * 5 + 12)) AS BIGINT)
+             AS n_chunk_tokens
+    FROM w
+    """,
+)
+def chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 12-token windows at stride 5 (overlapping),
+    trailing tokens kept in a short final window. Narrow explode — zero
+    shuffle; RAG indexing / long-doc training preprocessing shape."""
+    d = read_table(spark, sf_dir, "documents")
+    return datapipe.chunk_token_windows(
+        d, id_col="doc_id", tokens_col=text.tokens("text"), chunk_size=12, stride=5
+    )
+
+
+@query(
+    "mix_corpus_epochs",
+    oracle="""
+    SELECT doc_id, source,
+           unnest(range(0, CASE source WHEN 'src0' THEN 3
+                                       WHEN 'src1' THEN 0
+                                       ELSE 1 END)) AS epoch
+    FROM documents
+    """,
+)
+def mix_corpus_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting by epoch counts: src0 upsampled 3x, src1 dropped,
+    everything else 1 epoch — the deterministic replicate-with-epoch-id
+    explode a training run feeds its shuffler (zero shuffle here)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return datapipe.mix_epochs(
+        d, stratum="source", epochs={"src0": 3, "src1": 0}, default_epochs=1
+    )
+
+
+@query(
     "text_repetition_metrics",
     oracle=f"""
     WITH tok AS (

@@ -258,6 +258,56 @@ def test_ivf_recall_on_sorted_corpus(spark, emb):
     assert recall >= 0.3, f"IVF recall collapsed on sorted corpus: {recall}"
 
 
+def test_chunk_token_windows_edges(spark):
+    """Empty doc -> no chunks; short doc -> one short chunk; overlap and the
+    trailing window cover every token."""
+    from ibc_spark.ext.datapipe import chunk_token_windows
+    from ibc_spark.ext.text import tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),  # empty -> nothing (sequence(0,-1) trap)
+            (2, "a b c"),  # shorter than chunk_size -> one window
+            (3, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens, size 4 stride 3
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_token_windows(
+        df, id_col="doc_id", tokens_col=tokens("text"), chunk_size=4, stride=3
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_tokens"] == ["a", "b", "c"]
+    chunks = sorted(by_doc[3], key=lambda r: r["chunk_idx"])
+    # ceil((10-4)/3)+1 = 3 windows at offsets 0,3,6; the last covers t6..t9
+    assert [c["chunk_tokens"][0] for c in chunks] == ["t0", "t3", "t6"]
+    assert chunks[-1]["chunk_tokens"] == ["t6", "t7", "t8", "t9"]
+    covered = {t for c in chunks for t in c["chunk_tokens"]}
+    assert covered == {f"t{i}" for i in range(10)}
+
+    with pytest.raises(ValueError):
+        chunk_token_windows(df, id_col="doc_id", tokens_col=tokens("text"), chunk_size=0)
+
+
+def test_mix_epochs_counts(spark):
+    from ibc_spark.ext.datapipe import mix_epochs
+
+    df = spark.createDataFrame(
+        [(1, "books"), (2, "web"), (3, "junk")], "doc_id long, source string"
+    )
+    rows = mix_epochs(
+        df, stratum="source", epochs={"books": 3, "junk": 0}, default_epochs=1
+    ).collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert sorted(per_doc[1]) == [0, 1, 2]  # 3 epochs
+    assert per_doc[2] == [0]  # default 1
+    assert 3 not in per_doc  # 0 epochs -> dropped
+
+
 def test_pack_by_token_budget_bound(spark, docs):
     from ibc_spark.ext.datapipe import pack_by_token_budget
     from ibc_spark.ext.text import token_count
