@@ -131,10 +131,15 @@ def chunk_token_windows(
     if chunk_size <= 0 or stride <= 0:
         raise ValueError("chunk_size and stride must be positive")
     toks = df.select(F.col(id_col).alias("doc_id"), tokens_col.alias("__toks"))
-    # number of windows: ceil(max(n - chunk_size, 0) / stride) + 1 for n > 0
+    # number of windows: ceil(max(n - chunk_size, 0) / stride) + 1 for n > 0,
+    # capped at ceil(n / stride) so a stride larger than chunk_size never
+    # emits a window starting past the document's end (phantom empty chunk)
     n = F.size(F.col("__toks"))
     n_windows = F.when(n <= 0, F.lit(0)).otherwise(
-        F.floor((F.greatest(n - chunk_size, F.lit(0)) + stride - 1) / stride) + 1
+        F.least(
+            F.floor((F.greatest(n - chunk_size, F.lit(0)) + stride - 1) / stride) + 1,
+            F.floor((n + stride - 1) / stride),
+        )
     )
     # NB: Spark's sequence(0, -1) is a DESCENDING [0, -1], not empty — an
     # empty doc must produce an empty array explicitly before the explode.

@@ -159,13 +159,25 @@ def contamination_tags(
     is a map-side hash semi-join — no corpus shuffle on n-gram keys; the
     only wide op is the per-doc hit count, one shuffle on ``id_col``.
     Returns (doc_id, n_hits, contaminated) for every corpus row.
+
+    Documents shorter than ``n`` tokens produce NO n-grams on either side
+    (``shingles`` otherwise falls back to a whole-doc shingle, which would
+    let a 5-token doc "contaminate" on a sub-8-gram match — not a real
+    8-gram overlap).
     """
+
+    def true_ngrams(col: Column) -> Column:
+        toks = tokens(col)
+        return F.when(F.size(toks) >= n, shingles(toks, n)).otherwise(
+            F.array().cast("array<string>")
+        )
+
     c_sh = corpus.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles(tokens(F.col(text_col)), n)).alias("g"),
+        F.explode(true_ngrams(F.col(text_col))).alias("g"),
     )
     t_sh = (
-        testset.select(F.explode(shingles(tokens(F.col(text_col)), n)).alias("g"))
+        testset.select(F.explode(true_ngrams(F.col(text_col))).alias("g"))
         .dropDuplicates()
     )
     # shingles() already emits distinct n-grams per doc → count(*) == distinct

@@ -88,6 +88,13 @@ def conflict_quarantine(new: DataFrame, *, key: str | list[str], order_col: str)
     )
 
 
+def _quote_ident(name: str) -> str:
+    """ANSI double-quoted identifier (SQLite/Postgres), embedded quotes
+    doubled — sheet-derived column names are routinely reserved words
+    (``order``, ``user``) or mixed-case."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 def upsert_sql(
     table: str,
     cols: list[str],
@@ -99,16 +106,18 @@ def upsert_sql(
     ``INSERT … ON CONFLICT (key) DO UPDATE SET c = excluded.c`` — the
     SQLite/Postgres form of the reference's insert-else-update pair
     (``staffing-roster-pipeline.py:128-224``), but set-based per batch.
-    ``paramstyle``: ``qmark`` (sqlite3) or ``format`` (pg8000/psycopg)."""
+    ``paramstyle``: ``qmark`` (sqlite3) or ``format`` (pg8000/psycopg).
+    All identifiers are ANSI-quoted."""
     ph = "?" if paramstyle == "qmark" else "%s"
     update_cols = [c for c in cols if c not in key_cols]
+    q = _quote_ident
     sql = (
-        f"INSERT INTO {table} ({', '.join(cols)}) "
+        f"INSERT INTO {q(table)} ({', '.join(q(c) for c in cols)}) "
         f"VALUES ({', '.join([ph] * len(cols))}) "
-        f"ON CONFLICT ({', '.join(key_cols)})"
+        f"ON CONFLICT ({', '.join(q(c) for c in key_cols)})"
     )
     if update_cols:
-        sets = ", ".join(f"{c} = excluded.{c}" for c in update_cols)
+        sets = ", ".join(f"{q(c)} = excluded.{q(c)}" for c in update_cols)
         return f"{sql} DO UPDATE SET {sets}"
     return f"{sql} DO NOTHING"
 
@@ -158,8 +167,8 @@ def dbapi_upsert(
     sql = upsert_sql(table, cols, keys, paramstyle=paramstyle)
     q_ph = "?" if paramstyle == "qmark" else "%s"
     q_sql = (
-        f"INSERT INTO {quarantine_table} (error_code, reason, source_row) "
-        f"VALUES ({q_ph}, {q_ph}, {q_ph})"
+        f"INSERT INTO {_quote_ident(quarantine_table)} "
+        f"(error_code, reason, source_row) VALUES ({q_ph}, {q_ph}, {q_ph})"
         if quarantine_table
         else None
     )

@@ -23,7 +23,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,12 +54,13 @@ def build_parser(prog: str, description: str, *, needs_rows: bool) -> argparse.A
 
 
 def get_session(app: str, master: str) -> SparkSession:
-    return (
-        SparkSession.builder.appName(app)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "8"))
-        .getOrCreate()
-    )
+    """One session factory for every entry point: reuse
+    ``ibc_spark.session.get_spark`` so CLI runs get the same UTC timezone
+    pin, AQE, and Arrow settings as the library/tests (a CLI-only builder
+    here once silently dropped the UTC pin)."""
+    from ibc_spark.session import get_spark
+
+    return get_spark(app, master=master)
 
 
 def load_rows(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
@@ -69,11 +69,16 @@ def load_rows(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
     from ibc_spark.io_.sources import dataframe_from_rows, fetch_sheet_rows
 
     if args.rows:
-        with open(args.rows) as f:
-            rows = json.load(f)
-        if not isinstance(rows, list):
-            from ibc_spark.errors import InvalidFormatError
+        from ibc_spark.errors import InvalidFormatError
 
+        try:
+            with open(args.rows) as f:
+                rows = json.load(f)
+        except ValueError as e:
+            raise InvalidFormatError(f"--rows file is not valid JSON: {e}") from e
+        except OSError as e:
+            raise SheetReadError(f"cannot read --rows file: {e}") from e
+        if not isinstance(rows, list):
             raise InvalidFormatError("--rows file is not a JSON array of row objects")
     elif args.url:
         params = {"action": "read"}
@@ -117,7 +122,3 @@ def run_main(body: Callable[[], dict[str, int]]) -> int:
 def metrics_row(df: DataFrame) -> dict[str, int]:
     [row] = df.collect()
     return {k: int(v) for k, v in row.asDict().items()}
-
-
-def main_exit(status: int) -> None:
-    sys.exit(status)

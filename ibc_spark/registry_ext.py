@@ -235,7 +235,9 @@ _SHINGLES8 = (
     "decontaminate_against_holdout",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, unnest({_SHINGLES8}) AS g
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 8 THEN {_SHINGLES8}
+                         ELSE [] END) AS g
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
     ),
     test AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),

@@ -282,10 +282,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two-level aggregate: the global (total, n_parts) derives from per_part
     # (sum of group sums / count of groups), so both branches consume the
     # SAME groupBy exchange — one lineitem scan, one shuffle, ReusedExchange
-    # on the second branch (asserted in tests/test_plans.py).
+    # on the second branch (asserted in tests/test_plans.py). n_parts counts
+    # the KEY column so a NULL-partkey group is excluded, matching the
+    # oracle's COUNT(DISTINCT l_partkey); total sums every group including a
+    # NULL one, matching the oracle's unfiltered SUM.
     total = per_part.agg(
         F.sum("value_dec").alias("total"),
-        F.count(F.lit(1)).alias("n_parts"),
+        F.count(F.col("l_partkey")).alias("n_parts"),
     )
     return (
         per_part.join(F.broadcast(total))

@@ -49,11 +49,25 @@ def fetchall(path, sql):
 def test_upsert_sql_shape():
     sql = upsert_sql("t", ["k", "a", "b"], ["k"])
     assert sql == (
-        "INSERT INTO t (k, a, b) VALUES (?, ?, ?) "
-        "ON CONFLICT (k) DO UPDATE SET a = excluded.a, b = excluded.b"
+        'INSERT INTO "t" ("k", "a", "b") VALUES (?, ?, ?) '
+        'ON CONFLICT ("k") DO UPDATE SET "a" = excluded."a", "b" = excluded."b"'
     )
     assert "%s" in upsert_sql("t", ["k"], ["k"], paramstyle="format")
     assert upsert_sql("t", ["k"], ["k"]).endswith("DO NOTHING")
+
+
+def test_upsert_reserved_word_columns(spark, tmp_path):
+    """Reserved-word column names ('order') must work via identifier quoting."""
+    path = str(tmp_path / "rw.db")
+    conn = sqlite3.connect(path)
+    conn.execute('CREATE TABLE t (k INTEGER PRIMARY KEY, "order" TEXT)')
+    conn.commit()
+    conn.close()
+    df = spark.createDataFrame([(1, "first")], "k long, order string")
+    dbapi_upsert(
+        df, table="t", key_cols="k", connection_factory=functools.partial(connect, path)
+    )
+    assert fetchall(path, "SELECT * FROM t") == [(1, "first")]
 
 
 def test_insert_then_upsert(spark, db):

@@ -290,6 +290,43 @@ def test_chunk_token_windows_edges(spark):
     with pytest.raises(ValueError):
         chunk_token_windows(df, id_col="doc_id", tokens_col=tokens("text"), chunk_size=0)
 
+    # stride > chunk_size (gappy sampling) must not emit a phantom window
+    # starting past the document's end
+    sampled = chunk_token_windows(
+        df.where(df.doc_id == 3),
+        id_col="doc_id",
+        tokens_col=tokens("text"),
+        chunk_size=2,
+        stride=5,
+    ).collect()
+    assert [r["chunk_tokens"] for r in sorted(sampled, key=lambda r: r["chunk_idx"])] == [
+        ["t0", "t1"],
+        ["t5", "t6"],
+    ]
+    assert all(r["n_chunk_tokens"] > 0 for r in sampled)
+
+
+def test_contamination_ignores_sub_ngram_docs(spark):
+    """Docs shorter than n tokens produce no n-grams on either side: a
+    5-token corpus doc identical to a 5-token benchmark doc is NOT an
+    8-gram hit, and empty docs never match each other."""
+    from ibc_spark.ext.dedup import contamination_tags
+
+    short = "one two three four five"
+    corpus = spark.createDataFrame(
+        [(1, short), (2, "")], "doc_id long, text string"
+    )
+    testset = spark.createDataFrame(
+        [(100, short), (101, "   ")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_tags(
+            corpus, testset, id_col="doc_id", text_col="text", n=8
+        ).collect()
+    }
+    assert out == {1: False, 2: False}
+
 
 def test_mix_epochs_counts(spark):
     from ibc_spark.ext.datapipe import mix_epochs
