@@ -84,6 +84,52 @@ def vocab_topk(
     return counts.orderBy(F.col("term_count").desc(), F.col("term")).limit(k)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    tokens_col: Column,
+    *,
+    doc_id: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)`` — the sklearn-style smooth idf), the
+    classic keyword/feature extraction pass over a corpus.
+
+    Plan: explode → (doc, term) count [the one big shuffle] → term document
+    frequencies derive FROM that aggregate (second small agg, reused
+    exchange) → broadcast df + the one-row N → per-doc top-k window. All
+    arithmetic in doubles, identical across engines.
+    """
+    tok = df.select(F.col(doc_id).alias("doc_id"), F.explode(tokens_col).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(doc_id)).agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
 def pack_by_token_budget(
     df: DataFrame,
     group: str,
