@@ -241,6 +241,41 @@ def minhash_signatures(
     )
 
 
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(tokens(F.col(text_col)), n).alias("sh"),
+    )
+
+
+def _band_frame(base: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band_idx, band_hash) rows from a shingle frame. Band rows
+    carry ONLY the id and the band key — the shingle arrays never enter the
+    band shuffle (at scale they dominate shuffle bytes otherwise);
+    verification re-attaches them by id."""
+    rows_per_band = k // bands
+    sigs = base.select(
+        "doc_id", _hash_shingles(F.col("sh")).alias("hsh")
+    ).select("doc_id", _minhash_row(F.col("hsh"), k).alias("sig"))
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -260,35 +295,8 @@ def minhash_lsh_pairs(
     mega-buckets unless the data truly is one dup class; AQE skew-split
     covers that).
     """
-    rows_per_band = k // bands
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(tokens(F.col(text_col)), n).alias("sh"),
-    )
-    sigs = base.select(
-        "doc_id", _hash_shingles(F.col("sh")).alias("hsh")
-    ).select("doc_id", _minhash_row(F.col("hsh"), k).alias("sig"))
-
-    # Band rows carry ONLY (id, band key) — the shingle arrays never enter
-    # the band shuffle (at scale they dominate shuffle bytes otherwise);
-    # verification re-attaches them by id below.
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            ",",
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    base = _shingle_frame(df, id_col, text_col, n)
+    banded = _band_frame(base, k, bands)
 
     a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_hash")
@@ -306,6 +314,58 @@ def minhash_lsh_pairs(
         verified.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def cross_corpus_neardup_pairs(
+    new: DataFrame,
+    seen: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs BETWEEN a new batch and an already-
+    ingested corpus (daily-ingest shape — dedup the delta against the
+    archive without re-pairing the archive with itself).
+
+    Same banded plan as :func:`minhash_lsh_pairs` but the band join is
+    new×seen only: candidate volume scales with the batch, not the corpus,
+    and the archive side's band keys can be precomputed/persisted. Returns
+    (new_id, seen_id, jaccard) for exact-verified pairs ≥ ``threshold``.
+    """
+    new_base = _shingle_frame(new, id_col, text_col, n)
+    seen_base = _shingle_frame(seen, id_col, text_col, n)
+    nb = _band_frame(new_base, k, bands).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+    )
+    sb = _band_frame(seen_base, k, bands).select(
+        F.col("doc_id").alias("seen_id"), "band_idx", "band_hash"
+    )
+    cands = (
+        nb.join(sb, on=["band_idx", "band_hash"])
+        .select("new_id", "seen_id")
+        .dropDuplicates(["new_id", "seen_id"])
+    )
+    verified = (
+        cands.join(
+            new_base.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")),
+            on="new_id",
+        )
+        .join(
+            seen_base.select(
+                F.col("doc_id").alias("seen_id"), F.col("sh").alias("sh_b")
+            ),
+            on="seen_id",
+        )
+    )
+    return (
+        verified.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "seen_id", "jaccard")
     )
 
 

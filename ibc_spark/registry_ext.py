@@ -225,6 +225,41 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental_cross",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS new_id, b.doc_id AS seen_id,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM base a JOIN base b
+      ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    """,
+)
+def dedup_incremental_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: every 3rd document plays the newly ingested batch,
+    the rest the archive; banded new×seen join (candidate volume scales with
+    the batch) exact-verified at confidence threshold 0.8, where the deep
+    k=64/16 signature makes the LSH output equal the exact cross pair set
+    (same determinism argument as ``dedup_minhash_verified``)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.cross_corpus_neardup_pairs(
+        d.where(F.col("doc_id") % 3 == 0),
+        d.where(F.col("doc_id") % 3 != 0),
+        id_col="doc_id",
+        text_col="text",
+        k=64,
+        bands=16,
+        n=3,
+        threshold=0.8,
+    )
+
+
 _SHINGLES8 = (
     "list_distinct(list_transform(range(1, greatest(len(toks)-7,1)+1),"
     " i -> array_to_string(list_slice(toks, i, i+7), ' ')))"

@@ -56,6 +56,25 @@ def test_minhash_pairs_are_verified(spark, docs):
     assert all(r["jaccard"] >= 0.5 for r in rows)
 
 
+def test_cross_corpus_neardup_direction(spark, docs):
+    """Cross pairs run new x seen only: every emitted pair has a new-side
+    id and a seen-side id, never seen x seen (the archive is not re-paired
+    with itself), and pairs meet the exact threshold."""
+    from pyspark.sql import functions as F
+
+    from ibc_spark.ext.dedup import cross_corpus_neardup_pairs
+
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    seen = docs.where(F.col("doc_id") % 3 != 0)
+    rows = cross_corpus_neardup_pairs(
+        new, seen, id_col="doc_id", text_col="text", threshold=0.8
+    ).collect()
+    assert rows, "testdata should contain cross-split near-dups"
+    for r in rows:
+        assert r["new_id"] % 3 == 0 and r["seen_id"] % 3 != 0
+        assert r["jaccard"] >= 0.8
+
+
 def test_simhash_deterministic_and_discriminative(spark, docs):
     from ibc_spark.ext.dedup import simhash_groups
 
