@@ -95,17 +95,19 @@ def tfidf_top_terms(
     (``tf * (ln((N+1)/(df+1)) + 1)`` — the sklearn-style smooth idf), the
     classic keyword/feature extraction pass over a corpus.
 
-    Plan: explode → (doc, term) count [the one big shuffle] → term document
-    frequencies derive FROM that aggregate (second small agg, reused
-    exchange) → broadcast df + the one-row N → per-doc top-k window. All
-    arithmetic in doubles, identical across engines.
+    Plan: explode → (doc, term) count [the one heavy shuffle] → document
+    frequency as a COUNT window over term on that same aggregate (no second
+    scan/explode — a separate ``groupBy(term)`` branch defeats exchange
+    reuse through column pruning and rescans the corpus) → broadcast one-row
+    N → per-doc top-k window. All arithmetic in doubles, identical across
+    engines.
     """
     tok = df.select(F.col(doc_id).alias("doc_id"), F.explode(tokens_col).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.col(doc_id)).agg(F.count(F.lit(1)).alias("n_docs"))
+    wdf = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(dfreq), on="term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
