@@ -201,3 +201,26 @@ def range_join_buckets(
     O(k) per fact row, embarrassingly parallel."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return facts.join(F.broadcast(buckets), on=cond, how="left")
+
+
+def bucketize(value, buckets) -> Column:
+    """Compile *static* ``[lo, hi) -> label`` buckets into a CASE projection.
+
+    For a bucket table known at plan time, a non-equi join (even broadcast)
+    runs as a BroadcastNestedLoopJoin with an interpreted predicate per
+    fact row. A ``when()`` chain instead folds the lookup into the scan's
+    whole-stage codegen: zero join, zero extra operator — the right plan at
+    any scale. Use :func:`range_join_buckets` only when the bucket table is
+    itself data (computed at runtime).
+
+    ``buckets`` is a sequence of ``(lo, hi, label)`` triples; values outside
+    every bucket map to NULL (caller filters for inner-join semantics).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    chain = None
+    for lo, hi, label in buckets:
+        cond = (v >= F.lit(lo)) & (v < F.lit(hi))
+        chain = F.when(cond, F.lit(label)) if chain is None else chain.when(cond, F.lit(label))
+    if chain is None:
+        return F.lit(None).cast("string")
+    return chain

@@ -889,8 +889,8 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ibc_spark.ops.analytics import (  # noqa: E402
     asof_join,
+    bucketize,
     lag_lead_delta,
-    range_join_buckets,
     rank_in_groups,
     running_total,
 )
@@ -1103,17 +1103,25 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def range_join_qty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval join of lineitem quantity into static buckets (broadcast
-    nested-loop over 4 buckets → O(1) per row), then aggregate."""
+    """Interval lookup of lineitem quantity into *static* buckets. The bucket
+    table is a plan-time literal, so it compiles to a ``when()`` chain inside
+    the scan's whole-stage codegen — no join operator at all (the broadcast
+    nested-loop a literal non-equi join would produce is interpreted per row
+    and was the slowest plan in the repo). ``ops.analytics.range_join_buckets``
+    remains the generic path for runtime bucket tables."""
     li = read_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
-    buckets = li.sparkSession.createDataFrame(
+    bucket = bucketize(
+        "l_quantity",
         [(0.0, 10.0, "xs"), (10.0, 20.0, "s"), (20.0, 35.0, "m"), (35.0, 51.0, "l")],
-        "lo double, hi double, bucket string",
     )
-    joined = range_join_buckets(li, buckets, value_col="l_quantity")
-    return joined.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum(dec("l_extendedprice", 12, 2)).cast("double").alias("total_price"),
+    return (
+        li.select(bucket.alias("bucket"), "l_extendedprice")
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_extendedprice", 12, 2)).cast("double").alias("total_price"),
+        )
     )
 
 
