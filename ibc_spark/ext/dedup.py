@@ -482,3 +482,63 @@ def embedding_neardup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    bits_per_band: int = 8,
+    bands: int = 32,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a blocking column: banded
+    hyperplane-LSH candidate generation + exact cosine verification — the
+    scale path when blocks are large or absent (where
+    :func:`embedding_neardup_pairs`'s within-block all-pairs is O(m²)).
+
+    Plan shape mirrors :func:`minhash_lsh_pairs`: one matmul per Arrow
+    batch produces ``bands`` signatures per vector (see
+    ``similarity.lsh_band_signatures``) → explode to (id, band_idx,
+    band_sig) — vectors stay OUT of the band shuffle — → self-equi-join on
+    the band key → distinct candidate pairs → re-attach vectors by id →
+    one vectorized cosine kernel → threshold filter. Shuffles are all
+    equi-key; nothing is quadratic in the corpus.
+
+    Recall: a pair at exactly ``threshold=0.9`` misses every band with
+    probability (1-p^r)^B = 1.7e-5 (p = 1-acos(0.9)/π = .856, r=8, B=32);
+    higher-cosine pairs are exponentially safer (4e-17 at 0.99). Pruning
+    sharpens as the threshold rises — hyperplane LSH is designed for the
+    ≥0.9 regime real embedding dedup (SemDeDup-style) runs at; at low
+    thresholds use blocking + :func:`embedding_neardup_pairs` instead."""
+    from ibc_spark.ext.similarity import lsh_band_signatures  # circular at module level
+
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    banded = base.select(
+        "vid",
+        F.posexplode(
+            lsh_band_signatures(
+                F.col("v"), bits_per_band=bits_per_band, bands=bands, dim=dim, seed=seed
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    a = banded.select(F.col("vid").alias("id_a"), "band_idx", "band_sig")
+    b = banded.select(F.col("vid").alias("id_b"), "band_idx", "band_sig")
+    cands = (
+        a.join(b, on=["band_idx", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        cands.join(base.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a")), on="id_a")
+        .join(base.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b")), on="id_b")
+        .withColumn("cos", cosine_fast(F.col("v_a"), F.col("v_b")))
+    )
+    return (
+        verified.where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+    )

@@ -98,6 +98,32 @@ def lsh_signature(vec: Column, *, bits: int = 12, dim: int = 64, seed: int = 7) 
     return _sig(vec)
 
 
+def lsh_band_signatures(
+    vec: Column, *, bits_per_band: int = 8, bands: int = 32, dim: int = 64, seed: int = 7
+) -> Column:
+    """``bands`` independent hyperplane signatures per vector, as
+    ``array<long>`` (element i = band i's packed ``bits_per_band`` sign
+    bits) — the AND-OR amplified form of :func:`lsh_signature`, analogous
+    to MinHash banding: a pair is a candidate if ANY band matches.
+
+    For a pair at angle θ, per-bit collision p = 1-θ/π, per-band p^r, and
+    band-miss probability (1-p^r)^B — e.g. cosine 0.9 (p=.856), r=8, B=32
+    → 1.7e-5. All ``r·B`` projections come from ONE (batch × dim) @
+    (dim × r·B) matmul per Arrow batch; the planes are fixed-seed plan-time
+    constants (deterministic, model-free)."""
+    planes = np.asarray(lsh_hyperplanes(bits_per_band * bands, dim, seed))
+    powers = (1 << np.arange(bits_per_band)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ planes.T) > 0  # (n, r·B)
+        packed = (bits.reshape(len(mat), bands, bits_per_band) * powers).sum(axis=2)
+        return pd.Series(list(packed.astype(np.int64)))
+
+    return _sigs(vec)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     *,

@@ -320,10 +320,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked embedding-cosine near-dup pairs (block = label)."""
+    """Blocked embedding-cosine near-dup pairs (block = label) — the exact
+    small-block path; for large or absent blocks use the LSH entry below."""
     e = read_table(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(
         e, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3
+    )
+
+
+# Planted near-duplicates for the LSH dedup entry: the synthetic embeddings
+# have NO natural pairs above cosine 0.51 (measured at sf0.01/sf0.1), so a
+# high-threshold entry on the raw table would be trivially empty. Every 10th
+# vector gets a near-copy (element 0 scaled ×1.5 in double, cast back to
+# float — cosine to its original is ≥ 0.98 for any vector, while copies stay
+# ≤ ~0.51 from everything else). The float32 round-trip makes the augmented
+# table bit-identical across engines.
+_AUG_SQL = """
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_concat([CAST(CAST(embedding[1] AS DOUBLE) * 1.5 AS FLOAT)],
+                         embedding[2:])
+      FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array((F.col("embedding")[0].cast("double") * 1.5).cast("float")),
+            F.slice(F.col("embedding"), 2, F.size(F.col("embedding")) - 1),
+        ).alias("embedding"),
+    )
+    return e.unionByName(planted)
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH aug AS ({_AUG_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.9
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unblocked embedding near-dup via banded hyperplane LSH + exact
+    cosine verification, at confidence threshold 0.9 on the planted-dup
+    augmented table. A threshold-0.9 pair misses every band with
+    probability ≤1.7e-5 (r=8, B=32) and the planted pairs (cos ≥ 0.98) with
+    ≤4e-17, so on fixed data the LSH output equals the exact global pair
+    set — which is what the O(n²) oracle (that only the oracle pays)
+    computes. Same construction as ``dedup_minhash_verified``: the operator
+    under test stays the banded equi-join."""
+    aug = _augmented_embeddings(spark, sf_dir)
+    return dedup.embedding_lsh_pairs(
+        aug, id_col="vec_id", vec_col="embedding", threshold=0.9, bits_per_band=8, bands=32
     )
 
 

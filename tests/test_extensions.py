@@ -381,3 +381,49 @@ def test_pack_by_token_budget_bound(spark, docs):
     # bin ids are dense from 0 per source
     mins = packed.groupBy("source").agg(F.min("bin_id").alias("m")).collect()
     assert all(r["m"] == 0 for r in mins)
+
+
+def test_embedding_lsh_recall_equals_allpairs(spark, emb):
+    """Banded hyperplane LSH + exact verify at confidence threshold 0.9 must
+    equal the all-pairs baseline on the planted-dup augmented table: every
+    planted pair sits at cosine ≥0.98, where the per-pair band-miss
+    probability is ≤4e-17, and the candidate stage must genuinely prune
+    (strictly fewer scored pairs than all-pairs would)."""
+    from ibc_spark.ext.dedup import embedding_lsh_pairs, embedding_neardup_pairs
+    from ibc_spark.registry_ext import _augmented_embeddings
+
+    from tests.conftest import SF_ORACLE
+
+    aug = _augmented_embeddings(spark, SF_ORACLE).cache()
+    n = aug.count()
+    exact = embedding_neardup_pairs(
+        aug.withColumn("one_block", F.lit(1)),
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="one_block",
+        threshold=0.9,
+    )
+    approx = embedding_lsh_pairs(aug, id_col="vec_id", vec_col="embedding", threshold=0.9)
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    a = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    assert len(e) >= 40, f"expected ≥40 planted pairs, got {len(e)}"
+    assert a == e, f"LSH missed {e - a} / invented {a - e}"
+
+    # candidate pruning: the banded join must score far fewer than n·(n-1)/2
+    from ibc_spark.ext.similarity import lsh_band_signatures
+
+    banded = aug.select(
+        "vec_id",
+        F.posexplode(lsh_band_signatures(F.col("embedding"))).alias("bi", "bs"),
+    )
+    x = banded.select(F.col("vec_id").alias("id_a"), "bi", "bs")
+    y = banded.select(F.col("vec_id").alias("id_b"), "bi", "bs")
+    n_cands = (
+        x.join(y, on=["bi", "bs"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert n_cands < 0.5 * n * (n - 1) / 2, f"LSH pruned nothing: {n_cands} candidates"
+    aug.unpersist()
