@@ -85,6 +85,66 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
 
 
+def passage_windows(toks: Column, *, window: int, stride: int) -> Column:
+    """Array of ``(start_tok, passage)`` structs: FULL ``window``-token
+    passages starting at 1-based positions 1, 1+stride, 2·stride+1, …
+    (docs shorter than ``window`` yield an empty array).
+
+    Same construction discipline as :func:`shingles`: the windows come from
+    ``window`` shifted slices merged with ``zip_with`` — the token array is
+    only ever a function ARGUMENT, never re-evaluated inside a lambda body
+    (the collapsed-in recompute is ~40× slower on real docs)."""
+    m = F.greatest(F.size(toks) - window + 1, F.lit(0))  # count of full windows
+    out = F.slice(toks, window, m)  # rightmost token of each window
+    for off in range(window - 2, -1, -1):
+        out = F.zip_with(F.slice(toks, off + 1, m), out, lambda a, b: F.concat_ws(" ", a, b))
+    structs = F.transform(
+        out, lambda p, i: F.struct((i + 1).alias("start_tok"), p.alias("passage"))
+    )
+    return F.filter(structs, lambda s: (s["start_tok"] - 1) % stride == 0)
+
+
+def passage_exact_dups(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 10,
+    stride: int = 5,
+) -> DataFrame:
+    """Exact repeated-passage spans across the corpus — the fixed-window,
+    Spark-native equivalent of suffix-array substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    any ``window``-token passage occurring more than once (within or across
+    documents) is reported per occurrence with its group stats, so callers
+    can cut the non-canonical spans.
+
+    Plan shape: narrow tokenize + window explode (zero shuffle) → ONE
+    hash shuffle on the passage key for the three window functions (count,
+    distinct docs, canonical rank). Nothing is pairwise; group state is
+    O(occurrences of one passage), and a degenerate mega-passage (the same
+    boilerplate everywhere) is exactly the AQE skew-split case."""
+    from pyspark.sql import Window
+
+    occ = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(passage_windows(F.col("toks"), window=window, stride=stride)).alias("w"),
+        )
+        .select("doc_id", F.col("w.start_tok").alias("start_tok"), F.col("w.passage").alias("passage"))
+    )
+    grp = Window.partitionBy("passage")
+    rank = grp.orderBy("doc_id", "start_tok")
+    return (
+        occ.withColumn("n_copies", F.count(F.lit(1)).over(grp))
+        .withColumn("n_docs", F.size(F.collect_set("doc_id").over(grp)).cast("long"))
+        .withColumn("is_canonical", F.row_number().over(rank) == 1)
+        .where(F.col("n_copies") > 1)
+        .select("doc_id", "start_tok", "passage", "n_copies", "n_docs", "is_canonical")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,

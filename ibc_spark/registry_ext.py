@@ -302,6 +302,36 @@ def decontaminate_against_holdout(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, CAST(u.i AS INT) AS start_tok,
+             array_to_string(list_slice(toks, u.i, u.i + 9), ' ') AS passage
+      FROM t, unnest(CASE WHEN len(toks) >= 10
+                          THEN range(1, len(toks) - 8, 5) ELSE [] END) AS u(i)
+    )
+    SELECT doc_id, start_tok, passage,
+           COUNT(*) OVER (PARTITION BY passage) AS n_copies,
+           COUNT(DISTINCT doc_id) OVER (PARTITION BY passage) AS n_docs,
+           ROW_NUMBER() OVER (PARTITION BY passage ORDER BY doc_id, start_tok) = 1
+             AS is_canonical
+    FROM occ
+    QUALIFY COUNT(*) OVER (PARTITION BY passage) > 1
+    """,
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (Lee et al.-style): every 10-token window
+    (stride 5) occurring more than once in the corpus, per occurrence, with
+    group stats and a canonical-occurrence flag. Doc-level dedup misses
+    shared spans inside otherwise-distinct documents; this is the operator
+    that finds them. range(1, len-8, 5) in the oracle = full-window starts
+    1, 6, 11, … ≤ len-9, matching the Spark side's strided window filter."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.passage_exact_dups(d, id_col="doc_id", text_col="text", window=10, stride=5)
+
+
 @query("dedup_simhash")  # xxhash64-based → rows-only driver check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(16) signature groups (collision groups = near-dup clusters)."""

@@ -427,3 +427,28 @@ def test_embedding_lsh_recall_equals_allpairs(spark, emb):
     )
     assert n_cands < 0.5 * n * (n - 1) / 2, f"LSH pruned nothing: {n_cands} candidates"
     aug.unpersist()
+
+
+def test_passage_dedup_planted_span(spark):
+    """A 10-token span planted inside two otherwise-different documents must
+    be reported at the right offsets; sub-window docs contribute nothing."""
+    from ibc_spark.ext.dedup import passage_exact_dups
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five " + span + " tail words here"),
+            (2, span + " completely different trailing content follows now ok"),
+            (3, "short doc"),  # < window → no passages
+            (4, "nothing in common with anything else at all in this text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = passage_exact_dups(df, id_col="doc_id", text_col="text", window=10, stride=5).collect()
+    hits = {(r["doc_id"], r["start_tok"]) for r in out if r["passage"] == span}
+    # doc 1: span starts at token 6 (stride-5 grid: 1,6,11,...); doc 2: token 1
+    assert hits == {(1, 6), (2, 1)}, sorted(out)
+    assert all(r["n_copies"] == 2 and r["n_docs"] == 2 for r in out if r["passage"] == span)
+    canon = [r for r in out if r["passage"] == span and r["is_canonical"]]
+    assert [(r["doc_id"], r["start_tok"]) for r in canon] == [(1, 6)]
+    assert not any(r["doc_id"] == 3 for r in out)
