@@ -989,28 +989,33 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setop_intersect_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION cohorts of 1995-vs-1996 buyers, stacked
     into one labeled frame (set ops are absent from the reference —
-    SURVEY §2.7)."""
+    SURVEY §2.7).
+
+    Physical plan: the literal three-branch set-op form scans and distincts
+    each cohort twice (six orders scans). Instead ONE scan aggregates
+    per-custkey year flags (single shuffle), and the cohort labels explode
+    from the flags — INTERSECT = both flags, EXCEPT = 95-only, UNION = any
+    row of the aggregate. Same result set, 6× less I/O, no exchange to
+    reuse because there is only one."""
     o = read_table(spark, sf_dir, "orders")
-    y95 = (
+    flags = (
         o.where(
-            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
         )
-        .select("o_custkey")
-        .distinct()
-    )
-    y96 = (
-        o.where(
-            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate") < "1996-01-01").alias("in95"),
+            F.max(F.col("o_orderdate") >= "1996-01-01").alias("in96"),
         )
-        .select("o_custkey")
-        .distinct()
     )
-    tag = lambda df, c: df.select(F.lit(c).alias("cohort"), "o_custkey")  # noqa: E731
-    return (
-        tag(y95.intersect(y96), "both")
-        .unionAll(tag(y95.exceptAll(y96), "only_1995"))
-        .unionAll(tag(y95.union(y96).distinct(), "either"))
+    cohorts = F.array_compact(
+        F.array(
+            F.when(F.col("in95") & F.col("in96"), F.lit("both")),
+            F.when(F.col("in95") & ~F.col("in96"), F.lit("only_1995")),
+            F.lit("either"),
+        )
     )
+    return flags.select(F.explode(cohorts).alias("cohort"), "o_custkey")
 
 
 @query(

