@@ -104,7 +104,9 @@ def tfidf_top_terms(
     """
     tok = df.select(F.col(doc_id).alias("doc_id"), F.explode(tokens_col).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(F.col(doc_id)).agg(F.count(F.lit(1)).alias("n_docs"))
+    # count_distinct, not count: a source with duplicate doc_id rows (e.g. an
+    # un-deduped ingest) must not inflate N while the tf agg merges the rows
+    n_docs = df.select(F.col(doc_id)).agg(F.count_distinct(F.col(doc_id)).alias("n_docs"))
     wdf = Window.partitionBy("term")
     scored = (
         tf.withColumn("df", F.count(F.lit(1)).over(wdf))

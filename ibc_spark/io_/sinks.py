@@ -150,8 +150,12 @@ def dbapi_upsert(
 
     Scale posture: parallelism = partition count (``df.repartition(n)`` to
     match the database's write headroom); each task holds one transaction,
-    committing at partition end, so a task retry replays its whole
-    partition — idempotent because the statement is a keyed upsert.
+    committing at partition end. A task retry replays its whole partition:
+    the keyed upsert rows are idempotent under replay, but quarantine rows
+    are plain un-keyed INSERTs and therefore **at-least-once** — a retry
+    after commit (or speculative execution) can duplicate them. Dedupe
+    downstream on a hash of ``source_row`` if exactly-once quarantine
+    accounting matters, or add a unique index on the quarantine table.
 
     ``savepoints`` guards the batch and each row-retry with
     SAVEPOINT/ROLLBACK TO — required on engines (Postgres) where any

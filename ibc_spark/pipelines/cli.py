@@ -78,7 +78,7 @@ def load_rows(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
             raise InvalidFormatError(f"--rows file is not valid JSON: {e}") from e
         except OSError as e:
             raise SheetReadError(f"cannot read --rows file: {e}") from e
-        if not isinstance(rows, list):
+        if not isinstance(rows, list) or not all(isinstance(r, dict) for r in rows):
             raise InvalidFormatError("--rows file is not a JSON array of row objects")
     elif args.url:
         params = {"action": "read"}
