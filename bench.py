@@ -1,11 +1,19 @@
 """Benchmark harness — times the engine's queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Each query is forced end-to-end with the `noop` write format (full
-computation of every output column, no driver-side result transfer), after a
-JVM/session warmup pass on the smallest table.
+Prints TWO JSON lines to stdout: first the full per-query map (the
+permanent record), then a compact summary line (total + the top-10
+slowest queries + query count, <1.5 KB) — the compact line goes LAST
+because the driver captures only the tail of the output, and a 93-query
+map overflows that window, truncating the JSON mid-line and leaving the
+driver's ``parsed`` null.
+
+Each query runs $BENCH_RUNS times (default 3) and reports the MEDIAN —
+one warm run per query cannot separate plan regressions from JVM/GC
+noise (~20 untouched queries swung >30% between rounds 1 and 2).
+Queries are forced end-to-end with the `noop` write format (full
+computation of every output column, no driver-side result transfer),
+after a JVM/session warmup pass on the smallest table.
 """
 
 from __future__ import annotations
@@ -80,25 +88,35 @@ def main() -> None:
     if only:
         wanted = {n.strip() for n in only.split(",") if n.strip()}
         names = [n for n in names if n in wanted]
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in names:
-        t0 = time.perf_counter()
+        samples: list[float] = []
         try:
-            materialize(QUERIES[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 4)
             delta = ""
             if name in previous and previous[name] > 0:
                 pct = 100.0 * (timings[name] - previous[name]) / previous[name]
                 delta = f" ({pct:+.0f}% vs prior round {previous[name]:.2f}s)"
-            print(f"BENCH {name}: {timings[name]:.2f}s{delta}", file=sys.stderr)
+            print(
+                f"BENCH {name}: {timings[name]:.2f}s median of {len(samples)}{delta}",
+                file=sys.stderr,
+            )
         except Exception as exc:  # a failing query must not hide the others
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     sys.stderr.flush()
+    # Full per-query record first ...
     print(
         json.dumps(
             {
@@ -106,7 +124,26 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "runs_per_query": runs,
+            }
+        ),
+        flush=True,
+    )
+    # ... compact summary LAST so it survives the driver's output-tail
+    # capture intact (top-10 slowest + count; ~0.6 KB).
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "ibc_spark_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": top10,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "runs_per_query": runs,
+                "sum_median_sec": round(sum(t for t in timings.values() if t > 0), 2),
             }
         ),
         flush=True,

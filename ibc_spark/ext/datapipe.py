@@ -101,7 +101,13 @@ def tfidf_top_terms(
     reuse through column pruning and rescans the corpus) → broadcast one-row
     N → per-doc top-k window. All arithmetic in doubles, identical across
     engines.
+
+    Rows with a NULL ``doc_id`` are dropped up front: ``count_distinct``
+    would exclude them from N while the tf/df aggregations would still keep
+    a NULL-keyed group, scoring it with an inconsistent (potentially
+    marginally negative) smoothed idf.
     """
+    df = df.where(F.col(doc_id).isNotNull())
     tok = df.select(F.col(doc_id).alias("doc_id"), F.explode(tokens_col).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # count_distinct, not count: a source with duplicate doc_id rows (e.g. an

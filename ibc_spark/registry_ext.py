@@ -334,9 +334,22 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")  # xxhash64-based → rows-only driver check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16) signature groups (collision groups = near-dup clusters)."""
+    """SimHash(16) signature groups (collision groups = near-dup clusters).
+
+    The library returns ``members`` as an array; the driver's canonicalizer
+    hashes scalar cells only, so the query surface serializes it to a CSV
+    string (the array stays available via :func:`dedup.simhash_groups`).
+    """
     d = read_table(spark, sf_dir, "documents")
-    return dedup.simhash_groups(d, id_col="doc_id", text_col="text", bits=16)
+    groups = dedup.simhash_groups(d, id_col="doc_id", text_col="text", bits=16)
+    return groups.select(
+        "simhash",
+        "group_size",
+        "kept_id",
+        F.array_join(
+            F.transform("members", lambda m: m.cast("string")), ","
+        ).alias("members_csv"),
+    )
 
 
 @query(
@@ -513,9 +526,11 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of cardinality (the streaming/interactive alternative to
     exact distincts). pytest bounds the error vs exact answers."""
     ev = read_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.95], 10000)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+        pcts.getItem(0).alias("value_p50"),
+        pcts.getItem(1).alias("value_p95"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -593,16 +608,28 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ascii(substring(text, 1, 1)) AS head_byte
                FROM documents)
     SELECT doc_id, byte_len, head_byte,
-           list_transform(range(1, 9), i -> CAST((byte_len * i) % 97 AS FLOAT)) AS fake_embedding
+           array_to_string(list_transform(range(1, 9), i -> CAST((byte_len * i) % 97 AS INT)), ',')
+             AS fake_embedding_csv
     FROM t
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column attach + Arrow-batched mapInPandas feature extraction
     (deterministic fake decode — the codec seam is stubbed, the Spark
-    plumbing is real and hash-checked)."""
+    plumbing is real and hash-checked). The embedding values are exact
+    small integers stored as floats; the query surface serializes them to
+    a CSV of ints so the driver's scalar-only canonicalizer can hash them
+    (the array form stays available via :func:`multimodal.extract_features`)."""
     d = read_table(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.attach_binary(d))
+    feats = multimodal.extract_features(multimodal.attach_binary(d))
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "head_byte",
+        F.array_join(
+            F.transform("fake_embedding", lambda x: x.cast("int").cast("string")), ","
+        ).alias("fake_embedding_csv"),
+    )
 
 
 @query(
@@ -770,8 +797,9 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            unnest(range(0, n_windows)) AS chunk_idx,
-           list_slice(toks, unnest(range(0, n_windows)) * 5 + 1,
-                            unnest(range(0, n_windows)) * 5 + 12) AS chunk_tokens,
+           array_to_string(list_slice(toks, unnest(range(0, n_windows)) * 5 + 1,
+                                            unnest(range(0, n_windows)) * 5 + 12), ' ')
+             AS chunk_text,
            CAST(len(list_slice(toks, unnest(range(0, n_windows)) * 5 + 1,
                                      unnest(range(0, n_windows)) * 5 + 12)) AS BIGINT)
              AS n_chunk_tokens
@@ -781,10 +809,21 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 12-token windows at stride 5 (overlapping),
     trailing tokens kept in a short final window. Narrow explode — zero
-    shuffle; RAG indexing / long-doc training preprocessing shape."""
+    shuffle; RAG indexing / long-doc training preprocessing shape.
+
+    Tokens are whitespace-split, so rejoining with a single space is a
+    lossless serialization — used because the driver's canonicalizer
+    hashes scalar cells only (the array form stays available via
+    :func:`datapipe.chunk_token_windows`)."""
     d = read_table(spark, sf_dir, "documents")
-    return datapipe.chunk_token_windows(
+    chunks = datapipe.chunk_token_windows(
         d, id_col="doc_id", tokens_col=text.tokens("text"), chunk_size=12, stride=5
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join("chunk_tokens", " ").alias("chunk_text"),
+        "n_chunk_tokens",
     )
 
 

@@ -39,8 +39,13 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks reject NTZ event time; session TZ is UTC so the cast
+        # preserves the instant and matches the batch face (read_table)
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
