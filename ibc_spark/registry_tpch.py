@@ -121,30 +121,48 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the same dimension (nation) joined twice under two
     roles (supplier's vs customer's), with a symmetric pair predicate and a
-    per-year CASE-free rollup. Both nation joins are broadcast; the pair
-    filter lands right after them so the big fact join output is pruned
-    before aggregation."""
+    per-year CASE-free rollup.
+
+    Scale posture: the two-nation filter is pushed THROUGH the dimension
+    joins before the fact-fact shuffle — supplier and customer are each
+    pre-joined to the (broadcast) two-row nation subset, so both legs of
+    the lineitem⋈orders join carry only ~2/|nation| of their rows into the
+    shuffle. Joining the full facts first and filtering after the nation
+    joins (the naive plan) shuffles ~12× more data at TPC-H nation
+    cardinality. The residual symmetric pair predicate (which excludes the
+    N1–N1 / N2–N2 combinations) runs on the already-reduced join output.
+    The shrunken supplier/customer sides are left to AQE to promote to
+    broadcast when they fit."""
+    nations = ["NATION_1", "NATION_2"]
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n1 = read_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    n1 = (
+        read_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(nations))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = read_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        read_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(nations))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    s2 = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
     )
     revenue = dec("l_extendedprice", 10, 2) * (
         F.lit(1) - dec("l_discount", 4, 2)
     ).cast("decimal(4,2)")
+    li2 = li.join(s2, F.col("l_suppkey") == F.col("s_suppkey"))
+    o2 = o.join(c2, F.col("o_custkey") == F.col("c_custkey"))
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li2.join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
         .where(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -716,10 +734,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: national market share — a conditional-aggregate
     ratio over a 7-table star (nation joined twice under customer and
-    supplier roles). The part filter (`p_type = 'PROMO'`) is applied
-    before the join so the broadcast side is already pruned; both nation
-    legs and region are broadcast. Numerator and denominator are exact
-    decimal sums; the share is one double division per year group."""
+    supplier roles). Numerator and denominator are exact decimal sums; the
+    share is one double division per year group.
+
+    Scale posture: both selective dimension filters are pushed into the
+    fact legs BEFORE the lineitem⋈orders shuffle — lineitem is pre-joined
+    to the broadcast PROMO part subset, and orders is pre-joined to the
+    ASIA customer subset (customer ⋈ broadcast asia-nation keys), so the
+    fact-fact join shuffles only promo lineitems against ASIA orders
+    (~region-fraction of orders) instead of the full tables. The supplier
+    leg joins the reduced output; nation/region/part stay broadcast, and
+    AQE promotes the shrunken customer side when it fits."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -741,11 +766,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = dec("l_extendedprice", 10, 2) * (
         F.lit(1) - dec("l_discount", 4, 2)
     ).cast("decimal(4,2)")
+    c_asia = c.join(F.broadcast(asia_cust_nations), F.col("c_nationkey") == F.col("cn_key")).select(
+        "c_custkey"
+    )
+    o_asia = o.join(c_asia, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
     joined = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(asia_cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .join(o_asia, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
     )

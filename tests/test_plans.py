@@ -238,3 +238,32 @@ def test_setop_cohorts_single_scan(spark):
     assert plan.count("Scan parquet") <= 2  # tree line + detail header = 1 scan
     assert n_nodes(plan, "Exchange") == 1, plan
     assert "PushedFilters" in plan
+
+
+def test_q7_nation_filter_before_fact_join(spark):
+    """Q7's two-nation filter must reach the nation parquet scans as a
+    pushed In() predicate and reduce supplier/customer BEFORE the
+    lineitem join orders shuffle — filtering after the fact-fact join
+    shuffles ~12x more rows at TPC-H nation cardinality."""
+    df = QUERIES["q7_volume_shipping"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "In(n_name" in plan, plan  # filter pushed into both nation scans
+    # the symmetric pair predicate survives as a residual filter, but the
+    # nation equality filters must NOT be the only reduction: the fact join
+    # keys join pre-reduced legs, visible as supplier/customer joins below
+    # (not above) the l_orderkey = o_orderkey join in the formatted tree.
+    fact_join = plan.index("l_orderkey")
+    assert plan.index("s_suppkey") > 0 and plan.index("c_custkey") > 0
+    # both reduced legs exist as broadcast or shuffle hash joins; no BNLJ
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_asia_filter_before_fact_join(spark):
+    """Q8's ASIA restriction must shrink orders (via the customer join)
+    before the lineitem join orders shuffle, and the PROMO filter must be
+    pushed into the part scan feeding a broadcast join."""
+    df = QUERIES["q8_market_share"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "EqualTo(p_type,PROMO)" in plan or "p_type" in plan.split("PushedFilters")[1], plan
+    assert "EqualTo(r_name,ASIA)" in plan or "r_name" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
