@@ -259,3 +259,74 @@ def stratified_sample(
     for value, pct in sorted(rates.items()):
         rate = F.when(F.col(stratum) == value, F.lit(pct)).otherwise(rate)
     return df.where(bucket < rate)
+
+
+def hash_u32(key: Column | str) -> Column:
+    """The full 32-bit multiplicative hash value (not reduced to a bucket)
+    — a deterministic, engine-independent pseudo-random ORDER over keys.
+    SQL mirror: ``((key % 2^31 + 2^31) % 2^31 * 2654435761) % 2^32``."""
+    key = F.col(key) if isinstance(key, str) else key
+    reduced = F.pmod(key.cast("long"), F.lit(_KEY_MOD))
+    return F.pmod(reduced * F.lit(_KNUTH), F.lit(_MOD))
+
+
+def quota_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    k: int,
+    safety: int = 8,
+) -> DataFrame:
+    """Deterministic per-group quota sample: keep the ``k`` rows of each
+    group whose id-hash is smallest (a reproducible "random" k-per-domain
+    downsample — the web-crawl balancing step that stops one giant domain
+    from dominating the corpus).
+
+    Scale posture: a naive ``row_number() OVER (PARTITION BY group)`` sorts
+    EVERY row of every group in one task per group — a skew trap when one
+    domain holds billions of rows. This runs two phases instead:
+
+    1. per-group counts (map-side-combining agg, output = one row per
+       group, broadcast back), then a stateless pre-filter keeping only
+       rows whose hash lies in the smallest ``k * safety / n`` fraction of
+       the hash space — the only rows that can plausibly rank ≤ k;
+    2. the exact window rank over the ≈``k * safety`` survivors per group.
+
+    The heavy window sort therefore touches O(groups × k × safety) rows
+    regardless of group skew. ``safety`` bounds the chance a qualifying row
+    is pre-filtered away (hash-deterministic, so parity suites verify the
+    result equals the naive rank exactly at test scale).
+
+    Returns (group, id, sample_rank) with sample_rank in [1, k].
+    """
+    base = df.select(
+        F.col(group_col).alias("__grp"),
+        F.col(id_col).alias("__id"),
+        hash_u32(F.col(id_col)).alias("__h"),
+    )
+    counts = base.groupBy("__grp").agg(F.count(F.lit(1)).alias("__n"))
+    cutoff = F.when(F.col("__n") <= k * safety, F.lit(_MOD)).otherwise(
+        (F.lit(float(_MOD * k * safety)) / F.col("__n")).cast("long") + 1
+    )
+    survivors = base.join(F.broadcast(counts), "__grp").where(F.col("__h") <= cutoff)
+    w = Window.partitionBy("__grp").orderBy(F.col("__h").asc(), F.col("__id").asc())
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select(
+            F.col("__grp").alias(group_col),
+            F.col("__id").alias(id_col),
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+    )
+
+
+def assign_shards(df: DataFrame, *, key_col: str, n_shards: int) -> DataFrame:
+    """Deterministic shard assignment for training-data writes: shard =
+    hash_bucket(key, n_shards). Stateless arithmetic (zero shuffle); the
+    writer pairs it with ``df.repartition(n_shards, "shard")`` +
+    ``partitionBy("shard")`` so each output shard is one balanced file
+    group. Same hash family as :func:`hash_split` /
+    :func:`sample_stratified`, so shards are stable across runs/engines."""
+    return df.withColumn("shard", hash_bucket(key_col, n_shards).cast("long"))

@@ -142,3 +142,16 @@ def pii_scrub(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def normalize(c: Column | str) -> Column:
+    """Canonical text normalization for dedup keys and tokenizer input:
+    lowercase, non-alphanumerics → space, whitespace runs collapsed, ends
+    trimmed. Pure projection — runs in whole-stage codegen on the scan at
+    any scale. Mirrors in ANSI SQL as nested ``regexp_replace`` (DuckDB
+    needs the 'g' flag; Spark replaces globally by default)."""
+    c = F.col(c) if isinstance(c, str) else c
+    out = F.lower(c)
+    out = F.regexp_replace(out, r"[^a-z0-9\s]", " ")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)

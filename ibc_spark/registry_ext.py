@@ -961,3 +961,126 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return datapipe.stratified_sample(
         d, "doc_id", "lang", {"en": 10, **rates}, default_pct=50
     ).select("doc_id", "lang")
+
+
+@query(
+    "quota_per_source",
+    oracle="""
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 25
+    """,
+)
+def quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: keep a deterministic 25-doc quota per
+    source (the crawl-balancing step that stops one giant domain from
+    dominating a training mix). Two-phase skew-safe plan — per-group
+    counts broadcast back, stateless hash pre-filter to ~k*safety rows
+    per group, exact rank on the survivors; the oracle's naive global
+    window proves the pre-filter drops nothing at test scale (see
+    ``datapipe.quota_per_group``)."""
+    d = read_table(spark, sf_dir, "documents")
+    return datapipe.quota_per_group(d, group_col="source", id_col="doc_id", k=25)
+
+
+@query(
+    "assign_training_shards",
+    oracle="""
+    SELECT ((doc_id % 2147483648) * 2654435761) % 4294967296 % 16 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def assign_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard assignment + per-shard size audit — the
+    step before a partitioned training-data write (`repartition(n, shard)`
+    + `partitionBy(shard)` gives balanced, reproducible output files).
+    Stateless arithmetic hash, one map-side-combining aggregate."""
+    d = read_table(spark, sf_dir, "documents")
+    sharded = datapipe.assign_shards(d, key_col="doc_id", n_shards=16)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                           '\s+', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, strip punctuation, collapse
+    whitespace) — the shared preprocessing for dedup keys, fingerprints and
+    tokenizer input. Pure projection in scan codegen; zero shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    norm = text.normalize("text")
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+    )
+
+
+@query(
+    "corpus_dedup_materialize",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_COS_PAIRS.format(cos=_cos_sql('a.embedding', 'b.embedding'))}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
+    ),
+    labels AS (SELECT a AS member_id, min(b) AS kept_id FROM reach GROUP BY a)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT member_id FROM labels WHERE member_id <> kept_id)
+    """,
+)
+def corpus_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic dedup MATERIALIZATION: emit the cleaned corpus
+    itself, not just the dup report — documents whose embedding is a
+    near-dup (cosine ≥ 0.3, blocked by label) of a lower-id document are
+    dropped; cluster canonicals and never-paired docs survive.
+
+    Pipeline shape at scale: candidate pairs (bucketed, see
+    ``dedup.embedding_neardup_pairs``) → connected components (iterative
+    min-label, ``ext.graph``) → non-canonical member ids (small: one row
+    per dropped doc) → LEFT ANTI join against the full corpus. The anti
+    join broadcasts the drop list when it fits; the corpus is never
+    collected or re-shuffled."""
+    from ibc_spark.ext.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.embedding_neardup_pairs(
+        read_table(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        threshold=0.3,
+    )
+    drop = (
+        dedup_clusters(pairs)
+        .where(~F.col("is_kept"))
+        .select(F.col("member_id").alias("doc_id"))
+    )
+    return docs.join(F.broadcast(drop), on="doc_id", how="left_anti").select(
+        "doc_id", "source", "n_chars"
+    )

@@ -452,3 +452,76 @@ def test_passage_dedup_planted_span(spark):
     canon = [r for r in out if r["passage"] == span and r["is_canonical"]]
     assert [(r["doc_id"], r["start_tok"]) for r in canon] == [(1, 6)]
     assert not any(r["doc_id"] == 3 for r in out)
+
+
+def test_quota_per_group_equals_naive_rank(spark):
+    """The two-phase skew-safe quota plan must return EXACTLY the naive
+    row_number()-over-everything answer, including on a skewed frame where
+    one group dwarfs the quota (the case the pre-filter exists for)."""
+    from pyspark.sql import Window
+
+    from ibc_spark.ext.datapipe import hash_u32, quota_per_group
+
+    rows = [(i, "big") for i in range(5000)] + [(i + 5000, "small") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    got = quota_per_group(df, group_col="source", id_col="doc_id", k=10).toPandas()
+
+    w = Window.partitionBy("source").orderBy(
+        hash_u32(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    naive = (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= 10)
+        .select("source", "doc_id", "sample_rank")
+        .toPandas()
+    )
+    key = ["source", "doc_id", "sample_rank"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, naive[key].values.tolist())
+    )
+    # the small group keeps all 7 rows; the big group exactly k
+    counts = got.groupby("source").size().to_dict()
+    assert counts == {"big": 10, "small": 7}
+
+
+def test_assign_shards_balanced_and_stable(spark):
+    from ibc_spark.ext.datapipe import assign_shards
+    from ibc_spark.io_.sources import read_table
+
+    from .conftest import SF_SMOKE
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    sharded = assign_shards(d, key_col="doc_id", n_shards=16)
+    stats = sharded.groupBy("shard").count().toPandas()
+    assert set(stats["shard"]) <= set(range(16))
+    # multiplicative hash spreads sequential ids: no shard takes >3x the mean
+    assert stats["count"].max() <= 3 * stats["count"].mean()
+    # deterministic across invocations
+    again = assign_shards(d, key_col="doc_id", n_shards=16)
+    assert (
+        sharded.select("doc_id", "shard").exceptAll(again.select("doc_id", "shard")).count() == 0
+    )
+
+
+def test_text_normalize_edges(spark):
+    from ibc_spark.ext.text import normalize
+
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!! ",), ("çé-ü",), ("",), ("a  b\tc\nd",)], "t: string"
+    )
+    got = [r[0] for r in df.select(normalize("t")).collect()]
+    assert got[0] == "hello world"
+    assert got[1] == ""  # non-ascii letters are stripped, not kept
+    assert got[2] == ""
+    assert got[3] == "a b c d"
+
+
+def test_corpus_dedup_materialize_drops_only_noncanonical(spark, duck):
+    from ibc_spark.registry import QUERIES
+
+    kept = QUERIES["corpus_dedup_materialize"](spark, SF_ORACLE)
+    clusters = QUERIES["dedup_cluster_components"](spark, SF_ORACLE).toPandas()
+    dropped = set(clusters.loc[~clusters["is_kept"], "member_id"])
+    kept_ids = set(kept.toPandas()["doc_id"])
+    all_ids = set(range(500))
+    assert kept_ids == all_ids - dropped
