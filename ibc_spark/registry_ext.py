@@ -1084,3 +1084,27 @@ def corpus_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(drop), on="doc_id", how="left_anti").select(
         "doc_id", "source", "n_chars"
     )
+
+
+@query(
+    "dedup_exact_content_sha",
+    oracle="""
+    SELECT sha256(text) AS content_sha,
+           min(doc_id) AS kept_id,
+           count(*) AS group_size
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact full-content dedup on a SHA-256 content address — the
+    byte-identical-document pass that runs before any fuzzy method (and
+    the key a content-addressed store dedups on). One hash groupBy — a
+    single shuffle whose keys are 64-char digests, so the shuffle carries
+    no document bodies; collision probability is cryptographically nil,
+    making min-id canonical selection deterministic at any scale."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2(F.col("text"), 256).alias("content_sha")).agg(
+        F.min("doc_id").alias("kept_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )

@@ -267,3 +267,12 @@ def test_q8_asia_filter_before_fact_join(spark):
     assert "EqualTo(p_type,PROMO)" in plan or "p_type" in plan.split("PushedFilters")[1], plan
     assert "EqualTo(r_name,ASIA)" in plan or "r_name" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_dedup_anti_join_broadcasts_drop_list(spark):
+    """The cleaned-corpus materialization must ship the (small) drop list
+    to the corpus as a broadcast LEFT ANTI join — never shuffle the corpus
+    against it."""
+    df = QUERIES["corpus_dedup_materialize"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
