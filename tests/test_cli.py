@@ -104,3 +104,60 @@ def test_main_reports_taxonomy_failure(tmp_path, capsys, spark):
     assert rc == 1
     out = capsys.readouterr().out
     assert "Pipeline failed with error E005" in out
+
+
+# ---------------------------------------------------------------------------
+# Job-spec dispatcher (conf/jobs/*.yaml — workflow_dispatch parity)
+# ---------------------------------------------------------------------------
+
+
+def test_job_spec_resolves_env_overlay_and_inputs():
+    from ibc_spark.pipelines.jobs import resolve_job, spark_submit_argv
+
+    spec = resolve_job(
+        "conf/jobs/upload_staffing_roster.yaml",
+        "prod",
+        env={"WEB_APP_URL": "https://example.test/app"},
+    )
+    assert spec.job == "upload-staffing-roster"
+    assert spec.entry == "ibc_spark.pipelines.staffing_roster"
+    assert spec.master == "local[32]"
+    assert spec.inputs["url"] == "https://example.test/app"
+    assert spec.inputs["sheet_name"] == "Staffing Roster"  # default applied
+    assert spec.conf["spark.sql.shuffle.partitions"] == "32"
+    argv = spark_submit_argv(spec)
+    assert argv[:3] == ["spark-submit", "--master", "local[32]"]
+    assert "--conf" in argv and "-m" in argv
+    assert argv[argv.index("-m") + 1] == "ibc_spark.pipelines.staffing_roster"
+
+
+def test_job_spec_missing_required_input_is_e003():
+    import pytest as _pytest
+
+    from ibc_spark.errors import InvalidFormatError
+    from ibc_spark.pipelines.jobs import resolve_job
+
+    with _pytest.raises(InvalidFormatError):
+        resolve_job("conf/jobs/upload_projects.yaml", "dev", env={})
+
+
+def test_job_spec_unknown_environment_rejected():
+    import pytest as _pytest
+
+    from ibc_spark.errors import InvalidFormatError
+    from ibc_spark.pipelines.jobs import resolve_job
+
+    with _pytest.raises(InvalidFormatError):
+        resolve_job("conf/jobs/end_semester.yaml", "staging")
+
+
+def test_job_dispatcher_dry_run_prints_command(capsys):
+    from ibc_spark.pipelines.jobs import main
+
+    rc = main(
+        ["--config", "conf/jobs/end_semester.yaml", "--environment", "dev", "--dry-run"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    assert out.startswith("spark-submit --master local[*]")
+    assert "ibc_spark.pipelines.end_semester" in out
