@@ -288,6 +288,38 @@ def _minhash_row(hashed: Column, k: int) -> Column:
     )
 
 
+def _minhash_rows_np(k: int):
+    """Arrow-batched MinHash signature kernel: identical arithmetic to
+    :func:`_minhash_row` ((2i+1)·h + i²+7 mod 2^31-1, min per permutation)
+    but one numpy pass per permutation over the whole batch's flattened
+    shingle hashes (``np.minimum.reduceat`` for the per-doc mins) instead
+    of k interpreted HOF lambdas per row. All values stay < 2^38 so int64
+    arithmetic is exact and the result is bit-identical to the Column form
+    (pytest asserts equality). NULL/empty shingle arrays produce the same
+    all-NULL signature the Column form yields."""
+
+    @pandas_udf("array<long>")
+    def _sig(hsh: pd.Series) -> pd.Series:
+        arrs = [np.asarray(x, dtype=np.int64) if x is not None else None for x in hsh]
+        lens = np.array([0 if a is None else len(a) for a in arrs], dtype=np.int64)
+        nonempty = lens > 0
+        out: list[list | None] = [[None] * k] * len(arrs)
+        if nonempty.any():
+            flat = np.concatenate([a for a in arrs if a is not None and len(a)])
+            starts = np.zeros(len(arrs) + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            ne_starts = starts[:-1][nonempty]
+            mins = np.empty((int(nonempty.sum()), k), dtype=np.int64)
+            for i in range(k):
+                p = (flat * (2 * i + 1) + (i * i + 7)) % MERSENNE
+                mins[:, i] = np.minimum.reduceat(p, ne_starts)
+            it = iter(mins.tolist())
+            out = [next(it) if ne else [None] * k for ne in nonempty]
+        return pd.Series(out)
+
+    return _sig
+
+
 def minhash_signatures(
     df: DataFrame, *, id_col: str, text_col: str, k: int = 32, n: int = 3
 ) -> DataFrame:
@@ -297,7 +329,7 @@ def minhash_signatures(
             F.col(id_col).alias("doc_id"),
             _hash_shingles(shingles(tokens(F.col(text_col)), n)).alias("hsh"),
         )
-        .select("doc_id", _minhash_row(F.col("hsh"), k).alias("sig"))
+        .select("doc_id", _minhash_rows_np(k)(F.col("hsh")).alias("sig"))
     )
 
 
@@ -316,7 +348,7 @@ def _band_frame(base: DataFrame, k: int, bands: int) -> DataFrame:
     rows_per_band = k // bands
     sigs = base.select(
         "doc_id", _hash_shingles(F.col("sh")).alias("hsh")
-    ).select("doc_id", _minhash_row(F.col("hsh"), k).alias("sig"))
+    ).select("doc_id", _minhash_rows_np(k)(F.col("hsh")).alias("sig"))
     return sigs.select(
         "doc_id",
         F.explode(
@@ -463,13 +495,46 @@ def simhash(toks: Column, bits: int = 16) -> Column:
     return out
 
 
+def _simhash_np(bits: int):
+    """Arrow-batched SimHash kernel over PRE-HASHED tokens: bit i of the
+    signature is set where sum over tokens of ±1 (sign of hash bit i) is
+    positive — the same vote arithmetic as :func:`simhash` but one numpy
+    pass per bit over the batch's flattened hashes (``np.add.reduceat``
+    for per-doc sums) instead of an interpreted fold that re-evaluates
+    ``xxhash64`` per token per bit. Bit-identical to the Column form
+    (pytest asserts it): NULL and empty token arrays both yield 0 — the
+    Column form's ``when(vote > 0).otherwise(0)`` collapses a NULL
+    array's NULL votes to 0 exactly like an empty array's zero votes."""
+
+    @pandas_udf("long")
+    def _sig(hashed: pd.Series) -> pd.Series:
+        arrs = [np.asarray(x, dtype=np.int64) if x is not None else None for x in hashed]
+        lens = np.array([0 if a is None else len(a) for a in arrs], dtype=np.int64)
+        nonempty = lens > 0
+        sigs = np.zeros(len(arrs), dtype=np.int64)
+        if nonempty.any():
+            flat = np.concatenate([a for a in arrs if a is not None and len(a)])
+            starts = np.zeros(len(arrs) + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            ne_starts = starts[:-1][nonempty]
+            acc = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            for i in range(bits):
+                votes = (((flat >> i) & 1) * 2 - 1).astype(np.int64)
+                acc += (np.add.reduceat(votes, ne_starts) > 0).astype(np.int64) << i
+            sigs[nonempty] = acc
+        return pd.Series(sigs)
+
+    return _sig
+
+
 def simhash_groups(
     df: DataFrame, *, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:
     """Near-dup groups = identical simhash. groupBy on the signature; at
     larger Hamming radii, join on signature ⊕ single-bit masks."""
+    hashed = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     sh = df.select(
-        F.col(id_col).alias("doc_id"), simhash(tokens(F.col(text_col)), bits).alias("simhash")
+        F.col(id_col).alias("doc_id"), _simhash_np(bits)(hashed).alias("simhash")
     )
     return sh.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("group_size"),

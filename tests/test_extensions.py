@@ -525,3 +525,56 @@ def test_corpus_dedup_materialize_drops_only_noncanonical(spark, duck):
     kept_ids = set(kept.toPandas()["doc_id"])
     all_ids = set(range(500))
     assert kept_ids == all_ids - dropped
+
+
+def test_minhash_numpy_kernel_matches_column_form(spark):
+    """The Arrow-batched signature kernel must be bit-identical to the
+    unrolled Column form (same permutation arithmetic, same NULL story)."""
+    from ibc_spark.ext.dedup import (
+        _hash_shingles,
+        _minhash_row,
+        _minhash_rows_np,
+        shingles,
+    )
+    from ibc_spark.ext.text import tokens
+    from ibc_spark.io_.sources import read_table
+
+    from .conftest import SF_SMOKE
+
+    d = read_table(spark, SF_SMOKE, "documents").limit(100)
+    extra = spark.createDataFrame([(9001, None), (9002, "a b")], "doc_id: long, text: string")
+    d = d.select("doc_id", "text").unionByName(extra)
+    hashed = d.select(
+        "doc_id", _hash_shingles(shingles(tokens(F.col("text")), 3)).alias("hsh")
+    )
+    both = hashed.select(
+        "doc_id",
+        _minhash_row(F.col("hsh"), 16).alias("col_sig"),
+        _minhash_rows_np(16)(F.col("hsh")).alias("np_sig"),
+    ).collect()
+    assert len(both) == 102
+    for r in both:
+        assert r["col_sig"] == r["np_sig"], r["doc_id"]
+
+
+def test_simhash_numpy_kernel_matches_column_form(spark):
+    from ibc_spark.ext.dedup import _simhash_np, simhash
+    from ibc_spark.ext.text import tokens
+    from ibc_spark.io_.sources import read_table
+
+    from .conftest import SF_SMOKE
+
+    d = read_table(spark, SF_SMOKE, "documents").limit(100)
+    extra = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "a b c")], "doc_id: long, text: string"
+    )
+    d = d.select("doc_id", "text").unionByName(extra)
+    hashed = F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t))
+    both = d.select(
+        "doc_id",
+        simhash(tokens(F.col("text")), 16).alias("col_sig"),
+        _simhash_np(16)(hashed).alias("np_sig"),
+    ).collect()
+    assert len(both) == 103
+    for r in both:
+        assert r["col_sig"] == r["np_sig"], r["doc_id"]
