@@ -1513,6 +1513,131 @@ def udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS fv FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS fc
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.fv GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS fp
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.fc GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click,
+           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM v), 1), 4) AS view_to_click,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM c), 1), 4) AS click_to_purchase
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view -> click -> purchase): per user, the
+    first click strictly AFTER the first view, then the first purchase
+    strictly after that click — the product-analytics staple.
+
+    Plan shape: ONE events scan, ONE shuffle. Each stage timestamp is a
+    whole-partition conditional MIN window over user_id (no orderBy, so no
+    per-window sort); the three stages chain as successive projections over
+    the same partitioning, and the final count collapses one row per user.
+    The oracle spells the same logic as three joined aggregate CTEs — at
+    scale those are three fact scans, which is exactly what the window
+    form avoids."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    fv = ev.withColumn(
+        "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    fc = fv.withColumn(
+        "fc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("fv")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    fp = fc.withColumn(
+        "fp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = fp.select("user_id", "fv", "fc", "fp").dropDuplicates(["user_id"])
+    agg = per_user.agg(
+        F.count("fv").alias("n_view"),
+        F.count("fc").alias("n_click_after_view"),
+        F.count("fp").alias("n_purchase_after_click"),
+    )
+    return agg.select(
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        F.round(
+            F.col("n_click_after_view").cast("double")
+            / F.greatest(F.col("n_view"), F.lit(1)),
+            4,
+        ).alias("view_to_click"),
+        F.round(
+            F.col("n_purchase_after_click").cast("double")
+            / F.greatest(F.col("n_click_after_view"), F.lit(1)),
+            4,
+        ).alias("click_to_purchase"),
+    )
+
+
+@query(
+    "retention_weekly_cohorts",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week, date_trunc('week', e.ts) AS activity_week
+      FROM events e JOIN firstw f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_week, activity_week) / 7 AS BIGINT) AS week_offset,
+           count(*) AS n_active_users
+    FROM act
+    GROUP BY 1, 2
+    """,
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen ISO week,
+    counted once per subsequent active week — the classic retention
+    triangle. Plan: one scan -> per-user first week (map-side-combining
+    agg) -> join back on user_id (both sides already partitioned by
+    user_id after the agg; at dim-scale the first-week side broadcasts) ->
+    distinct (cohort, offset, user) -> count. Weeks are ISO Monday-start
+    in both engines (Spark date_trunc and DuckDB agree)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("activity_week").alias("cohort_week"))
+    act = (
+        ev.join(first, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .dropDuplicates(["user_id", "cohort_week", "week_offset"])
+    )
+    return act.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
 # Extension operators (SURVEY §7.7) register themselves on import.
 from ibc_spark import registry_ext  # noqa: E402,F401  (registration side effect)
 
