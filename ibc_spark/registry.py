@@ -1638,6 +1638,72 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
 
 
+
+@query(
+    "anomaly_hourly_event_volume",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, hr, n,
+             avg(CAST(n AS DOUBLE)) OVER w AS mu,
+             stddev_samp(CAST(n AS DOUBLE)) OVER w AS sigma,
+             count(*) OVER w AS n_window
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour,
+           n AS n_events,
+           round((n - mu) / sigma, 3) AS zscore
+    FROM scored
+    WHERE n_window >= 12 AND sigma > 0 AND abs((n - mu) / sigma) >= 2.5
+    """,
+)
+def anomaly_hourly_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts whose z-score against
+    the trailing 24 observed hours (excluding the current one) exceeds
+    2.5, with a 12-hour warmup before scoring — the ops-monitoring shape
+    (error-rate spikes, traffic cliffs).
+
+    Plan: one scan -> (type, hour) map-side-combining count [the only
+    data-sized shuffle] -> one trailing ROWS window per event_type over
+    the tiny hourly aggregate -> filter. The window state is 25 rows per
+    partition regardless of event volume, so the operator's cost is the
+    pre-aggregation at any scale. z means/stddevs are doubles on both
+    engines; the defensive round(3) absorbs fold-order differences."""
+    from pyspark.sql import Window
+
+    hourly = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.avg(F.col("n").cast("double")).over(w).alias("mu"),
+        F.stddev_samp(F.col("n").cast("double")).over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.where(
+            (F.col("n_window") >= 12) & (F.col("sigma") > 0) & (F.abs(z) >= 2.5)
+        )
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+            F.col("n").alias("n_events"),
+            F.round(z, 3).alias("zscore"),
+        )
+    )
+
+
 # Extension operators (SURVEY §7.7) register themselves on import.
 from ibc_spark import registry_ext  # noqa: E402,F401  (registration side effect)
 
