@@ -340,15 +340,38 @@ def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     )
 
 
+def _hashed_shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, hsh array<long>) — the narrow frame EVERY downstream MinHash
+    stage consumes (banding kernel and exact-Jaccard verification alike).
+
+    It is persisted (memory, spill to disk): banding reads it once and the
+    pair verification re-attaches it twice, and without a persist Spark
+    re-runs the tokenize→shingle→hash pipeline for each consumer (no
+    subplan sharing across exchanges). At scale this is the standard
+    persist-the-signatures pattern — 8-byte hashes per distinct shingle
+    make the frame SMALLER than the raw text column it derives from, and
+    Spark's CacheManager matches by canonicalized plan, so repeated calls
+    share one cache entry instead of stacking new ones. Jaccard over
+    hashed shingles equals string-shingle Jaccard short of an int64
+    collision (the oracles verify exact equality at test scale)."""
+    from pyspark.storagelevel import StorageLevel
+
+    frame = df.select(
+        F.col(id_col).alias("doc_id"),
+        _hash_shingles(shingles(tokens(F.col(text_col)), n)).alias("hsh"),
+    )
+    return frame.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _band_frame(base: DataFrame, k: int, bands: int) -> DataFrame:
-    """(doc_id, band_idx, band_hash) rows from a shingle frame. Band rows
-    carry ONLY the id and the band key — the shingle arrays never enter the
-    band shuffle (at scale they dominate shuffle bytes otherwise);
-    verification re-attaches them by id."""
+    """(doc_id, band_idx, band_hash) rows from a hashed-shingle frame. Band
+    rows carry ONLY the id and the band key — the shingle arrays never
+    enter the band shuffle (at scale they dominate shuffle bytes
+    otherwise); verification re-attaches them by id."""
     rows_per_band = k // bands
-    sigs = base.select(
-        "doc_id", _hash_shingles(F.col("sh")).alias("hsh")
-    ).select("doc_id", _minhash_rows_np(k)(F.col("hsh")).alias("sig"))
+    sigs = base.select("doc_id", _minhash_rows_np(k)(F.col("hsh")).alias("sig"))
     return sigs.select(
         "doc_id",
         F.explode(
@@ -380,14 +403,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs.
 
-    Plan shape: signature map → explode k/bands band keys per doc →
-    self-equi-join on (band_idx, band_hash) → distinct candidate pairs →
-    exact Jaccard verification. The only shuffles are the band-key join and
-    the final distinct — both on keys whose cardinality LSH keeps high (no
-    mega-buckets unless the data truly is one dup class; AQE skew-split
-    covers that).
+    Plan shape: hashed-shingle frame (persisted — see
+    :func:`_hashed_shingle_frame`) → signature kernel → explode k/bands
+    band keys per doc → self-equi-join on (band_idx, band_hash) → distinct
+    candidate pairs → exact Jaccard verification over the hashed shingle
+    sets. The only shuffles are the band-key join and the final distinct —
+    both on keys whose cardinality LSH keeps high (no mega-buckets unless
+    the data truly is one dup class; AQE skew-split covers that).
     """
-    base = _shingle_frame(df, id_col, text_col, n)
+    base = _hashed_shingle_frame(df, id_col, text_col, n)
     banded = _band_frame(base, k, bands)
 
     a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
@@ -399,8 +423,8 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     verified = (
-        cands.join(base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
-        .join(base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+        cands.join(base.select(F.col("doc_id").alias("id_a"), F.col("hsh").alias("sh_a")), on="id_a")
+        .join(base.select(F.col("doc_id").alias("id_b"), F.col("hsh").alias("sh_b")), on="id_b")
     )
     return (
         verified.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
@@ -429,8 +453,8 @@ def cross_corpus_neardup_pairs(
     and the archive side's band keys can be precomputed/persisted. Returns
     (new_id, seen_id, jaccard) for exact-verified pairs ≥ ``threshold``.
     """
-    new_base = _shingle_frame(new, id_col, text_col, n)
-    seen_base = _shingle_frame(seen, id_col, text_col, n)
+    new_base = _hashed_shingle_frame(new, id_col, text_col, n)
+    seen_base = _hashed_shingle_frame(seen, id_col, text_col, n)
     nb = _band_frame(new_base, k, bands).select(
         F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
     )
@@ -444,12 +468,12 @@ def cross_corpus_neardup_pairs(
     )
     verified = (
         cands.join(
-            new_base.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")),
+            new_base.select(F.col("doc_id").alias("new_id"), F.col("hsh").alias("sh_a")),
             on="new_id",
         )
         .join(
             seen_base.select(
-                F.col("doc_id").alias("seen_id"), F.col("sh").alias("sh_b")
+                F.col("doc_id").alias("seen_id"), F.col("hsh").alias("sh_b")
             ),
             on="seen_id",
         )
