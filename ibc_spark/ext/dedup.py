@@ -169,14 +169,19 @@ def ngram_jaccard_pairs(
     skew lands on genuinely common shingles only; AQE skew-split covers
     those.
     """
+    from pyspark.storagelevel import StorageLevel
+
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
         shingles(tokens(F.col(text_col)), n).alias("sh"),
     ).select("doc_id", "block", "sh", F.size("sh").alias("sz"))
+    # both sides of the self-join consume the postings; persist so the
+    # tokenize→shingle→explode pipeline runs once (Spark shares no
+    # subplans across join legs), mirroring _hashed_shingle_frame
     postings = base.select(
         "doc_id", "block", "sz", F.explode("sh").alias("shingle")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = postings.select(
         F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "block", "shingle"
     )
@@ -665,7 +670,11 @@ def embedding_lsh_pairs(
     thresholds use blocking + :func:`embedding_neardup_pairs` instead."""
     from ibc_spark.ext.similarity import lsh_band_signatures  # circular at module level
 
+    from pyspark.storagelevel import StorageLevel
+
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    # both self-join legs consume the banded frame; persist so the
+    # signature matmul runs once (narrow rows: id + band key only)
     banded = base.select(
         "vid",
         F.posexplode(
@@ -673,7 +682,7 @@ def embedding_lsh_pairs(
                 F.col("v"), bits_per_band=bits_per_band, bands=bands, dim=dim, seed=seed
             )
         ).alias("band_idx", "band_sig"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(F.col("vid").alias("id_a"), "band_idx", "band_sig")
     b = banded.select(F.col("vid").alias("id_b"), "band_idx", "band_sig")
     cands = (
