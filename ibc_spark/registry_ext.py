@@ -1108,3 +1108,86 @@ def dedup_exact_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("kept_id"),
         F.count(F.lit(1)).alias("group_size"),
     )
+
+
+@query(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      WHERE term IN ('model', 'data', 'training')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM scored
+    ORDER BY round(score, 4) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
+    the lexical side of hybrid search over a training corpus.
+
+    Plan shape: tokenize → explode → FILTER TO QUERY TERMS BEFORE the
+    (doc, term) count (the filter reaches the explode, so the one shuffle
+    carries only query-term postings, not the whole corpus vocabulary);
+    document frequency is a term-window COUNT over that tiny aggregate;
+    N and avgdl are a one-row broadcast; final top-20 compiles to
+    TakeOrderedAndProject. Sums are per-(doc,term) single values folded in
+    doubles in deterministic term order short of reordering — the
+    defensive round(4) plus ≤3 summands keeps both engines identical."""
+    from pyspark.sql import Window
+
+    terms = ["model", "data", "training"]
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", text.tokens("text").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wdf = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .join(dl, on="doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "part",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
