@@ -276,3 +276,12 @@ def test_corpus_dedup_anti_join_broadcasts_drop_list(spark):
     df = QUERIES["corpus_dedup_materialize"](spark, SF_SMOKE)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_minhash_shares_cached_shingle_frame(spark):
+    """MinHash banding + both verification legs must read the persisted
+    hashed-shingle frame (InMemoryTableScan), not re-run the
+    tokenize->shingle->hash pipeline per consumer."""
+    df = QUERIES["dedup_minhash_verified"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
