@@ -1191,3 +1191,67 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_COS_PAIRS.format(cos=_cos_sql('a.embedding', 'b.embedding'))}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
+    ),
+    labels AS (SELECT a AS member_id, min(b) AS kept_id FROM reach GROUP BY a),
+    keyed AS (
+      SELECT d.doc_id, coalesce(l.kept_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.member_id
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN ((split_key % 2147483648) * 2654435761) % 4294967296 % 100 < 90
+                  THEN 'train'
+                WHEN ((split_key % 2147483648) * 2654435761) % 4294967296 % 100 < 95
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: every document is hashed on its
+    near-dup CLUSTER CANONICAL id (its own id when unclustered), so
+    near-duplicate documents can never straddle the train/test boundary —
+    the contamination guard a pretraining pipeline needs on top of a plain
+    hash split (a test doc whose near-twin sits in train is a leaked
+    answer).
+
+    Plan: dup clusters (bucketed pairs → iterative components, both
+    already-scaled ops) produce a SMALL (member, canonical) relabel map —
+    one row per clustered doc — broadcast LEFT-joined onto the corpus;
+    the split decision stays the stateless multiplicative hash of
+    ``ext.datapipe.hash_split``, so unclustered docs (the vast majority)
+    keep their plain-split assignment and the relabel map is the only
+    addition."""
+    from ibc_spark.ext.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.embedding_neardup_pairs(
+        read_table(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        threshold=0.3,
+    )
+    labels = dedup_clusters(pairs).select("member_id", "kept_id")
+    keyed = docs.join(
+        F.broadcast(labels), docs["doc_id"] == labels["member_id"], "left"
+    ).select(
+        "doc_id", F.coalesce("kept_id", "doc_id").alias("split_key")
+    )
+    bucket = datapipe.hash_bucket(F.col("split_key"), 100)
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )

@@ -578,3 +578,25 @@ def test_simhash_numpy_kernel_matches_column_form(spark):
     assert len(both) == 103
     for r in both:
         assert r["col_sig"] == r["np_sig"], r["doc_id"]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """No near-dup pair may straddle splits, and unclustered docs must get
+    the same split a plain hash split would give them."""
+    from ibc_spark.ext.datapipe import hash_split
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.registry import QUERIES
+
+    split = QUERIES["split_leakage_safe"](spark, SF_ORACLE).toPandas()
+    by_doc = dict(zip(split["doc_id"], split["split"]))
+    clusters = QUERIES["dedup_cluster_components"](spark, SF_ORACLE).toPandas()
+    for _, row in clusters.iterrows():
+        assert by_doc[row["member_id"]] == by_doc[row["kept_id"]], row
+    plain = hash_split(
+        read_table(spark, SF_ORACLE, "documents"), "doc_id"
+    ).select("doc_id", "split").toPandas()
+    plain_by_doc = dict(zip(plain["doc_id"], plain["split"]))
+    clustered = set(clusters["member_id"])
+    for doc, s in by_doc.items():
+        if doc not in clustered:
+            assert s == plain_by_doc[doc], doc
