@@ -231,18 +231,36 @@ def contamination_tags(
     8-gram overlap).
     """
 
-    def true_ngrams(col: Column) -> Column:
-        toks = tokens(col)
-        return F.when(F.size(toks) >= n, shingles(toks, n)).otherwise(
-            F.array().cast("array<string>")
-        )
+    # n-gram construction is an Arrow-batched kernel over the JVM-side token
+    # arrays: at n=8 the zip_with-chain form (`shingles`) runs 7 interpreted
+    # passes per row and dominated the operator (~70% of runtime); joining
+    # token slices in Python per batch produces the identical distinct gram
+    # strings (tokenization itself stays JVM-side, so there is no
+    # regex-dialect divergence) and gram ORDER is irrelevant to the
+    # membership join both sides feed.
+    @pandas_udf("array<string>")
+    def true_ngrams_np(toks: pd.Series) -> pd.Series:
+        out = []
+        for t in toks:
+            if t is None or len(t) < n:
+                out.append([])
+            else:
+                tl = list(t)
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(tl[i : i + n]) for i in range(len(tl) - n + 1)
+                        )
+                    )
+                )
+        return pd.Series(out)
 
     c_sh = corpus.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(true_ngrams(F.col(text_col))).alias("g"),
+        F.explode(true_ngrams_np(tokens(F.col(text_col)))).alias("g"),
     )
     t_sh = (
-        testset.select(F.explode(true_ngrams(F.col(text_col))).alias("g"))
+        testset.select(F.explode(true_ngrams_np(tokens(F.col(text_col)))).alias("g"))
         .dropDuplicates()
     )
     # shingles() already emits distinct n-grams per doc → count(*) == distinct
