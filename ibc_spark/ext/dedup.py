@@ -126,12 +126,30 @@ def passage_exact_dups(
     boilerplate everywhere) is exactly the AQE skew-split case."""
     from pyspark.sql import Window
 
+    # passage construction is an Arrow-batched kernel over the JVM-side
+    # token arrays (same rationale as contamination_tags: the zip_with
+    # chain runs window-1 interpreted passes per row; joining slices in
+    # Python per batch emits identical (start_tok, passage) structs, and
+    # tokenization stays JVM-side so there is no regex divergence)
+    @pandas_udf("array<struct<start_tok:int,passage:string>>")
+    def passages_np(toks_s: pd.Series) -> pd.Series:
+        out = []
+        for t in toks_s:
+            if t is None or len(t) < window:
+                out.append([])
+            else:
+                tl = list(t)
+                out.append(
+                    [
+                        (i + 1, " ".join(tl[i : i + window]))
+                        for i in range(0, len(tl) - window + 1, stride)
+                    ]
+                )
+        return pd.Series(out)
+
     occ = (
         df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(passage_windows(F.col("toks"), window=window, stride=stride)).alias("w"),
-        )
+        .select("doc_id", F.explode(passages_np(F.col("toks"))).alias("w"))
         .select("doc_id", F.col("w.start_tok").alias("start_tok"), F.col("w.passage").alias("passage"))
     )
     grp = Window.partitionBy("passage")
