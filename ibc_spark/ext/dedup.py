@@ -14,14 +14,19 @@ Five families, each designed around its 100 TB shuffle profile:
 - embedding cosine — blocked pairwise cosine, scored by an Arrow-batched
                  vectorized kernel (one numpy pass per batch).
 
-Signatures and set similarities are Column expressions (xxhash64,
-higher-order array functions) and stay in codegen. The one deliberate
-exception is pairwise-cosine SCORING: Spark evaluates higher-order-function
-lambdas interpreted (outside whole-stage codegen), which measured ~500×
-slower than an Arrow-batched numpy kernel on 200k 64-dim pairs — so
-:func:`cosine_fast` is a pandas UDF, while :func:`cosine` keeps the
-deterministic left-fold Column form for callers that want engine-exact
-fold order.
+Execution-strategy note: Spark evaluates higher-order-function lambdas
+INTERPRETED (outside whole-stage codegen), so every heavy per-row array
+computation here runs as an Arrow-batched numpy/Python kernel over
+JVM-side-prepared inputs instead — pairwise cosine scoring (~500× vs the
+HOF fold on 200k 64-dim pairs), MinHash permutation mins and SimHash bit
+votes (reduceat over the batch's flattened hashes), 8-gram construction
+for decontamination, and passage windows. Tokenization and shingle
+hashing stay JVM-side (xxhash64 in codegen; no regex-dialect divergence),
+and each kernel has a Column-form twin kept as the engine-exact reference
+with a bit-identity pytest. Frames consumed by multiple join legs
+(hashed shingles, postings, banded signatures) are persisted
+MEMORY_AND_DISK — Spark shares no subplans across consumers, so without
+the persist each leg re-runs the derivation pipeline.
 """
 
 from __future__ import annotations
