@@ -1704,6 +1704,75 @@ def anomaly_hourly_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "window_moving_avg_range",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS day_nr,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT order_date, round(revenue, 2) AS revenue,
+           round(avg(revenue) OVER (ORDER BY day_nr
+                                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS ma7
+    FROM daily
+    """,
+)
+def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue via a RANGE frame — unlike the
+    ROWS frames elsewhere in the registry, the frame is defined by VALUE
+    distance on the order key (missing days shrink the window instead of
+    silently pulling in older rows). Daily totals are exact decimals; the
+    window runs over the tiny per-day aggregate, so the only data-sized
+    work is the one (day) shuffle. Single unpartitioned window over ~2400
+    day rows is driver-scale by construction — partition by year if the
+    day domain ever grows past task memory."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("day_nr"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    ).agg(F.sum(dec("o_totalprice", 12, 2)).cast("double").alias("revenue"))
+    w = Window.orderBy("day_nr").rangeBetween(-6, 0)
+    return daily.select(
+        "order_date",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.avg("revenue").over(w), 4).alias("ma7"),
+    )
+
+
+@query(
+    "grouped_exact_median",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS median,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quartiles (sort-based order statistics with linear
+    interpolation — both engines implement the same formula, so values
+    match before the defensive round). Complements `approx_sketch_stats`:
+    exact percentiles buffer each group's values, so this is the
+    small-group/grouped-dimension shape; unbounded-cardinality profiling
+    uses the sketch entry instead."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("median"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # Extension operators (SURVEY §7.7) register themselves on import.
 from ibc_spark import registry_ext  # noqa: E402,F401  (registration side effect)
 
