@@ -1773,6 +1773,53 @@ def grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "forward_fill_sensor_values",
+    oracle="""
+    WITH masked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 2) END AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round(last_value(v IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS v_filled
+    FROM masked
+    """,
+)
+def forward_fill_sensor_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling by forward fill (last observation carried forward): a
+    reading is masked NULL on error events and repaired with the most
+    recent non-NULL value per user in event-time order — the sensor/
+    telemetry repair staple. `last(..., ignorenulls=True)` over an
+    unbounded-preceding ROWS frame is Spark's LOCF idiom; one shuffle on
+    the partition key, running state is a single value per partition.
+    Leading NULLs (no prior observation) stay NULL by definition."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.round("value", 2))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("v_filled"),
+    )
+
+
 # Extension operators (SURVEY §7.7) register themselves on import.
 from ibc_spark import registry_ext  # noqa: E402,F401  (registration side effect)
 
