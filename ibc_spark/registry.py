@@ -1820,6 +1820,46 @@ def forward_fill_sensor_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "histogram_equidepth_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           COUNT(*) AS n_orders
+    FROM ranked GROUP BY decile
+    """,
+)
+def histogram_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (ntile deciles) of order values — the
+    complement of `histogram_order_values`' fixed-width bins: every bin
+    holds the same row count and the bin EDGES carry the information.
+    Total order (value, key tiebreak) makes tile assignment deterministic
+    on both engines. NOTE the single unpartitioned ntile is a global sort
+    — correct for profiling samples; at full 100 TB scale use
+    `approxQuantile`/`approx_sketch_stats` cutpoints instead (documented
+    trade, same as exact vs approx percentiles)."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 # Extension operators (SURVEY §7.7) register themselves on import.
 from ibc_spark import registry_ext  # noqa: E402,F401  (registration side effect)
 
