@@ -433,6 +433,59 @@ _COS_PAIRS = f"""
     WHERE {{cos}} >= 0.3
 """
 
+# Planted-dup fixture INSIDE the real doc-id space (unlike _AUG_SQL, whose
+# planted ids are out-of-corpus): every vec_id ≡ 0 (mod 10) takes its
+# successor's embedding, creating exact-dup pairs (10k, 10k+1) whose cluster
+# drops map back onto `documents`. Lets the corpus-level dedup entries run
+# the UNBLOCKED banded-LSH candidate path (threshold 0.9, the regime LSH is
+# built for) instead of blocked all-pairs, and still be oracle-exact: cos=1
+# pairs hit every band with probability 1, and no natural pair reaches 0.9
+# at oracle SF (checked: 0 pairs ≥ 0.85 at sf0.01).
+_PLANT_SQL = """
+      SELECT e.vec_id,
+             CASE WHEN e.vec_id % 10 = 0 AND p.embedding IS NOT NULL
+                  THEN p.embedding ELSE e.embedding END AS embedding
+      FROM embeddings e LEFT JOIN embeddings p ON p.vec_id = e.vec_id + 1
+"""
+
+_PLANTED_PAIRS = f"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.9
+"""
+
+
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_PLANT_SQL``: successor-embedding override via an
+    equi-self-join on vec_id (no global-sort window)."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    succ = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("succ_emb")
+    )
+    return e.join(succ, on="vec_id", how="left").select(
+        "vec_id",
+        F.when(
+            (F.col("vec_id") % 10 == 0) & F.col("succ_emb").isNotNull(),
+            F.col("succ_emb"),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+
+
+def _planted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed candidate generation for the corpus-level entries: banded
+    hyperplane LSH + exact cosine verify over the planted-dup table — the
+    same scale path `dedup_embedding_lsh` proves, nothing quadratic."""
+    return dedup.embedding_lsh_pairs(
+        _planted_embeddings(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.9,
+        bits_per_band=8,
+        bands=32,
+    )
+
 
 @query(
     "dedup_cluster_components",
@@ -1041,7 +1094,8 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_dedup_materialize",
     oracle=f"""
     WITH RECURSIVE
-    pairs AS ({_COS_PAIRS.format(cos=_cos_sql('a.embedding', 'b.embedding'))}),
+    emb AS ({_PLANT_SQL}),
+    pairs AS ({_PLANTED_PAIRS}),
     sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
     reach(a, b) AS (
       SELECT u, u FROM sym
@@ -1057,25 +1111,21 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end semantic dedup MATERIALIZATION: emit the cleaned corpus
     itself, not just the dup report — documents whose embedding is a
-    near-dup (cosine ≥ 0.3, blocked by label) of a lower-id document are
-    dropped; cluster canonicals and never-paired docs survive.
+    near-dup (cosine ≥ 0.9) of a lower-id document are dropped; cluster
+    canonicals and never-paired docs survive. Dup pairs are planted by the
+    ``_PLANT_SQL`` fixture so the drop set is non-trivial at oracle SF.
 
-    Pipeline shape at scale: candidate pairs (bucketed, see
-    ``dedup.embedding_neardup_pairs``) → connected components (iterative
-    min-label, ``ext.graph``) → non-canonical member ids (small: one row
-    per dropped doc) → LEFT ANTI join against the full corpus. The anti
-    join broadcasts the drop list when it fits; the corpus is never
-    collected or re-shuffled."""
+    Pipeline shape at scale: candidate pairs via UNBLOCKED banded
+    hyperplane LSH + exact cosine verify (``dedup.embedding_lsh_pairs`` —
+    band equi-joins, nothing quadratic in the corpus) → connected
+    components (iterative min-label, ``ext.graph``) → non-canonical member
+    ids (small: one row per dropped doc) → LEFT ANTI join against the full
+    corpus. The anti join broadcasts the drop list when it fits; the
+    corpus is never collected or re-shuffled."""
     from ibc_spark.ext.graph import dedup_clusters
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dedup.embedding_neardup_pairs(
-        read_table(spark, sf_dir, "embeddings"),
-        id_col="vec_id",
-        vec_col="embedding",
-        block_col="label",
-        threshold=0.3,
-    )
+    pairs = _planted_lsh_pairs(spark, sf_dir)
     drop = (
         dedup_clusters(pairs)
         .where(~F.col("is_kept"))
@@ -1197,7 +1247,8 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split_leakage_safe",
     oracle=f"""
     WITH RECURSIVE
-    pairs AS ({_COS_PAIRS.format(cos=_cos_sql('a.embedding', 'b.embedding'))}),
+    emb AS ({_PLANT_SQL}),
+    pairs AS ({_PLANTED_PAIRS}),
     sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
     reach(a, b) AS (
       SELECT u, u FROM sym
@@ -1226,23 +1277,18 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash split (a test doc whose near-twin sits in train is a leaked
     answer).
 
-    Plan: dup clusters (bucketed pairs → iterative components, both
-    already-scaled ops) produce a SMALL (member, canonical) relabel map —
-    one row per clustered doc — broadcast LEFT-joined onto the corpus;
-    the split decision stays the stateless multiplicative hash of
-    ``ext.datapipe.hash_split``, so unclustered docs (the vast majority)
-    keep their plain-split assignment and the relabel map is the only
-    addition."""
+    Plan: dup clusters (UNBLOCKED banded-LSH pairs with exact cosine
+    verify → iterative components, both already-scaled ops; pairs planted
+    by the ``_PLANT_SQL`` fixture) produce a SMALL (member, canonical)
+    relabel map — one row per clustered doc — broadcast LEFT-joined onto
+    the corpus; the split decision stays the stateless multiplicative hash
+    of ``ext.datapipe.hash_split``, so unclustered docs (the vast
+    majority) keep their plain-split assignment and the relabel map is the
+    only addition."""
     from ibc_spark.ext.graph import dedup_clusters
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dedup.embedding_neardup_pairs(
-        read_table(spark, sf_dir, "embeddings"),
-        id_col="vec_id",
-        vec_col="embedding",
-        block_col="label",
-        threshold=0.3,
-    )
+    pairs = _planted_lsh_pairs(spark, sf_dir)
     labels = dedup_clusters(pairs).select("member_id", "kept_id")
     keyed = docs.join(
         F.broadcast(labels), docs["doc_id"] == labels["member_id"], "left"
