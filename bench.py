@@ -91,6 +91,8 @@ def main() -> None:
     runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
+    from ibc_spark.ext.persistreg import release_persisted
+
     for name in names:
         samples: list[float] = []
         try:
@@ -98,6 +100,11 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
+                # drop operator-persisted frames + any cached plan so every
+                # run (and the reported median) is a true cold timing, not a
+                # warm-cache echo of run 1
+                release_persisted()
+                spark.catalog.clearCache()
             samples.sort()
             timings[name] = round(samples[len(samples) // 2], 4)
             delta = ""

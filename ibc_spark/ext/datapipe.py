@@ -294,9 +294,15 @@ def quota_per_group(
     2. the exact window rank over the ≈``k * safety`` survivors per group.
 
     The heavy window sort therefore touches O(groups × k × safety) rows
-    regardless of group skew. ``safety`` bounds the chance a qualifying row
-    is pre-filtered away (hash-deterministic, so parity suites verify the
-    result equals the naive rank exactly at test scale).
+    regardless of group skew. The pre-filter is PROBABILISTIC — keeping
+    the smallest ``k * safety / n`` hash fraction only bounds the chance
+    that one of a group's k smallest-hash rows lies above the cutoff — so
+    exactness is enforced, not assumed: groups whose survivor count comes
+    up short of ``min(k, n)`` are detected (one tiny agg over the
+    survivors) and re-drawn through the unfiltered path. The shortfall
+    probability per group is Binomial(n, ks/n < k) ≈ e^{-k(safety-1)²/2s}
+    (Chernoff; ~1e-10 per group at k=8, safety=8), so the fallback list is
+    empty in practice and broadcastable always.
 
     Returns (group, id, sample_rank) with sample_rank in [1, k].
     """
@@ -309,10 +315,25 @@ def quota_per_group(
     cutoff = F.when(F.col("__n") <= k * safety, F.lit(_MOD)).otherwise(
         (F.lit(float(_MOD * k * safety)) / F.col("__n")).cast("long") + 1
     )
-    survivors = base.join(F.broadcast(counts), "__grp").where(F.col("__h") <= cutoff)
+    survivors = base.join(F.broadcast(counts), "__grp").where(
+        F.col("__h") <= cutoff
+    ).select("__grp", "__id", "__h")
+    # exactness guard: groups where the pre-filter kept fewer than
+    # min(k, n) rows fall back to their full row set (re-scan of base is
+    # a map-side broadcast semi join — no extra shuffle of the big side)
+    short = (
+        survivors.groupBy("__grp")
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .join(counts, "__grp")
+        .where(F.col("__s") < F.least(F.lit(k).cast("long"), F.col("__n")))
+        .select("__grp")
+    )
+    pool = survivors.join(F.broadcast(short), "__grp", "left_anti").unionByName(
+        base.join(F.broadcast(short), "__grp", "left_semi")
+    )
     w = Window.partitionBy("__grp").orderBy(F.col("__h").asc(), F.col("__id").asc())
     return (
-        survivors.withColumn("sample_rank", F.row_number().over(w))
+        pool.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
         .select(
             F.col("__grp").alias(group_col),

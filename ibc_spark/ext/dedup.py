@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ibc_spark.ext.persistreg import persist_tracked
 from ibc_spark.ext.text import tokens
 
 MERSENNE = 2147483647  # 2^31-1
@@ -192,8 +193,6 @@ def ngram_jaccard_pairs(
     skew lands on genuinely common shingles only; AQE skew-split covers
     those.
     """
-    from pyspark.storagelevel import StorageLevel
-
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
@@ -201,10 +200,11 @@ def ngram_jaccard_pairs(
     ).select("doc_id", "block", "sh", F.size("sh").alias("sz"))
     # both sides of the self-join consume the postings; persist so the
     # tokenize→shingle→explode pipeline runs once (Spark shares no
-    # subplans across join legs), mirroring _hashed_shingle_frame
-    postings = base.select(
-        "doc_id", "block", "sz", F.explode("sh").alias("shingle")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # subplans across join legs), mirroring _hashed_shingle_frame;
+    # tracked for ext.persistreg.release_persisted cleanup
+    postings = persist_tracked(
+        base.select("doc_id", "block", "sz", F.explode("sh").alias("shingle"))
+    )
     a = postings.select(
         F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "block", "shingle"
     )
@@ -401,14 +401,15 @@ def _hashed_shingle_frame(
     Spark's CacheManager matches by canonicalized plan, so repeated calls
     share one cache entry instead of stacking new ones. Jaccard over
     hashed shingles equals string-shingle Jaccard short of an int64
-    collision (the oracles verify exact equality at test scale)."""
-    from pyspark.storagelevel import StorageLevel
+    collision (the oracles verify exact equality at test scale).
 
+    Tracked in ``ext.persistreg``; session owners release after
+    materializing results."""
     frame = df.select(
         F.col(id_col).alias("doc_id"),
         _hash_shingles(shingles(tokens(F.col(text_col)), n)).alias("hsh"),
     )
-    return frame.persist(StorageLevel.MEMORY_AND_DISK)
+    return persist_tracked(frame)
 
 
 def _band_frame(base: DataFrame, k: int, bands: int) -> DataFrame:
@@ -711,19 +712,20 @@ def embedding_lsh_pairs(
     thresholds use blocking + :func:`embedding_neardup_pairs` instead."""
     from ibc_spark.ext.similarity import lsh_band_signatures  # circular at module level
 
-    from pyspark.storagelevel import StorageLevel
-
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     # both self-join legs consume the banded frame; persist so the
-    # signature matmul runs once (narrow rows: id + band key only)
-    banded = base.select(
-        "vid",
-        F.posexplode(
-            lsh_band_signatures(
-                F.col("v"), bits_per_band=bits_per_band, bands=bands, dim=dim, seed=seed
-            )
-        ).alias("band_idx", "band_sig"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # signature matmul runs once (narrow rows: id + band key only);
+    # tracked for ext.persistreg.release_persisted cleanup
+    banded = persist_tracked(
+        base.select(
+            "vid",
+            F.posexplode(
+                lsh_band_signatures(
+                    F.col("v"), bits_per_band=bits_per_band, bands=bands, dim=dim, seed=seed
+                )
+            ).alias("band_idx", "band_sig"),
+        )
+    )
     a = banded.select(F.col("vid").alias("id_a"), "band_idx", "band_sig")
     b = banded.select(F.col("vid").alias("id_b"), "band_idx", "band_sig")
     cands = (

@@ -123,11 +123,33 @@ def resolve_job(
 
 
 def spark_submit_argv(spec: JobSpec) -> list[str]:
-    """Render the resolved job as a spark-submit command line."""
-    argv = ["spark-submit", "--master", spec.master]
+    """Render the resolved job as a RUNNABLE spark-submit command line.
+
+    spark-submit takes an application FILE, not a ``-m`` module flag
+    (that is a python-interpreter flag), so the entry module is resolved
+    to its source path without importing it, and the repo root is put on
+    PYTHONPATH for the client-mode driver (``env`` prefix) and the
+    executors (``spark.executorEnv``) so ``import ibc_spark`` resolves on
+    both sides."""
+    import importlib.util
+    from pathlib import Path
+
+    origin = importlib.util.find_spec(spec.entry)
+    if origin is None or origin.origin is None:
+        raise InvalidFormatError(f"entry module {spec.entry!r} has no source file")
+    repo_root = str(Path(origin.origin).resolve().parents[2])
+    argv = [
+        "env",
+        f"PYTHONPATH={repo_root}",
+        "spark-submit",
+        "--master",
+        spec.master,
+        "--conf",
+        f"spark.executorEnv.PYTHONPATH={repo_root}",
+    ]
     for key in sorted(spec.conf):
         argv += ["--conf", f"{key}={spec.conf[key]}"]
-    argv += ["-m", spec.entry]
+    argv.append(origin.origin)
     return argv + pipeline_argv(spec)
 
 

@@ -126,9 +126,16 @@ def test_job_spec_resolves_env_overlay_and_inputs():
     assert spec.inputs["sheet_name"] == "Staffing Roster"  # default applied
     assert spec.conf["spark.sql.shuffle.partitions"] == "32"
     argv = spark_submit_argv(spec)
-    assert argv[:3] == ["spark-submit", "--master", "local[32]"]
-    assert "--conf" in argv and "-m" in argv
-    assert argv[argv.index("-m") + 1] == "ibc_spark.pipelines.staffing_roster"
+    # the rendered line must be genuinely executable: env-prefixed
+    # PYTHONPATH, spark-submit with an application FILE (no python -m flag)
+    assert argv[0] == "env" and argv[1].startswith("PYTHONPATH=")
+    assert argv[2:5] == ["spark-submit", "--master", "local[32]"]
+    assert "-m" not in argv
+    app = next(a for a in argv if a.endswith(".py"))
+    import os
+
+    assert os.path.isfile(app) and app.endswith("staffing_roster.py")
+    assert "spark.sql.shuffle.partitions=32" in argv
 
 
 def test_job_spec_missing_required_input_is_e003():
@@ -159,5 +166,6 @@ def test_job_dispatcher_dry_run_prints_command(capsys):
     )
     assert rc == 0
     out = capsys.readouterr().out.strip()
-    assert out.startswith("spark-submit --master local[*]")
-    assert "ibc_spark.pipelines.end_semester" in out
+    assert out.startswith("env PYTHONPATH=")
+    assert "spark-submit --master local[*]" in out
+    assert "end_semester.py" in out and " -m " not in out

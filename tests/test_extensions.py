@@ -484,6 +484,56 @@ def test_quota_per_group_equals_naive_rank(spark):
     assert counts == {"big": 10, "small": 7}
 
 
+def test_quota_per_group_shortfall_fallback_is_exact(spark):
+    """safety=1 makes the pre-filter cutoff exactly k/n of the hash space,
+    so ~half of all groups lose at least one of their true top-k to the
+    filter — the shortfall guard must detect those groups and re-draw them
+    unfiltered, keeping the result EXACTLY the naive rank regardless."""
+    from pyspark.sql import Window
+
+    from ibc_spark.ext.datapipe import hash_u32, quota_per_group
+
+    rows = [(g * 10000 + i, f"g{g}") for g in range(20) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    got = quota_per_group(
+        df, group_col="source", id_col="doc_id", k=5, safety=1
+    ).toPandas()
+
+    w = Window.partitionBy("source").orderBy(
+        hash_u32(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    naive = (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= 5)
+        .select("source", "doc_id", "sample_rank")
+        .toPandas()
+    )
+    key = ["source", "doc_id", "sample_rank"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, naive[key].values.tolist())
+    )
+
+
+def test_persist_registry_tracks_and_releases(spark, docs):
+    """Operator-persisted frames (hashed shingles, postings, band sigs)
+    register with ext.persistreg; release_persisted unpersists them all so
+    long sessions (and cold-timing benches) don't accumulate cache entries."""
+    from ibc_spark.ext import dedup
+    from ibc_spark.ext.persistreg import _TRACKED, release_persisted
+
+    release_persisted()  # clean slate
+    pairs = dedup.minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.5
+    )
+    pairs.count()  # materialize → the shingle frame is now cached
+    assert _TRACKED, "minhash pipeline must register its persisted frame"
+    cached = [df for df in _TRACKED if df.is_cached]
+    assert cached
+    n = release_persisted()
+    assert n >= 1 and not _TRACKED
+    assert all(not df.is_cached for df in cached)
+
+
 def test_assign_shards_balanced_and_stable(spark):
     from ibc_spark.ext.datapipe import assign_shards
     from ibc_spark.io_.sources import read_table
@@ -516,14 +566,26 @@ def test_text_normalize_edges(spark):
     assert got[3] == "a b c d"
 
 
+def _planted_clusters(spark):
+    """Cluster frame over the SAME planted-LSH candidate path the corpus
+    entries use (threshold 0.9; pairs planted by the successor-embedding
+    fixture — see registry_ext._PLANT_SQL)."""
+    from ibc_spark.ext.graph import dedup_clusters
+    from ibc_spark.registry_ext import _planted_lsh_pairs
+
+    return dedup_clusters(_planted_lsh_pairs(spark, SF_ORACLE)).toPandas()
+
+
 def test_corpus_dedup_materialize_drops_only_noncanonical(spark, duck):
     from ibc_spark.registry import QUERIES
 
     kept = QUERIES["corpus_dedup_materialize"](spark, SF_ORACLE)
-    clusters = QUERIES["dedup_cluster_components"](spark, SF_ORACLE).toPandas()
+    clusters = _planted_clusters(spark)
     dropped = set(clusters.loc[~clusters["is_kept"], "member_id"])
     kept_ids = set(kept.toPandas()["doc_id"])
     all_ids = set(range(500))
+    # the fixture plants pairs (10k, 10k+1): at least the 10k+1 side drops
+    assert dropped, "planted dups must produce a non-empty drop set"
     assert kept_ids == all_ids - dropped
 
 
@@ -589,7 +651,7 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
 
     split = QUERIES["split_leakage_safe"](spark, SF_ORACLE).toPandas()
     by_doc = dict(zip(split["doc_id"], split["split"]))
-    clusters = QUERIES["dedup_cluster_components"](spark, SF_ORACLE).toPandas()
+    clusters = _planted_clusters(spark)
     for _, row in clusters.iterrows():
         assert by_doc[row["member_id"]] == by_doc[row["kept_id"]], row
     plain = hash_split(

@@ -251,9 +251,13 @@ def test_q7_nation_filter_before_fact_join(spark):
     # the symmetric pair predicate survives as a residual filter, but the
     # nation equality filters must NOT be the only reduction: the fact join
     # keys join pre-reduced legs, visible as supplier/customer joins below
-    # (not above) the l_orderkey = o_orderkey join in the formatted tree.
+    # (not above) the l_orderkey = o_orderkey join in the formatted tree
+    # (in "formatted" output, deeper tree nodes print LATER, so the
+    # pre-reduction joins must appear at a larger offset than the fact join).
+    assert "l_orderkey" in plan and "s_suppkey" in plan and "c_custkey" in plan, plan
     fact_join = plan.index("l_orderkey")
-    assert plan.index("s_suppkey") > 0 and plan.index("c_custkey") > 0
+    assert plan.index("s_suppkey") > fact_join, plan[:2000]
+    assert plan.index("c_custkey") > fact_join, plan[:2000]
     # both reduced legs exist as broadcast or shuffle hash joins; no BNLJ
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -264,7 +268,9 @@ def test_q8_asia_filter_before_fact_join(spark):
     pushed into the part scan feeding a broadcast join."""
     df = QUERIES["q8_market_share"](spark, SF_SMOKE)
     plan = plan_of(df)
-    assert "EqualTo(p_type,PROMO)" in plan or "p_type" in plan.split("PushedFilters")[1], plan
+    assert "PushedFilters" in plan, plan
+    pushed = plan.split("PushedFilters", 1)[1]
+    assert "EqualTo(p_type,PROMO)" in plan or "p_type" in pushed, plan
     assert "EqualTo(r_name,ASIA)" in plan or "r_name" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
 
