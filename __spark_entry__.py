@@ -42,8 +42,20 @@ def _driver_checked() -> set[str]:
     return seen
 
 
+# Entries whose SEMANTICS changed after their last green driver row — they
+# must jump the rotation queue and be re-verified this round. Clear once the
+# next CORRECTNESS snapshot carries them.
+_FORCE_RECHECK: set[str] = {
+    # round 5: candidate path switched from blocked all-pairs to banded LSH
+    "corpus_dedup_materialize",
+    "split_leakage_safe",
+    # round 5: shortfall fallback added to the quota pre-filter
+    "quota_per_source",
+}
+
+
 def _ordered(mapping: dict) -> dict:
-    checked = _driver_checked()
+    checked = _driver_checked() - _FORCE_RECHECK
     pos = {k: i for i, k in enumerate(mapping)}
     keys = sorted(mapping, key=lambda k: (k in checked, pos[k]))
     return {k: mapping[k] for k in keys}

@@ -1301,3 +1301,219 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split_key",
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: oracle-verifiable simhash sibling, corpus mixing/sampling,
+# range similarity search, percentile length trim
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+_B_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_B_ASSEMBLE = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "dedup_simhash_verified",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT) AS h
+      FROM tok
+    ),
+    bits AS (SELECT doc_id, {_B_SUMS} FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_B_ASSEMBLE} AS simhash FROM bits)
+    SELECT simhash, min(doc_id) AS kept_id, count(*) AS group_size
+    FROM sh GROUP BY simhash
+    """,
+)
+def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-VERIFIABLE SimHash sibling of ``dedup_simhash``: same
+    signature-groupBy dedup shape, but the per-token hash is the first 16
+    bits of md5 — expressible identically in any engine — instead of
+    xxhash64 (which DuckDB lacks, forcing the production entry onto the
+    rows-only check). Bit i of the signature is set iff the ±1 votes of
+    that bit across the document's token multiset sum positive.
+
+    Plan: explode tokens → 16 codegen CASE sums in ONE map-side-combining
+    groupBy (no UDF, no second shuffle for the signature assembly) → hash
+    groupBy on the signature. Same two-shuffle cost at 100 TB as the
+    xxhash64 form; md5-vs-xxhash only changes per-token CPU constant."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    assemble = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        assemble = term if assemble is None else assemble + term
+    per_doc = sums.select("doc_id", assemble.cast("long").alias("simhash"))
+    return per_doc.groupBy("simhash").agg(
+        F.min("doc_id").alias("kept_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+@query(
+    "mix_temperature_weights",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    z AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z FROM c)
+    SELECT source, n_docs,
+           round(pow(CAST(n_docs AS DOUBLE), 0.7) / z, 6) AS weight
+    FROM c CROSS JOIN z
+    """,
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha=0.7): per-source sampling
+    weight proportional to n^alpha, the standard multilingual/multi-source
+    rebalancing rule (upweights small sources relative to raw proportions;
+    alpha=1 is proportional, alpha=0 uniform).
+
+    Plan: ONE corpus scan into a map-side-combining count per source; the
+    normalizer is an unpartitioned window SUM over that tiny aggregate
+    (O(sources) rows in one task — fine precisely because the aggregate
+    is tiny), so the corpus is never scanned or shuffled twice. Doubles
+    cross engines: pow/sum agree to ulps over O(sources) terms; round(6)
+    absorbs them."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    pw = F.pow(F.col("n_docs").cast("double"), F.lit(0.7))
+    z = F.sum(pw).over(Window.partitionBy())
+    return counts.select(
+        "source", "n_docs", F.round(pw / z, 6).alias("weight")
+    )
+
+
+@query(
+    "sample_weighted_topk",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             pow(
+               (CAST((doc_id % 2147483648 + 2147483648) % 2147483648
+                     * 2654435761 % 4294967296 AS DOUBLE) + 0.5) / 4294967296,
+               1.0 / CAST(n_chars AS DOUBLE)
+             ) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(es_key, 6) AS es_key
+    FROM keyed
+    ORDER BY keyed.es_key DESC, doc_id
+    LIMIT 25
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis): each doc draws u from the stateless id hash
+    (mapped into (0,1)) and ranks by u^(1/weight); the top-k by that key
+    is an exact weight-proportional sample. Weight here = n_chars
+    (favor longer documents), k=25.
+
+    Plan: stateless per-row arithmetic + TakeOrderedAndProject — no
+    shuffle, no RNG state; reproducible across runs/engines, which is the
+    property a distributed weighted sampler needs (seeded partition RNGs
+    reshuffle results whenever partitioning changes). The ORDER is on the
+    raw double key (ties are measure-zero); round(6) only formats the
+    reported key."""
+    from ibc_spark.ext.datapipe import hash_u32
+
+    d = read_table(spark, sf_dir, "documents")
+    u = (hash_u32(F.col("doc_id")).cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")).alias("es_key"),
+    )
+    return (
+        keyed.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(25)
+        .select("doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
+    )
+
+
+@query(
+    "ann_range_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT a.vec_id, round({_cos_sql('a.embedding', 'q.qv')}, 4) AS cos_sim
+    FROM embeddings a CROSS JOIN q
+    WHERE {_cos_sql('a.embedding', 'q.qv')} >= 0.2 AND a.vec_id <> 0
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search: every vector within cosine radius (>= 0.2)
+    of a query vector — the fixed-radius companion to top-k retrieval
+    (radius queries power dedup-at-ingest and recall-bounded filtering).
+
+    Plan: the one-row query vector broadcasts onto a single corpus scan;
+    scoring is one vectorized Arrow kernel pass; the radius filter
+    prunes before any shuffle (there is none — output is the hit list).
+    Brute force IS the scale baseline here; the LSH/IVF variants
+    (`ann_topk_lsh`/`ann_topk_ivf`) show the bucketed path when scans
+    dominate."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = e.join(F.broadcast(q)).withColumn(
+        "cos", dedup.cosine_fast(F.col("embedding"), F.col("qv"))
+    )
+    return (
+        scored.where((F.col("cos") >= 0.2) & (F.col("vec_id") != 0))
+        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "docs_length_trim_percentile",
+    oracle="""
+    WITH pr AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, round(pr, 6) AS pr
+    FROM pr WHERE pr.pr >= 0.05 AND pr.pr <= 0.95
+    """,
+)
+def docs_length_trim_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-percentile trim: drop each source's shortest and
+    longest 5% of documents (boilerplate stubs and concatenation
+    monsters) by exact percent_rank. percent_rank = (rank-1)/(n-1) is the
+    same exact double in every engine (integer inputs), so the boundary
+    filter needs no epsilon.
+
+    Scale note: exact per-source percentiles sort each source partition
+    (one window shuffle). At 100 TB the same trim runs on
+    approx_percentile cutoffs (two map-side passes, no sort) — the exact
+    window form is kept here because the oracle contract demands exact
+    equality; swap the rank source, not the shape."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    pr = d.select(
+        "doc_id", "source", "n_chars", F.percent_rank().over(w).alias("pr")
+    )
+    return pr.where((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95)).select(
+        "doc_id", "source", "n_chars", F.round("pr", 6).alias("pr")
+    )
