@@ -211,9 +211,17 @@ def ngram_jaccard_pairs(
     b = postings.select(
         F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "block", "shingle"
     )
+    # LENGTH FILTER (exactness-preserving): Jaccard >= t forces
+    # t*|B| <= |A| and t*|A| <= |B|, so size-mismatched pairs are pruned
+    # as a codegen predicate BEFORE the pair-count shuffle — the cheap
+    # half of the PPJoin filter family, applied to every co-occurrence row
     pairs = (
         a.join(b, on=["block", "shingle"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_a") >= threshold * F.col("sz_b"))
+            & (F.col("sz_b") >= threshold * F.col("sz_a"))
+        )
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

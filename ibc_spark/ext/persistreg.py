@@ -32,14 +32,16 @@ def persist_tracked(
     return df
 
 
-def release_persisted() -> int:
-    """Unpersist every tracked frame (blocking=False); returns the count.
-    Safe to call at any time — consumers that re-execute afterwards just
-    recompute the subplan."""
+def release_persisted(blocking: bool = True) -> int:
+    """Unpersist every tracked frame; returns the count. Blocking by
+    default so the block-removal cost lands HERE (on the workload that
+    created the cache) instead of bleeding into whatever runs next —
+    async removal measurably pollutes back-to-back timings. Safe to call
+    at any time; consumers that re-execute afterwards just recompute."""
     n = len(_TRACKED)
     for df in _TRACKED:
         try:
-            df.unpersist()
+            df.unpersist(blocking=blocking)
         except Exception:  # session already stopped — nothing to release
             pass
     _TRACKED.clear()
