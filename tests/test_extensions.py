@@ -46,6 +46,39 @@ def test_minhash_lsh_finds_exact_near_dups(spark, docs):
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
 
 
+def test_ngram_jaccard_prefix_arm_equals_bruteforce(spark, docs):
+    """The high-threshold PREFIX-FILTERED arm (hash-order prefix + length
+    filter + array_intersect verify) must return EXACTLY the naive blocked
+    all-pairs answer — prefix filtering is a candidate pruning, never a
+    semantics change. Checked at 0.8 (prefix arm) for pairs AND values."""
+    from ibc_spark.ext.dedup import jaccard, ngram_jaccard_pairs, shingles
+    from ibc_spark.ext.text import tokens
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", block_col="source", threshold=0.8
+        ).collect()
+    }
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("block"),
+        shingles(tokens(F.col("text")), 3).alias("sh"),
+    )
+    a = base.select(F.col("id").alias("id_a"), "block", F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), "block", F.col("sh").alias("sh_b"))
+    naive = {
+        (r["id_a"], r["id_b"]): round(r["j"], 9)
+        for r in a.join(b, on="block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+        .where(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert naive, "fixture should contain planted near-dup pairs"
+    assert got == naive
+
+
 def test_minhash_pairs_are_verified(spark, docs):
     """LSH candidates are exact-verified: no pair below the threshold."""
     from ibc_spark.ext.dedup import minhash_lsh_pairs
