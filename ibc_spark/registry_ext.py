@@ -1517,3 +1517,153 @@ def docs_length_trim_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.where((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95)).select(
         "doc_id", "source", "n_chars", F.round("pr", 6).alias("pr")
     )
+
+
+@query(
+    "anomaly_mad_event_volume",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
+      FROM hourly GROUP BY event_type
+    ),
+    mad AS (
+      SELECT h.event_type, min(m.med) AS med,
+             quantile_cont(abs(CAST(h.n AS DOUBLE) - m.med), 0.5) AS mad
+      FROM hourly h JOIN med m USING (event_type)
+      GROUP BY h.event_type
+    )
+    SELECT h.event_type, strftime(h.hr, '%Y-%m-%d %H:00') AS hour,
+           h.n AS n_events,
+           round((h.n - d.med) / (1.4826 * d.mad), 3) AS robust_z
+    FROM hourly h JOIN mad d USING (event_type)
+    WHERE d.mad > 0 AND abs((h.n - d.med) / (1.4826 * d.mad)) >= 3.5
+    """,
+)
+def anomaly_mad_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST volume-anomaly detection via median absolute deviation: hours
+    whose count deviates from the event-type median by more than 3.5
+    robust z units (MAD x 1.4826 estimates sigma under normality). The
+    companion to the trailing z-score entry: mean/stddev scores are
+    themselves dragged by the outliers they hunt, so heavy-tailed volumes
+    (exactly what incidents look like) need the median-based form.
+
+    Plan: one scan -> (type, hour) map-side-combining count [the only
+    data-sized shuffle] -> two EXACT-percentile aggregations over the tiny
+    hourly frame with broadcast joins back. Percentile interpolation is
+    the same formula in both engines, so med/mad match bit-for-bit before
+    the defensive round."""
+    hourly = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(CAST(n AS DOUBLE), 0.5)").alias("med")
+    )
+    j = hourly.join(F.broadcast(med), on="event_type")
+    mad = j.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        F.expr("percentile(abs(CAST(n AS DOUBLE) - med), 0.5)").alias("mad"),
+    )
+    rz = (F.col("n") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        hourly.join(F.broadcast(mad), on="event_type")
+        .where((F.col("mad") > 0) & (F.abs(rz) >= 3.5))
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+            F.col("n").alias("n_events"),
+            F.round(rz, 3).alias("robust_z"),
+        )
+    )
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, count(*) AS cnt
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+      GROUP BY term
+    ),
+    c AS (
+      SELECT term, cnt,
+             sum(cnt) OVER (ORDER BY cnt DESC, term
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS total,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+      FROM tf
+    )
+    SELECT rnk, term, cnt, round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+    FROM c WHERE rnk <= 50
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the top-50 terms by frequency with the
+    CUMULATIVE share of all token occurrences they cover — the plot that
+    sizes a vocabulary (how many types cover 95% of tokens?) and flags
+    boilerplate-dominated corpora (curve saturates absurdly early).
+
+    Plan: explode -> term count (the one data-sized shuffle, map-side
+    combining) -> running total over the frequency-ranked VOCABULARY
+    (aggregate-sized; the single-task window is over types, not tokens,
+    and is explicitly bounded to the head of the curve). Ties are ordered
+    (cnt DESC, term) so the rank and running sum are deterministic in
+    both engines; cum/total is one exact integer division per row."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(text.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("term").asc()]
+    wcum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    curve = tf.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rnk"),
+        "term",
+        "cnt",
+        (
+            F.sum("cnt").over(wcum).cast("double")
+            / F.sum("cnt").over(Window.partitionBy())
+        ).alias("share"),
+    )
+    return curve.where(F.col("rnk") <= 50).select(
+        "rnk", "term", "cnt", F.round("share", 6).alias("cum_share")
+    )
+
+
+@query(
+    "profile_dup_rate_by_source",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT sha256(text)) AS n_unique,
+           round(1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE) / count(*), 6)
+             AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def profile_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication profile: how much of each source is
+    byte-identical copies (1 - distinct content hashes / docs) — the
+    health metric a crawl pipeline watches per domain to catch mirror
+    explosions before they skew the training mix.
+
+    Plan: content-address first (SHA-256 projection), then ONE
+    count-distinct aggregation keyed by source — Spark plans it as the
+    standard two-phase distinct expand; only digests travel, never
+    bodies."""
+    d = read_table(spark, sf_dir, "documents")
+    sha = F.sha2(F.col("text"), 256)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(sha).alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct(sha).cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
