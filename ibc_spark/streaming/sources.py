@@ -53,3 +53,22 @@ def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The equivalent bounded frame — used by tests to check stream results
     against the batch plan."""
     return read_table(spark, sf_dir, "events")
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents parquet with the batch schema,
+    plus a deterministic ``ingest_ts`` event-time column (derived from the
+    doc id) so watermark-bounded operators have an arrival clock — the
+    column a real ingest feed carries natively."""
+    disk_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    df = (
+        spark.readStream.schema(disk_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    # base offset keeps the synthetic clock clear of epoch 0: Spark's
+    # initial watermark is 0 ms, and an event time equal to it is filtered
+    # as late data (doc 0 would silently vanish)
+    return df.withColumn(
+        "ingest_ts", F.timestamp_seconds(F.col("doc_id") + F.lit(86_400))
+    )

@@ -206,3 +206,24 @@ def test_stream_stream_interval_join(spark, events_stream, tmp_path):
     # everything emitted must be correct and coverage must be substantial
     assert got_pairs <= expected_pairs
     assert len(got_pairs) >= 0.8 * len(expected_pairs)
+
+
+def test_content_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming content dedup keeps exactly one row per distinct SHA-256
+    digest — the same group count the batch content-address pass
+    (dedup_exact_content_sha) produces."""
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.streaming.dedup import dedup_content_stream
+    from ibc_spark.streaming.sources import read_documents_stream
+
+    stream = read_documents_stream(spark, SF_SMOKE)
+    assert stream.isStreaming
+    name = f"sha_dedup_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(spark, dedup_content_stream(stream), name, "append", tmp_path)
+    out = spark.table(name)
+    batch = read_table(spark, SF_SMOKE, "documents").select(
+        F.sha2(F.col("text"), 256).alias("sha")
+    )
+    n_distinct = batch.distinct().count()
+    assert out.count() == n_distinct
+    assert out.select("content_sha").distinct().count() == n_distinct
