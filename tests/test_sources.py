@@ -3,6 +3,8 @@ quarantine, binaryFile ingest, and JDBC reader configuration."""
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -101,3 +103,65 @@ def test_orc_roundtrip_pushdown(spark, tmp_path):
         pruned._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan and "o_orderstatus" in plan
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource (PySpark 4 SPARK-44076): spark.read.format("sheet")
+# ---------------------------------------------------------------------------
+
+
+def _sheet_file(tmp_path, payload: str) -> str:
+    p = tmp_path / "sheet.json"
+    p.write_text(payload)
+    return p.as_uri()  # file:// — the stdlib transport reads it, no sockets
+
+
+def test_sheet_datasource_reads_and_infers_schema(spark, tmp_path):
+    import json
+
+    from ibc_spark.io_.sheet_datasource import SheetDataSource
+
+    rows = [
+        {"netid": "ab123", "name": "Alice", "hours": 4},
+        {"netid": "cd456", "name": "Bob", "email": "b@x.edu"},
+    ]
+    url = _sheet_file(tmp_path, json.dumps(rows))
+    spark.dataSource.register(SheetDataSource)
+    df = spark.read.format("sheet").option("url", url).load()
+    # union of keys in first-seen order, all STRING (sheet parity)
+    assert [f.name for f in df.schema.fields] == ["netid", "name", "hours", "email"]
+    assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
+    got = {r["netid"]: r for r in df.collect()}
+    assert got["ab123"]["hours"] == "4"  # stringified like a sheet export
+    assert got["ab123"]["email"] is None  # missing key -> NULL
+    assert got["cd456"]["email"] == "b@x.edu"
+
+
+def test_sheet_datasource_explicit_schema_and_projection(spark, tmp_path):
+    import json
+
+    from ibc_spark.io_.sheet_datasource import SheetDataSource
+
+    rows = [{"netid": "ab123", "name": "Alice"}]
+    url = _sheet_file(tmp_path, json.dumps(rows))
+    spark.dataSource.register(SheetDataSource)
+    df = (
+        spark.read.format("sheet")
+        .schema("netid string, name string")
+        .option("url", url)
+        .load()
+        .select("netid")
+    )
+    assert df.collect() == [Row(netid="ab123")]
+
+
+def test_sheet_datasource_bad_payload_is_e003(spark, tmp_path):
+    """The E003 taxonomy crosses the DataSource boundary: Spark wraps the
+    driver-side schema() failure in AnalysisException, but the [E003]
+    marker and message survive for job-boundary handlers to match on."""
+    from ibc_spark.io_.sheet_datasource import SheetDataSource
+
+    url = _sheet_file(tmp_path, '{"not": "an array"}')
+    spark.dataSource.register(SheetDataSource)
+    with pytest.raises(Exception, match=r"E003.*JSON array of row objects"):
+        spark.read.format("sheet").option("url", url).load()  # schema() fetch
