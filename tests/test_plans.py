@@ -291,3 +291,43 @@ def test_minhash_shares_cached_shingle_frame(spark):
     df = QUERIES["dedup_minhash_verified"](spark, SF_SMOKE)
     plan = plan_of(df)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+
+
+def test_weighted_topk_is_take_ordered_no_shuffle(spark):
+    """Efraimidis-Spirakis weighted sampling must compile to ONE scan +
+    TakeOrderedAndProject: stateless per-row key arithmetic, no Exchange,
+    no global Sort."""
+    df = QUERIES["sample_weighted_topk"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1, plan
+    assert n_nodes(plan, "Exchange") == 0, plan
+    assert n_nodes(plan, "Sort") == 0, plan
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan, plan
+
+
+def test_simhash_verified_two_shuffles_no_udf(spark):
+    """Portable md5 SimHash: explode -> per-doc bit sums -> signature
+    groupBy is exactly TWO exchanges (doc_id, simhash), all codegen — no
+    Python eval in the plan."""
+    df = QUERIES["dedup_simhash_verified"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_mix_temperature_single_scan(spark):
+    """Temperature mixing weights: ONE corpus scan (normalizer via window
+    over the tiny aggregate, not a second scan + join)."""
+    df = QUERIES["mix_temperature_weights"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") <= 2, plan  # tree line + detail header
+    assert "ReadSchema: struct<source:string>" in plan, plan
+
+
+def test_length_trim_prunes_columns(spark):
+    """percent_rank trim reads only the three columns it outputs — the
+    window must not widen the scan."""
+    df = QUERIES["docs_length_trim_percentile"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Window") == 1, plan
+    assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in plan, plan
