@@ -213,3 +213,23 @@ def test_scd2_apply_semantics(spark):
     # brand-new key inserted open at effective date
     nk = rows[(9, d(2026, 1, 1))]
     assert nk["v"] == 99.0 and nk["is_current"] is True
+
+
+def test_recursive_cte_matches_duckdb(spark, duck):
+    """Spark 4.1 WITH RECURSIVE (UNION ALL form): a bounded recursion must
+    produce the same rows as DuckDB's. Spark does not yet support the
+    UNION-dedup recursive form (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so
+    cyclic-graph closure stays on the iterative contraction operator
+    (ext.graph) — this pins the ACYCLIC recursion face of the SQL API."""
+    sql = """
+    WITH RECURSIVE fib(n, a, b) AS (
+      SELECT 1, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+      UNION ALL
+      SELECT n + 1, b, a + b FROM fib WHERE n < 30
+    )
+    SELECT n, a AS fib_n FROM fib
+    """
+    got = sorted((r["n"], r["fib_n"]) for r in spark.sql(sql).collect())
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == [(n, int(v)) for n, v in want]
+    assert got[29] == (30, 514229)
