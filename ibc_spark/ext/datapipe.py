@@ -351,3 +351,64 @@ def assign_shards(df: DataFrame, *, key_col: str, n_shards: int) -> DataFrame:
     group. Same hash family as :func:`hash_split` /
     :func:`sample_stratified`, so shards are stable across runs/engines."""
     return df.withColumn("shard", hash_bucket(key_col, n_shards).cast("long"))
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    *,
+    order_by: list[str],
+    id_name: str = "new_id",
+    partitions: int = 32,
+) -> DataFrame:
+    """Contiguous 1-based ids in ``order_by`` order WITHOUT the
+    single-task global window (``row_number() OVER (ORDER BY ...)`` pulls
+    every row through ONE partition — the classic driver-shaped bottleneck
+    of corpus id assignment at 100 TB).
+
+    Two-phase global rank instead:
+
+    1. range-repartition on the order keys (range boundaries from Spark's
+       sampler; inter-partition order is guaranteed, so partition id is
+       monotone in the key order) and PERSIST — both downstream consumers
+       must see the SAME materialized boundaries, and the persist is what
+       pins the sampled partitioning for them (registered in
+       ``ext.persistreg`` like every operator persist);
+    2. per-partition counts -> cumulative offsets (aggregate-sized window
+       over ≤``partitions`` rows, broadcast back) + per-partition local
+       row_number; final id = offset[pid] + local rank.
+
+    Result = exact global rank (offsets absorb whatever boundaries the
+    sampler chose), each partition sorts only its own slice.
+    """
+    from pyspark.sql import Window
+
+    from ibc_spark.ext.persistreg import persist_tracked
+
+    keys = [F.col(c) for c in order_by]
+    ranged = persist_tracked(
+        df.repartitionByRange(partitions, *keys).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*keys))
+    return (
+        ranged.join(F.broadcast(offsets), on="__pid")
+        .withColumn(id_name, (F.col("__offset") + local).cast("long"))
+        .drop("__pid", "__offset")
+    )

@@ -1701,3 +1701,26 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "string").alias("k_str"),
         F.schema_of_variant(v).alias("v_type"),
     )
+
+
+@query(
+    "assign_contiguous_ids",
+    oracle="""
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS new_id
+    FROM documents
+    """,
+)
+def assign_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous corpus id assignment in (n_chars, doc_id) order — but via
+    the two-phase range-partitioned rank of
+    ``ext.datapipe.assign_contiguous_ids``, NOT the oracle's
+    ``row_number() OVER (ORDER BY ...)``, which funnels the whole corpus
+    through one task. Offsets come from per-partition counts (an
+    aggregate-sized window), so each partition sorts only its slice; the
+    result equals the global rank regardless of the sampled range
+    boundaries."""
+    from ibc_spark.ext.datapipe import assign_contiguous_ids as _ids
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return _ids(d, order_by=["n_chars", "doc_id"], id_name="new_id")

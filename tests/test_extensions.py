@@ -695,3 +695,33 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     for doc, s in by_doc.items():
         if doc not in clustered:
             assert s == plain_by_doc[doc], doc
+
+
+def test_assign_contiguous_ids_equals_global_rank(spark):
+    """The two-phase range-partitioned rank must equal the naive global
+    row_number for every partition count, including partitions the range
+    sampler leaves empty (more partitions than rows in some ranges)."""
+    from pyspark.sql import Window
+
+    from ibc_spark.ext.datapipe import assign_contiguous_ids
+
+    rows = [(i, (i * 37) % 11) for i in range(500)]  # heavy key ties
+    df = spark.createDataFrame(rows, "doc_id: long, k: long")
+    naive = {
+        r["doc_id"]: r["rk"]
+        for r in df.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("k"), F.col("doc_id")))
+            .cast("long")
+            .alias("rk"),
+        ).collect()
+    }
+    for n_parts in (1, 7, 64):
+        got = {
+            r["doc_id"]: r["new_id"]
+            for r in assign_contiguous_ids(
+                df, order_by=["k", "doc_id"], partitions=n_parts
+            ).collect()
+        }
+        assert got == naive, f"partitions={n_parts}"
