@@ -1724,3 +1724,43 @@ def assign_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return _ids(d, order_by=["n_chars", "doc_id"], id_name="new_id")
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third multi-dimensional aggregation
+    face next to the rollup/cube entries: exactly the (priority), (status),
+    and grand-total groupings, no cross products. Spark plans all sets in
+    ONE Expand + single aggregation pass over one scan (not one scan per
+    set, which is what a UNION ALL of three GROUP BYs pays). Money sums go
+    through the pinned-scale DECIMAL cast (registry.py determinism rule)."""
+    o = read_table(spark, sf_dir, "orders")
+    g = (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return g.select(
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        "revenue",
+        "n_orders",
+    )

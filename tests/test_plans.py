@@ -331,3 +331,40 @@ def test_length_trim_prunes_columns(spark):
     plan = plan_of(df)
     assert n_nodes(plan, "Window") == 1, plan
     assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in plan, plan
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """With AQE runtime filters on and broadcast off (the big-big join
+    regime), a selective dim predicate must inject a Bloom filter on the
+    fact side's join key — the runtime analogue of static pushdown: the
+    fact scan drops non-joining rows BEFORE the shuffle."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        o = read_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # the runtime filter applies on the FACT side key
+        assert "might_contain" in plan and "l_orderkey" in plan.split("might_contain")[1][:200], plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
