@@ -1764,3 +1764,40 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "n_orders",
     )
+
+
+@query("sketch_hll_mergeable")  # Apache DataSketches HLL — engine-specific → rows-only
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL,
+    Spark 4 ``hll_sketch_agg``/``hll_union_agg``): per-priority customer
+    sketches whose UNION yields the global estimate WITHOUT re-scanning —
+    the pattern that makes 100 TB distinct-count dashboards incremental
+    (store O(KB) sketch bytes per partition/day, merge on read; a plain
+    approx_count_distinct result cannot be combined later).
+
+    Output: one row per priority plus an 'ALL' row whose estimate comes
+    from merging the per-priority sketches, never from a second scan.
+    Sketch estimates are engine-specific (DuckDB has no DataSketches HLL)
+    → rows-only driver check; pytest pins the ±5% error bound against
+    exact counts AND merge consistency (union-of-parts within 1% of
+    sketch-of-whole; the union's target type can differ slightly)."""
+    o = read_table(spark, sf_dir, "orders")
+    from ibc_spark.ext.persistreg import persist_tracked
+
+    per = persist_tracked(
+        o.groupBy("o_orderpriority").agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.countDistinct("o_custkey").alias("exact_distinct"),
+        )
+    )
+    parts = per.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.hll_sketch_estimate("sk").alias("approx_distinct"),
+        "exact_distinct",
+    )
+    union_row = per.agg(
+        F.lit("ALL").alias("priority"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return parts.unionByName(union_row)

@@ -67,3 +67,27 @@ def test_approx_sketches_within_bounds(spark):
         eu, ep50 = exact[r["event_type"]]
         assert abs(r["au"] - eu) <= max(2, 0.05 * eu)
         assert abs(r["p50"] - ep50) <= max(0.5, 0.05 * abs(ep50))
+
+
+def test_hll_mergeable_sketch_bounds_and_merge_consistency(spark):
+    """Per-group HLL estimates within ±5%% of exact; the merged-union
+    estimate tracks the sketch-of-the-whole estimate within 1%% and the
+    global exact count within ±5%%."""
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    rows = {r["priority"]: r for r in QUERIES["sketch_hll_mergeable"](spark, SF_ORACLE).collect()}
+    for p, r in rows.items():
+        if p == "ALL":
+            continue
+        assert abs(r["approx_distinct"] - r["exact_distinct"]) <= 0.05 * r["exact_distinct"], r
+
+    o = read_table(spark, SF_ORACLE, "orders")
+    global_exact = o.select(F.count_distinct("o_custkey")).first()[0]
+    whole = o.agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))).first()[0]
+    # union-of-parts tracks sketch-of-whole closely (the union target type
+    # can differ from the direct sketch's, so estimates differ by <1%)
+    assert abs(rows["ALL"]["approx_distinct"] - whole) <= 0.01 * whole
+    assert abs(rows["ALL"]["approx_distinct"] - global_exact) <= 0.05 * global_exact
