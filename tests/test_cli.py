@@ -169,3 +169,23 @@ def test_job_dispatcher_dry_run_prints_command(capsys):
     assert out.startswith("env PYTHONPATH=")
     assert "spark-submit --master local[*]" in out
     assert "end_semester.py" in out and " -m " not in out
+
+
+def test_job_dry_run_command_actually_executes(tmp_path):
+    """The dry-run line is not illustrative: executing argv verbatim must
+    run the pipeline under a real spark-submit (second JVM) and print the
+    pipeline's one-line JSON summary. This is the executable-command
+    contract the dispatcher's dry-run prints for the scheduler."""
+    import json
+    import subprocess
+
+    from ibc_spark.pipelines.jobs import resolve_job, spark_submit_argv
+
+    spec = resolve_job("conf/jobs/end_semester.yaml", "dev")
+    argv = spark_submit_argv(spec)
+    r = subprocess.run(
+        argv, capture_output=True, text=True, timeout=150, cwd=str(tmp_path)
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "updated_rows" in summary
