@@ -1801,3 +1801,70 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_distinct"),
     )
     return parts.unionByName(union_row)
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.purchase_id, p.user_id, c.click_id, c.c_ts
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id
+       AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 1 HOUR
+    ),
+    r AS (
+      SELECT purchase_id, user_id, click_id,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY c_ts DESC, click_id DESC) AS rn,
+             count(click_id) OVER (PARTITION BY purchase_id) AS n_clicks_in_window
+      FROM j
+    )
+    SELECT purchase_id, user_id,
+           click_id AS attributed_click, n_clicks_in_window
+    FROM r WHERE rn = 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the LAST click by the
+    same user within the preceding hour (NULL when none) — the
+    bounded-lookback as-of shape marketing/conversion pipelines run, which
+    plain as-of joins (unbounded lookback, see `asof_join_last_purchase`)
+    don't express.
+
+    Plan: purchases x clicks equi-join ON user_id with the hour band as a
+    join-level range predicate (the shuffle keys on user_id; the band
+    prunes inside the join), then ONE aggregation with `max_by` keyed on
+    (c_ts, click_id) — argmax without a second window pass, deterministic
+    under same-timestamp ties via the id tiebreak. At 100 TB, user_id is
+    the natural co-partitioning for both legs, and AQE handles power-user
+    skew."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return j.groupBy("purchase_id", "user_id").agg(
+        F.max_by("click_id", F.struct(F.col("c_ts"), F.col("click_id"))).alias(
+            "attributed_click"
+        ),
+        F.count("click_id").alias("n_clicks_in_window"),
+    )
