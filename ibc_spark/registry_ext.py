@@ -1868,3 +1868,148 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("click_id").alias("n_clicks_in_window"),
     )
+
+
+@query(
+    "dq_expectations_orders",
+    oracle="""
+    SELECT 'totalprice_positive' AS check_name,
+           count(*) FILTER (WHERE o_totalprice <= 0 OR o_totalprice IS NULL)
+             AS n_violations,
+           count(*) FILTER (WHERE o_totalprice <= 0 OR o_totalprice IS NULL) = 0
+             AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           count(*) FILTER (WHERE o_orderdate < DATE '1992-01-01'
+                               OR o_orderdate > DATE '1998-12-31'
+                               OR o_orderdate IS NULL),
+           count(*) FILTER (WHERE o_orderdate < DATE '1992-01-01'
+                               OR o_orderdate > DATE '1998-12-31'
+                               OR o_orderdate IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null',
+           count(*) FILTER (WHERE o_custkey IS NULL),
+           count(*) FILTER (WHERE o_custkey IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           count(*) - count(DISTINCT o_orderkey),
+           count(*) - count(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                               OR o_orderstatus IS NULL),
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                               OR o_orderstatus IS NULL) = 0
+    FROM orders
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality EXPECTATIONS report (dbt-tests / Great-Expectations
+    shape): declarative per-column checks — positivity, date range,
+    NOT NULL, key uniqueness, value domain — evaluated in ONE scan and
+    ONE aggregation as conditional counts, emitted as data
+    (check_name, n_violations, passed), never as exceptions. The
+    violations-as-rows convention matches the engine's quarantine
+    philosophy: quality gates feed dashboards and circuit breakers, not
+    stack traces.
+
+    Plan: all non-distinct checks fold into a single aggregate pass over
+    one scan (conditional sums); the uniqueness check shares the same
+    aggregate via count vs count_distinct. The union of 5 one-row frames
+    is driver-trivial. At 100 TB this is the footprint of ONE full scan —
+    the minimum any audit pays."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def viol(cond):  # violation counter: count rows failing the expectation
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    agg = o.agg(
+        viol(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).alias(
+            "v_price"
+        ),
+        viol(
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+            | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date"))
+        ).alias("v_date"),
+        viol(F.col("o_custkey").isNull()).alias("v_cust"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
+        viol(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("v_dom"),
+    )
+    checks = [
+        ("totalprice_positive", "v_price"),
+        ("orderdate_in_range", "v_date"),
+        ("custkey_not_null", "v_cust"),
+        ("orderkey_unique", "v_uniq"),
+        ("status_in_domain", "v_dom"),
+    ]
+    frames = [
+        agg.select(
+            F.lit(name).alias("check_name"),
+            F.col(col).cast("long").alias("n_violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        for name, col in checks
+    ]
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out
+
+
+@query(
+    "dq_hourly_gaps",
+    oracle="""
+    WITH ev AS (  -- planted outage: drop hour-07 events so the audit has
+                  -- a non-empty finding at every SF (testdata is gapless)
+      SELECT ts FROM events WHERE extract(hour FROM ts) <> 7
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM ev
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds
+    ),
+    seen AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS hr FROM ev
+    )
+    SELECT strftime(g.hr, '%Y-%m-%d %H:00') AS missing_hour
+    FROM grid g LEFT JOIN seen s ON g.hr = s.hr
+    WHERE s.hr IS NULL
+    """,
+)
+def dq_hourly_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/completeness audit: hours with ZERO events between the
+    stream's first and last hour — the silent-pipeline detector (a feed
+    that stops emitting produces no error rows for validators to catch;
+    only the hole in the time grid shows it).
+
+    Plan: the expected grid comes from ONE min/max aggregate exploded
+    through `sequence()` (a one-row driver-free frame), LEFT ANTI joined
+    against the distinct observed hours — grid rows broadcast; the only
+    data-sized op is the distinct-hour aggregation. The testdata stream is
+    gapless, so a deterministic outage is planted (hour-07 events dropped
+    in both engines) to keep the finding non-empty at every SF."""
+    ev = read_table(spark, sf_dir, "events").where(F.hour("ts") != 7)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    seen = ev.select(F.date_trunc("hour", F.col("ts")).alias("hr")).distinct()
+    return (
+        grid.join(seen, on="hr", how="left_anti")
+        .select(F.date_format("hr", "yyyy-MM-dd HH:00").alias("missing_hour"))
+    )
