@@ -11,6 +11,7 @@ values match bit-for-bit before the defensive ROUND.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2012,4 +2013,113 @@ def dq_hourly_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grid.join(seen, on="hr", how="left_anti")
         .select(F.date_format("hr", "yyyy-MM-dd HH:00").alias("missing_hour"))
+    )
+
+
+@query(
+    "drift_source_mix_kl",
+    oracle="""
+    WITH a AS (
+      SELECT source, count(*) AS n FROM documents WHERE doc_id % 2 = 0 GROUP BY source
+    ),
+    b AS (
+      SELECT source, count(*) AS n FROM documents WHERE doc_id % 2 = 1 GROUP BY source
+    ),
+    tot AS (
+      SELECT (SELECT sum(n) FROM a) AS ta, (SELECT sum(n) FROM b) AS tb
+    ),
+    j AS (
+      SELECT coalesce(a.source, b.source) AS source,
+             CAST(coalesce(a.n, 0) AS DOUBLE) / ta AS p_ref,
+             CAST(coalesce(b.n, 0) AS DOUBLE) / tb AS p_new
+      FROM a FULL OUTER JOIN b ON a.source = b.source CROSS JOIN tot
+    )
+    SELECT source,
+           round(p_ref, 6) AS share_ref,
+           round(p_new, 6) AS share_new,
+           round(CASE WHEN p_new > 0 AND p_ref > 0
+                      THEN p_new * ln(p_new / p_ref) ELSE NULL END, 6)
+             AS kl_term
+    FROM j
+    """,
+)
+def drift_source_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-drift monitor: per-source share in a reference snapshot vs a
+    new snapshot (here the even/odd doc-id halves as the deterministic
+    stand-in for yesterday/today), with each source's KL-divergence term
+    p_new·ln(p_new/p_ref) — the alarm metric that catches one domain
+    silently flooding or vanishing from the mix between crawls. NULL term
+    where a source is absent on either side (those alarm on presence, not
+    magnitude).
+
+    Plan: two map-side-combining counts off one scan (the halves are
+    disjoint filters), FULL OUTER join of the tiny per-source aggregates,
+    normalizers as one-row broadcasts. Corpus is scanned once per half —
+    at 100 TB the halves are separate snapshot partitions and each side
+    reads only its own files."""
+    d = read_table(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 2 == 0).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = d.where(F.col("doc_id") % 2 == 1).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    ta = a.agg(F.sum("n_a").alias("ta"))
+    tb = b.agg(F.sum("n_b").alias("tb"))
+    j = (
+        a.join(b, on="source", how="full_outer")
+        .join(F.broadcast(ta))
+        .join(F.broadcast(tb))
+        .select(
+            "source",
+            (F.coalesce("n_a", F.lit(0)).cast("double") / F.col("ta")).alias("p_ref"),
+            (F.coalesce("n_b", F.lit(0)).cast("double") / F.col("tb")).alias("p_new"),
+        )
+    )
+    kl = F.when(
+        (F.col("p_new") > 0) & (F.col("p_ref") > 0),
+        F.col("p_new") * F.log(F.col("p_new") / F.col("p_ref")),
+    )
+    return j.select(
+        "source",
+        F.round("p_ref", 6).alias("share_ref"),
+        F.round("p_new", 6).alias("share_new"),
+        F.round(kl, 6).alias("kl_term"),
+    )
+
+
+@query("text_compression_ratio")  # zlib is not expressible in SQL → rows-only
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (Gopher/MassiveText lineage):
+    deflate-compressed length over raw length per document. Highly
+    repetitive machine-generated text compresses far below ~0.4; random
+    or encrypted junk sits near 1.0 — a one-number filter that catches
+    both failure modes without parsing anything.
+
+    Arrow-batched pandas UDF (zlib level 6 per batch) — Python is the
+    right tool here: there is no Column-expression compressor, and the
+    UDF is pure CPU over one string column (the narrow projection reaches
+    the scan). Rows-only driver check (no SQL zlib); pytest pins the
+    discriminative ordering on constructed repetitive vs high-entropy
+    text and determinism across runs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in texts:
+            if t is None or len(t) == 0:
+                out.append(None)
+            else:
+                raw = t.encode("utf-8")
+                out.append(len(zlib.compress(raw, 6)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(_ratio(F.col("text")), 6).alias("compression_ratio"),
+        F.col("n_chars"),
     )

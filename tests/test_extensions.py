@@ -725,3 +725,31 @@ def test_assign_contiguous_ids_equals_global_rank(spark):
             ).collect()
         }
         assert got == naive, f"partitions={n_parts}"
+
+
+def test_compression_ratio_discriminates_and_is_deterministic(spark):
+    """Repetitive text must compress far below high-entropy text, and the
+    ratio must be identical across runs (zlib level pinned)."""
+    import random
+
+    from ibc_spark.registry import QUERIES
+
+    rng = random.Random(7)
+    noisy = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz 0123456789") for _ in range(2000))
+    rows = [(0, "spam " * 400, "en", "s", 2000), (1, noisy, "en", "s", 2000)]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r["doc_id"]: r["compression_ratio"]
+            for r in QUERIES["text_compression_ratio"](spark, tmp).collect()
+        }
+        again = {
+            r["doc_id"]: r["compression_ratio"]
+            for r in QUERIES["text_compression_ratio"](spark, tmp).collect()
+        }
+    assert got == again
+    assert got[0] < 0.05 < 0.5 < got[1], got
