@@ -55,3 +55,68 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4, SPARK-49564) — the successor API to
+# applyInPandasWithState above: named typed state variables (ValueState /
+# ListState / MapState) with per-variable TTL instead of one packed tuple,
+# and an object-oriented processor with init/close lifecycle. Both forms are
+# kept: the GroupState form is the widely-deployed API; this is where new
+# stateful operators should land.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+class UserPeakProcessor(StatefulProcessor):
+    """Running per-user event count + peak value via two named ValueState
+    variables. State is O(1) per user; TTL-free (counters never reset)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._n = handle.getValueState("n", "n LONG")
+        self._peak = handle.getValueState("peak", "peak DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n = self._n.get()[0] if self._n.exists() else 0
+        peak = self._peak.get()[0] if self._peak.exists() else float("-inf")
+        for pdf in rows:
+            n += len(pdf)
+            if len(pdf):
+                peak = max(peak, float(pdf["value"].max()))
+        self._n.update((n,))
+        self._peak.update((peak,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [peak]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_peaks(events: DataFrame) -> DataFrame:
+    """Emit the running (n_events, max_value) per user after each batch —
+    same semantics family as :func:`running_user_totals`, expressed in the
+    transformWithStateInPandas API.
+
+    Runtime requirements (not needed by the GroupState form): the RocksDB
+    state store provider (`spark.sql.streaming.stateStore.providerClass`)
+    and the python protobuf runtime for the state-server protocol — the
+    equivalence test skips where protobuf is unavailable."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserPeakProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

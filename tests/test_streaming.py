@@ -227,3 +227,41 @@ def test_content_dedup_stream_matches_batch(spark, tmp_path):
     n_distinct = batch.distinct().count()
     assert out.count() == n_distinct
     assert out.select("content_sha").distinct().count() == n_distinct
+
+
+def test_running_user_peaks_transform_with_state(spark, events_stream, tmp_path):
+    """transformWithStateInPandas twin: running per-user count + peak must
+    equal the batch aggregate after the availableNow drain. The API needs
+    the python protobuf runtime (state-server protocol) and RocksDB state
+    store — skipped where protobuf is unavailable (this sandbox)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from ibc_spark.streaming.stateful import running_user_peaks
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        spark,
+        running_user_peaks(events_stream.select("user_id", "value")),
+        name,
+        "update",
+        tmp_path,
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in spark.table(name).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["m"])
+        for r in batch_events(spark, SF_SMOKE)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("m"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for uid, (n, m) in expected.items():
+        assert got[uid][0] == n
+        assert got[uid][1] == pytest.approx(m, abs=1e-9)
