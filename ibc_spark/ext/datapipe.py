@@ -379,6 +379,10 @@ def assign_contiguous_ids(
 
     Result = exact global rank (offsets absorb whatever boundaries the
     sampler chose), each partition sorts only its own slice.
+
+    Order keys must be non-null: Spark ranks NULLS FIRST where most SQL
+    engines default NULLS LAST, so a nullable key silently diverges from
+    a SQL oracle — filter or coalesce nulls before calling.
     """
     from pyspark.sql import Window
 
