@@ -2123,3 +2123,130 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_ratio(F.col("text")), 6).alias("compression_ratio"),
         F.col("n_chars"),
     )
+
+
+@query(
+    "knn_graph_topk",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_cos_sql('a.embedding', 'b.embedding')} AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, round(cos, 4) AS cos_sim,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst) AS rk
+      FROM pairs
+    )
+    SELECT src, dst, cos_sim, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction (k=3): every vector's top-3 cosine
+    neighbors — the building block SemDeDup-style semantic clustering,
+    graph-based ANN indexes (HNSW layers), and diversity sampling all
+    start from.
+
+    Plan: brute-force self-join scored by one Arrow cosine kernel pass,
+    per-source top-k window — the EXACT baseline the bucketed paths
+    (`ann_topk_lsh`/`ann_topk_ivf`) are verified against; at 100 TB the
+    same top-k window runs over LSH/IVF candidate pairs instead of the
+    cross product (swap the pair source, keep the shape). Ties broken by
+    neighbor id so the graph is deterministic in both engines."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .withColumn("cos", dedup.cosine_fast(F.col("va"), F.col("vb")))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("src", "dst", F.round("cos", 4).alias("cos_sim"), "rk")
+    )
+
+
+@query(
+    "setop_all_multiset",
+    oracle="""
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+    b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'intersect_all' AS op, o_custkey, count(*) AS multiplicity
+    FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+    GROUP BY o_custkey
+    UNION ALL
+    SELECT 'except_all', o_custkey, count(*)
+    FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+    GROUP BY o_custkey
+    """,
+)
+def setop_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations (INTERSECT ALL / EXCEPT ALL): duplicate-
+    preserving cohort comparison — min(m_a, m_b) respectively
+    max(m_a - m_b, 0) copies per key — which the DISTINCT set-op entry
+    (`setop_intersect_except_union`) cannot express and naive dedup-first
+    rewrites get wrong. Spark plans both via Generate(replicate_rows) over
+    a counted aggregate, not a quadratic join.
+
+    The multiplicity aggregation on top makes the result order-free and
+    keeps the driver hash stable (raw ALL output is a bag)."""
+    o = read_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    ia = (
+        a.intersectAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "multiplicity")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "multiplicity")
+    )
+    return ia.unionByName(ea)
+
+
+@query(
+    "lateral_top_lineitems",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.price
+    FROM (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o,
+    LATERAL (
+      SELECT l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
+      FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber
+      LIMIT 2
+    ) l
+    """,
+)
+def lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per urgent order, its 2 highest-value
+    line items — the SQL-API spelling of grouped top-k (a correlated
+    per-row subquery with its own ORDER BY/LIMIT), which Spark decorrelates
+    into the same ranked-window plan the DataFrame form produces rather
+    than executing N subqueries. Registered through `spark.sql` over temp
+    views to pin the LATERAL surface itself."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, l.price
+        FROM (SELECT o_orderkey FROM v_orders
+              WHERE o_orderpriority = '1-URGENT') o,
+        LATERAL (
+          SELECT l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
+          FROM v_lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 2
+        ) l
+        """
+    )
