@@ -753,3 +753,48 @@ def test_compression_ratio_discriminates_and_is_deterministic(spark):
         }
     assert got == again
     assert got[0] < 0.05 < 0.5 < got[1], got
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Degenerate-input robustness: the heavy operators must return EMPTY
+    frames (not raise) on an empty corpus — the first-run / fully-filtered
+    upstream case every scheduled pipeline eventually hits."""
+    from ibc_spark.ext import dedup
+    from ibc_spark.ext.datapipe import assign_contiguous_ids, quota_per_group
+    from ibc_spark.ext.graph import dedup_clusters
+    from ibc_spark.ext.similarity import knn_graph_blocked
+
+    docs = spark.createDataFrame(
+        [], "doc_id: long, text: string, source: string, n_chars: long"
+    )
+    emb = spark.createDataFrame([], "vec_id: long, embedding: array<float>")
+    pairs = spark.createDataFrame([], "id_a: long, id_b: long, jaccard: double")
+
+    assert (
+        dedup.ngram_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", block_col="source", threshold=0.8
+        ).count()
+        == 0
+    )
+    assert (
+        dedup.minhash_lsh_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.5
+        ).count()
+        == 0
+    )
+    assert (
+        dedup.embedding_lsh_pairs(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.9
+        ).count()
+        == 0
+    )
+    assert (
+        knn_graph_blocked(emb, id_col="vec_id", vec_col="embedding", k=3).count() == 0
+    )
+    assert dedup_clusters(pairs).count() == 0
+    assert (
+        quota_per_group(docs, group_col="source", id_col="doc_id", k=5).count() == 0
+    )
+    assert (
+        assign_contiguous_ids(docs, order_by=["n_chars", "doc_id"]).count() == 0
+    )
