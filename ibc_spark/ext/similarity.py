@@ -321,6 +321,87 @@ def topk_lsh(
     )
 
 
+# Default rows-per-block ceiling for the packed-block GEMM kernels. A packed
+# block travels as ONE Spark row (collect_list), so its serialized size must
+# stay far under the 2 GB single-row limit: 65,536 rows × 64 dims × 4-byte
+# floats ≈ 16 MB per block (two resident per task as float64 matrices ≈
+# 64 MB — comfortable executor-task territory). Callers with wider vectors
+# should lower it; the kernel enforces it LOUDLY rather than letting a
+# skewed/huge block hit the row limit or OOM an executor mid-stage.
+MAX_BLOCK_ROWS = 65536
+
+
+def _pack_blocks(df: DataFrame, *, id_col: str, vec_col: str, block: Column) -> DataFrame:
+    """(block, ids array<long>, vecs array<array>) — one row per block, built
+    with collect_list so each GEMM task gets a whole block as two arrays.
+    The ids/vecs lists are collected in ONE agg so their elements correspond
+    positionally within a single output row; nothing downstream may assume
+    that ORDER is stable across re-executions (collect_list order follows
+    shuffle-fetch order) — the scoring kernel masks self-pairs by id
+    EQUALITY, never by position."""
+    return (
+        df.select(
+            block.alias("block"),
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+        )
+        .groupBy("block")
+        .agg(
+            F.collect_list("vid").alias("ids"),
+            F.collect_list("v").alias("vecs"),
+        )
+    )
+
+
+def _gemm_topk_partials(joined: DataFrame, *, k: int, max_block_rows: int) -> DataFrame:
+    """Score every (src, dst) of each joined block pair with one BLAS matmul
+    and emit each src's LOCAL top-k. ``joined`` must carry ids_a/vecs_a/
+    ids_b/vecs_b. Self-pairs are masked by id EQUALITY (ids are unique), so
+    correctness never depends on collect_list producing the same element
+    order on the two legs of the join — on a cluster the a/b legs recompute
+    the groupBy independently and shuffle-fetch order is not deterministic
+    (this replaced a positional fill_diagonal that silently corrupted
+    same-block results whenever the orders diverged). Blocks larger than
+    ``max_block_rows`` raise loudly (see :data:`MAX_BLOCK_ROWS`)."""
+    out_schema = "src long, dst long, cos double"
+
+    def _score(pdf_iter):
+        for pdf in pdf_iter:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                if len(ids_a) > max_block_rows or len(ids_b) > max_block_rows:
+                    raise ValueError(
+                        f"packed GEMM block exceeds max_block_rows="
+                        f"{max_block_rows} (got {max(len(ids_a), len(ids_b))}); "
+                        "raise n_blocks / add more LSH bits so blocks shrink, "
+                        "or lower k·dim — a block travels as ONE Spark row "
+                        "and must stay far under the 2 GB row limit"
+                    )
+                ma = np.stack([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                mb = np.stack([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                cos = (ma @ mb.T) / np.outer(
+                    np.where(na == 0, 1.0, na), np.where(nb == 0, 1.0, nb)
+                )
+                # mask self-pairs by id equality — order-independent and
+                # exact (ids unique); also covers blocks that share ids
+                # when the same vector lands in multiple LSH tables
+                cos[ids_a[:, None] == ids_b[None, :]] = -np.inf
+                kk = min(k, cos.shape[1])
+                top = np.argpartition(-cos, kth=kk - 1, axis=1)[:, :kk]
+                for i in range(cos.shape[0]):
+                    for j in top[i]:
+                        c = cos[i, j]
+                        if np.isfinite(c):
+                            outs.append((int(ids_a[i]), int(ids_b[j]), float(c)))
+            yield pd.DataFrame(outs, columns=["src", "dst", "cos"])
+
+    return joined.mapInPandas(_score, out_schema)
+
+
 def knn_graph_blocked(
     df: DataFrame,
     *,
@@ -328,6 +409,7 @@ def knn_graph_blocked(
     vec_col: str,
     k: int = 3,
     n_blocks: int = 8,
+    max_block_rows: int = MAX_BLOCK_ROWS,
 ) -> DataFrame:
     """Exact k-NN graph via BLOCKED GEMM: vectors are hash-assigned to
     ``n_blocks`` blocks; the n_blocks² block pairs cross-join (each row
@@ -342,20 +424,16 @@ def knn_graph_blocked(
     only O(n·dim·n_blocks) bytes (each block is re-sent once per
     partner). Flops stay O(n²·dim) — brute force is exact by paying
     them — but as ONE BLAS call per block pair instead of 4M interpreted
-    rows. Block count tunes task memory (two blocks resident per task).
-    Beyond GEMM reach, prune candidates first (LSH/IVF) and reuse the
-    same top-k window."""
-    packed = (
-        df.select(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("block"),
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("v"),
-        )
-        .groupBy("block")
-        .agg(
-            F.collect_list("vid").alias("ids"),
-            F.collect_list("v").alias("vecs"),
-        )
+    rows. Block count tunes task memory (two blocks resident per task;
+    blocks above ``max_block_rows`` fail loudly — see
+    :data:`MAX_BLOCK_ROWS`). Beyond GEMM reach, prune candidates first —
+    :func:`knn_graph_lsh` is that path — and reuse the same top-k
+    window."""
+    packed = _pack_blocks(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        block=F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)),
     )
     a = packed.select(
         F.col("block").alias("block_a"),
@@ -367,40 +445,120 @@ def knn_graph_blocked(
         F.col("ids").alias("ids_b"),
         F.col("vecs").alias("vecs_b"),
     )
-    out_schema = "src long, dst long, cos double"
-
-    def _score(pdf_iter):
-        for pdf in pdf_iter:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                ids_a = np.asarray(row.ids_a, dtype=np.int64)
-                ids_b = np.asarray(row.ids_b, dtype=np.int64)
-                ma = np.stack([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
-                mb = np.stack([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
-                na = np.linalg.norm(ma, axis=1)
-                nb = np.linalg.norm(mb, axis=1)
-                cos = (ma @ mb.T) / np.outer(
-                    np.where(na == 0, 1.0, na), np.where(nb == 0, 1.0, nb)
-                )
-                if row.block_a == row.block_b:
-                    np.fill_diagonal(cos, -np.inf)
-                else:
-                    # distinct blocks can still share no ids; self-pairs
-                    # only exist on the diagonal of the same block
-                    pass
-                kk = min(k, cos.shape[1])
-                top = np.argpartition(-cos, kth=kk - 1, axis=1)[:, :kk]
-                for i in range(cos.shape[0]):
-                    for j in top[i]:
-                        c = cos[i, j]
-                        if np.isfinite(c):
-                            outs.append((int(ids_a[i]), int(ids_b[j]), float(c)))
-            yield pd.DataFrame(outs, columns=["src", "dst", "cos"])
-
-    partials = a.crossJoin(b).mapInPandas(_score, out_schema)
+    partials = _gemm_topk_partials(
+        a.crossJoin(b), k=k, max_block_rows=max_block_rows
+    )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
     return (
         partials.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("src", "dst", F.round("cos", 4).alias("cos_sim"), "rk")
+    )
+
+
+def knn_graph_lsh(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    bits: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    max_block_rows: int = MAX_BLOCK_ROWS,
+) -> DataFrame:
+    """Approximate k-NN graph: BLOCKED GEMM over LSH candidate cells — the
+    production path beyond exact-GEMM reach that
+    :func:`knn_graph_blocked`'s docstring names.
+
+    Each vector lands in one cell per LSH table ((table, bucket) from a
+    ``bits``-bit slice of one shared hyperplane signature, as in
+    :func:`topk_lsh`); cells are packed exactly like the exact path's
+    blocks, and each cell GEMM-scores only against its Hamming≤1 probe
+    cells WITHIN the same table — (1 + bits) partner cells out of 2^bits —
+    instead of all n_blocks² pairs. The same (src, dst) found in several
+    tables is collapsed by a (src, dst) max-cos agg before the final
+    per-src top-k window, so duplicate discoveries never eat rank slots.
+
+    Cost vs exact: flops drop from O(n²·dim) to O(n²·dim·L·(1+b)/2^b) in
+    expectation (L tables, b bits — ~8× fewer at L=8, b=4; hundreds× at
+    the b=12+ a real corpus would use), and cell size — not corpus size —
+    bounds task memory. Recall is the standard multi-table dial
+    (1-(1-P_table)^L with P_table = P(Hamming≤1) = p^b + b·p^(b-1)(1-p));
+    pytest pins recall ≥ 0.9 against the exact graph. Probabilistic →
+    rows-only entry; the exact sibling ``knn_graph_topk`` carries the
+    oracle."""
+    total_bits = bits * tables
+    mask = (1 << bits) - 1
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), bits=total_bits, dim=dim, seed=seed).alias("__sig"),
+    )
+    cells = base.select(
+        "vid",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tab"),
+                        F.shiftright(F.col("__sig"), bits * t)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vid", "v", "tb.tab", "tb.bucket")
+    packed = _pack_blocks(
+        cells,
+        id_col="vid",
+        vec_col="v",
+        block=F.struct(F.col("tab"), F.col("bucket")),
+    )
+    # a-leg probes its own cell plus the `bits` Hamming-1 flips; the b-leg
+    # is keyed by its true cell, so the join is a plain equi-join on
+    # (table, bucket) — never a cross join. Pairs of distinct cells appear
+    # in both directions (A probes B and B probes A), which the graph
+    # needs anyway: src rows live on the a-leg only.
+    a = packed.select(
+        F.col("block").alias("cell_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+        F.explode(
+            F.array(
+                F.col("block.bucket"),
+                *[
+                    F.col("block.bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(bits)
+                ],
+            )
+        ).alias("probe"),
+    ).select(
+        F.col("cell_a.tab").alias("tab"),
+        F.col("probe").alias("bucket"),
+        "ids_a",
+        "vecs_a",
+    )
+    b = packed.select(
+        F.col("block.tab").alias("tab"),
+        F.col("block.bucket").alias("bucket"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    partials = _gemm_topk_partials(
+        a.join(b, on=["tab", "bucket"]), k=k, max_block_rows=max_block_rows
+    )
+    # collapse multi-table rediscoveries of the same edge; max() of the
+    # (float-identical up to BLAS rounding) rescorings keeps the agg
+    # deterministic on fixed data
+    edges = partials.groupBy("src", "dst").agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        edges.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("src", "dst", F.round("cos", 4).alias("cos_sim"), "rk")
     )

@@ -2162,6 +2162,25 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph_blocked(e, id_col="vec_id", vec_col="embedding", k=3)
 
 
+@query("knn_graph_lsh")  # LSH cell pruning is probabilistic → rows-only; exact
+# sibling knn_graph_topk carries the oracle (same schema, same window).
+def knn_graph_lsh_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph (k=3) via LSH-PRUNED blocked GEMM — the
+    beyond-GEMM-reach production path the exact entry's docstring names:
+    vectors land in one (table, bucket) cell per LSH table, each cell
+    GEMM-scores only its Hamming≤1 probe cells, and a (src, dst) max-cos
+    agg + per-src window merges multi-table discoveries. Flops drop by
+    ~L·(1+b)/2^b vs the exact n_blocks² sweep while cell size (not corpus
+    size) bounds task memory. pytest pins recall ≥ 0.9 against the exact
+    `knn_graph_topk` graph on the same table (`test_graph_sketch.py`)."""
+    from ibc_spark.ext.similarity import knn_graph_lsh
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return knn_graph_lsh(
+        e, id_col="vec_id", vec_col="embedding", k=3, bits=4, tables=8
+    )
+
+
 @query(
     "setop_all_multiset",
     oracle="""

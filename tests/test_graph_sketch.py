@@ -91,3 +91,70 @@ def test_hll_mergeable_sketch_bounds_and_merge_consistency(spark):
     # can differ from the direct sketch's, so estimates differ by <1%)
     assert abs(rows["ALL"]["approx_distinct"] - whole) <= 0.01 * whole
     assert abs(rows["ALL"]["approx_distinct"] - global_exact) <= 0.05 * global_exact
+
+
+def test_knn_graph_blocked_invariant_to_block_count(spark):
+    """The exact kNN graph must not depend on how vectors are blocked —
+    direct regression for the id-equality self-pair mask (a positional
+    fill_diagonal silently diverged whenever the two crossJoin legs
+    collected a block in different orders)."""
+    from ibc_spark.ext.similarity import knn_graph_blocked
+
+    e = read_table(spark, SF_SMOKE, "embeddings")
+    g1 = sorted(
+        map(
+            tuple,
+            knn_graph_blocked(
+                e, id_col="vec_id", vec_col="embedding", k=3, n_blocks=1
+            ).collect(),
+        )
+    )
+    g5 = sorted(
+        map(
+            tuple,
+            knn_graph_blocked(
+                e, id_col="vec_id", vec_col="embedding", k=3, n_blocks=5
+            ).collect(),
+        )
+    )
+    assert g1 == g5
+    assert all(src != dst for src, dst, *_ in g1)
+
+
+def test_knn_graph_lsh_recall_vs_exact(spark):
+    """LSH-pruned kNN graph recalls >=0.9 of the exact graph's edges at the
+    registry settings (bits=4, tables=8, Hamming<=1 probes) — the waiver
+    bound COVERAGE.md documents for the rows-only `knn_graph_lsh` entry."""
+    from ibc_spark.ext.similarity import knn_graph_blocked, knn_graph_lsh
+
+    e = read_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r["src"], r["dst"])
+        for r in knn_graph_blocked(
+            e, id_col="vec_id", vec_col="embedding", k=3
+        ).collect()
+    }
+    approx = {
+        (r["src"], r["dst"])
+        for r in knn_graph_lsh(
+            e, id_col="vec_id", vec_col="embedding", k=3, bits=4, tables=8
+        ).collect()
+    }
+    assert exact  # non-vacuous
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+    assert all(src != dst for src, dst in approx)
+
+
+def test_knn_graph_block_cap_raises_loudly(spark):
+    """A packed block above max_block_rows must fail the stage with an
+    actionable error, not limp toward the 2 GB single-row limit."""
+    import pytest
+
+    from ibc_spark.ext.similarity import knn_graph_blocked
+
+    e = read_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(Exception, match="max_block_rows"):
+        knn_graph_blocked(
+            e, id_col="vec_id", vec_col="embedding", k=3, n_blocks=2, max_block_rows=10
+        ).collect()
