@@ -11,6 +11,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -22,15 +23,22 @@ sys.path.insert(0, _HERE)
 from ibc_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 
-def _driver_checked() -> set[str]:
-    """Query names that already have a green row in any prior CORRECTNESS_r*.json.
+def _last_green_round() -> dict[str, int]:
+    """Map query name → the LATEST round whose CORRECTNESS_r*.json carries a
+    green row for it.
 
-    The driver snapshots only the first 50 entries of ``queries()`` per round,
-    so we rotate: entries without a prior green driver row sort first, giving
-    every registered query a driver-verified row within a round or two.
+    The driver snapshots only the first 50 entries of ``queries()`` per
+    round, so we rotate. Round 5's rotation (never-checked first, then
+    REGISTRY position) re-attested the same early block every round while
+    the tail went stale (58 entries' last row was r3-); sorting checked
+    entries by last-green round ASCENDING instead drains the stale pool
+    oldest-first, so every entry's attestation is refreshed on a bounded
+    cadence.
     """
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -38,26 +46,37 @@ def _driver_checked() -> set[str]:
             continue
         for name, row in rows.items():
             if isinstance(row, dict) and (row.get("hash_match") or row.get("rows_match")):
-                seen.add(name)
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 
-# Entries whose SEMANTICS changed after their last green driver row — they
-# must jump the rotation queue and be re-verified this round. Clear once the
-# next CORRECTNESS snapshot carries them.
+# Entries whose SEMANTICS (or candidate/pruning path — the round-5 lesson)
+# changed after their last green driver row — they jump the rotation queue.
+# Clear once the next CORRECTNESS snapshot carries them. Round-5 set
+# (corpus_dedup_materialize, split_leakage_safe, quota_per_source) cleared:
+# all three green in CORRECTNESS_r05.json.
 _FORCE_RECHECK: set[str] = {
-    # round 5: candidate path switched from blocked all-pairs to banded LSH
-    "corpus_dedup_materialize",
-    "split_leakage_safe",
-    # round 5: shortfall fallback added to the quota pre-filter
+    # candidate path rewritten to adaptive PPJoin in round 5; last driver row r1
+    "dedup_ngram_jaccard",
+    # round 6: candidate stage switched from blocked all-pairs to banded LSH
+    "dedup_cluster_components",
+    # round 6: self-pair masking switched from positional to id-equality
+    "knn_graph_topk",
+    # round 6: zero-survivor groups added to the shortfall fallback
     "quota_per_source",
+    # exact siblings of the rows-only approximate family — re-attest them in
+    # the same snapshot as their waivered twins (VERDICT r5 #7)
+    "dedup_minhash_verified",
+    "ann_topk_bruteforce",
 }
 
 
 def _ordered(mapping: dict) -> dict:
-    checked = _driver_checked() - _FORCE_RECHECK
+    green = _last_green_round()
+    for name in _FORCE_RECHECK:
+        green.pop(name, None)  # forced entries sort with the never-checked
     pos = {k: i for i, k in enumerate(mapping)}
-    keys = sorted(mapping, key=lambda k: (k in checked, pos[k]))
+    keys = sorted(mapping, key=lambda k: (k in green, green.get(k, 0), pos[k]))
     return {k: mapping[k] for k in keys}
 
 

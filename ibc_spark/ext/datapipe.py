@@ -320,12 +320,21 @@ def quota_per_group(
     ).select("__grp", "__id", "__h")
     # exactness guard: groups where the pre-filter kept fewer than
     # min(k, n) rows fall back to their full row set (re-scan of base is
-    # a map-side broadcast semi join — no extra shuffle of the big side)
+    # a map-side broadcast semi join — no extra shuffle of the big side).
+    # Anchored on `counts` (LEFT JOIN the survivor agg, coalesce to 0) so a
+    # group whose pre-filter kept ZERO rows — absent from `survivors`
+    # entirely, the one tail the guard exists for — still lands in the
+    # shortfall list instead of vanishing from the output.
     short = (
-        survivors.groupBy("__grp")
-        .agg(F.count(F.lit(1)).alias("__s"))
-        .join(counts, "__grp")
-        .where(F.col("__s") < F.least(F.lit(k).cast("long"), F.col("__n")))
+        counts.join(
+            survivors.groupBy("__grp").agg(F.count(F.lit(1)).alias("__s")),
+            "__grp",
+            "left",
+        )
+        .where(
+            F.coalesce(F.col("__s"), F.lit(0))
+            < F.least(F.lit(k).cast("long"), F.col("__n"))
+        )
         .select("__grp")
     )
     pool = survivors.join(F.broadcast(short), "__grp", "left_anti").unionByName(

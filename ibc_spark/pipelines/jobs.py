@@ -137,7 +137,19 @@ def spark_submit_argv(spec: JobSpec) -> list[str]:
     origin = importlib.util.find_spec(spec.entry)
     if origin is None or origin.origin is None:
         raise InvalidFormatError(f"entry module {spec.entry!r} has no source file")
-    repo_root = str(Path(origin.origin).resolve().parents[2])
+    # repo root = the directory CONTAINING the entry's top-level package —
+    # located via the top package's own spec rather than a fixed parents[N]
+    # hop from the entry file (which silently broke for entries not exactly
+    # three levels deep, e.g. `ibc_spark.main` or a deeper subpackage).
+    top = importlib.util.find_spec(spec.entry.split(".")[0])
+    if top is None:
+        raise InvalidFormatError(f"entry module {spec.entry!r} has no top package")
+    if top.submodule_search_locations:
+        repo_root = str(Path(list(top.submodule_search_locations)[0]).resolve().parent)
+    elif top.origin:
+        repo_root = str(Path(top.origin).resolve().parent)
+    else:  # pragma: no cover — namespace package with no locations
+        raise InvalidFormatError(f"cannot locate package root for {spec.entry!r}")
     argv = [
         "env",
         f"PYTHONPATH={repo_root}",

@@ -426,14 +426,6 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_PAIRS = f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM (SELECT vec_id, label, embedding FROM embeddings) a
-    JOIN (SELECT vec_id, label, embedding FROM embeddings) b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {{cos}} >= 0.3
-"""
-
 # Planted-dup fixture INSIDE the real doc-id space (unlike _AUG_SQL, whose
 # planted ids are out-of-corpus): every vec_id ≡ 0 (mod 10) takes its
 # successor's embedding, creating exact-dup pairs (10k, 10k+1) whose cluster
@@ -492,7 +484,8 @@ def _planted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_components",
     oracle=f"""
     WITH RECURSIVE
-    pairs AS ({_COS_PAIRS.format(cos=_cos_sql('a.embedding', 'b.embedding'))}),
+    emb AS ({_PLANT_SQL}),
+    pairs AS ({_PLANTED_PAIRS}),
     sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
     reach(a, b) AS (
       SELECT u, u FROM sym
@@ -505,20 +498,20 @@ def _planted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS via iterative connected components over the
-    embedding-cosine pair graph (ext.graph: min-label propagation,
-    O(log n) self-join iterations, lineage checkpointed). The DuckDB
-    oracle computes the same components with a recursive transitive
-    closure — tractable at oracle scale, quadratic-in-cluster-size at
-    100 TB, which is why the engine iterates instead."""
+    near-dup pair graph (ext.graph: min-label propagation, O(log n)
+    self-join iterations, lineage checkpointed). Candidate pairs come
+    from the UNBLOCKED banded-LSH path over the planted-dup table
+    (`_planted_lsh_pairs`, threshold 0.9) — the same non-quadratic
+    candidate stage the corpus dedup/split entries use; round 5's
+    blocked all-pairs stage at threshold 0.3 was the last quadratic
+    consumer and is gone (plan-asserted: no per-block self-join in the
+    DAG). The DuckDB oracle computes the same components with a
+    recursive transitive closure — tractable at oracle scale,
+    quadratic-in-cluster-size at 100 TB, which is why the engine
+    iterates instead."""
     from ibc_spark.ext.graph import dedup_clusters
 
-    pairs = dedup.embedding_neardup_pairs(
-        read_table(spark, sf_dir, "embeddings"),
-        id_col="vec_id",
-        vec_col="embedding",
-        block_col="label",
-        threshold=0.3,
-    )
+    pairs = _planted_lsh_pairs(spark, sf_dir)
     return dedup_clusters(pairs).select("member_id", "kept_id", "is_kept")
 
 

@@ -189,3 +189,30 @@ def test_job_dry_run_command_actually_executes(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert "updated_rows" in summary
+
+
+def test_spark_submit_pythonpath_independent_of_entry_depth():
+    """The rendered PYTHONPATH must be the directory containing the
+    top-level package for entries at ANY module depth — the old fixed
+    parents[2] hop was only correct for exactly ibc_spark.pipelines.X
+    and silently mis-rendered shallower/deeper entries."""
+    import os
+
+    from ibc_spark.pipelines.jobs import JobSpec, spark_submit_argv
+
+    import ibc_spark
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(ibc_spark.__file__)))
+    for entry in ("ibc_spark.session", "ibc_spark.pipelines.end_semester", "ibc_spark.ext.datapipe"):
+        spec = JobSpec(
+            job="t",
+            entry=entry,
+            environment="dev",
+            master="local[2]",
+            state_dir=None,
+            output=None,
+        )
+        argv = spark_submit_argv(spec)
+        assert argv[1] == f"PYTHONPATH={repo_root}", (entry, argv[1])
+        app = next(a for a in argv if a.endswith(".py"))
+        assert os.path.isfile(app), (entry, app)

@@ -798,3 +798,32 @@ def test_operators_tolerate_empty_input(spark):
     assert (
         assign_contiguous_ids(docs, order_by=["n_chars", "doc_id"]).count() == 0
     )
+
+def test_quota_per_group_zero_survivor_group_not_dropped(spark):
+    """A group whose pre-filter keeps ZERO rows is absent from the survivor
+    frame entirely — the shortfall guard must still detect it (counts LEFT
+    JOIN survivor agg) and re-draw it, not silently drop the group. With
+    k=1, safety=1, n=8 the keep probability per row is 1/8, and groups
+    17/24/31/33 of this fixture deterministically lose every row to the
+    cutoff (asserted below so the test can never go vacuous if the hash
+    family changes)."""
+    from ibc_spark.ext.datapipe import _KNUTH, _KEY_MOD, _MOD, quota_per_group
+
+    n, k = 8, 1
+    rows = [(g * 100 + i, f"g{g}") for g in range(40) for i in range(n)]
+    cutoff = (_MOD * k * 1) // n + 1
+    zero_surv = [
+        g
+        for g in range(40)
+        if all(
+            ((g * 100 + i) % _KEY_MOD * _KNUTH) % _MOD > cutoff for i in range(n)
+        )
+    ]
+    assert zero_surv, "fixture no longer produces a zero-survivor group"
+
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    got = quota_per_group(
+        df, group_col="source", id_col="doc_id", k=k, safety=1
+    ).toPandas()
+    counts = got.groupby("source").size().to_dict()
+    assert counts == {f"g{g}": k for g in range(40)}, counts

@@ -368,3 +368,21 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cluster_components_candidates_banded_not_allpairs(spark):
+    """dedup_cluster_components' candidate stage must be the banded-LSH
+    equi-join over the planted table — not the round-4-flagged per-block
+    all-pairs self-join (quadratic per block). Asserted on the candidate
+    frame itself because connected_components checkpoints eagerly, hiding
+    upstream plan nodes from the entry's final explain."""
+    from ibc_spark.registry_ext import _planted_lsh_pairs
+
+    df = _planted_lsh_pairs(spark, SF_SMOKE)
+    plan = plan_of(df)
+    # banded equi-join on the LSH band key
+    assert "band_sig" in plan, plan
+    # nothing block-wide/quadratic anywhere in the DAG
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the old path blocked on the `label` column; it must not be read at all
+    assert "label" not in plan, plan
