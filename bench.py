@@ -133,6 +133,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "runs_per_query": runs,
+                # medians are COLD since round 5: tracked persists are
+                # released (blocking) + catalog cache cleared between runs.
+                # Rounds 1-4 were partially warm for the cache-heavy dedup
+                # family — flag the methodology so round-over-round deltas
+                # stay interpretable.
+                "methodology": "cold",
             }
         ),
         flush=True,
@@ -150,6 +156,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "runs_per_query": runs,
+                "methodology": "cold",
                 "sum_median_sec": round(sum(t for t in timings.values() if t > 0), 2),
             }
         ),

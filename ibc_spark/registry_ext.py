@@ -2253,3 +2253,183 @@ def lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 additions: embedding quantization, bigram PMI, window navigation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS mx
+      FROM embeddings
+    ), qq AS (
+      SELECT vec_id, embedding, mx,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, round(mx, 6) AS scale,
+           array_to_string(qv, ',') AS quantized,
+           round(list_max(list_transform(list_zip(embedding, qv),
+                 p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * mx / 127.0))), 6) AS max_abs_err
+    FROM qq
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector INT8 quantization of the embedding column —
+    the 4x memory/IO shrink an ANN index wants before serving 100 TB of
+    vectors (FAISS SQ8-style): scale = max|x| (clamped away from 0 for
+    zero vectors), q_i = floor(127·x_i/scale + 0.5), plus the max
+    dequantization error as a per-row quality audit.
+
+    All pure Column expressions over array lambdas (transform/zip_with) —
+    zero shuffle, whole-stage codegen, embarrassingly parallel. floor(+0.5)
+    rather than round() because HALF_UP vs banker's rounding differs
+    across engines while floor is IEEE-exact everywhere; the quantized
+    array is emitted as a joined string so the hash is representation-
+    agnostic (registry convention, see `scalar_split_trim_lower`)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    mx = F.greatest(
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-12),
+    )
+    with_mx = e.select("vec_id", "embedding", mx.alias("mx"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("mx") + F.lit(0.5)).cast("long"),
+    )
+    with_q = with_mx.select("vec_id", "embedding", "mx", qv.alias("qv"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qv"),
+            lambda x, q: F.abs(x.cast("double") - q.cast("double") * F.col("mx") / F.lit(127.0)),
+        )
+    )
+    return with_q.select(
+        "vec_id",
+        F.round(F.col("mx"), 6).alias("scale"),
+        F.array_join(F.transform(F.col("qv"), lambda v: v.cast("string")), ",").alias("quantized"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+@query(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                    i -> {{'w1': toks[i], 'w2': toks[i+1]}}), recursive := true)
+      FROM t
+    ),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    nuni AS (SELECT count(*) AS n FROM uni),
+    bcnt AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    nbig AS (SELECT count(*) AS n FROM big)
+    SELECT b.w1, b.w2, b.c AS pair_count,
+           round(ln((CAST(b.c AS DOUBLE) / nb.n) / ((CAST(u1.c AS DOUBLE) / nu.n) * (CAST(u2.c AS DOUBLE) / nu.n))), 4) AS pmi
+    FROM bcnt b
+    JOIN ucnt u1 ON u1.w = b.w1
+    JOIN ucnt u2 ON u2.w = b.w2
+    CROSS JOIN nbig nb CROSS JOIN nuni nu
+    WHERE b.c >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: top-20 bigrams by PMI (pointwise mutual
+    information, min pair count 5) — the classic phrase-mining /
+    boilerplate-detection statistic (high-PMI pairs are collocations;
+    recurring high-count low-PMI pairs are template noise).
+
+    Plan shape at scale: bigrams come from two shifted array slices
+    zip_with'd per document (narrow), one explode each for bigram and
+    unigram streams, map-side-combining counts on both, then the bigram
+    count frame joins the (vocabulary-sized) unigram counts twice by
+    word — plain equi-joins, skew-bounded by the count>=5 pre-filter
+    pushed BEFORE the joins. The two 1-row totals are broadcast. Final
+    top-20 is orderBy+limit = TakeOrderedAndProject, never a global
+    sort. Ordering key is (rounded pmi desc, w1, w2) in both engines so
+    the cut is deterministic."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(text.tokens(F.col("text")).alias("toks"))
+    npairs = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, npairs),
+        F.slice(F.col("toks"), 2, npairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = t.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    uni = t.select(F.explode("toks").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nuni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    nbig = big.agg(F.count(F.lit(1)).alias("n_big"))
+    joined = (
+        bcnt.where(F.col("pair_count") >= 5)
+        .join(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(nbig))
+        .crossJoin(F.broadcast(nuni))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count").cast("double") / F.col("n_big"))
+            / (
+                (F.col("c1").cast("double") / F.col("n_uni"))
+                * (F.col("c2").cast("double") / F.col("n_uni"))
+            )
+        ),
+        4,
+    )
+    return (
+        joined.select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "window_navigation_suite",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(CASE WHEN o_orderstatus = 'O' THEN o_orderdate END IGNORE NULLS)
+             OVER w AS first_open_date,
+           nth_value(o_orderdate, 3) OVER w AS third_order_date,
+           lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_navigation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window NAVIGATION functions over the per-customer order timeline —
+    the faces of SURVEY §2.7's window family the rank/lag/running entries
+    don't yet pin: FIRST_VALUE ... IGNORE NULLS (first open-order date,
+    skipping non-'O' rows), NTH_VALUE (third order date, NULL until it
+    exists), LAG with an explicit default, and CUME_DIST.
+
+    One window spec, partitioned by customer (shuffle on o_custkey only,
+    parallel across customers — no global window). The ordering key
+    includes the unique o_orderkey, so RANGE-frame peer groups are
+    singletons and both engines' default frames agree exactly."""
+    o = read_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first_value(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_orderdate")), True
+        ).over(w).alias("first_open_date"),
+        F.nth_value("o_orderdate", 3).over(w).alias("third_order_date"),
+        F.lag("o_totalprice", 1, -1.0).over(w).alias("prev_price"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -827,3 +827,21 @@ def test_quota_per_group_zero_survivor_group_not_dropped(spark):
     ).toPandas()
     counts = got.groupby("source").size().to_dict()
     assert counts == {f"g{g}": k for g in range(40)}, counts
+
+def test_embedding_quantize_error_bound(spark):
+    """Symmetric int8 quantization invariants: reconstruction error is
+    bounded by scale/254 (half a quantization step), codes stay in
+    [-127, 127], and scale is positive."""
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    df = QUERIES["embedding_quantize_int8"](spark, SF_SMOKE).toPandas()
+    assert len(df) > 0
+    assert (df["scale"] > 0).all()
+    # both scale and max_abs_err are emitted rounded to 6 decimals (driver
+    # hash convention): the error may round up by 5e-7 and the scale down
+    # by 5e-7 — allow exactly that slack on the scale/254 analytic bound
+    assert (df["max_abs_err"] <= (df["scale"] + 5e-7) / 254 + 5e-7 + 1e-9).all()
+    for q in df["quantized"].head(50):
+        assert all(-127 <= int(v) <= 127 for v in q.split(","))
