@@ -224,3 +224,64 @@ def bucketize(value, buckets) -> Column:
     if chain is None:
         return F.lit(None).cast("string")
     return chain
+
+
+def interval_overlap_grid(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    grid: str = "hour",
+) -> DataFrame:
+    """All (left, right) interval pairs that OVERLAP — the key-free interval
+    join, executed as a grid-bucketed EQUI-join instead of the
+    BroadcastNestedLoopJoin a bare inequality predicate compiles to.
+
+    Pattern (the manual form of Databricks' range-join optimization): each
+    interval explodes into the ``grid`` cells it covers (an interval
+    overlapping at instant t puts BOTH sides in t's cell, so no overlap can
+    be missed); the two cell streams hash-equi-join on the cell, the exact
+    predicate ``l.start <= r.end AND r.start <= l.end`` filters
+    false-positive cell-mates, and duplicates from pairs sharing several
+    cells collapse with one distinct.
+
+    Scale posture: candidate volume is Σ_cell |L_cell|·|R_cell| — grid
+    granularity is the dial (finer grid → fewer pairs per cell but wider
+    explodes; pick it near the median interval length). Unlike the naive
+    plan it is shuffle-partitioned by cell and proportional to temporal
+    DENSITY, not |L|·|R|. A key-free interval join's true output is itself
+    Ω(density), so this is within a constant of optimal; when a join key
+    exists, put it in the equi-key alongside the cell instead.
+
+    Requirements: left/right column names must be disjoint, and each
+    side's rows must be distinct (the final dedup is over all columns).
+    Interval ends are inclusive and must satisfy start <= end.
+    """
+    lcell = F.explode(
+        F.sequence(
+            F.date_trunc(grid, F.col(left_start)),
+            F.date_trunc(grid, F.col(left_end)),
+            F.expr(f"interval 1 {grid}"),
+        )
+    ).alias("__cell")
+    rcell = F.explode(
+        F.sequence(
+            F.date_trunc(grid, F.col(right_start)),
+            F.date_trunc(grid, F.col(right_end)),
+            F.expr(f"interval 1 {grid}"),
+        )
+    ).alias("__cell")
+    l = left.select("*", lcell)
+    r = right.select("*", rcell)
+    return (
+        l.join(r, on="__cell")
+        .where(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+        )
+        .drop("__cell")
+        .dropDuplicates()
+    )

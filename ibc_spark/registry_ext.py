@@ -2433,3 +2433,73 @@ def window_navigation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_totalprice", 1, -1.0).over(w).alias("prev_price"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "interval_overlap_sessions",
+    oracle="""
+    WITH cs AS (
+      SELECT user_id AS ua, CAST(ts AS DATE) AS d, min(ts) AS cs_s, max(ts) AS cs_e
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    ps AS (
+      SELECT user_id AS ub, CAST(ts AS DATE) AS d2, min(ts) AS ps_s, max(ts) AS ps_e
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT cs.ua, cs.d,
+             epoch_us(least(cs.cs_e, ps.ps_e)) - epoch_us(greatest(cs.cs_s, ps.ps_s)) AS ov_us
+      FROM cs JOIN ps ON cs.cs_s <= ps.ps_e AND ps.ps_s <= cs.cs_e
+    )
+    SELECT ua AS user_id, d AS day, count(*) AS n_overlaps,
+           CAST(sum(ov_us) AS BIGINT) AS total_overlap_us
+    FROM pairs GROUP BY ua, d
+    """,
+)
+def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-FREE interval-overlap join: per click-session (user×day span of
+    clicks), how many purchase-sessions — of ANY user — overlap it in
+    time, and the summed overlap (co-activity analysis: ad-exposure
+    windows, incident blast radius, concurrent-session pricing).
+
+    The inequality-only predicate would compile to a
+    BroadcastNestedLoopJoin (per-row interpreted, O(|L|·|R|)); instead
+    sessions explode into the hour cells they cover and hash-equi-join ON
+    THE CELL (`ops.analytics.interval_overlap_grid`), with the exact
+    overlap predicate as a post-filter and a distinct collapsing
+    multi-cell pairs — candidate volume tracks temporal density, not the
+    row-count product, and the join shuffle-partitions by cell. The
+    DuckDB oracle runs the naive inequality join (fine at oracle SF)."""
+    from ibc_spark.ops.analytics import interval_overlap_grid
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def sess(etype: str, uid: str, day: str, s: str, e: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy(F.col("user_id").alias(uid), F.to_date("ts").alias(day))
+            .agg(F.min("ts").alias(s), F.max("ts").alias(e))
+        )
+
+    cs = sess("click", "ua", "d", "cs_s", "cs_e")
+    ps = sess("purchase", "ub", "d2", "ps_s", "ps_e")
+    pairs = interval_overlap_grid(
+        cs,
+        ps,
+        left_start="cs_s",
+        left_end="cs_e",
+        right_start="ps_s",
+        right_end="ps_e",
+        grid="hour",
+    )
+    ov = F.unix_micros(F.least(F.col("cs_e"), F.col("ps_e"))) - F.unix_micros(
+        F.greatest(F.col("cs_s"), F.col("ps_s"))
+    )
+    return (
+        pairs.withColumn("ov_us", ov)
+        .groupBy(F.col("ua").alias("user_id"), F.col("d").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum("ov_us").alias("total_overlap_us"),
+        )
+    )

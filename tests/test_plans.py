@@ -386,3 +386,19 @@ def test_cluster_components_candidates_banded_not_allpairs(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # the old path blocked on the `label` column; it must not be read at all
     assert "label" not in plan, plan
+
+
+def test_interval_overlap_is_grid_equi_join_not_bnlj(spark):
+    """The key-free interval-overlap join must run as a hash/merge
+    equi-join on the exploded grid cell — never the
+    BroadcastNestedLoopJoin a bare inequality predicate compiles to."""
+    df = QUERIES["interval_overlap_sessions"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    equi = (
+        n_nodes(plan, "SortMergeJoin")
+        + n_nodes(plan, "ShuffledHashJoin")
+        + n_nodes(plan, "BroadcastHashJoin")
+    )
+    assert equi >= 1, plan
