@@ -71,12 +71,35 @@ _FORCE_RECHECK: set[str] = {
 }
 
 
+# Entries ADDED this round, deferred to the NEXT round's snapshot so the
+# 50-entry driver window can spend its slots on the stale re-attestation
+# backlog (VERDICT r5 #1 asks for ≥40 entries whose last row is r3-).
+# They are fully hash-checked by the STRICTER local parity suite every
+# pytest run (tests/test_oracle_parity.py); clear this set next round.
+_DEFER_TO_NEXT_ROUND: set[str] = {
+    "embedding_quantize_int8",
+    "text_bigram_pmi",
+    "window_navigation_suite",
+    "interval_overlap_sessions",
+}
+
+
 def _ordered(mapping: dict) -> dict:
     green = _last_green_round()
-    for name in _FORCE_RECHECK:
-        green.pop(name, None)  # forced entries sort with the never-checked
     pos = {k: i for i, k in enumerate(mapping)}
-    keys = sorted(mapping, key=lambda k: (k in green, green.get(k, 0), pos[k]))
+
+    def sort_key(k: str):
+        if k in _FORCE_RECHECK:
+            bucket = 0  # semantics changed / sibling pairing — attest first
+        elif k in _DEFER_TO_NEXT_ROUND:
+            bucket = 3  # new this round, parity-proven locally — next round
+        elif k not in green:
+            bucket = 1  # rows-only family (never acquires a green row) + new
+        else:
+            bucket = 2  # previously green: drain oldest-first
+        return (bucket, green.get(k, 0), pos[k])
+
+    keys = sorted(mapping, key=sort_key)
     return {k: mapping[k] for k in keys}
 
 
