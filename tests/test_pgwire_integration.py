@@ -190,3 +190,60 @@ def test_dbapi_upsert_real_pg_conflict_without_quarantine_raises_e001(spark, pg_
             paramstyle="format",
         )
     assert "E001" in str(exc.value)
+
+
+def test_pgwire_parallel_read_round_trip(spark, pg_port):
+    """The dim-snapshot READ face (SURVEY S3's partitioned JDBC shape)
+    against the real server: 100 rows written via the sink come back
+    through a 4-slice executor-parallel scan with types restored, and the
+    slice predicate covers the range exactly once (no dropped or doubled
+    boundary rows)."""
+    from ibc_spark.io_.sinks import dbapi_upsert
+    from ibc_spark.io_.sources import pgwire_parallel_read
+
+    setup = _connect(pg_port)
+    cur = setup.cursor()
+    cur.execute(
+        "CREATE TABLE dim_src (id int PRIMARY KEY, name text, val float8, flag boolean)"
+    )
+    setup.commit()
+    setup.close()
+
+    rows = [(i, f"n{i}", i / 4.0, i % 3 == 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, name string, val double, flag boolean")
+    port = pg_port
+
+    def factory():
+        from ibc_spark.io_.pgwire import connect
+
+        return connect(port=port)
+
+    dbapi_upsert(
+        df, table="dim_src", key_cols="id", connection_factory=factory, paramstyle="format"
+    )
+
+    back = pgwire_parallel_read(
+        spark,
+        table="dim_src",
+        schema="id long, name string, val double, flag boolean",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=99,
+        num_partitions=4,
+        port=pg_port,
+    )
+    got = sorted((r["id"], r["name"], r["val"], r["flag"]) for r in back.collect())
+    assert got == [(i, f"n{i}", i / 4.0, i % 3 == 0) for i in range(100)]
+    # filtered read pushes the residual predicate into the per-slice SQL
+    filtered = pgwire_parallel_read(
+        spark,
+        table="dim_src",
+        schema="id long, val double",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=99,
+        num_partitions=3,
+        port=pg_port,
+        where="val >= 20.0",
+    )
+    assert filtered.count() == sum(1 for i in range(100) if i / 4.0 >= 20.0)
