@@ -247,3 +247,81 @@ def test_pgwire_parallel_read_round_trip(spark, pg_port):
         where="val >= 20.0",
     )
     assert filtered.count() == sum(1 for i in range(100) if i / 4.0 >= 20.0)
+
+
+def _pg_type(simple: str) -> str:
+    if simple == "bigint":
+        return "bigint"
+    if simple in ("int", "integer"):
+        return "integer"
+    if simple == "boolean":
+        return "boolean"
+    if simple == "double":
+        return "float8"
+    return "text"
+
+
+def test_staffing_roster_pipeline_end_to_end_into_real_postgres(spark, pg_port):
+    """Reference-parity E2E: the E1 staffing-roster pipeline's merged
+    states land in a REAL Postgres through the keyed-upsert sink — the
+    exact deployment shape of the reference (sheet → transform → pg
+    upserts, `staffing-roster-pipeline.py:226-310`) — and replaying the
+    same batch leaves the database unchanged (idempotent MERGE, the
+    engine's improvement over the reference's rollback-all semantics)."""
+    from tests import fixtures
+
+    from ibc_spark.io_.sinks import dbapi_upsert
+    from ibc_spark.pipelines import staffing_roster
+
+    res = staffing_roster.run(
+        fixtures.roster_df(spark),
+        fixtures.users_state(spark),
+        fixtures.consultants_state(spark),
+    )
+    users, consultants = res.users.cache(), res.consultants.cache()
+
+    setup = _connect(pg_port)
+    cur = setup.cursor()
+    ucols = ", ".join(
+        f'"{f.name}" {_pg_type(f.dataType.simpleString())}' for f in users.schema.fields
+    )
+    ccols = ", ".join(
+        f'"{f.name}" {_pg_type(f.dataType.simpleString())}'
+        for f in consultants.schema.fields
+    )
+    cur.execute(f'CREATE TABLE pipe_users ({ucols}, UNIQUE ("email"))')
+    cur.execute(f'CREATE TABLE pipe_consultants ({ccols}, UNIQUE ("user_id"))')
+    setup.commit()
+    setup.close()
+
+    port = pg_port
+
+    def factory():
+        from ibc_spark.io_.pgwire import connect
+
+        return connect(port=port)
+
+    for _replay in range(2):  # second pass must be a no-op (idempotent MERGE)
+        dbapi_upsert(
+            users, table="pipe_users", key_cols="email",
+            connection_factory=factory, paramstyle="format",
+        )
+        dbapi_upsert(
+            consultants, table="pipe_consultants", key_cols="user_id",
+            connection_factory=factory, paramstyle="format",
+        )
+
+    check = _connect(pg_port)
+    cur = check.cursor()
+    cur.execute("SELECT count(*) FROM pipe_users")
+    assert cur.fetchall() == [(str(users.count()),)]
+    cur.execute("SELECT count(*) FROM pipe_consultants")
+    assert cur.fetchall() == [(str(consultants.count()),)]
+    # the duplicate-email row's later values won before the merge, and the
+    # existing user bob@x.edu took the sheet's update in the database
+    cur.execute("SELECT name FROM pipe_users WHERE email = %s", ("bob@x.edu",))
+    assert cur.fetchall() == [("Bob Old",)]
+    check.commit()
+    check.close()
+    users.unpersist()
+    consultants.unpersist()
