@@ -233,3 +233,48 @@ def test_recursive_cte_matches_duckdb(spark, duck):
     want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
     assert got == [(n, int(v)) for n, v in want]
     assert got[29] == (30, 514229)
+
+
+def test_interval_overlap_grid_equals_naive_join(spark):
+    """The grid-bucketed interval-overlap join must return EXACTLY the
+    naive inequality-join pair set on a seeded random fixture that
+    includes zero-length intervals, intervals exactly touching grid-cell
+    boundaries, and multi-cell spans (the dedup path)."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ibc_spark.ops.analytics import interval_overlap_grid
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1)
+
+    def mk(n, prefix):
+        rows = []
+        for i in range(n):
+            start = base + dt.timedelta(minutes=rng.randrange(0, 48 * 60))
+            # mix: zero-length, sub-hour, multi-hour; some aligned to :00
+            dur = rng.choice([0, 1, 17, 59, 60, 61, 179])
+            if rng.random() < 0.3:
+                start = start.replace(minute=0, second=0)
+            rows.append((f"{prefix}{i}", start, start + dt.timedelta(minutes=dur)))
+        return rows
+
+    l = spark.createDataFrame(mk(80, "L"), "lid string, ls timestamp, le timestamp")
+    r = spark.createDataFrame(mk(80, "R"), "rid string, rs timestamp, re timestamp")
+
+    got = {
+        (x["lid"], x["rid"])
+        for x in interval_overlap_grid(
+            l, r, left_start="ls", left_end="le", right_start="rs", right_end="re"
+        ).collect()
+    }
+    naive = {
+        (x["lid"], x["rid"])
+        for x in l.crossJoin(r)
+        .where((F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")))
+        .collect()
+    }
+    assert naive  # non-vacuous
+    assert got == naive
