@@ -81,6 +81,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "text_bigram_pmi",
     "window_navigation_suite",
     "interval_overlap_sessions",
+    "lm_bigram_logprob",
 }
 
 

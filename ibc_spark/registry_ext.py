@@ -2503,3 +2503,73 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ov_us").alias("total_overlap_us"),
         )
     )
+
+
+@query(
+    "lm_bigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                    i -> {{'w1': toks[i], 'w2': toks[i+1]}}), recursive := true)
+      FROM t
+    ),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    vocab AS (SELECT count(*) AS v FROM ucnt),
+    bcnt AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((bc.c + 1.0) / (uc.c + vocab.v))), 4) AS avg_logprob
+    FROM big b
+    JOIN bcnt bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    JOIN ucnt uc ON uc.w = b.w1
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+)
+def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model QUALITY SCORE per document: mean bigram conditional
+    log-probability under the corpus's own add-one-smoothed MLE — the
+    perplexity-filter shape (CCNet/KenLM-style) pretraining pipelines use
+    to rank fluent text above gibberish/boilerplate, self-contained (the
+    corpus is its own model, no external LM artifact).
+
+    score(d) = mean over d's bigrams of ln((c(w1,w2)+1) / (c(w1)+V)).
+
+    Plan shape: the bigram stream (shifted-slice zip_with, as in
+    `text_bigram_pmi`) is both the model-estimation input (two map-side-
+    combining counts) and the scoring input (two equi-joins back by word
+    pair/word — vocabulary-keyed shuffles, skew-bounded by Zipf's law at
+    the partial-agg stage); the 1-row vocab size broadcasts. Docs with
+    fewer than two tokens have no bigrams and drop out (inner-join
+    semantics, mirrored by the oracle). Division operands are exact
+    integers-to-double on both engines, so the single ln per bigram is
+    the only float op before the defensive ROUND."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", text.tokens(F.col("text")).alias("toks"))
+    npairs = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, npairs),
+        F.slice(F.col("toks"), 2, npairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = t.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    uni = t.select(F.explode("toks").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    vocab = ucnt.agg(F.count(F.lit(1)).alias("v"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    scored = (
+        big.join(bcnt, ["w1", "w2"])
+        .join(ucnt.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(F.log((F.col("c_xy") + F.lit(1.0)) / (F.col("c_w1") + F.col("v")))), 4
+        ).alias("avg_logprob"),
+    )
