@@ -69,3 +69,41 @@ def run_merge_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def foreach_batch_db_upsert(
+    *,
+    table: str,
+    key_cols: str | list[str],
+    connection_factory: Callable,
+    paramstyle: str = "format",
+    batch_size: int = 500,
+    quarantine_table: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body that lands each micro-batch in a DB-API
+    database through the keyed-upsert sink — the streaming face of the
+    reference's Postgres writes. ``foreachBatch`` delivers batches
+    at-least-once (a failed/replayed batch re-runs whole); because
+    :func:`ibc_spark.io_.sinks.dbapi_upsert` is an idempotent keyed MERGE
+    (INSERT .. ON CONFLICT DO UPDATE), replays converge to the same
+    database state — effectively exactly-once for the keyed tables.
+    Quarantine INSERTs remain at-least-once (see ``dbapi_upsert``'s
+    contract); dedupe downstream if exact quarantine accounting matters.
+
+    Proven against a REAL Postgres in ``tests/test_pgwire_integration.py``
+    (availableNow run + a from-scratch checkpoint replay leaving the
+    database unchanged)."""
+    from ibc_spark.io_.sinks import dbapi_upsert
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        dbapi_upsert(
+            batch_df,
+            table=table,
+            key_cols=key_cols,
+            connection_factory=connection_factory,
+            paramstyle=paramstyle,
+            batch_size=batch_size,
+            quarantine_table=quarantine_table,
+        )
+
+    return body

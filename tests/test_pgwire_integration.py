@@ -325,3 +325,60 @@ def test_staffing_roster_pipeline_end_to_end_into_real_postgres(spark, pg_port):
     check.close()
     users.unpersist()
     consultants.unpersist()
+
+
+def test_streaming_foreach_batch_upsert_into_real_postgres(spark, pg_port):
+    """Streaming face of the Postgres sink: an availableNow events stream
+    lands micro-batches in the real server via the keyed upsert inside
+    foreachBatch, matches the batch face row-for-row, and a from-scratch
+    checkpoint replay (at-least-once delivery, idempotent MERGE) leaves
+    the database unchanged."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from ibc_spark.streaming.merge_sink import foreach_batch_db_upsert
+    from ibc_spark.streaming.sources import batch_events, read_events_stream
+
+    setup = _connect(pg_port)
+    cur = setup.cursor()
+    cur.execute(
+        "CREATE TABLE ev_sink (event_id bigint PRIMARY KEY, user_id bigint, "
+        "event_type text, value float8)"
+    )
+    setup.commit()
+    setup.close()
+
+    port = pg_port
+
+    def factory():
+        from ibc_spark.io_.pgwire import connect
+
+        return connect(port=port)
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    body = foreach_batch_db_upsert(
+        table="ev_sink", key_cols="event_id", connection_factory=factory
+    )
+    for _replay in range(2):  # fresh checkpoint each pass = full replay
+        with tf.TemporaryDirectory() as ckpt:
+            stream = read_events_stream(spark, SF_SMOKE).select(*cols)
+            q = (
+                stream.writeStream.foreachBatch(body)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    expected = batch_events(spark, SF_SMOKE).select(*cols)
+    n = expected.count()
+    check = _connect(pg_port)
+    cur = check.cursor()
+    cur.execute("SELECT count(*) FROM ev_sink")
+    assert cur.fetchall() == [(str(n),)]
+    cur.execute("SELECT user_id, event_type FROM ev_sink WHERE event_id = %s", (1,))
+    want = expected.where(F.col("event_id") == 1).collect()[0]
+    assert cur.fetchall() == [(str(want["user_id"]), want["event_type"])]
+    check.commit()
+    check.close()
