@@ -402,3 +402,20 @@ def test_interval_overlap_is_grid_equi_join_not_bnlj(spark):
         + n_nodes(plan, "BroadcastHashJoin")
     )
     assert equi >= 1, plan
+
+
+def test_bigram_pmi_top20_is_take_ordered(spark):
+    """The PMI top-20 must compile to TakeOrderedAndProject (per-partition
+    heads merged on the driver), never a global Sort of the full bigram
+    count frame."""
+    df = QUERIES["text_bigram_pmi"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1, plan
+    # the two BroadcastNestedLoopJoins are the 1-row totals (n_big/n_uni)
+    # scalar broadcasts — correct; the vocab joins must stay hash equi-joins
+    assert (
+        n_nodes(plan, "BroadcastHashJoin")
+        + n_nodes(plan, "SortMergeJoin")
+        + n_nodes(plan, "ShuffledHashJoin")
+        >= 2
+    ), plan
