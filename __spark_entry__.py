@@ -82,6 +82,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "window_navigation_suite",
     "interval_overlap_sessions",
     "lm_bigram_logprob",
+    "sketch_exact_stats",
 }
 
 

@@ -2573,3 +2573,31 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.log((F.col("c_xy") + F.lit(1.0)) / (F.col("c_w1") + F.col("v")))), 4
         ).alias("avg_logprob"),
     )
+
+
+@query(
+    "sketch_exact_stats",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           round(quantile_cont(value, 0.5), 6) AS value_p50,
+           round(quantile_cont(value, 0.95), 6) AS value_p95,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sibling of `approx_sketch_stats`: the same per-event-type
+    profile computed with exact distinct counts and exact interpolated
+    percentiles — the oracle anchor that lets the approximate family's
+    rows-only waiver cite a same-shape, same-snapshot exact entry (both
+    engines use the standard linear-interpolation quantile, so values
+    hash-match after the defensive round). At 100 TB you run the sketch
+    entry; this one is the audit tool for bounded slices."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("value_p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -382,3 +382,45 @@ def test_streaming_foreach_batch_upsert_into_real_postgres(spark, pg_port):
     assert cur.fetchall() == [(str(want["user_id"]), want["event_type"])]
     check.commit()
     check.close()
+
+
+def test_pgwire_literal_escaping_round_trip(pg_port):
+    """Adversarial literal round trip: quotes, doubled quotes, backslashes
+    (standard_conforming_strings semantics), unicode, newlines, bytes, and
+    NULL must come back intact; a NUL byte is rejected client-side."""
+    from ibc_spark.io_.pgwire import PgWireError  # noqa: F401
+
+    conn = _connect(pg_port)
+    cur = conn.cursor()
+    cur.execute("CREATE TABLE lit_t (id int PRIMARY KEY, v text, b bytea)")
+    nasty = [
+        "it's",
+        "two''quotes",
+        "back\\slash \\' trick",
+        "unié中\U0001f600",
+        "line1\nline2\ttab",
+        "%s placeholder-looking",
+        "",
+    ]
+    for i, s in enumerate(nasty):
+        cur.execute("INSERT INTO lit_t VALUES (%s, %s, %s)", (i, s, s.encode()))
+    cur.execute("INSERT INTO lit_t VALUES (%s, %s, %s)", (99, None, None))
+    conn.commit()
+    cur.execute("SELECT id, v FROM lit_t WHERE id < 90 ORDER BY id")
+    got = [v for _, v in cur.fetchall()]
+    assert got == nasty
+    cur.execute("SELECT v, b FROM lit_t WHERE id = 99")
+    assert cur.fetchall() == [(None, None)]
+    # bytea round trip (hex wire format in, escape-decode out)
+    cur.execute("SELECT encode(b, 'escape') FROM lit_t WHERE id = 0")
+    assert cur.fetchall() == [("it's",)]
+    conn.commit()
+    conn.close()
+
+    import pytest as _pytest
+
+    conn = _connect(pg_port)
+    cur = conn.cursor()
+    with _pytest.raises(ValueError):
+        cur.execute("SELECT %s", ("nul\x00byte",))
+    conn.close()
