@@ -53,14 +53,136 @@ def attach_binary(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """The real-codec seam. Container has no imaging libraries — decoding is
-    intentionally unimplemented; callers use :func:`extract_features`'s
-    deterministic fake path for plumbing tests."""
+def encode_ppm(arr) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6) — the test-side
+    twin of :func:`decode_image`'s PPM path."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) uint8 array")
+    h, w = a.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def _decode_ppm(payload: bytes):
+    """P6 header = ASCII tokens (magic, width, height, maxval) separated by
+    whitespace, '#' comments allowed, one whitespace byte before the raw
+    RGB plane."""
+    import numpy as np
+
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    pos += 1  # single whitespace after maxval
+    plane = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return plane.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BMP: little-endian header fields, rows padded to
+    4 bytes, stored bottom-up (top-down when height is negative), BGR
+    order."""
+    import struct
+
+    import numpy as np
+
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return (img[::-1] if flip else img).copy()
+
+
+def decode_image(payload: bytes):
+    """Decode a media payload into an (H, W, 3) uint8 numpy array.
+
+    REAL pure-numpy decoders for the uncompressed container formats (PPM
+    P6 and 24-bit BMP) — no imaging library needed; the
+    ``NotImplementedError`` seam now covers only COMPRESSED codecs
+    (JPEG/PNG/WebP/...), where Pillow/torchvision would plug in. This is
+    the honest split: byte-layout parsing is pure numpy; entropy-coded
+    decompression is not worth reimplementing."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; plug Pillow/torchvision in here"
+        "compressed image codecs (JPEG/PNG/...) require an imaging library "
+        "not present in this environment; PPM(P6) and 24-bit BMP decode "
+        "natively"
     )
+
+
+def resize_nearest(arr, *, width: int, height: int):
+    """Nearest-neighbor resample of an (H, W, C) array via integer index
+    maps — the numpy form of the classic box-free resize (deterministic,
+    no interpolation kernel)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    h, w = a.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return a[rows][:, cols].copy()
+
+
+def image_channel_stats(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """REAL decode pipeline over the binary column: parse each payload with
+    :func:`decode_image` and emit (doc_id, width, height, per-channel mean)
+    — Arrow-batched ``mapInPandas``, the exact production shape with the
+    stub removed for uncompressed formats. Undecodable payloads yield a
+    NULL row (errors-as-data, engine convention)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+        ]
+    )
+
+    def _stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    img = decode_image(bytes(payload))
+                    m = img.reshape(-1, 3).mean(axis=0)
+                    out.append(
+                        (doc_id, img.shape[1], img.shape[0], float(m[0]), float(m[1]), float(m[2]))
+                    )
+                except Exception:  # undecodable → NULL row, never a failed task
+                    out.append((doc_id, None, None, None, None, None))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return df.mapInPandas(_stats, schema)
 
 
 def extract_features(df: DataFrame, *, dim: int = 8) -> DataFrame:

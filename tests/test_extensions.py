@@ -157,10 +157,77 @@ def test_ivf_topk_recall_vs_bruteforce(spark, emb):
 
 
 def test_multimodal_decode_stub_is_loud():
+    """Compressed codecs stay a loud seam; uncompressed formats decode."""
     from ibc_spark.ext.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_multimodal_ppm_round_trip_and_resize():
+    """REAL codec path: PPM(P6) encode->decode is the identity, a BMP
+    synthesized by hand (bottom-up, padded rows, BGR) decodes to the same
+    pixels, and nearest-neighbor resize picks exactly the expected
+    indices."""
+    import struct
+
+    import numpy as np
+
+    from ibc_spark.ext.multimodal import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(img)) == img).all()
+
+    # comment + multi-whitespace header variant
+    ppm = b"P6 # comment\n" + b"7 5\n255\n" + img.tobytes()
+    assert (decode_image(ppm) == img).all()
+
+    # hand-rolled 24-bit BMP of the same pixels
+    h, w = img.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixel_data = b"".join(rows)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    )
+    assert (decode_image(header + pixel_data) == img).all()
+
+    small = resize_nearest(img, width=3, height=2)
+    rows_idx = (np.arange(2) * h) // 2
+    cols_idx = (np.arange(3) * w) // 3
+    assert (small == img[rows_idx][:, cols_idx]).all()
+
+
+def test_multimodal_image_channel_stats_real_decode(spark):
+    """End-to-end Spark pipeline over REAL encoded images: per-channel
+    means match numpy exactly; an undecodable payload becomes a NULL row
+    (errors-as-data), not a failed task."""
+    import numpy as np
+
+    from ibc_spark.ext.multimodal import encode_ppm, image_channel_stats
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, size=(4 + i, 6, 3), dtype=np.uint8) for i in range(3)}
+    rows = [(i, bytearray(encode_ppm(img))) for i, img in imgs.items()]
+    rows.append((99, bytearray(b"\x89PNG not decodable")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_channel_stats(df).collect()}
+    assert got[99]["width"] is None and got[99]["mean_r"] is None
+    for i, img in imgs.items():
+        m = img.reshape(-1, 3).mean(axis=0)
+        assert got[i]["width"] == 6 and got[i]["height"] == 4 + i
+        assert abs(got[i]["mean_r"] - m[0]) < 1e-9
+        assert abs(got[i]["mean_b"] - m[2]) < 1e-9
 
 
 def test_multimodal_batch_shapes(spark, docs):
