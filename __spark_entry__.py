@@ -83,6 +83,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "interval_overlap_sessions",
     "lm_bigram_logprob",
     "sketch_exact_stats",
+    "multimodal_image_roundtrip_stats",
 }
 
 

@@ -2601,3 +2601,59 @@ def sketch_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("value_p95"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "multimodal_image_roundtrip_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT vec_id,
+             list_transform(embedding[1:48],
+               x -> floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127.0 + 128.0)) AS p
+      FROM embeddings
+    )
+    SELECT vec_id, 4 AS width, 4 AS height,
+           round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 1])")} / 16.0, 6) AS mean_r,
+           round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 2])")} / 16.0, 6) AS mean_g,
+           round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 3])")} / 16.0, 6) AS mean_b
+    FROM px
+    """,
+)
+def multimodal_image_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED real-codec round trip: each embedding's first 48
+    values quantize to a 4×4 RGB image, ENCODE to a real PPM(P6) payload,
+    DECODE back through `ext.multimodal.decode_image`, and reduce to
+    per-channel means — while the DuckDB oracle computes the same means
+    directly from the raw numbers, never seeing an image. A hash match
+    therefore proves the encode→decode loop is the identity on every row
+    (the strongest check a binary codec path can get from a SQL oracle).
+    Arrow-batched mapInPandas; pixel ints are exact in doubles, so the
+    mean is an exact rational before the defensive round."""
+    import numpy as np
+    import pandas as pd
+
+    from ibc_spark.ext.multimodal import decode_image, encode_ppm
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    schema = (
+        "vec_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            out = []
+            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
+                vals = np.asarray(emb[:48], dtype=np.float64)
+                px = np.floor(np.clip(vals, -1.0, 1.0) * 127.0 + 128.0).astype(np.uint8)
+                img = px.reshape(4, 4, 3)
+                decoded = decode_image(encode_ppm(img))
+                m = decoded.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                out.append(
+                    (int(vec_id), 4, 4, round(m[0], 6), round(m[1], 6), round(m[2], 6))
+                )
+            yield pd.DataFrame(
+                out, columns=["vec_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return e.mapInPandas(_roundtrip, schema)
