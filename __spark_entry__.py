@@ -84,6 +84,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "lm_bigram_logprob",
     "sketch_exact_stats",
     "multimodal_image_roundtrip_stats",
+    "corpus_datacard",
 }
 
 

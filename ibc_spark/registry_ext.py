@@ -2657,3 +2657,49 @@ def multimodal_image_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFr
             )
 
     return e.mapInPandas(_roundtrip, schema)
+
+
+@query(
+    "corpus_datacard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, lang, source, n_chars, len({_TOKS}) AS n_toks
+               FROM documents)
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           round(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) / count(*), 6) AS pct_en,
+           round(CAST(sum(n_toks) AS DOUBLE) / count(*), 6) AS avg_doc_tokens,
+           CAST(median(n_chars) AS DOUBLE) AS p50_chars,
+           round(1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE) / count(*), 6) AS dup_rate
+    FROM t
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus DATA CARD: the headline numbers a dataset release
+    documents (docs, tokens, language/source diversity, English share,
+    exact median length, exact content-hash dup rate) in ONE scan and one
+    aggregation.
+
+    The three exact COUNT(DISTINCT)s expand the single agg 3× — fine for
+    a release-time audit; the 100 TB every-run variant swaps them for the
+    mergeable sketches (`sketch_hll_mergeable`) and the exact median for
+    `percentile_approx`, trading bounded error for no expand. Exact here
+    so the oracle pins every value."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "source", "n_chars", "text", text.token_count("text").alias("n_toks")
+    )
+    n = F.count(F.lit(1))
+    return t.agg(
+        n.alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.round(F.count_if(F.col("lang") == "en").cast("double") / n, 6).alias("pct_en"),
+        F.round(F.sum("n_toks").cast("double") / n, 6).alias("avg_doc_tokens"),
+        F.median("n_chars").cast("double").alias("p50_chars"),
+        F.round(
+            F.lit(1.0) - F.count_distinct(F.sha2("text", 256)).cast("double") / n, 6
+        ).alias("dup_rate"),
+    )
