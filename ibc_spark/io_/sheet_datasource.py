@@ -35,7 +35,12 @@ from __future__ import annotations
 from typing import Iterator
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _DEFAULT_TIMEOUT = 10.0
 
@@ -74,6 +79,15 @@ class SheetDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "SheetReader":
         return SheetReader(schema, self._url(), self._timeout())
 
+    def simpleStreamReader(self, schema: T.StructType) -> "SheetStreamReader":
+        """``spark.readStream.format("sheet")`` — incremental sheet
+        polling. Each micro-batch re-fetches the sheet and emits only the
+        rows PAST the committed offset (sheets are append-mostly; edits of
+        already-consumed rows are the upsert sink's job downstream). The
+        offset is the consumed row count — trivially monotone, checkpoint-
+        replayable via ``readBetweenOffsets``."""
+        return SheetStreamReader(schema, self._url(), self._timeout())
+
 
 class SheetReader(DataSourceReader):
     def __init__(self, schema: T.StructType, url: str, timeout: float) -> None:
@@ -97,3 +111,39 @@ class SheetReader(DataSourceReader):
                 (str(v) if name in strings and v is not None else v)
                 for name, v in ((n, row.get(n)) for n in names)
             )
+
+
+class SheetStreamReader(SimpleDataSourceStreamReader):
+    """Offset = {"n": rows consumed}. ``read`` fetches the whole sheet
+    (driver-scale payload, same contract as the batch face) and emits the
+    tail past the start offset; ``readBetweenOffsets`` replays an exact
+    [start, end) slice after a checkpoint recovery. A sheet that SHRANK
+    below the committed offset emits nothing rather than guessing at a
+    rewind (loud in the logs downstream when counts stall)."""
+
+    def __init__(self, schema: T.StructType, url: str, timeout: float) -> None:
+        self._schema = schema
+        self._url = url
+        self._timeout = timeout
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def _rows(self) -> list[tuple]:
+        from ibc_spark.io_.sources import fetch_sheet_rows
+
+        rows = fetch_sheet_rows(self._url, timeout=self._timeout)
+        names = [f.name for f in self._schema.fields]
+        return [
+            tuple(None if row.get(n) is None else str(row.get(n)) for n in names)
+            for row in rows
+        ]
+
+    def read(self, start: dict) -> tuple:
+        rows = self._rows()
+        lo = int(start.get("n", 0))
+        return iter(rows[lo:]), {"n": max(len(rows), lo)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        rows = self._rows()
+        return iter(rows[int(start.get("n", 0)) : int(end.get("n", 0))])

@@ -165,3 +165,45 @@ def test_sheet_datasource_bad_payload_is_e003(spark, tmp_path):
     spark.dataSource.register(SheetDataSource)
     with pytest.raises(Exception, match=r"E003.*JSON array of row objects"):
         spark.read.format("sheet").option("url", url).load()  # schema() fetch
+
+
+def test_sheet_streaming_source_incremental(spark, tmp_path):
+    """spark.readStream.format("sheet"): the streaming face of the sheet
+    boundary polls the same URL and emits ONLY rows past the committed
+    offset — run 1 lands the initial 5 rows, appending 3 to the sheet and
+    re-running on the same checkpoint lands exactly the 3 new ones (no
+    re-reads, no duplicates)."""
+    import json
+
+    from ibc_spark.io_.sheet_datasource import SheetDataSource
+
+    spark.dataSource.register(SheetDataSource)
+    sheet = tmp_path / "sheet.json"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rows1 = [{"Name": f"u{i}", "Email": f"u{i}@x.edu"} for i in range(5)]
+    sheet.write_text(json.dumps(rows1))
+    url = f"file://{sheet}"
+
+    def run_once():
+        q = (
+            spark.readStream.format("sheet")
+            .schema("Name string, Email string")
+            .option("url", url)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 5
+
+    rows2 = [{"Name": f"n{i}", "Email": f"n{i}@x.edu"} for i in range(3)]
+    sheet.write_text(json.dumps(rows1 + rows2))
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 8
+    assert got.select("Email").distinct().count() == 8  # no double-reads
