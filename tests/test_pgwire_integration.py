@@ -424,3 +424,114 @@ def test_pgwire_literal_escaping_round_trip(pg_port):
     with _pytest.raises(ValueError):
         cur.execute("SELECT %s", ("nul\x00byte",))
     conn.close()
+
+
+def test_streaming_sheet_to_postgres_roster_capstone(spark, pg_port, tmp_path):
+    """CAPSTONE: the full reference deployment as one streaming job —
+    sheet stream in (`readStream.format("sheet")`), the E1 roster
+    transforms inside foreachBatch with CURRENT sink state read back from
+    Postgres (`pgwire_parallel_read`), merged states upserted into real
+    Postgres. After the run: the new consultant exists, the existing user
+    took the sheet's update, and the duplicate-email row collapsed
+    last-write-wins — the reference's end state, produced by the Spark
+    engine end to end."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from ibc_spark.io_.sheet_datasource import SheetDataSource
+    from ibc_spark.io_.sinks import dbapi_upsert
+    from ibc_spark.io_.sources import pgwire_parallel_read
+    from ibc_spark.pipelines import staffing_roster
+    from ibc_spark.schemas import CONSULTANTS_SCHEMA, USERS_SCHEMA
+    from tests import fixtures
+
+    def ddl(schema: T.StructType) -> str:
+        return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+    def pg_cols(schema: T.StructType) -> str:
+        m = {"bigint": "bigint", "int": "integer", "boolean": "boolean", "string": "text"}
+        return ", ".join(
+            f'"{f.name}" {m[f.dataType.simpleString()]}' for f in schema.fields
+        )
+
+    setup = _connect(pg_port)
+    cur = setup.cursor()
+    cur.execute(f'CREATE TABLE cap_users ({pg_cols(USERS_SCHEMA)}, UNIQUE ("email"))')
+    cur.execute(
+        f'CREATE TABLE cap_consultants ({pg_cols(CONSULTANTS_SCHEMA)}, UNIQUE ("user_id"))'
+    )
+    setup.commit()
+    setup.close()
+    port = pg_port
+
+    def factory():
+        from ibc_spark.io_.pgwire import connect
+
+        return connect(port=port)
+
+    # seed current state (the reference's existing Cloud SQL contents)
+    dbapi_upsert(
+        fixtures.users_state(spark), table="cap_users", key_cols="email",
+        connection_factory=factory, paramstyle="format",
+    )
+    dbapi_upsert(
+        fixtures.consultants_state(spark), table="cap_consultants", key_cols="user_id",
+        connection_factory=factory, paramstyle="format",
+    )
+
+    sheet = tmp_path / "roster.json"
+    sheet.write_text(json.dumps(fixtures.roster_rows()))
+    spark.dataSource.register(SheetDataSource)
+    url = f"file://{sheet}"
+    sheet_schema = spark.read.format("sheet").option("url", url).load().schema
+
+    def body(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        users = pgwire_parallel_read(
+            spark, table="cap_users", schema=ddl(USERS_SCHEMA),
+            partition_column="user_id", lower_bound=0, upper_bound=100000,
+            num_partitions=2, port=port,
+        )
+        consultants = pgwire_parallel_read(
+            spark, table="cap_consultants", schema=ddl(CONSULTANTS_SCHEMA),
+            partition_column="user_id", lower_bound=0, upper_bound=100000,
+            num_partitions=2, port=port,
+        )
+        res = staffing_roster.run(batch_df, users, consultants)
+        dbapi_upsert(
+            res.users, table="cap_users", key_cols="email",
+            connection_factory=factory, paramstyle="format",
+        )
+        dbapi_upsert(
+            res.consultants, table="cap_consultants", key_cols="user_id",
+            connection_factory=factory, paramstyle="format",
+        )
+
+    q = (
+        spark.readStream.format("sheet")
+        .schema(sheet_schema)
+        .option("url", url)
+        .load()
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    check = _connect(pg_port)
+    cur = check.cursor()
+    cur.execute("SELECT count(*) FROM cap_users")
+    assert cur.fetchall() == [("6",)]  # 5 seeded + alice
+    cur.execute("SELECT name, curr_role FROM cap_users WHERE email = %s", ("bob@x.edu",))
+    assert cur.fetchall() == [("Bob Old", "SM")]  # sheet update applied
+    # duplicate-email row collapsed last-write-wins: alice took row 4's values
+    cur.execute("SELECT name, curr_role FROM cap_users WHERE email = %s", ("alice@x.edu",))
+    assert cur.fetchall() == [("Alice A2", "SC")]
+    cur.execute("SELECT count(*) FROM cap_consultants")
+    n_cons = int(cur.fetchall()[0][0])
+    assert n_cons >= 5  # 4 seeded + alice (bob's row merged on user_id 100)
+    check.commit()
+    check.close()
