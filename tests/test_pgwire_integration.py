@@ -535,3 +535,24 @@ def test_streaming_sheet_to_postgres_roster_capstone(spark, pg_port, tmp_path):
     assert n_cons >= 5  # 4 seeded + alice (bob's row merged on user_id 100)
     check.commit()
     check.close()
+
+
+def test_dbapi_upsert_unreachable_server_is_e004(spark):
+    """A dead database must surface as the reference's E004
+    (DatabaseConnectionError) through the Spark job failure — the
+    connection_factory path, not a hang or a bare socket error."""
+    from ibc_spark.io_.sinks import dbapi_upsert
+
+    dead_port = _free_port()  # nothing listening
+
+    def factory():
+        from ibc_spark.io_.pgwire import connect
+
+        return connect(port=dead_port)
+
+    df = spark.createDataFrame([(1, "a")], "id int, v string").repartition(1)
+    with pytest.raises(Exception) as exc:
+        dbapi_upsert(
+            df, table="t", key_cols="id", connection_factory=factory, paramstyle="format"
+        )
+    assert "E004" in str(exc.value)

@@ -128,3 +128,57 @@ def test_jaccard_matches_reference(spark, a, b):
     got = df.select(jaccard(F.col("a"), F.col("b")).alias("j")).first()["j"]
     expected = len(set(sa) & set(sb)) / len(set(sa) | set(sb))
     assert abs(got - expected) < 1e-12
+
+
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(deadline=None, max_examples=60)
+def test_ppm_codec_round_trip_property(h, w, seed):
+    """PPM encode->decode is the identity for every image shape (pure
+    numpy, no Spark)."""
+    import numpy as np
+
+    from ibc_spark.ext.multimodal import decode_image, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(img)) == img).all()
+
+
+@given(
+    parts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters="\x00", codec="utf-8"),
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(deadline=None, max_examples=60)
+def test_pgwire_literal_quoting_property(parts):
+    """_literal's string quoting: for ANY NUL-free text, the rendered
+    literal is a single balanced SQL string (quote-doubled), and
+    un-doubling recovers the original."""
+    from ibc_spark.io_.pgwire import _literal
+
+    for s in parts:
+        lit = _literal(s)
+        assert lit.startswith("'") and lit.endswith("'")
+        inner = lit[1:-1]
+        # every original quote is doubled; nothing else altered
+        assert inner.replace("''", "'") == s
+        # no unescaped single quote remains (scan ignoring doubled pairs)
+        i, bad = 0, False
+        while i < len(inner):
+            if inner[i] == "'":
+                if i + 1 < len(inner) and inner[i + 1] == "'":
+                    i += 2
+                    continue
+                bad = True
+                break
+            i += 1
+        assert not bad, lit
