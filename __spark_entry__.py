@@ -85,6 +85,8 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "sketch_exact_stats",
     "multimodal_image_roundtrip_stats",
     "corpus_datacard",
+    "sketch_kll_mergeable",
+    "sketch_theta_setops",
 }
 
 

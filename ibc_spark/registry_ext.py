@@ -2703,3 +2703,100 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.count_distinct(F.sha2("text", 256)).cast("double") / n, 6
         ).alias("dup_rate"),
     )
+
+
+@query("sketch_kll_mergeable")  # Apache DataSketches KLL — engine-specific → rows-only
+def sketch_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches (Apache DataSketches KLL, Spark 4
+    ``kll_sketch_agg_double``/``kll_merge_agg_double``) — the quantile
+    face of `sketch_hll_mergeable`: per-event-type KLL sketches of
+    ``value`` whose MERGE yields global quantiles WITHOUT re-scanning.
+    This is the 100 TB dashboard shape for latency/size percentiles
+    (store O(KB) sketch bytes per partition/day, merge on read);
+    ``percentile_approx`` results cannot be combined later.
+
+    Output: one row per event type plus an 'ALL' row whose p50/p95 come
+    from merging the per-type sketches. Sketch estimates are
+    engine-specific → rows-only driver check; pytest pins the KLL rank
+    error (±2% rank ≈ small value error on this distribution) against
+    exact percentiles AND merge consistency vs a direct whole-table
+    sketch."""
+    ev = read_table(spark, sf_dir, "events")
+    from ibc_spark.ext.persistreg import persist_tracked
+
+    per = persist_tracked(
+        ev.groupBy("event_type").agg(
+            F.kll_sketch_agg_double("value").alias("sk"),
+            F.expr("percentile(value, 0.5)").alias("exact_p50"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    parts = per.select(
+        "event_type",
+        F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)), 6).alias(
+            "approx_p50"
+        ),
+        F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)), 6).alias(
+            "approx_p95"
+        ),
+        F.round(F.col("exact_p50").cast("double"), 6).alias("exact_p50"),
+        "n_events",
+    )
+    merged = per.agg(
+        F.lit("ALL").alias("event_type"),
+        F.round(
+            F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("sk"), F.lit(0.5)), 6
+        ).alias("approx_p50"),
+        F.round(
+            F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("sk"), F.lit(0.95)), 6
+        ).alias("approx_p95"),
+        F.lit(None).cast("double").alias("exact_p50"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return parts.unionByName(merged)
+
+
+@query("sketch_theta_setops")  # Apache DataSketches Theta — engine-specific → rows-only
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Spark 4 ``theta_sketch_agg``/``theta_union_agg``):
+    distinct-user sketches per event type that support SET OPERATIONS on
+    read — the sketch family HLL cannot provide (HLL unions only; Theta
+    also intersects/differences via inclusion-exclusion on unions). The
+    100 TB audience-overlap shape: "users who clicked AND purchased"
+    without a second scan or an exact distinct join.
+
+    Output: per-type estimates plus a click∪purchase row; the
+    click∩purchase estimate falls out client-side as |A|+|B|-|A∪B|
+    (emitted here as a column on the union row). Rows-only (estimates are
+    engine-specific); pytest pins error bounds against exact distinct and
+    exact-intersection counts."""
+    ev = read_table(spark, sf_dir, "events")
+    from ibc_spark.ext.persistreg import persist_tracked
+
+    per = persist_tracked(
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.theta_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_distinct"),
+        )
+    )
+    parts = per.select(
+        "event_type",
+        F.round(F.theta_sketch_estimate("sk"), 2).alias("approx_distinct"),
+        "exact_distinct",
+        F.lit(None).cast("double").alias("approx_intersection"),
+    )
+    union_row = per.agg(
+        F.lit("click_union_purchase").alias("event_type"),
+        F.round(F.theta_sketch_estimate(F.theta_union_agg("sk")), 2).alias(
+            "approx_distinct"
+        ),
+        F.lit(None).cast("long").alias("exact_distinct"),
+        F.round(
+            F.sum(F.theta_sketch_estimate("sk"))
+            - F.theta_sketch_estimate(F.theta_union_agg("sk")),
+            2,
+        ).alias("approx_intersection"),
+    )
+    return parts.unionByName(union_row)

@@ -158,3 +158,64 @@ def test_knn_graph_block_cap_raises_loudly(spark):
         knn_graph_blocked(
             e, id_col="vec_id", vec_col="embedding", k=3, n_blocks=2, max_block_rows=10
         ).collect()
+
+
+def test_kll_mergeable_quantile_bounds_and_merge_consistency(spark):
+    """Per-type KLL p50 within 5% of exact; the merged-of-parts global
+    quantile tracks a direct whole-table sketch closely and the exact
+    global median within 5%."""
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["sketch_kll_mergeable"](spark, SF_ORACLE).collect()
+    }
+    for t, r in rows.items():
+        if t == "ALL":
+            continue
+        assert abs(r["approx_p50"] - r["exact_p50"]) <= max(
+            1.0, 0.05 * abs(r["exact_p50"])
+        ), r
+    ev = read_table(spark, SF_ORACLE, "events")
+    exact_global = ev.selectExpr("percentile(value, 0.5) AS p").first()["p"]
+    whole = ev.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value"), F.lit(0.5)
+        ).alias("p")
+    ).first()["p"]
+    assert abs(rows["ALL"]["approx_p50"] - exact_global) <= max(1.0, 0.05 * abs(exact_global))
+    assert abs(rows["ALL"]["approx_p50"] - whole) <= max(1.0, 0.05 * abs(whole))
+
+
+def test_theta_setops_bounds_vs_exact(spark):
+    """Theta per-type estimates within 5% of exact distincts; the union
+    row's estimate and the derived intersection track the exact set
+    algebra on user ids."""
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["sketch_theta_setops"](spark, SF_ORACLE).collect()
+    }
+    ev = read_table(spark, SF_ORACLE, "events")
+    users = {
+        t: {
+            r["user_id"]
+            for r in ev.where(F.col("event_type") == t).select("user_id").distinct().collect()
+        }
+        for t in ("click", "purchase")
+    }
+    for t in ("click", "purchase"):
+        assert abs(rows[t]["approx_distinct"] - len(users[t])) <= max(
+            2, 0.05 * len(users[t])
+        )
+        assert rows[t]["exact_distinct"] == len(users[t])
+    exact_union = len(users["click"] | users["purchase"])
+    exact_inter = len(users["click"] & users["purchase"])
+    u = rows["click_union_purchase"]
+    assert abs(u["approx_distinct"] - exact_union) <= max(2, 0.05 * exact_union)
+    assert abs(u["approx_intersection"] - exact_inter) <= max(3, 0.08 * exact_union)
