@@ -348,3 +348,23 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def write_xml(
+    df,
+    path: str,
+    *,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (native in Spark 4, SPARK-44265) — interop with the
+    XML-feed consumers sheet-era systems often front. One element per row;
+    pair with :func:`ibc_spark.io_.sources.read_xml`."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )

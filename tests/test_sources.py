@@ -207,3 +207,24 @@ def test_sheet_streaming_source_incremental(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 8
     assert got.select("Email").distinct().count() == 8  # no double-reads
+
+
+def test_xml_source_sink_round_trip(spark, tmp_path):
+    """Native Spark-4 XML: write one element per row, read back with a
+    pinned schema — types and NULLs preserved (empty-string column comes
+    back NULL in XML, matching the sheet-era blank semantics the
+    validators normalize anyway)."""
+    from ibc_spark.io_.sinks import write_xml
+    from ibc_spark.io_.sources import read_xml
+
+    rows = [(1, "Alice", 7.5, True), (2, "it's <xml> & stuff", 0.0, False), (3, None, None, None)]
+    df = spark.createDataFrame(rows, "id long, name string, score double, ok boolean")
+    path = str(tmp_path / "x")
+    write_xml(df, path, row_tag="person", root_tag="people")
+    back = read_xml(
+        spark, path, row_tag="person", schema="id long, name string, score double, ok boolean"
+    )
+    got = sorted(
+        (r["id"], r["name"], r["score"], r["ok"]) for r in back.collect()
+    )
+    assert got == sorted(rows)
