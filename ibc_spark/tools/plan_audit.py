@@ -1,0 +1,118 @@
+"""Mechanical physical-plan audit over EVERY registry entry.
+
+Operationalizes the per-round hand audit: build each registry query's
+physical plan (no execution) and flag the anti-patterns that kill 100 TB
+runs. Run as a module for a human report::
+
+    python -m ibc_spark.tools.plan_audit [sf_dir]
+
+or through ``tests/test_plans.py::test_repo_wide_plan_audit``, which
+asserts the violation set stays inside the DOCUMENTED allowlist — new
+operators cannot silently introduce a cartesian join or a row-at-a-time
+Python UDF without either fixing it or adding an explicit, justified
+allowlist entry here.
+
+Rules:
+
+- ``CartesianProduct`` — never acceptable; a cross join that matters at
+  scale must become an equi-join (grid cells, banding, blocking).
+- ``BroadcastNestedLoopJoin`` — acceptable ONLY for 1-row scalar frames
+  (count/total broadcasts); every such entry is allowlisted with the
+  reason, anything else is a bug.
+- ``BatchEvalPython`` — row-at-a-time Python UDF; the engine's rule is
+  Arrow-batched (``ArrowEvalPython`` / ``MapInPandas``) or nothing.
+"""
+
+from __future__ import annotations
+
+# BroadcastNestedLoopJoin allowlist: entry -> why the BNLJ is correct.
+# Every entry here joins a 1-row (or few-row, plan-time bounded) frame —
+# the scalar-broadcast pattern, not a quadratic join.
+BNLJ_ALLOWED: dict[str, str] = {
+    "scalar_subquery_big_spenders": "1-row global-average scalar broadcast",
+    "mix_temperature_weights": "1-row normalizer total broadcast",
+    "q11_important_parts": "1-row global-value HAVING scalar broadcast",
+    "q14_promo_revenue_pct": "1-row denominator broadcast",
+    "q22_idle_rich_customers": "1-row average-balance scalar broadcast",
+    "text_bigram_pmi": "two 1-row totals (n_bigrams, n_tokens) broadcasts",
+    "lm_bigram_logprob": "1-row vocabulary-size broadcast",
+    "corpus_datacard": "single-row aggregate output",
+    "job_summary_metrics": "1-row valid x 1-row invalid count frames",
+    "drift_source_mix_kl": "two 1-row snapshot-total broadcasts",
+    "vocab_coverage_curve": "1-row total-term-count broadcast",
+    "docs_length_trim_percentile": "per-source cutoff frame joined to ~20 sources",
+    "dq_expectations_orders": "single-row expectations aggregate",
+    "histogram_order_values": "1-row min/max bounds broadcast",
+    "anomaly_mad_event_volume": "1-row median/MAD scalar broadcasts",
+    "q2_min_cost_supplier": "correlated-min decorrelated to a bounded join",
+    "knn_graph_topk": "packed-block crossJoin: n_blocks(=8) rows per side by construction",
+    "ann_range_search": "1-row query-vector broadcast (docstringed contract)",
+    "ann_topk_bruteforce": "bounded query-set broadcast with non-equi self-exclusion — the brute-force baseline by definition",
+    "bm25_keyword_search": "1-row corpus-stats (N, avgdl) broadcast",
+    "incremental_rollup_merge": "1-row incremental-cutoff broadcast",
+    "tfidf_top_terms": "1-row corpus-size broadcast for the IDF term",
+}
+
+# Row-at-a-time Python allowlist: the engine-wide rule is Arrow-batched or
+# nothing — the ONE exception is the UDTF API-parity demo, whose docstring
+# itself says "NOT the hot path" (the same result is a built-in explode).
+PYEVAL_ALLOWED: dict[str, str] = {
+    "udtf_explode_words": "UDTF surface demo; docstring declares it off the hot path",
+}
+
+RULES = (
+    ("CartesianProduct", "cartesian product", set()),
+    ("BroadcastNestedLoopJoin", "nested-loop join (only 1-row scalar frames allowed)", set(BNLJ_ALLOWED)),
+    ("BatchEvalPython", "row-at-a-time Python UDF (Arrow-batched only)", set(PYEVAL_ALLOWED)),
+)
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def audit_entry(name: str, df) -> list[str]:
+    """Violations for one entry's physical plan."""
+    plan = plan_of(df)
+    out = []
+    for marker, why, allowed in RULES:
+        if marker in plan and name not in allowed:
+            out.append(f"{marker}: {why}")
+    return out
+
+
+def audit_all(spark, sf_dir: str, names=None) -> dict[str, list[str]]:
+    """name -> violations for every (or the given) registry entries.
+    Entries whose plan cannot even be BUILT are reported as
+    ``plan_error: ...`` — an entry must never crash at plan time."""
+    from ibc_spark.registry import QUERIES
+
+    report: dict[str, list[str]] = {}
+    for name in names or sorted(QUERIES):
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            violations = audit_entry(name, df)
+        except Exception as exc:  # noqa: BLE001 — audit must cover all entries
+            violations = [f"plan_error: {str(exc)[:160]}"]
+        if violations:
+            report[name] = violations
+    return report
+
+
+def main() -> int:
+    import json
+    import sys
+
+    from ibc_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan_audit", shuffle_partitions=8)
+    report = audit_all(spark, sf_dir)
+    print(json.dumps(report, indent=2))
+    return 1 if report else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -419,3 +419,16 @@ def test_bigram_pmi_top20_is_take_ordered(spark):
         + n_nodes(plan, "ShuffledHashJoin")
         >= 2
     ), plan
+
+
+def test_repo_wide_plan_audit(spark):
+    """EVERY registry entry's physical plan passes the mechanical audit:
+    no CartesianProduct anywhere, BroadcastNestedLoopJoin only for the
+    documented 1-row scalar broadcasts, no row-at-a-time Python UDFs, and
+    no entry crashes at plan-build time. New operators cannot silently
+    regress the 100 TB posture without editing the justified allowlist in
+    `ibc_spark.tools.plan_audit`."""
+    from ibc_spark.tools.plan_audit import audit_all
+
+    report = audit_all(spark, SF_SMOKE)
+    assert report == {}, report
