@@ -4,11 +4,15 @@ Image/audio/video content is carried as an opaque ``binary`` column plus a
 typed metadata struct; decode / feature-extraction runs as an Arrow-batched
 pandas stage (``mapInPandas``) — the one place Python belongs, because the
 work is per-byte, not relational. The Spark-side contract (schema,
-partitioning, batch shape) is real and tested; the actual codec call is
-STUBBED (no image/audio libraries in this container):
+partitioning, batch shape) is real and tested, and since round 6 so is the
+codec for uncompressed formats:
 
-- :func:`decode_image` raises ``NotImplementedError`` — the marked seam
-  where Pillow/torchvision/ffmpeg plugs in.
+- :func:`decode_image` REALLY decodes PPM (P6) and uncompressed 24-bit
+  BMP in pure numpy (plus :func:`encode_ppm` / :func:`resize_nearest` /
+  :func:`image_channel_stats`; the encode→decode identity is
+  oracle-checked by ``multimodal_image_roundtrip_stats``). Only
+  entropy-coded formats (JPEG/PNG/...) remain a loud
+  ``NotImplementedError`` seam where Pillow/torchvision/ffmpeg plugs in.
 - :func:`extract_features` computes DETERMINISTIC fake features from the
   raw bytes, so the full pipeline (including the pandas boundary) is
   hash-checkable against a SQL oracle.
@@ -23,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
