@@ -87,6 +87,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "corpus_datacard",
     "sketch_kll_mergeable",
     "sketch_theta_setops",
+    "fuzzy_resolve_names",
 }
 
 
@@ -117,7 +118,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered never-driver-checked first (see ``_driver_checked``).
+    Ordered for the driver's 50-entry snapshot window (see ``_ordered``:
+    force-recheck, then never-green, then oldest-green-first, with this
+    round's additions deferred to the next snapshot).
     """
     return _ordered(QUERIES)
 

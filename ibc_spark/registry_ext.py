@@ -2800,3 +2800,65 @@ def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_intersection"),
     )
     return parts.unionByName(union_row)
+
+
+@query(
+    "fuzzy_resolve_names",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_key,
+             concat(substr(c_name, 1, (c_custkey % 12 + 4) - 1),
+                    substr(c_name, c_custkey % 12 + 5)) AS dirty_name
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    pairs AS (
+      SELECT d.dirty_key, c.c_custkey AS matched_key,
+             levenshtein(d.dirty_name, c.c_name) AS dist
+      FROM dirty d JOIN customer c ON levenshtein(d.dirty_name, c.c_name) <= 1
+    )
+    SELECT dirty_key, matched_key, CAST(dist AS BIGINT) AS dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY dirty_key
+                                       ORDER BY dist, matched_key) AS rk
+          FROM pairs)
+    WHERE rk = 1
+    """,
+)
+def fuzzy_resolve_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION: map corrupted customer names (one planted char
+    deletion per c_custkey%5==0 row, position varying by key) back to
+    their canonical records despite the typo — the fuzzy-key lookup the
+    reference's exact email/netid joins (J1/J2) cannot do.
+
+    Candidates come from `ext.dedup.symdelete_fuzzy_join` — SymSpell
+    symmetric-delete blocking turns the edit-distance-1 join into a hash
+    EQUI-join on deletion variants (the naive `levenshtein<=1` predicate
+    compiles to a quadratic BroadcastNestedLoopJoin) — then each dirty
+    name keeps its best match (min distance, tie-break on matched key).
+    The DuckDB oracle runs the naive quadratic join, fine at oracle SF.
+    A handful of dirty names legitimately resolve to a near-neighbor id
+    (names differing only at the deleted digit); the ranked pick makes
+    that deterministic in both engines."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    dirty = c.where(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.expr(
+            "concat(substr(c_name, 1, c_custkey % 12 + 3),"
+            " substr(c_name, c_custkey % 12 + 5))"
+        ).alias("dirty_name"),
+    )
+    matches = dedup.symdelete_fuzzy_join(
+        dirty,
+        c.select("c_custkey", "c_name"),
+        left_id="dirty_key",
+        left_text="dirty_name",
+        right_id="c_custkey",
+        right_text="c_name",
+    )
+    w = Window.partitionBy("dirty_key").orderBy(F.col("dist"), F.col("c_custkey"))
+    return (
+        matches.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("dirty_key", F.col("c_custkey").alias("matched_key"), "dist")
+    )

@@ -432,3 +432,19 @@ def test_repo_wide_plan_audit(spark):
 
     report = audit_all(spark, SF_SMOKE)
     assert report == {}, report
+
+
+def test_fuzzy_resolve_is_equi_join_not_bnlj(spark):
+    """The edit-distance-1 resolution must run as a hash equi-join on
+    symmetric-delete variants — never the quadratic
+    BroadcastNestedLoopJoin a bare levenshtein predicate compiles to."""
+    df = QUERIES["fuzzy_resolve_names"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        n_nodes(plan, "SortMergeJoin")
+        + n_nodes(plan, "ShuffledHashJoin")
+        + n_nodes(plan, "BroadcastHashJoin")
+        >= 1
+    ), plan
