@@ -88,6 +88,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "sketch_kll_mergeable",
     "sketch_theta_setops",
     "fuzzy_resolve_names",
+    "dedup_passage_neardup",
 }
 
 

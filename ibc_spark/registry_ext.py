@@ -2862,3 +2862,98 @@ def fuzzy_resolve_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("dirty_key", F.col("c_custkey").alias("matched_key"), "dist")
     )
+
+
+@query(
+    "dedup_passage_neardup",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 100),
+    planted AS (
+      SELECT r.doc_id,
+             CASE WHEN r.doc_id % 7 = 0 AND len(r.toks) >= 16 AND len(d.toks) >= 10
+                  THEN list_concat(list_concat(list_slice(r.toks, 1, 5),
+                                               list_slice(d.toks, 1, 10)),
+                                   list_slice(r.toks, 16, len(r.toks)))
+                  ELSE r.toks END AS toks
+      FROM raw r LEFT JOIN raw d ON d.doc_id = r.doc_id + 1
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, greatest(len(toks) - 8, 1), 5),
+             i -> {{'pid': doc_id * 100000 + i,
+                    'sh': list_distinct(list_transform(range(i, i + 9),
+                          j -> toks[j] || ' ' || toks[j + 1]))}}), recursive := true)
+      FROM planted
+    )
+    SELECT a.pid AS id_a, b.pid AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM p a JOIN p b ON a.pid < b.pid
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    """,
+)
+def dedup_passage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level NEAR-dup pairs: 10-token strided windows treated as
+    mini-documents and pushed through the SAME banded-MinHash machinery as
+    the doc-level entries (k=64/16 bands over 2-gram shingles, confidence
+    threshold 0.8, exact-Jaccard verified) — catching cross-document span
+    reuse that `dedup_paragraph_exact`'s exact window hash misses when
+    the surrounding text differs.
+
+    Fixture: docs with doc_id%7==0 take their successor's first 10 tokens
+    as tokens 6–15 (a stride-aligned shared window, same planted-dup
+    discipline as the embedding entries) so the finding is non-trivial at
+    oracle SF. pid = doc_id·100000 + 1-based start token, so span
+    provenance round-trips arithmetically. Scoped to doc_id < 100 because
+    the ORACLE is the O(passages²) cross join only the oracle pays; the
+    operator stays the banded equi-join and scales like the doc-level
+    entries. Same determinism argument as `dedup_minhash_verified`:
+    fixed seeds → on fixed data the LSH output equals the exact pair
+    set."""
+    from pyspark.sql.functions import pandas_udf
+
+    window, stride = 10, 5
+
+    @pandas_udf("array<struct<pid:long,passage:string>>")
+    def pass_np(ids: pd.Series, toks_s: pd.Series) -> pd.Series:
+        out = []
+        for did, t in zip(ids, toks_s):
+            if t is None or len(t) < window:
+                out.append([])
+            else:
+                tl = list(t)
+                out.append(
+                    [
+                        (int(did) * 100000 + i + 1, " ".join(tl[i : i + window]))
+                        for i in range(0, len(tl) - window + 1, stride)
+                    ]
+                )
+        return pd.Series(out)
+
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    raw = d.select("doc_id", text.tokens(F.col("text")).alias("toks"))
+    donor = raw.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("d_toks")
+    )
+    toks = F.col("toks")
+    planted = raw.join(donor, on="doc_id", how="left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7 == 0)
+            & (F.size(toks) >= 16)
+            & (F.size(F.col("d_toks")) >= 10),
+            F.concat(
+                F.slice(toks, 1, 5),
+                F.slice(F.col("d_toks"), 1, 10),
+                F.slice(toks, 16, F.size(toks) - 15),
+            ),
+        )
+        .otherwise(toks)
+        .alias("toks"),
+    )
+    passages = planted.select(
+        F.explode(pass_np(F.col("doc_id"), F.col("toks"))).alias("p")
+    ).select("p.pid", "p.passage")
+    return dedup.minhash_lsh_pairs(
+        passages, id_col="pid", text_col="passage", k=64, bands=16, n=2, threshold=0.8
+    )
