@@ -71,25 +71,16 @@ _FORCE_RECHECK: set[str] = {
 }
 
 
-# Entries ADDED this round, deferred to the NEXT round's snapshot so the
-# 50-entry driver window can spend its slots on the stale re-attestation
-# backlog (VERDICT r5 #1 asks for ≥40 entries whose last row is r3-).
-# They are fully hash-checked by the STRICTER local parity suite every
-# pytest run (tests/test_oracle_parity.py); clear this set next round.
-_DEFER_TO_NEXT_ROUND: set[str] = {
-    "embedding_quantize_int8",
-    "text_bigram_pmi",
-    "window_navigation_suite",
-    "interval_overlap_sessions",
-    "lm_bigram_logprob",
-    "sketch_exact_stats",
-    "multimodal_image_roundtrip_stats",
-    "corpus_datacard",
-    "sketch_kll_mergeable",
-    "sketch_theta_setops",
-    "fuzzy_resolve_names",
-    "dedup_passage_neardup",
-}
+# Entries ADDED in the current round, deferred to the NEXT round's snapshot
+# so the 50-entry driver window can spend its slots on the stale
+# re-attestation backlog. They are fully hash-checked by the STRICTER local
+# parity suite every pytest run (tests/test_oracle_parity.py).
+#
+# Round 7: EMPTY — the round-6 driver snapshot was never published
+# (no CORRECTNESS_r06.json landed), so round 6's twelve deferred entries
+# are still unattested; they flow through the never-green bucket below
+# together with round 7's additions. Nothing new is deferred on top.
+_DEFER_TO_NEXT_ROUND: set[str] = set()
 
 
 def _ordered(mapping: dict) -> dict:

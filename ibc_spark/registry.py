@@ -1932,3 +1932,7 @@ from ibc_spark import registry_ext  # noqa: E402,F401  (registration side effect
 # Remaining TPC-H query shapes (correlated EXISTS/NOT EXISTS, global-scalar
 # HAVING, argmax-by-aggregate, disjunctive predicates, ...).
 from ibc_spark import registry_tpch  # noqa: E402,F401  (registration side effect)
+
+# Lakehouse-maintenance / layout / graph analytics (Z-order, compaction
+# planning, Gopher rules, skyline, PageRank, k-means).
+from ibc_spark import registry_lakehouse  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,122 @@
+"""Unit tests for the lakehouse-maintenance / layout / graph entries
+(``ibc_spark.registry_lakehouse`` + ``ibc_spark.ext.layout``): semantic
+invariants the oracle hash can't express — Morton bit interleaving,
+file-granularity compaction, skyline dominance, PageRank mass
+conservation, k-means partition totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ibc_spark.ext import layout
+from tests.conftest import SF_ORACLE
+
+
+def _py_morton(x: int, y: int, bits: int = 4) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+    return z
+
+
+def test_morton_key_matches_reference_bit_interleave(spark):
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "qx int, qy int")
+    got = {
+        (r.qx, r.qy): r.z
+        for r in df.select(
+            "qx", "qy", layout.morton_key(F.col("qx"), F.col("qy"), 4).alias("z")
+        ).collect()
+    }
+    assert all(got[(x, y)] == _py_morton(x, y) for x, y in rows)
+    # bijective on the 16x16 grid — no two cells share a key
+    assert len(set(got.values())) == 256
+
+
+def test_zorder_buckets_are_rectangles(spark):
+    """Each top-level z bucket spans at most half the quantized range on
+    either dimension — the locality property pruning depends on."""
+    from ibc_spark.registry import QUERIES
+
+    out = QUERIES["zorder_layout_events"](spark, SF_ORACLE).collect()
+    assert sum(r.n_events for r in out) == 10_000
+    for r in out:
+        assert r.max_qu - r.min_qu <= 8
+        assert r.max_qv - r.min_qv <= 8
+
+
+def test_bin_pack_file_granularity(spark, tmp_path):
+    """The input_file_name()-keyed twin of compaction_bin_packing: plan
+    bins over a deliberately fragmented parquet write."""
+    src = str(tmp_path / "frag")
+    spark.range(0, 10_000).withColumn("v", F.col("id") % 7).repartition(16).write.parquet(src)
+    df = spark.read.parquet(src)
+    units = (
+        df.groupBy(F.regexp_extract(F.input_file_name(), "[^/]+$", 0).alias("file"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    assert units.count() == 16
+    packed = layout.bin_pack_by_size(units, order_col="file", size_col="n_rows", target=2_000)
+    plan = packed.collect()
+    # every file assigned exactly one bin; totals preserved
+    assert sum(r.n_rows for r in plan) == 10_000
+    by_bin: dict[int, int] = {}
+    for r in plan:
+        by_bin[r.bin] = by_bin.get(r.bin, 0) + r.n_rows
+    # greedy prefix packing: every bin except possibly the last crosses the
+    # target only via its final unit, so no bin exceeds target + max(unit)
+    max_unit = max(r.n_rows for r in plan)
+    assert all(v <= 2_000 + max_unit for v in by_bin.values())
+    # bins are contiguous 0..n
+    assert sorted(by_bin) == list(range(len(by_bin)))
+
+
+def test_skyline_is_exact_pareto_frontier(spark):
+    """Brute-force dominance check at sf0.001 (~1.5k orders)."""
+    from ibc_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    pts = [
+        (r.o_orderkey, r.o_orderdate, r.o_totalprice)
+        for r in spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ]
+    got = {r.o_orderkey for r in QUERIES["skyline_orders_2d"](spark, sf).collect()}
+
+    def dominated(p) -> bool:
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2]) for q in pts
+        )
+
+    want = {k for (k, d, v) in pts if not dominated((k, d, v))}
+    assert got == want
+
+
+def test_pagerank_conserves_mass(spark):
+    from ibc_spark.registry import QUERIES
+
+    ranks = QUERIES["graph_pagerank_trade"](spark, SF_ORACLE).collect()
+    assert len(ranks) == 25
+    total = sum(r.rank for r in ranks)
+    assert abs(total - 1.0) < 1e-6
+    assert all(r.rank > 0 for r in ranks)
+
+
+def test_kmeans_covers_all_vectors(spark):
+    from ibc_spark.registry import QUERIES
+
+    out = QUERIES["kmeans_embeddings_2iter"](spark, SF_ORACLE).collect()
+    assert sum(r.n_members for r in out) == 500
+    assert all(r.inertia >= 0 for r in out)
+    assert 1 <= len(out) <= 4
+
+
+def test_gopher_rules_pure_projection_plan(spark):
+    """The quality gate must stay a shuffle-free codegen projection."""
+    from ibc_spark.registry import QUERIES
+
+    plan = QUERIES["text_gopher_rules"](spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
