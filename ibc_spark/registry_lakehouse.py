@@ -394,10 +394,12 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = read_table(spark, sf_dir, "supplier")
     na = read_table(spark, sf_dir, "nation")
 
+    # Distill: ONE fact-table pass. customer/supplier are dims — broadcast;
+    # lineitem ⋈ orders is the only real shuffle in the whole query.
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(cu, o.o_custkey == cu.c_custkey)
-        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
         .groupBy(cu.c_nationkey.alias("src"), su.s_nationkey.alias("dst"))
         .agg(F.count("*").alias("w"))
     )
@@ -418,15 +420,20 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.crossJoin(F.broadcast(cnt)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
+    # Ranks are O(|nodes|) ≪ O(|edges|) — broadcast the rank side of every
+    # iteration join so the only exchange per iteration is the groupBy(dst)
+    # partial agg over edges. (For a node-scale graph — web pages, docs —
+    # flip these to shuffle joins partitioned on the key; the loop shape is
+    # otherwise unchanged.)
     for _ in range(3):
         contrib = (
-            pedges.join(ranks, pedges.src == ranks.node)
+            pedges.join(F.broadcast(ranks), pedges.src == ranks.node)
             .select("dst", F.struct(F.col("src").alias("k"), (F.col("p") * F.col("rank")).alias("v")).alias("kv"))
             .groupBy("dst")
             .agg(fold_sum(F.collect_list("kv")).alias("contrib"))
         )
         dangling = (
-            ranks.join(outs, ranks.node == outs.src, "left_anti")
+            ranks.join(F.broadcast(outs), ranks.node == outs.src, "left_anti")
             .agg(
                 fold_sum(
                     F.collect_list(F.struct(F.col("node").alias("k"), F.col("rank").alias("v")))
@@ -434,7 +441,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         ranks = (
-            nodes.join(contrib, contrib.dst == nodes.node, "left")
+            nodes.join(F.broadcast(contrib), contrib.dst == nodes.node, "left")
             .crossJoin(F.broadcast(dangling))
             .crossJoin(F.broadcast(cnt))
             .select(
@@ -449,6 +456,10 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
+        # Materialize each iteration's O(|nodes|) rank frame: every
+        # iteration broadcasts ranks in several places, and without a
+        # persist each broadcast job re-executes the whole prior chain.
+        ranks = persist_tracked(ranks)
     return ranks.select("node", F.round("rank", 10).alias("rank"))
 
 
@@ -569,4 +580,220 @@ def kmeans_embeddings_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a2.groupBy("cid").agg(
         F.count("*").alias("n_members"),
         F.round(fold_by_vec(F.col("dist")), 6).alias("inertia"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / global clustering coefficient on the trade graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH raw AS ({_PR_EDGES_SQL}),
+    und AS (  -- undirected, deduped, self-loops dropped, canonical a < b
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    wedges AS (
+      SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+           tri.n_triangles,
+           wedges.n_wedges,
+           CAST(3 AS DOUBLE) * tri.n_triangles / wedges.n_wedges AS global_clustering
+    FROM tri, wedges
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the undirected
+    nation trade graph. Canonical-orientation join (every edge stored once
+    as a < b, triangles enumerated as a < b < c) — each triangle counted
+    exactly once, and the self-join fans out on the SMALLER endpoint,
+    which is the standard degree-ordering trick that keeps the join
+    skew-bounded on power-law graphs at scale. All-integer until the final
+    single division, so the oracle matches exactly.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    cu = read_table(spark, sf_dir, "customer")
+    su = read_table(spark, sf_dir, "supplier")
+
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .select(cu.c_nationkey.alias("src"), su.s_nationkey.alias("dst"))
+        .where("src <> dst")
+    )
+    und = (
+        raw.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("n_wedges")
+    )
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    ne = und.agg(F.count("*").alias("n_edges"))
+    return (
+        nn.crossJoin(ne)
+        .crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            (F.lit(3).cast("double") * F.col("n_triangles") / F.col("n_wedges")).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top principal direction of the embedding matrix via power iteration
+# ---------------------------------------------------------------------------
+
+_PI_DIM = 64
+_PI_ITERS = 3
+
+# dot(list, list) folded in position order (zip preserves position).
+_PI_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+)
+
+
+def _pi_iter_sql(prev: str, nxt: str) -> str:
+    """One power iteration y = Xᵀ(X·v); v' = y/‖y‖ as CTE fragments.
+
+    ``s``: per-row projection x_i·v (fold in position order); ``y``: per
+    position, Σ_i x_i[p]·s_i folded in vec_id order; ``n``: ‖y‖ folded in
+    position order; ``{nxt}``: the normalized vector as a list again.
+    """
+    dot = _PI_DOT.format(a="e.v", b="w.vv")
+    return f"""
+    s_{nxt} AS (
+      SELECT e.vec_id, e.v, {dot} AS s FROM emb e, {prev} w
+    ),
+    y_{nxt} AS (
+      SELECT i AS pos,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v[i] * s ORDER BY vec_id)),
+                         (a, x) -> a + x) AS y
+      FROM s_{nxt}, generate_series(1, {_PI_DIM}) t(i)
+      GROUP BY i
+    ),
+    n_{nxt} AS (
+      SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(y * y ORDER BY pos)),
+                              (a, x) -> a + x)) AS nrm
+      FROM y_{nxt}
+    ),
+    {nxt} AS (
+      SELECT list(y / nrm ORDER BY pos) AS vv, any_value(nrm) AS nrm
+      FROM y_{nxt}, n_{nxt}
+    )"""
+
+
+@query(
+    "embedding_power_iteration_pc1",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    w0 AS (
+      SELECT list_transform(generate_series(1, {_PI_DIM}), i -> CAST(0.125 AS DOUBLE)) AS vv,
+             CAST(0 AS DOUBLE) AS nrm
+    ),
+    {_pi_iter_sql("w0", "w1")},
+    {_pi_iter_sql("w1", "w2")},
+    {_pi_iter_sql("w2", "w3")}
+    SELECT t.i AS pos, round(w.vv[t.i], 8) AS loading,
+           round(w.nrm, 6) AS sigma_sq
+    FROM w3 w, generate_series(1, {_PI_DIM}) t(i)
+    """,
+)
+def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction (uncentered PCA / top right-singular vector)
+    of the embedding matrix by 3 power iterations, never materializing the
+    Gram matrix: y = Xᵀ(X·v) is two narrow passes — a per-row dot product
+    (map-only) and a per-position sum (shuffle bounded by dim, not rows).
+    The direction vector is O(dim), broadcast every pass; at 100 TB the
+    plan is the same two stages per iteration. Deterministic: unit init
+    (1/√dim), per-row dots fold in position order, per-position sums fold
+    in vec_id order, ‖y‖ folds in position order — all matching the
+    oracle's folds, so doubles agree bit-for-bit. Output: the 64 loadings
+    and ‖y₃‖ (→ the top eigenvalue of XᵀX as iterations grow).
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def fold_by_vec(val: F.Column) -> F.Column:
+        kv = F.collect_list(F.struct(F.col("vec_id").alias("k"), val.alias("x")))
+        return F.aggregate(F.array_sort(kv), F.lit(0.0), lambda a, p: a + p["x"])
+
+    w = spark.range(1).select(
+        F.array_repeat(F.lit(0.125), _PI_DIM).alias("vv"), F.lit(0.0).alias("nrm")
+    )
+    for _ in range(_PI_ITERS):
+        s = emb.crossJoin(F.broadcast(w.select("vv"))).select(
+            "vec_id",
+            "v",
+            F.aggregate(
+                F.zip_with("v", "vv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            ).alias("s"),
+        )
+        y = (
+            s.select("vec_id", F.posexplode("v").alias("pos0", "val"), "s")
+            .groupBy((F.col("pos0") + 1).alias("pos"))
+            .agg(fold_by_vec(F.col("val") * F.col("s")).alias("y"))
+        )
+        n = y.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("pos", "y"))),
+                    F.lit(0.0),
+                    lambda a, p: a + p["y"] * p["y"],
+                )
+            ).alias("nrm")
+        )
+        ylist = y.agg(
+            F.array_sort(F.collect_list(F.struct("pos", F.col("y").alias("yv")))).alias("ys")
+        )
+        w = ylist.crossJoin(F.broadcast(n)).select(
+            F.transform("ys", lambda st: st["yv"] / F.col("nrm")).alias("vv"),
+            F.col("nrm"),
+        )
+    pos = spark.range(1, _PI_DIM + 1).select(F.col("id").cast("int").alias("pos"))
+    return pos.crossJoin(F.broadcast(w)).select(
+        "pos",
+        F.round(F.element_at("vv", F.col("pos")), 8).alias("loading"),
+        F.round("nrm", 6).alias("sigma_sq"),
     )

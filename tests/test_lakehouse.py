@@ -120,3 +120,28 @@ def test_gopher_rules_pure_projection_plan(spark):
 
     plan = QUERIES["text_gopher_rules"](spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_triangle_count_invariants(spark):
+    from ibc_spark.registry import QUERIES
+
+    r = QUERIES["graph_triangle_count"](spark, SF_ORACLE).collect()[0]
+    assert r.n_nodes <= 25
+    assert r.n_edges <= r.n_nodes * (r.n_nodes - 1) // 2
+    # every triangle closes three wedges
+    assert 0 <= 3 * r.n_triangles <= r.n_wedges
+    assert 0.0 <= r.global_clustering <= 1.0
+
+
+def test_power_iteration_unit_norm_and_dominance(spark):
+    import math
+
+    from ibc_spark.registry import QUERIES
+
+    rows = QUERIES["embedding_power_iteration_pc1"](spark, SF_ORACLE).collect()
+    assert len(rows) == 64
+    nrm = math.sqrt(sum(r.loading**2 for r in rows))
+    assert abs(nrm - 1.0) < 1e-6
+    # sigma_sq is the same scalar on every row and positive
+    assert len({r.sigma_sq for r in rows}) == 1
+    assert rows[0].sigma_sq > 0
