@@ -797,3 +797,123 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.element_at("vv", F.col("pos")), 8).alias("loading"),
         F.round("nrm", 6).alias("sigma_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS reachability (frontier iteration) on the directed trade graph
+# ---------------------------------------------------------------------------
+
+_BFS_SRC = 0
+_BFS_HOPS = 3
+
+
+def _bfs_iter_sql(prev: str, nxt: str, hop: int) -> str:
+    return f"""
+    f_{nxt} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM dedges e JOIN {prev} v ON e.src = v.node
+      WHERE v.dist = {hop - 1}
+    ),
+    {nxt} AS (
+      SELECT node, dist FROM {prev}
+      UNION ALL
+      SELECT node, {hop} AS dist FROM f_{nxt}
+      WHERE node NOT IN (SELECT node FROM {prev})
+    )"""
+
+
+@query(
+    "graph_khop_reachability",
+    oracle=f"""
+    WITH raw AS ({_PR_EDGES_SQL}),
+    dedges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    v0 AS (SELECT {_BFS_SRC} AS node, 0 AS dist),
+    {_bfs_iter_sql("v0", "v1", 1)},
+    {_bfs_iter_sql("v1", "v2", 2)},
+    {_bfs_iter_sql("v2", "v3", 3)}
+    SELECT node, dist FROM v3
+    """,
+)
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop distance (BFS, ≤ 3 hops) from nation 0 over the
+    directed trade graph — the frontier-expansion loop every distributed
+    BFS/shortest-path uses: expand ONLY the last frontier against the
+    edge list, anti-join out already-visited nodes, append with dist+1.
+    Per hop that is one equi-join partitioned on src plus one anti-join
+    against the (small) visited set — no full-graph recomputation, and
+    frontier size, not graph size, drives each step's cost. Edges are
+    distilled once and persisted (shared shape with PageRank/triangles).
+    All-integer → exact oracle.
+    """
+    from ibc_spark.ext.persistreg import persist_tracked
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    cu = read_table(spark, sf_dir, "customer")
+    su = read_table(spark, sf_dir, "supplier")
+    dedges = persist_tracked(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .select(cu.c_nationkey.alias("src"), su.s_nationkey.alias("dst"))
+        .where("src <> dst")
+        .distinct()
+    )
+    visited = (
+        dedges.sparkSession.range(1)
+        .select(F.lit(_BFS_SRC).cast("int").alias("node"), F.lit(0).alias("dist"))
+    )
+    frontier = visited
+    for hop in range(1, _BFS_HOPS + 1):
+        reached = (
+            dedges.join(F.broadcast(frontier), dedges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(F.broadcast(visited), on="node", how="left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+        )
+        visited = persist_tracked(visited.unionAll(frontier))
+    return visited
+
+
+# ---------------------------------------------------------------------------
+# Scan-pruning statistics (file-skipping index maintenance)
+# ---------------------------------------------------------------------------
+
+_PRUNE_PREDICATE_LO = 450.0  # "value >= 450" — the probe predicate
+
+
+@query(
+    "scan_pruning_stats",
+    oracle=f"""
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           count(*) AS n_rows,
+           min(value) AS min_v,
+           max(value) AS max_v,
+           (max(value) < {_PRUNE_PREDICATE_LO}) AS skippable
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def scan_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping index maintenance: per storage unit (partition key ×
+    day) collect the min/max column stats a file-skipping index stores,
+    plus whether the unit is skippable for a probe predicate
+    (``value >= 450`` — skippable iff max < 450). This is the metadata
+    side of the Z-order story: one aggregation pass emits O(units) rows
+    that future scans consult instead of data. At 100 TB the stats frame
+    is millions of rows against billions — the asymmetry that makes
+    pruning pay.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        (F.max("value") < F.lit(_PRUNE_PREDICATE_LO)).alias("skippable"),
+    )

@@ -145,3 +145,43 @@ def test_power_iteration_unit_norm_and_dominance(spark):
     # sigma_sq is the same scalar on every row and positive
     assert len({r.sigma_sq for r in rows}) == 1
     assert rows[0].sigma_sq > 0
+
+
+def test_bfs_distances_are_minimal(spark):
+    """BFS dist must equal the true min-hop distance (checked by a driver
+    Floyd-style closure over the tiny distilled nation graph)."""
+    from pyspark.sql import functions as F
+
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    li, o = read_table(spark, sf, "lineitem"), read_table(spark, sf, "orders")
+    cu, su = read_table(spark, sf, "customer"), read_table(spark, sf, "supplier")
+    edges = {
+        (r.src, r.dst)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .select(cu.c_nationkey.alias("src"), su.s_nationkey.alias("dst"))
+        .where("src <> dst")
+        .distinct()
+        .collect()
+    }
+    dist = {0: 0}
+    frontier = {0}
+    for hop in (1, 2, 3):
+        frontier = {d for (s, d) in edges if s in frontier} - set(dist)
+        dist.update({n: hop for n in frontier})
+    got = {r.node: r.dist for r in QUERIES["graph_khop_reachability"](spark, sf).collect()}
+    assert got == dist
+
+
+def test_scan_pruning_stats_skippable_consistent(spark):
+    from ibc_spark.registry import QUERIES
+
+    rows = QUERIES["scan_pruning_stats"](spark, SF_ORACLE).collect()
+    assert sum(r.n_rows for r in rows) == 10_000
+    for r in rows:
+        assert r.min_v <= r.max_v
+        assert r.skippable == (r.max_v < 450.0)
