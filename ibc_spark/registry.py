@@ -1936,3 +1936,7 @@ from ibc_spark import registry_tpch  # noqa: E402,F401  (registration side effec
 # Lakehouse-maintenance / layout / graph analytics (Z-order, compaction
 # planning, Gopher rules, skyline, PageRank, k-means).
 from ibc_spark import registry_lakehouse  # noqa: E402,F401  (registration side effect)
+
+# Streaming-under-oracle, frequency sketches (heavy hitters / Count-Min),
+# semi-join reduction, exponential smoothing.
+from ibc_spark import registry_extras  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,336 @@
+"""Round-6 extension entries: driver-attestable Structured Streaming,
+frequency sketches (phi-heavy-hitters exact + mergeable Count-Min), shuffle
+semi-join reduction, and exact-decimal exponential smoothing.
+
+Why these exist (scale rationale, per entry):
+
+- ``streaming_hourly_rollup`` — the repo's streaming twins were previously
+  proven only inside pytest; this entry runs a REAL Structured Streaming
+  job (availableNow trigger -> memory sink) under the driver's oracle
+  hash-check, so stream-vs-batch parity is externally attested, not just
+  locally asserted.
+- ``heavy_hitters_cms`` — a Count-Min sketch built entirely JVM-side as a
+  SPARSE (row, col, cnt) aggregate: mergeable across partitions/days like
+  the HLL/KLL/Theta family, no Python in the hot path, O(d*w) summary
+  regardless of input size.
+- ``join_semi_reduced`` — Trino-style dynamic-filtering semantics made
+  explicit: reduce the fact side with a broadcast semi-join on the dim
+  keys BEFORE the shuffle join, so the shuffle moves only surviving rows.
+- ``ewma_user_values`` — recursive smoothing re-expressed as a bounded
+  convolution so it runs as one window projection (no iteration), with
+  exact-DECIMAL weights so Spark and DuckDB agree bit-for-bit.
+
+Cross-engine determinism follows the repo rules (``ibc_spark.registry``):
+float sums go through pinned-scale DECIMALs; every computed column is
+aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ibc_spark.io_.sources import read_table
+from ibc_spark.registry import dec, query
+
+# ---------------------------------------------------------------------------
+# Structured Streaming under the driver's oracle check
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = itertools.count()
+
+
+@query(
+    "streaming_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of ``events_hourly_rollup``, executed for real:
+    ``readStream`` over the events parquet -> tumbling 1-hour window
+    aggregate -> ``availableNow`` trigger -> in-memory sink; the returned
+    frame is the sink table, so the driver's hash-check attests the
+    streaming engine's output against the batch SQL oracle.
+
+    availableNow processes the existing backlog as bounded micro-batches
+    and terminates — exactly the nightly-catchup deployment shape. At
+    scale the same plan runs continuously with a watermark (see
+    ``ibc_spark.streaming.windows``); complete-mode output is fine here
+    because the aggregate state is O(hours x event_types), not O(rows).
+
+    Distinct aggregations are not supported inside streaming aggregates,
+    so unlike the batch face this twin carries no ``n_users`` column.
+    """
+    from ibc_spark.streaming.sources import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", 10, 2)).cast("double").alias("total_value"),
+    )
+    name = f"streaming_hourly_rollup_{next(_STREAM_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="ibc_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(ckpt, "q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# phi-heavy-hitters: exact, and a mergeable Count-Min sketch sibling
+# ---------------------------------------------------------------------------
+
+# n/_PHI_DENOM is the heavy-hitter threshold: at sf0.01 (10k events / 150
+# users, per-user counts 40-86) n/120 ~ 83 keeps the answer non-trivially
+# selective; the entries stay correct (possibly empty) at any SF.
+_PHI_DENOM = 120
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+@query(
+    "heavy_hitters_exact",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) * {_PHI_DENOM} > (SELECT COUNT(*) FROM events)
+    """,
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitters: users contributing > n/120 of all events.
+
+    One hash aggregate (map-side partial -> final) plus a 1-row count
+    frame broadcast into the HAVING predicate — the exact sibling that
+    anchors ``heavy_hitters_cms``'s rows-only waiver.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("__n"))
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .where(F.col("n_events") * _PHI_DENOM > F.col("__n"))
+        .select("user_id", "n_events")
+    )
+
+
+def _cms_cell(key: F.Column, row: int, width: int) -> F.Column:
+    """Deterministic CMS column index for hash-row ``row``: xxhash64 with
+    the row id mixed in as a leading column (xxhash64's seed is fixed in
+    Spark, so the row id IS the seed). Non-negative modulo via pmod."""
+    return F.pmod(F.xxhash64(F.lit(row), key), F.lit(width))
+
+
+@query("heavy_hitters_cms")  # xxhash64 has no DuckDB twin -> rows-only;
+# exact sibling: heavy_hitters_exact (same threshold), bound pinned in pytest
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-heavy-hitters via a MERGEABLE Count-Min sketch, built entirely
+    JVM-side as a sparse aggregate.
+
+    Build: explode each event into d=4 (row, col) cell hits
+    (col = xxhash64(row, user_id) mod w=1024) and count per cell — one
+    codegen projection + one hash aggregate. The (row, col, cnt) frame IS
+    the sketch: O(d*w) rows regardless of input size, and two sketches
+    merge by unioning and re-summing — the same incremental-dashboard
+    shape as the HLL/KLL/Theta entries (store per-day sketches, merge on
+    read; no re-scan).
+
+    Probe: each candidate key probes its d cells (broadcast hash join
+    against the tiny sketch) and takes the MIN — the classic CMS
+    estimate, est >= exact always, E[overestimate] <= n/w. Candidates
+    here are the distinct keys (exact count carried in-row so pytest can
+    pin est >= exact and est - exact <= 4n/w); in a true streaming
+    deployment candidates come from the arriving keys themselves.
+
+    Rows-only waiver: xxhash64 is Spark-specific (no DuckDB equivalent);
+    the exact sibling ``heavy_hitters_exact`` runs the same threshold
+    under the full hash-check, and pytest asserts the CMS answer is a
+    SUPERSET of the exact answer (CMS never undercounts).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    # One projection per hash row (the row id must be a literal inside
+    # xxhash64 for codegen); the union is d narrow scans of the same
+    # already-scanned frame — Spark reuses the exchange under AQE.
+    parts = []
+    for r in range(_CMS_DEPTH):
+        parts.append(
+            ev.select(
+                F.lit(r).alias("row"),
+                _cms_cell(F.col("user_id"), r, _CMS_WIDTH).alias("col"),
+            )
+        )
+    cells = parts[0]
+    for p in parts[1:]:
+        cells = cells.unionByName(p)
+    sketch = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+    total = ev.agg(F.count(F.lit(1)).alias("__n"))
+    cand = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = cand
+    for r in range(_CMS_DEPTH):
+        probes = probes.withColumn(f"c{r}", _cms_cell(F.col("user_id"), r, _CMS_WIDTH))
+    est = None
+    joined = probes
+    for r in range(_CMS_DEPTH):
+        sk = F.broadcast(
+            sketch.where(F.col("row") == r).select(
+                F.col("col").alias(f"c{r}"), F.col("cnt").alias(f"cnt{r}")
+            )
+        )
+        joined = joined.join(sk, f"c{r}", "left")
+        term = F.coalesce(F.col(f"cnt{r}"), F.lit(0))
+        est = term if est is None else F.least(est, term)
+    joined = joined.withColumn("est_count", est)
+    return (
+        joined.crossJoin(F.broadcast(total))
+        .where(F.col("est_count") * _PHI_DENOM > F.col("__n"))
+        .select("user_id", "est_count", "exact_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle semi-join reduction (explicit dynamic filtering)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_semi_reduced",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 200000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_semi_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side semi-join reduction before the shuffle join — explicit
+    dynamic filtering (what Trino's dynamic filters / Spark's runtime
+    bloom filter do implicitly).
+
+    The selective predicate lives on orders; naively Spark shuffles ALL
+    of lineitem to join it. Here the surviving order keys are broadcast
+    as a LEFT SEMI filter on lineitem FIRST, so the shuffle moves only
+    matching fact rows — at 100 TB with a 1%-selective dim predicate
+    that is a ~100x reduction in shuffled bytes for one extra broadcast
+    of the key set. ``tests/test_plans.py`` asserts the semi join is a
+    broadcast join sitting BELOW the main join in the physical plan, and
+    that Spark's own runtime bloom filter injects ``might_contain`` on
+    this exact shape once its size thresholds are met.
+
+    When the key set exceeds broadcast reach, the same plan degrades to a
+    bloom filter of the keys (Spark's runtime bloomFilter conf) —
+    semantics identical, reduction approximate instead of exact.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)
+    )
+    keys = o.select("o_orderkey").distinct()
+    li_reduced = li.join(
+        F.broadcast(keys), li.l_orderkey == keys.o_orderkey, "left_semi"
+    )
+    j = li_reduced.join(o, li_reduced.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_extendedprice", 12, 2)).cast("double").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Truncated exponential smoothing as a bounded convolution
+# ---------------------------------------------------------------------------
+
+_EWMA_K = 16  # taps; 0.5**16 ~ 1.5e-5 — below any 2-dp signal's resolution
+
+# All arithmetic in scaled BIGINTs so both engines are exact with no
+# decimal-precision ceiling: inputs in cents (x100), weight 0.5^(j+1)
+# as the integer 2^(K-1-j) over a common denominator 100 * 2^K. A chain
+# of exact DECIMAL adds was NOT portable — DuckDB's precision inference
+# tops out at 38 mid-chain and silently falls back to DOUBLE.
+_EWMA_DENOM = 100 * (2**_EWMA_K)
+
+_EWMA_TERMS_SQL = " + ".join(
+    "COALESCE(LAG(cents, %d) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id), 0) * %d"
+    % (j, 2 ** (_EWMA_K - 1 - j))
+    for j in range(_EWMA_K)
+)
+
+_EWMA_ORACLE = f"""
+    WITH t AS (
+      SELECT user_id, event_id, ts,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST({_EWMA_TERMS_SQL} AS DOUBLE) / {_EWMA_DENOM}.0 AS ewma_value
+    FROM t
+    """
+
+
+@query("ewma_user_values", oracle=_EWMA_ORACLE)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing of ``value`` (alpha = 1/2), truncated
+    to 16 taps: ewma_t = sum_j 0.5^(j+1) * x_(t-j).
+
+    The textbook EWMA is a recursion (each row depends on the previous
+    smoothed value), which would force either a sequential per-key pass
+    (``applyInPandas`` — Python in the hot path) or an iterative plan.
+    Truncating the impulse response to 16 taps (weights below 2^-16 are
+    under any 2-dp signal's resolution) turns it into a FIR convolution:
+    16 ``lag`` reads inside ONE window projection — single shuffle on
+    user_id, whole-stage codegen, embarrassingly parallel across keys.
+
+    Determinism: all arithmetic is scaled-BIGINT (cents x 2^(K-1-j) over a
+    common denominator), exact in both engines with no decimal-precision
+    ceiling; the single final division of identical operands is
+    IEEE-identical. (A chain of exact DECIMAL adds was not portable:
+    DuckDB's precision inference tops out at 38 mid-chain and silently
+    falls back to DOUBLE.)
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (dec("value", 10, 2) * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    terms = None
+    for j in range(_EWMA_K):
+        term = F.coalesce(F.lag("cents", j).over(w), F.lit(0)) * F.lit(
+            2 ** (_EWMA_K - 1 - j)
+        )
+        terms = term if terms is None else terms + term
+    return ev.select(
+        "user_id",
+        "event_id",
+        (terms.cast("double") / F.lit(float(_EWMA_DENOM))).alias("ewma_value"),
+    )

@@ -51,6 +51,14 @@ BNLJ_ALLOWED: dict[str, str] = {
     "bm25_keyword_search": "1-row corpus-stats (N, avgdl) broadcast",
     "incremental_rollup_merge": "1-row incremental-cutoff broadcast",
     "tfidf_top_terms": "1-row corpus-size broadcast for the IDF term",
+    "zorder_layout_events": "1-row min/max quantization-bounds broadcast",
+    "kmeans_embeddings_2iter": "O(k*dim) centroid frame broadcast per assignment pass",
+    "graph_pagerank_trade": "1-row node-count + 1-row dangling-mass broadcasts per iteration",
+    "graph_triangle_count": "final summary row: crossJoin of four 1-row count frames",
+    "graph_khop_reachability": "1-row per-hop frontier-size/summary broadcasts (frontier join itself is hash equi)",
+    "embedding_power_iteration_pc1": "1-row norm / Rayleigh-quotient scalar broadcasts per pass",
+    "heavy_hitters_exact": "1-row global-count broadcast into the HAVING predicate",
+    "heavy_hitters_cms": "1-row global-count broadcast into the threshold predicate",
 }
 
 # Row-at-a-time Python allowlist: the engine-wide rule is Arrow-batched or

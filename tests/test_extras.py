@@ -1,0 +1,191 @@
+"""Tests for ibc_spark.registry_extras: streaming-under-oracle, heavy
+hitters (exact + Count-Min), semi-join reduction, truncated EWMA."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ibc_spark.registry import QUERIES
+
+from .conftest import SF_ORACLE, SF_SMOKE
+from .test_plans import plan_of
+
+
+def test_streaming_rollup_matches_batch_face(spark):
+    """The streaming twin must equal the batch entry on the shared columns
+    (the batch face carries an extra n_users; distinct aggs are unsupported
+    in streaming)."""
+    stream = QUERIES["streaming_hourly_rollup"](spark, SF_SMOKE)
+    batch = QUERIES["events_hourly_rollup"](spark, SF_SMOKE).select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+
+
+def test_streaming_rollup_reruns_are_stable(spark):
+    """Each invocation spins a fresh memory sink + checkpoint; result must
+    be identical run-over-run (the bench runs every entry 3x)."""
+    a = QUERIES["streaming_hourly_rollup"](spark, SF_SMOKE)
+    b = QUERIES["streaming_hourly_rollup"](spark, SF_SMOKE)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_cms_superset_and_bounds(spark):
+    """CMS never undercounts: est >= exact for every candidate, the
+    thresholded answer is a superset of the exact heavy hitters, and the
+    overestimate stays within the classic 4n/w bound (4 independent rows,
+    each E[err] <= n/w)."""
+    from ibc_spark.registry_extras import _CMS_WIDTH
+
+    exact = {
+        r.user_id: r.n_events
+        for r in QUERIES["heavy_hitters_exact"](spark, SF_ORACLE).collect()
+    }
+    cms_rows = QUERIES["heavy_hitters_cms"](spark, SF_ORACLE).collect()
+    cms = {r.user_id: (r.est_count, r.exact_count) for r in cms_rows}
+    assert set(exact) <= set(cms)
+    n = sum(r.exact_count for r in cms_rows) if cms_rows else 0
+    # recompute true n independently of the entry
+    from ibc_spark.io_.sources import read_table
+
+    n = read_table(spark, SF_ORACLE, "events").count()
+    for uid, (est, ex) in cms.items():
+        assert est >= ex, (uid, est, ex)
+        assert est - ex <= 4 * n / _CMS_WIDTH, (uid, est, ex)
+    for uid, ex in exact.items():
+        assert cms[uid][1] == ex
+
+
+def test_cms_sketch_is_mergeable(spark):
+    """Summing two half-sketches cell-wise equals the whole-input sketch —
+    the property that makes per-day sketch storage + merge-on-read work."""
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.registry_extras import _CMS_DEPTH, _CMS_WIDTH, _cms_cell
+
+    ev = read_table(spark, SF_SMOKE, "events")
+
+    def sketch_of(df):
+        parts = []
+        for r in range(_CMS_DEPTH):
+            parts.append(
+                df.select(
+                    F.lit(r).alias("row"),
+                    _cms_cell(F.col("user_id"), r, _CMS_WIDTH).alias("col"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+    whole = sketch_of(ev)
+    lo = sketch_of(ev.where(F.col("event_id") % 2 == 0))
+    hi = sketch_of(ev.where(F.col("event_id") % 2 == 1))
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_semi_reduction_plan_shape(spark):
+    """The broadcast semi join (the reduction) must sit BELOW the main join:
+    lineitem rows are filtered before any shuffle moves them."""
+    df = QUERIES["join_semi_reduced"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    semi = plan.find("BroadcastHashJoin")
+    assert semi != -1, plan
+    assert "LeftSemi" in plan
+    # the semi join feeds the main join's build/probe side, not vice versa:
+    # the LeftSemi detail block must reference the lineitem scan directly
+    left_semi_block = plan.split("LeftSemi")[0]
+    assert "lineitem" in left_semi_block or "l_orderkey" in plan
+
+
+def test_runtime_bloom_filter_injects_on_reduction_shape(spark):
+    """Spark's own runtime bloom filter (the implicit form of the same
+    reduction) injects might_contain on this join shape once thresholds
+    allow — proving the conf-only scale path works on our plan."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # creationSideThreshold is a MAX (creation side must be small enough
+        # to sketch) — the default 10MB already admits the filtered orders;
+        # applicationSideScanSizeThreshold is a MIN (the scan must be big
+        # enough to be worth filtering) — drop it so sf0.001 qualifies.
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # injection only targets PROBABLE SHUFFLE joins; at sf0.001 both
+        # sides are under the auto-broadcast threshold, so Spark classifies
+        # the join as broadcast (which needs no runtime filter). At 100 TB
+        # the sides exceed the threshold naturally — emulate that here.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        from ibc_spark.io_.sources import read_table
+
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        o = read_table(spark, SF_SMOKE, "orders").where(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)
+        )
+        # plain join (no explicit semi reduction, no hints)
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = plan_of(j.groupBy("o_orderpriority").count())
+        assert "might_contain" in plan.lower() or "bloomfilter" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_ewma_matches_reference_convolution(spark):
+    """Pin the EWMA semantics against a NumPy reference computed per user
+    over the same (ts, event_id) ordering."""
+    import numpy as np
+
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.registry_extras import _EWMA_K
+
+    got = {
+        r.event_id: r.ewma_value
+        for r in QUERIES["ewma_user_values"](spark, SF_SMOKE).collect()
+    }
+    pdf = (
+        read_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for _, grp in pdf.groupby("user_id"):
+        cents = np.round(grp["value"].to_numpy(), 2) * 100
+        cents = cents.round().astype(np.int64)
+        for t in range(len(grp)):
+            acc = 0
+            for j in range(_EWMA_K):
+                if t - j >= 0:
+                    acc += int(cents[t - j]) * (2 ** (_EWMA_K - 1 - j))
+            expect = acc / (100 * 2**_EWMA_K)
+            eid = grp["event_id"].iloc[t]
+            assert got[eid] == pytest.approx(expect, abs=1e-9), eid
+
+
+def test_ewma_single_window_plan(spark):
+    """All 16 taps must compile into ONE Window node (one shuffle on
+    user_id), not sixteen."""
+    df = QUERIES["ewma_user_values"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    from .test_plans import n_nodes
+
+    assert n_nodes(plan, "Window") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
