@@ -334,3 +334,203 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (terms.cast("double") / F.lit(float(_EWMA_DENOM))).alias("ewma_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) window rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sliding_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) - INTERVAL (s) HOUR AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+    FROM events, (VALUES (0), (1)) shifts(s)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour (each event lands in exactly two
+    overlapping windows) — the hopping-window face of the tumbling
+    ``events_hourly_rollup``. Spark's ``window(ts, '2 hours', '1 hour')``
+    expands each row into its two windows before the aggregate — the same
+    explode-then-reduce the oracle writes explicitly with a 2-row shift
+    table. One shuffle, map-side combinable; state is O(windows x types),
+    so the identical plan runs as a watermark-bounded stream."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 10, 2)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization (session_window + watermark), under the oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS seq
+      FROM marked
+    ),
+    sess AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, seq
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess
+    WHERE session_end <= (SELECT max(ts) FROM events)
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization executed BY THE STREAMING ENGINE: ``session_window``
+    (dynamic gap-merging state store) + a 0-second watermark, availableNow
+    trigger, append-mode memory sink. The oracle is the batch
+    gaps-and-islands SQL restricted to sessions the watermark has CLOSED
+    (session_end = last_ts + gap <= max event time) — append mode only
+    emits finalized sessions, so the still-open tail session per user is
+    correctly absent. Verified empirically: 945 of 946 batch sessions
+    emitted at sf0.001, the one withheld being the max-ts user's open
+    session.
+
+    Two semantic deltas vs the batch entry, both inherent to
+    ``session_window``: a gap of EXACTLY the 30-minute threshold starts a
+    new session (>= vs the batch >), and session_end is last_ts + gap
+    (window end) rather than last_ts. At 100 TB the same plan runs
+    continuously: state is one in-flight session per active key, evicted
+    at the watermark — this availableNow run IS the nightly-catchup
+    deployment of it."""
+    from ibc_spark.streaming.sources import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"streaming_sessionize_{next(_STREAM_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="ibc_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckpt, "q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via k-means cluster blocking
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_THRESHOLD = 0.9
+
+
+def _semdedup_oracle() -> str:
+    from ibc_spark.registry_ext import _PLANT_SQL, _cos_sql
+    from ibc_spark.registry_lakehouse import (
+        _KM_DIM,
+        _KM_FOLD_BY_VEC,
+        _KM_K,
+        _km_assign_sql,
+    )
+
+    fold_mu = _KM_FOLD_BY_VEC.format(val="v[i]")
+    return f"""
+    WITH emb0 AS ({_PLANT_SQL}),
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM emb0
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT {_KM_K}),
+    {_km_assign_sql("c0", "a1")},
+    m1 AS (
+      SELECT cid, i AS pos, {fold_mu} / count(*) AS mu
+      FROM a1, generate_series(1, {_KM_DIM}) t(i)
+      GROUP BY cid, i
+    ),
+    c1 AS (SELECT cid, list(mu ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+    {_km_assign_sql("c1", "a2")}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid,
+           round({_cos_sql("a.v", "b.v")}, 6) AS cos_sim
+    FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.v", "b.v")} >= {_SEMDEDUP_THRESHOLD}
+    """
+
+
+@query("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    pairs found by k-means CLUSTER BLOCKING — embeddings are clustered
+    (two deterministic Lloyd iterations, shared with
+    ``kmeans_embeddings_2iter``), and exact cosine runs only WITHIN each
+    cluster via an equi self-join on cid.
+
+    Scale math: candidates drop from O(n^2) to O(sum c_i^2); in the
+    SemDeDup regime k grows with the corpus so cluster sizes stay
+    bounded and the join is shuffle-partitioned by cid — embarrassingly
+    parallel, no all-pairs stage anywhere. Duplicates land in the same
+    cluster because identical vectors get identical assignments (and
+    near-identical ones the same argmin for any non-degenerate centroid
+    set). Input is the planted-dup table (`registry_ext._PLANT_SQL` —
+    vec_id % 10 == 0 takes its successor's embedding), the same fixture
+    the LSH corpus entries use: planted pairs have cos == 1.0 and no
+    natural pair reaches 0.52 at oracle SF, so the 0.9 threshold is
+    engine-robust. The oracle replays clustering + within-cluster pairs
+    in DuckDB with identical fold orders — exact hash match."""
+    from ibc_spark.ext.dedup import cosine
+    from ibc_spark.registry_ext import _planted_embeddings
+    from ibc_spark.registry_lakehouse import km_assign_2iter
+
+    emb = _planted_embeddings(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a2 = km_assign_2iter(emb).select("vec_id", "v", "cid")
+    a = a2.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cid"
+    )
+    b = a2.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cid")
+    pairs = a.join(b, on="cid").where(F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.where(cos >= _SEMDEDUP_THRESHOLD)
+        .select("id_a", "id_b", "cid", F.round(cos, 6).alias("cos_sim"))
+    )

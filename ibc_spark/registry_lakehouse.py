@@ -541,6 +541,27 @@ def kmeans_embeddings_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    a2 = km_assign_2iter(emb)
+    return a2.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.round(_km_fold_by_vec(F.col("dist")), 6).alias("inertia"),
+    )
+
+
+def _km_fold_by_vec(val: F.Column) -> F.Column:
+    """Fold an aggregated double in vec_id order (the oracle's left fold)."""
+    kv = F.collect_list(F.struct(F.col("vec_id").alias("k"), val.alias("x")))
+    return F.aggregate(F.array_sort(kv), F.lit(0.0), lambda a, p: a + p["x"])
+
+
+def km_assign_2iter(emb: DataFrame) -> DataFrame:
+    """Cluster assignment (vec_id, v, cid, dist) after two Lloyd iterations
+    with the deterministic init (centroids = the _KM_K lowest vec_ids).
+    Shared by ``kmeans_embeddings_2iter`` and the SemDeDup entry
+    (``dedup_semdedup`` in registry_extras); the input frame must carry
+    (vec_id, v: array<double>). Same plan shape as documented on the
+    kmeans entry: broadcast centroids, argmin window, posexplode centroid
+    update."""
     c0 = (
         emb.orderBy("vec_id")
         .limit(_KM_K)
@@ -561,26 +582,18 @@ def kmeans_embeddings_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.partitionBy("vec_id").orderBy("dist", "cid")
         return d.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
 
-    def fold_by_vec(val: F.Column) -> F.Column:
-        kv = F.collect_list(F.struct(F.col("vec_id").alias("k"), val.alias("x")))
-        return F.aggregate(F.array_sort(kv), F.lit(0.0), lambda a, p: a + p["x"])
-
     a1 = assign(c0)
     m1 = (
         a1.select("vec_id", "cid", F.posexplode("v").alias("pos0", "val"))
         .groupBy("cid", (F.col("pos0") + 1).alias("pos"))
-        .agg((fold_by_vec(F.col("val")) / F.count("*")).alias("mu"))
+        .agg((_km_fold_by_vec(F.col("val")) / F.count("*")).alias("mu"))
     )
     c1 = m1.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
         ).alias("cv")
     )
-    a2 = assign(c1)
-    return a2.groupBy("cid").agg(
-        F.count("*").alias("n_members"),
-        F.round(fold_by_vec(F.col("dist")), 6).alias("inertia"),
-    )
+    return assign(c1)
 
 
 # ---------------------------------------------------------------------------

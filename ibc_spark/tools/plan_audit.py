@@ -59,6 +59,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "embedding_power_iteration_pc1": "1-row norm / Rayleigh-quotient scalar broadcasts per pass",
     "heavy_hitters_exact": "1-row global-count broadcast into the HAVING predicate",
     "heavy_hitters_cms": "1-row global-count broadcast into the threshold predicate",
+    "dedup_semdedup": "O(k*dim) centroid broadcast (shared km_assign_2iter); pair join itself is hash equi on cid",
 }
 
 # Row-at-a-time Python allowlist: the engine-wide rule is Arrow-batched or

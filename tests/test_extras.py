@@ -149,6 +149,68 @@ def test_runtime_bloom_filter_injects_on_reduction_shape(spark):
                 spark.conf.set(k, v)
 
 
+def test_sliding_rollup_covers_each_event_twice(spark):
+    """2h windows hopping 1h: every event lands in exactly two windows, so
+    the window-level event counts sum to exactly 2x the table count."""
+    from ibc_spark.io_.sources import read_table
+
+    df = QUERIES["events_sliding_rollup"](spark, SF_SMOKE)
+    total = df.agg(F.sum("n_events")).collect()[0][0]
+    n = read_table(spark, SF_SMOKE, "events").count()
+    assert total == 2 * n
+
+
+def test_streaming_sessionize_is_closed_subset_of_batch(spark):
+    """The streaming result must be exactly the batch sessions whose window
+    (last_ts + gap) the watermark has passed — nothing more, nothing less."""
+    from pyspark.sql import Window
+
+    from ibc_spark.io_.sources import read_table
+
+    got = QUERIES["streaming_sessionize"](spark, SF_SMOKE)
+    b = read_table(spark, SF_SMOKE, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    marked = b.withColumn(
+        "ns",
+        F.when(
+            prev.isNull() | (F.col("ts") >= prev + F.expr("INTERVAL 30 MINUTES")), 1
+        ).otherwise(0),
+    )
+    num = marked.withColumn(
+        "seq", F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sess = num.groupBy("user_id", "seq").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    mx = b.agg(F.max("ts").alias("m"))
+    closed = (
+        sess.crossJoin(F.broadcast(mx))
+        .where(F.col("session_end") <= F.col("m"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    assert closed.exceptAll(got).count() == 0
+    assert got.exceptAll(closed).count() == 0
+    # the withheld tail sessions are real: batch has strictly more
+    assert sess.count() > closed.count()
+
+
+def test_semdedup_finds_every_planted_pair(spark):
+    """Cluster blocking must not lose a single planted duplicate: all
+    (10k, 10k+1) pairs appear with cos == 1.0, and nothing else crosses
+    the 0.9 threshold on this fixture."""
+    rows = QUERIES["dedup_semdedup"](spark, SF_ORACLE).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    from ibc_spark.io_.sources import read_table
+
+    n = read_table(spark, SF_ORACLE, "embeddings").count()
+    planted = {(i, i + 1) for i in range(0, n, 10) if i + 1 < n}
+    assert got == planted
+    assert all(r.cos_sim == 1.0 for r in rows)
+
+
 def test_ewma_matches_reference_convolution(spark):
     """Pin the EWMA semantics against a NumPy reference computed per user
     over the same (ts, event_id) ordering."""
