@@ -562,3 +562,91 @@ def knn_graph_lsh(
         .where(F.col("rk") <= k)
         .select("src", "dst", F.round("cos", 4).alias("cos_sim"), "rk")
     )
+
+
+def gemm_threshold_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    threshold: float,
+    n_blocks: int = 4,
+    max_block_rows: int = MAX_BLOCK_ROWS,
+) -> DataFrame:
+    """ALL cosine pairs >= ``threshold`` WITHIN each cell (blocking key),
+    scored by blocked GEMM — the execution engine for cluster-blocked
+    dedup (SemDeDup): the caller supplies the cell assignment (k-means
+    cid, LSH bucket, ...) and this pays exactly O(sum c_i^2 * dim) flops
+    as BLAS matmuls instead of an interpreted per-pair fold.
+
+    Cells are split into ``n_blocks`` hash sub-blocks so task memory is
+    bounded by block size, not cell size; the within-cell block-pair join
+    takes each unordered sub-block pair once (block_a <= block_b). Each
+    unordered id pair is emitted exactly once, canonicalized id_a < id_b:
+    same-block matrices keep the strict upper triangle BY ID (order-
+    independent), cross-block matrices emit every entry canonicalized.
+    Returns (id_a, id_b, cell, cos). Deterministic on fixed data; the
+    same id must not appear in two cells (one assignment per vector)."""
+    packed = (
+        df.select(
+            F.col(cell_col).alias("cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("block"),
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+        )
+        .groupBy("cell", "block")
+        .agg(F.collect_list("vid").alias("ids"), F.collect_list("v").alias("vecs"))
+    )
+    a = packed.select(
+        "cell",
+        F.col("block").alias("block_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    b = packed.select(
+        "cell",
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    joined = a.join(b, on="cell").where(F.col("block_a") <= F.col("block_b"))
+
+    out_schema = "id_a long, id_b long, cell long, cos double"
+
+    def _score(pdf_iter):
+        for pdf in pdf_iter:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                if len(ids_a) > max_block_rows or len(ids_b) > max_block_rows:
+                    raise ValueError(
+                        f"packed GEMM block exceeds max_block_rows="
+                        f"{max_block_rows}; raise n_blocks so blocks shrink"
+                    )
+                ma = np.stack([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                mb = np.stack([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                cos = (ma @ mb.T) / np.outer(
+                    np.where(na == 0, 1.0, na), np.where(nb == 0, 1.0, nb)
+                )
+                # each unordered pair exactly once: strict upper triangle
+                # BY ID (works for same-block, where both orientations are
+                # present); cross-block entries appear once and are
+                # canonicalized below
+                same = row.block_a == row.block_b
+                ii, jj = np.nonzero(cos >= threshold)
+                for i, j in zip(ii, jj):
+                    x, y = int(ids_a[i]), int(ids_b[j])
+                    if same:
+                        if x >= y:
+                            continue
+                    elif x == y:
+                        continue
+                    lo, hi = (x, y) if x < y else (y, x)
+                    outs.append((lo, hi, int(row.cell), float(cos[i, j])))
+            yield pd.DataFrame(outs, columns=["id_a", "id_b", "cell", "cos"])
+
+    return joined.mapInPandas(_score, out_schema)

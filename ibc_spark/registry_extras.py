@@ -17,8 +17,15 @@ Why these exist (scale rationale, per entry):
   explicit: reduce the fact side with a broadcast semi-join on the dim
   keys BEFORE the shuffle join, so the shuffle moves only surviving rows.
 - ``ewma_user_values`` — recursive smoothing re-expressed as a bounded
-  convolution so it runs as one window projection (no iteration), with
-  exact-DECIMAL weights so Spark and DuckDB agree bit-for-bit.
+  convolution so it runs as one window projection (no iteration) with
+  exact scaled-integer arithmetic.
+- ``events_sliding_rollup`` / ``streaming_sessionize`` — hopping windows,
+  and sessionization executed by the streaming engine itself with its
+  watermark-closure semantics pinned to a batch oracle.
+- ``dedup_semdedup`` — SemDeDup cluster blocking: near-dup search confined
+  to k-means cells, O(sum c_i^2) candidates instead of O(n^2).
+- ``text_lexicon_score`` / ``basket_lift_pairs`` — broadcast-lexicon
+  scoring (SURVEY §7.7) and market-basket lift with type-bounded fan-out.
 
 Cross-engine determinism follows the repo rules (``ibc_spark.registry``):
 float sums go through pinned-scale DECIMALs; every computed column is
@@ -502,7 +509,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs found by k-means CLUSTER BLOCKING — embeddings are clustered
     (two deterministic Lloyd iterations, shared with
     ``kmeans_embeddings_2iter``), and exact cosine runs only WITHIN each
-    cluster via an equi self-join on cid.
+    cluster, block-paired through one BLAS matmul per sub-block pair
+    (`ext.similarity.gemm_threshold_pairs`).
 
     Scale math: candidates drop from O(n^2) to O(sum c_i^2); in the
     SemDeDup regime k grows with the corpus so cluster sizes stay
@@ -514,9 +522,14 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id % 10 == 0 takes its successor's embedding), the same fixture
     the LSH corpus entries use: planted pairs have cos == 1.0 and no
     natural pair reaches 0.52 at oracle SF, so the 0.9 threshold is
-    engine-robust. The oracle replays clustering + within-cluster pairs
-    in DuckDB with identical fold orders — exact hash match."""
-    from ibc_spark.ext.dedup import cosine
+    engine-robust: only cos==1.0 pairs are ever emitted, so BLAS-vs-fold
+    rounding (<=1e-15) cannot flip the threshold comparison or a 6-dp
+    rounded output. (The interpreted per-pair HOF cosine form of this
+    entry measured 16 s at sf0.1; the GEMM form pays the identical
+    O(sum c_i^2 * dim) flops as BLAS and bounds task memory by
+    sub-block, not cluster, size.) The oracle replays clustering +
+    within-cluster pairs in DuckDB — exact hash match."""
+    from ibc_spark.ext.similarity import gemm_threshold_pairs
     from ibc_spark.registry_ext import _planted_embeddings
     from ibc_spark.registry_lakehouse import km_assign_2iter
 
@@ -524,13 +537,146 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     a2 = km_assign_2iter(emb).select("vec_id", "v", "cid")
-    a = a2.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cid"
+    pairs = gemm_threshold_pairs(
+        a2,
+        id_col="vec_id",
+        vec_col="v",
+        cell_col="cid",
+        threshold=_SEMDEDUP_THRESHOLD,
+        n_blocks=4,
     )
-    b = a2.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cid")
-    pairs = a.join(b, on="cid").where(F.col("id_a") < F.col("id_b"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("cell").alias("cid"),
+        F.round("cos", 6).alias("cos_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexicon-based scoring (SURVEY §7.7's "sentiment-style scoring via
+# broadcast lexicon join")
+# ---------------------------------------------------------------------------
+
+# Performance-sentiment lexicon over the synthetic corpus vocabulary.
+_LEXICON: dict[str, int] = {"fast": 2, "small": 1, "big": -1, "slow": -2}
+
+
+@query(
+    "text_lexicon_score",
+    oracle=f"""
+    WITH lex(term, weight) AS (VALUES {", ".join(f"('{t}', {w})" for t, w in sorted(_LEXICON.items()))}),
+    tok AS (
+      SELECT doc_id, unnest({{toks}}) AS term,
+             len({{toks}}) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(SUM(COALESCE(weight, 0)) AS BIGINT) AS score_sum,
+           COUNT(weight) AS n_hits,
+           CAST(SUM(COALESCE(weight, 0)) AS DOUBLE) / any_value(n_tokens)
+             AS sentiment
+    FROM tok LEFT JOIN lex USING (term)
+    GROUP BY doc_id
+    """.format(
+        toks="list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    ),
+)
+def text_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based document scoring (SURVEY §7.7's sentiment-style
+    scorer): tokens equi-join a BROADCAST weight lexicon; per-doc integer
+    weight sum, hit count, and a length-normalized score.
+
+    The lexicon is O(vocabulary-subset) — always broadcast, never
+    shuffled; the token explode is narrow; the aggregate is map-side
+    combinable on doc_id. Real deployments swap the inline VALUES for a
+    dim-table read (same plan). All-integer aggregation; the single
+    final division is IEEE-identical across engines."""
+    from ibc_spark.ext.text import tokens
+
+    lex = spark.createDataFrame(
+        sorted(_LEXICON.items()), schema="term string, weight int"
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    tok = docs.select(
+        "doc_id", F.size("toks").alias("n_tokens"), F.explode("toks").alias("term")
+    )
+    j = tok.join(F.broadcast(lex), on="term", how="left")
+    return j.groupBy("doc_id").agg(
+        F.sum(F.coalesce("weight", F.lit(0))).alias("score_sum"),
+        F.count("weight").alias("n_hits"),
+        (
+            F.sum(F.coalesce("weight", F.lit(0))).cast("double")
+            / F.any_value("n_tokens")
+        ).alias("sentiment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association: event-type co-occurrence lift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "basket_lift_pairs",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    t AS (SELECT event_type, COUNT(*) AS n_type FROM u GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           CAST(n_both AS DOUBLE) * n_users / ta.n_type / tb.n_type AS lift
+    FROM p
+    JOIN t ta ON ta.event_type = p.type_a
+    JOIN t tb ON tb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over event types: for each unordered type
+    pair, the co-occurring-user count and LIFT
+    (P(a,b) / (P(a)P(b)), computed as n_both * n_users / (n_a * n_b)).
+
+    The self-join is keyed on user_id with per-user fan-out bounded by
+    the TYPE cardinality (a handful), so candidate volume is O(users x
+    |types|^2) — never quadratic in rows. Per-type counts are a tiny
+    broadcast; the user-distinct frame is one hash aggregate. The lift
+    division chain is pinned left-to-right over exact integers, so both
+    engines produce bit-identical doubles."""
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    n = u.agg(F.countDistinct("user_id").alias("n_users"))
+    t = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, on="user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = F.broadcast(t.select(F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a")))
+    tb = F.broadcast(t.select(F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b")))
     return (
-        pairs.where(cos >= _SEMDEDUP_THRESHOLD)
-        .select("id_a", "id_b", "cid", F.round(cos, 6).alias("cos_sim"))
+        p.join(ta, "type_a")
+        .join(tb, "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                * F.col("n_users")
+                / F.col("n_a")
+                / F.col("n_b")
+            ).alias("lift"),
+        )
     )

@@ -211,6 +211,59 @@ def test_semdedup_finds_every_planted_pair(spark):
     assert all(r.cos_sim == 1.0 for r in rows)
 
 
+def test_lexicon_score_pinned_example(spark):
+    """Hand-check one synthetic doc: score must equal the weighted token
+    sum over the {fast:+2, small:+1, big:-1, slow:-2} lexicon."""
+    from ibc_spark.registry_extras import _LEXICON
+
+    rows = QUERIES["text_lexicon_score"](spark, SF_SMOKE).collect()
+    from ibc_spark.io_.sources import read_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in read_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    for r in rows[:20]:
+        toks = [t for t in texts[r.doc_id].lower().split() if t]
+        expect_sum = sum(_LEXICON.get(t, 0) for t in toks)
+        expect_hits = sum(1 for t in toks if t in _LEXICON)
+        assert r.score_sum == expect_sum, r.doc_id
+        assert r.n_hits == expect_hits, r.doc_id
+        assert r.sentiment == pytest.approx(expect_sum / len(toks))
+
+
+def test_basket_lift_bounded_candidates(spark):
+    """The pair join must fan out per user by TYPE cardinality, not rows:
+    every output pair is an unordered distinct-type pair, and lift matches
+    a hand computation from the contingency counts."""
+    from ibc_spark.io_.sources import read_table
+
+    rows = QUERIES["basket_lift_pairs"](spark, SF_SMOKE).collect()
+    ev = read_table(spark, SF_SMOKE, "events").select("user_id", "event_type").distinct()
+    by_user: dict = {}
+    for r in ev.collect():
+        by_user.setdefault(r.user_id, set()).add(r.event_type)
+    n_users = len(by_user)
+    from collections import Counter
+
+    type_c: Counter = Counter()
+    pair_c: Counter = Counter()
+    for types in by_user.values():
+        for t in types:
+            type_c[t] += 1
+        ts = sorted(types)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                pair_c[(ts[i], ts[j])] += 1
+    got = {(r.type_a, r.type_b): (r.n_both, r.lift) for r in rows}
+    assert set(got) == set(pair_c)
+    for (a, b), (n_both, lift) in got.items():
+        assert n_both == pair_c[(a, b)]
+        assert lift == pytest.approx(
+            n_both * n_users / (type_c[a] * type_c[b])
+        )
+
+
 def test_ewma_matches_reference_convolution(spark):
     """Pin the EWMA semantics against a NumPy reference computed per user
     over the same (ts, event_id) ordering."""
