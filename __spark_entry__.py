@@ -76,10 +76,12 @@ _FORCE_RECHECK: set[str] = {
 # re-attestation backlog. They are fully hash-checked by the STRICTER local
 # parity suite every pytest run (tests/test_oracle_parity.py).
 #
-# Round 7: EMPTY — the round-6 driver snapshot was never published
-# (no CORRECTNESS_r06.json landed), so round 6's twelve deferred entries
-# are still unattested; they flow through the never-green bucket below
-# together with round 7's additions. Nothing new is deferred on top.
+# Currently EMPTY on purpose: no CORRECTNESS snapshot has landed since the
+# round-6 additions, so every round-6 entry is still unattested and flows
+# through the never-green bucket below — with 161 registry entries that
+# bucket (40) plus _FORCE_RECHECK (6) fills 46 of the 50 snapshot slots,
+# and external attestation of never-checked entries beats re-attesting
+# greens the local parity suite already re-hashes every pytest run.
 _DEFER_TO_NEXT_ROUND: set[str] = set()
 
 

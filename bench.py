@@ -89,11 +89,24 @@ def main() -> None:
         wanted = {n.strip() for n in only.split(",") if n.strip()}
         names = [n for n in names if n in wanted]
     runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
+    # Rebuild the session every N queries: measured on the 159-query run,
+    # accumulated session state (python daemon heaps, executor-side caches)
+    # inflated mid-run medians up to 2.7x over a fresh session for the
+    # pandas-UDF-heavy dedup family (4.48s vs 1.66s for
+    # dedup_embedding_cosine, uncontended host; System.gc() alone only
+    # recovered ~60%). A stop+rebuild costs ~1.3s and restores fresh-JVM
+    # timings, so each query's median measures the QUERY, not the session
+    # history before it. Still cold-cache per run (release + clearCache).
+    restart_every = max(1, int(os.environ.get("BENCH_RESTART_EVERY", "25")))
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     from ibc_spark.ext.persistreg import release_persisted
 
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi and qi % restart_every == 0:
+            spark.stop()
+            spark = get_spark("ibc_spark_bench")
+            read_table(spark, sf_dir, "nation").count()
         samples: list[float] = []
         try:
             for _ in range(runs):
@@ -138,7 +151,7 @@ def main() -> None:
                 # Rounds 1-4 were partially warm for the cache-heavy dedup
                 # family — flag the methodology so round-over-round deltas
                 # stay interpretable.
-                "methodology": "cold",
+                "methodology": f"cold+session-refresh/{restart_every}",
             }
         ),
         flush=True,
@@ -156,7 +169,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "runs_per_query": runs,
-                "methodology": "cold",
+                "methodology": f"cold+session-refresh/{restart_every}",
                 "sum_median_sec": round(sum(t for t in timings.values() if t > 0), 2),
             }
         ),
