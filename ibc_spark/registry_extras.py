@@ -486,6 +486,85 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream interval join, under the oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_seconds
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join executed by the streaming engine: a
+    clicks stream inner-joins a purchases stream on user with the
+    time-range condition purchase within [click, click + 1h] — the
+    canonical two-feed correlation (ad click x conversion) that batch
+    engines express as a range join and streaming engines as symmetric
+    state with watermark eviction.
+
+    Both sides carry a 0-second watermark; the range condition bounds
+    how long each side's rows stay in state (a click can be evicted once
+    the purchase-side watermark passes click_ts + 1h). Inner join output
+    emits eagerly per micro-batch, so the availableNow run produces the
+    COMPLETE join of the backlog — the oracle is the plain batch range
+    join, no closure filtering needed (unlike append-mode aggregation in
+    ``streaming_sessionize``). gap_seconds is exact integer arithmetic.
+    """
+    from ibc_spark.streaming.sources import read_events_stream
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "0 seconds")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_seconds"),
+    )
+    name = f"streaming_stream_join_{next(_STREAM_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="ibc_stream_ckpt_")
+    _run_stream_scoped(
+        spark,
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckpt, "q"))
+        .trigger(availableNow=True),
+    )
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup via k-means cluster blocking
 # ---------------------------------------------------------------------------
 

@@ -197,6 +197,40 @@ def test_streaming_sessionize_is_closed_subset_of_batch(spark):
     assert sess.count() > closed.count()
 
 
+def test_stream_stream_join_equals_batch_range_join(spark):
+    """Inner stream-stream join emits eagerly, so availableNow must equal
+    the batch range join exactly — no watermark closure filtering."""
+    from ibc_spark.io_.sources import read_table
+
+    got = QUERIES["streaming_stream_join"](spark, SF_SMOKE)
+    ev = read_table(spark, SF_SMOKE, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_seconds"),
+        )
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
 def test_semdedup_finds_every_planted_pair(spark):
     """Cluster blocking must not lose a single planted duplicate: all
     (10k, 10k+1) pairs appear with cos == 1.0, and nothing else crosses
