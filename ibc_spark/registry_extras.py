@@ -654,6 +654,131 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD2 point-in-time (as-of-version) lookup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH versions AS (
+      SELECT c_custkey, c_mktsegment AS seg, 1 AS version,
+             DATE '1992-01-01' AS valid_from,
+             DATE '1994-01-01' + CAST(c_custkey % 1000 AS INTEGER) AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'CHANGED', 2,
+             DATE '1994-01-01' + CAST(c_custkey % 1000 AS INTEGER),
+             CAST(NULL AS DATE)
+      FROM customer
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           v.version AS version_at_order, v.seg AS segment_at_order
+    FROM orders o
+    JOIN versions v
+      ON o.o_custkey = v.c_custkey
+     AND o.o_orderdate >= v.valid_from
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against an SCD2 version table: each order
+    resolves the dimension VERSION that was valid on its order date —
+    the read side of ``scd2_customer_history``'s write side, and the
+    correctness backbone of any backfill (joining today's dim rows onto
+    historical facts silently rewrites history).
+
+    The version table here is synthesized deterministically (each
+    customer's segment flips to 'CHANGED' at a per-key boundary date
+    inside the order-date range, so both versions are actually
+    exercised). Plan shape: equi join on the customer key with the
+    validity range as a residual predicate — versions-per-key is small
+    and bounded, so this scales exactly like any fact-dim join; never a
+    range-only join. Spark's half-open interval semantics match the
+    oracle's (valid_from inclusive, valid_to exclusive, NULL = open)."""
+    c = read_table(spark, sf_dir, "customer")
+    boundary = F.date_add(
+        F.lit("1994-01-01").cast("date"), (F.col("c_custkey") % 1000).cast("int")
+    )
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("version"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        boundary.alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.lit("CHANGED").alias("seg"),
+        F.lit(2).alias("version"),
+        boundary.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    versions = v1.unionByName(v2)
+    o = read_table(spark, sf_dir, "orders")
+    j = o.join(
+        versions,
+        (o.o_custkey == versions.c_custkey)
+        & (o.o_orderdate >= versions.valid_from)
+        & (versions.valid_to.isNull() | (o.o_orderdate < versions.valid_to)),
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("version").alias("version_at_order"),
+        F.col("seg").alias("segment_at_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup across two feeds, under the oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_dedup_exact",
+    oracle="SELECT DISTINCT sha256(text) AS sha FROM documents",
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-address dedup executed BY THE STREAMING ENGINE across two
+    feeds: the documents stream unioned with itself (every document
+    arrives twice — the re-delivery / two-source shape) then
+    ``dropDuplicates`` on the SHA-256 content address. The emitted set is
+    the DISTINCT address set — duplicate re-deliveries are absorbed by
+    the dedup state store, which is exactly how an exactly-once ingest
+    boundary absorbs at-least-once delivery at 100 TB (state is one key
+    per distinct document; bound it with ``dropDuplicatesWithinWatermark``
+    when addresses can expire).
+
+    Only the address column is emitted (which PHYSICAL row wins the race
+    inside the state store is nondeterministic; the address set is not),
+    so the availableNow result equals the batch DISTINCT — the oracle.
+    Spark's ``sha2(text, 256)`` and DuckDB's ``sha256(text)`` both emit
+    lowercase hex."""
+    from ibc_spark.streaming.sources import read_documents_stream
+
+    def feed():
+        return read_documents_stream(spark, sf_dir).select(
+            F.sha2(F.col("text"), 256).alias("sha")
+        )
+
+    both = feed().unionByName(feed())
+    deduped = both.dropDuplicates(["sha"])
+    name = f"streaming_dedup_exact_{next(_STREAM_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="ibc_stream_ckpt_")
+    _run_stream_scoped(
+        spark,
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckpt, "q"))
+        .trigger(availableNow=True),
+    )
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # Lexicon-based scoring (SURVEY §7.7's "sentiment-style scoring via
 # broadcast lexicon join")
 # ---------------------------------------------------------------------------

@@ -245,6 +245,42 @@ def test_semdedup_finds_every_planted_pair(spark):
     assert all(r.cos_sim == 1.0 for r in rows)
 
 
+def test_scd2_pit_exactly_one_version_per_order(spark):
+    """Every order must resolve exactly ONE version, and version 2 exactly
+    when the order date is on/after that customer's boundary."""
+    from ibc_spark.io_.sources import read_table
+
+    df = QUERIES["scd2_point_in_time"](spark, SF_SMOKE)
+    n_orders = read_table(spark, SF_SMOKE, "orders").count()
+    assert df.count() == n_orders
+    assert df.select("o_orderkey").distinct().count() == n_orders
+    import datetime
+
+    for r in df.limit(200).collect():
+        boundary = datetime.date(1994, 1, 1) + datetime.timedelta(
+            days=int(r.o_custkey % 1000)
+        )
+        od = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        expect = 2 if od >= boundary else 1
+        assert r.version_at_order == expect, (r.o_orderkey, od, boundary)
+        assert (r.segment_at_order == "CHANGED") == (expect == 2)
+
+
+def test_streaming_dedup_absorbs_redelivery(spark):
+    """The doubled feed (every doc arrives twice) must collapse to the
+    batch DISTINCT address set."""
+    from ibc_spark.io_.sources import read_table
+
+    got = QUERIES["streaming_dedup_exact"](spark, SF_SMOKE)
+    batch = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select(F.sha2(F.col("text"), 256).alias("sha"))
+        .distinct()
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+
+
 def test_lexicon_score_pinned_example(spark):
     """Hand-check one synthetic doc: score must equal the weighted token
     sum over the {fast:+2, small:+1, big:-1, slow:-2} lexicon."""
