@@ -905,3 +905,131 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the training-corpus preparation funnel as ONE declarative plan
+# ---------------------------------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    """Compose the funnel oracle from the REGISTERED oracles of its stage
+    operators (gopher gate, lang-id, decontamination) so the funnel can
+    never drift from the operators it chains."""
+    from ibc_spark.registry import ORACLES
+
+    g = ORACLES["text_gopher_rules"].strip()
+    l = ORACLES["text_lang_id"].strip()
+    c = ORACLES["decontaminate_against_holdout"].strip()
+    return f"""
+    WITH g AS (SELECT doc_id, keep FROM ({g})),
+    l AS (SELECT doc_id, lang_pred FROM ({l})),
+    c AS (SELECT doc_id, contaminated FROM ({c})),
+    base AS (
+      SELECT d.doc_id, sha256(d.text) AS sha, g.keep, l.lang_pred,
+             COALESCE(c.contaminated, FALSE) AS contaminated,
+             d.doc_id % 97 = 0 AS is_holdout
+      FROM documents d
+      JOIN g USING (doc_id)
+      JOIN l USING (doc_id)
+      LEFT JOIN c USING (doc_id)
+    ),
+    s AS (
+      SELECT *,
+             keep AND lang_pred = 'en' AS q3,
+             CASE WHEN keep AND lang_pred = 'en'
+                  THEN doc_id = min(doc_id) FILTER (keep AND lang_pred = 'en')
+                       OVER (PARTITION BY sha)
+                  ELSE FALSE END AS q4
+      FROM base
+    ),
+    counts AS (
+      SELECT COUNT(*) AS c1,
+             COUNT(*) FILTER (keep) AS c2,
+             COUNT(*) FILTER (q3) AS c3,
+             COUNT(*) FILTER (q4) AS c4,
+             COUNT(*) FILTER (q4 AND NOT is_holdout AND NOT contaminated) AS c5
+      FROM s
+    )
+    SELECT stage_order, stage, docs_surviving FROM (
+      SELECT 1 AS stage_order, 'raw' AS stage, c1 AS docs_surviving FROM counts
+      UNION ALL SELECT 2, 'quality_gate', c2 FROM counts
+      UNION ALL SELECT 3, 'english_only', c3 FROM counts
+      UNION ALL SELECT 4, 'exact_dedup', c4 FROM counts
+      UNION ALL SELECT 5, 'decontaminated', c5 FROM counts
+    )
+    """
+
+
+@query("corpus_pipeline_funnel", oracle=_funnel_oracle())
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: the training-corpus preparation pipeline — Gopher quality
+    gate -> English-only -> exact content dedup -> benchmark
+    decontamination — composed as ONE declarative plan, reporting the
+    survivor count after each cumulative stage (the funnel a data-curation
+    run reports before a pretraining launch).
+
+    Composition is by calling the STAGE OPERATORS themselves
+    (``text_gopher_rules``, ``text_lang_id``,
+    ``decontaminate_against_holdout``) and joining their outputs on
+    doc_id; the oracle is assembled from those operators' REGISTERED
+    oracle SQL, so funnel semantics cannot drift from the operators it
+    chains. Catalyst fuses the stage projections over the shared
+    documents scan; the only shuffles are the content-sha window (the
+    dedup) and the decontamination hit-count — at 100 TB each stage
+    stays the plan already proven by its standalone entry, and the
+    funnel aggregate is a 5-row frame.
+
+    Which stages actually drop documents depends on the corpus: at
+    oracle SF the synthetic documents are all English with no exact-dup
+    texts, so the quality gate and decontamination are the active
+    stages; the oracle still verifies all five counts exactly."""
+    from ibc_spark.registry import QUERIES
+
+    g = QUERIES["text_gopher_rules"](spark, sf_dir).select("doc_id", "keep")
+    lng = QUERIES["text_lang_id"](spark, sf_dir)
+    con = QUERIES["decontaminate_against_holdout"](spark, sf_dir).select(
+        "doc_id", "contaminated"
+    )
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha")
+    )
+    base = (
+        d.join(g, "doc_id")
+        .join(lng, "doc_id")
+        .join(con, "doc_id", "left")
+        .select(
+            "doc_id",
+            "sha",
+            "keep",
+            "lang_pred",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            (F.col("doc_id") % 97 == 0).alias("is_holdout"),
+        )
+    )
+    q3 = F.col("keep") & (F.col("lang_pred") == "en")
+    w = Window.partitionBy("sha")
+    s = base.withColumn("q3", q3).withColumn(
+        "q4",
+        F.when(
+            F.col("q3"),
+            F.col("doc_id")
+            == F.min(F.when(F.col("q3"), F.col("doc_id"))).over(w),
+        ).otherwise(F.lit(False)),
+    )
+    counts = s.agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.count(F.when(F.col("keep"), 1)).alias("c2"),
+        F.count(F.when(F.col("q3"), 1)).alias("c3"),
+        F.count(F.when(F.col("q4"), 1)).alias("c4"),
+        F.count(
+            F.when(F.col("q4") & ~F.col("is_holdout") & ~F.col("contaminated"), 1)
+        ).alias("c5"),
+    )
+    stages = counts.select(
+        F.expr(
+            "stack(5, 1, 'raw', c1, 2, 'quality_gate', c2, 3, 'english_only', c3,"
+            " 4, 'exact_dedup', c4, 5, 'decontaminated', c5)"
+        ).alias("stage_order", "stage", "docs_surviving")
+    )
+    return stages

@@ -245,6 +245,28 @@ def test_semdedup_finds_every_planted_pair(spark):
     assert all(r.cos_sim == 1.0 for r in rows)
 
 
+def test_funnel_monotone_and_consistent_with_stages(spark):
+    """Funnel counts must be monotone non-increasing, start at the corpus
+    size, and agree with the standalone stage operators."""
+    rows = {
+        r.stage: r.docs_surviving
+        for r in QUERIES["corpus_pipeline_funnel"](spark, SF_ORACLE).collect()
+    }
+    order = ["raw", "quality_gate", "english_only", "exact_dedup", "decontaminated"]
+    vals = [rows[s] for s in order]
+    assert all(a >= b for a, b in zip(vals, vals[1:])), vals
+    from ibc_spark.io_.sources import read_table
+
+    assert vals[0] == read_table(spark, SF_ORACLE, "documents").count()
+    keep = (
+        QUERIES["text_gopher_rules"](spark, SF_ORACLE)
+        .where(F.col("keep"))
+        .count()
+    )
+    assert vals[1] == keep
+    assert vals[-1] < vals[0]  # something was actually dropped
+
+
 def test_scd2_pit_exactly_one_version_per_order(spark):
     """Every order must resolve exactly ONE version, and version 2 exactly
     when the order date is on/after that customer's boundary."""
