@@ -1033,3 +1033,67 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stage_order", "stage", "docs_surviving")
     )
     return stages
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (complement of attribution_last_touch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.purchase_id, p.user_id, c.click_id
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT purchase_id, user_id, click_id,
+           COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches,
+           CAST(1 AS DOUBLE) / COUNT(*) OVER (PARTITION BY purchase_id)
+             AS credit
+    FROM j
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every click in the hour before a
+    purchase shares the credit equally (1/n) — the fairness-spread
+    counterpart of ``attribution_last_touch``'s winner-takes-all.
+
+    Same join shape as last-touch (user-keyed equi join with an hour-band
+    range residual — never a time-only join), then one window count per
+    purchase; credit is a single division of exact integers, so doubles
+    match DuckDB bit-for-bit. Purchases with zero preceding clicks have
+    no credit rows by definition (INNER join) on both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts > p.p_ts - F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("purchase_id")
+    return j.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+        (F.lit(1).cast("double") / F.count(F.lit(1)).over(w)).alias("credit"),
+    )

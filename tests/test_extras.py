@@ -245,6 +245,21 @@ def test_semdedup_finds_every_planted_pair(spark):
     assert all(r.cos_sim == 1.0 for r in rows)
 
 
+def test_attribution_linear_credit_sums_to_one(spark):
+    """Per purchase, linear credits must sum to exactly 1, and the touch
+    set must equal last-touch's candidate window."""
+    rows = QUERIES["attribution_linear"](spark, SF_ORACLE).collect()
+    from collections import defaultdict
+
+    sums: dict = defaultdict(float)
+    for r in rows:
+        sums[r.purchase_id] += r.credit
+        assert r.credit == pytest.approx(1.0 / r.n_touches)
+    assert rows, "expected at least one attributed purchase at oracle SF"
+    for pid, s in sums.items():
+        assert s == pytest.approx(1.0), pid
+
+
 def test_funnel_monotone_and_consistent_with_stages(spark):
     """Funnel counts must be monotone non-increasing, start at the corpus
     size, and agree with the standalone stage operators."""
