@@ -201,20 +201,18 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUPERSET of the exact answer (CMS never undercounts).
     """
     ev = read_table(spark, sf_dir, "events")
-    # One projection per hash row (the row id must be a literal inside
-    # xxhash64 for codegen); the union is d narrow scans of the same
-    # already-scanned frame — Spark reuses the exchange under AQE.
-    parts = []
-    for r in range(_CMS_DEPTH):
-        parts.append(
-            ev.select(
-                F.lit(r).alias("row"),
-                _cms_cell(F.col("user_id"), r, _CMS_WIDTH).alias("col"),
-            )
-        )
-    cells = parts[0]
-    for p in parts[1:]:
-        cells = cells.unionByName(p)
+    # ONE scan: explode each event into its d hash rows and hash the
+    # (row, key) pair — xxhash64 hashes VALUES, so the exploded row-id
+    # column produces exactly the same cells as the literal-seeded probe
+    # side below (a previous form ran d separate scans union-ed together;
+    # at 100 TB the build must be single-pass, it is I/O-bound).
+    rows_arr = F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])
+    cells = ev.select(
+        F.explode(rows_arr).alias("row"), F.col("user_id").alias("key")
+    ).select(
+        "row",
+        F.pmod(F.xxhash64(F.col("row"), F.col("key")), F.lit(_CMS_WIDTH)).alias("col"),
+    )
     sketch = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
 
     total = ev.agg(F.count(F.lit(1)).alias("__n"))
