@@ -231,6 +231,48 @@ def test_stream_stream_join_equals_batch_range_join(spark):
     assert got.count() > 0
 
 
+def test_gemm_threshold_pairs_invariant_to_block_count(spark):
+    """The within-cell pair set must not depend on the sub-block split
+    (each unordered pair exactly once, any n_blocks), and must equal the
+    interpreted exact-cosine reference."""
+    from ibc_spark.ext.dedup import cosine
+    from ibc_spark.ext.similarity import gemm_threshold_pairs
+    from ibc_spark.io_.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        (F.col("vec_id") % 3).alias("cell"),
+    )
+    thr = 0.15  # low enough that natural pairs exist at sf0.001
+    ref_a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    ref_b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cell")
+    ref = (
+        ref_a.join(ref_b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= thr)
+        .select("id_a", "id_b")
+    )
+    expected = {(r.id_a, r.id_b) for r in ref.collect()}
+    assert expected, "fixture should produce at least one pair"
+    for n_blocks in (1, 3, 7):
+        got = gemm_threshold_pairs(
+            emb,
+            id_col="vec_id",
+            vec_col="v",
+            cell_col="cell",
+            threshold=thr,
+            n_blocks=n_blocks,
+        )
+        rows = got.collect()
+        pairs = [(r.id_a, r.id_b) for r in rows]
+        assert len(pairs) == len(set(pairs)), f"duplicate pairs at n_blocks={n_blocks}"
+        assert set(pairs) == expected, f"pair set differs at n_blocks={n_blocks}"
+        assert all(r.id_a < r.id_b for r in rows)
+
+
 def test_semdedup_finds_every_planted_pair(spark):
     """Cluster blocking must not lose a single planted duplicate: all
     (10k, 10k+1) pairs appear with cos == 1.0, and nothing else crosses
