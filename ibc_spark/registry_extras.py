@@ -1095,3 +1095,127 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_touches"),
         (F.lit(1).cast("double") / F.count(F.lit(1)).over(w)).alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) encoding for embedding compression
+# ---------------------------------------------------------------------------
+
+_PQ_SUBSPACES = 8   # 64-dim -> 8 subvectors of 8 dims
+_PQ_SUBDIM = 8
+_PQ_K = 16          # 4-bit codes
+
+_PQ_DIST = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2]))),"
+    " (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "embedding_pq_encode",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    anchors AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rank, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    grid AS (
+      SELECT e.vec_id, s.s, a.rank,
+             {_PQ_DIST.format(
+                 a=f"list_slice(e.v, s.s*{_PQ_SUBDIM}+1, s.s*{_PQ_SUBDIM}+{_PQ_SUBDIM})",
+                 b=f"list_slice(a.v, s.s*{_PQ_SUBDIM}+1, s.s*{_PQ_SUBDIM}+{_PQ_SUBDIM})",
+             )} AS dist
+      FROM emb e, generate_series(0, {_PQ_SUBSPACES - 1}) s(s), anchors a
+    ),
+    argmin AS (
+      SELECT vec_id, s, rank AS code, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dist, rank) AS rn
+        FROM grid
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           list(code ORDER BY s) AS codes,
+           CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                         list(dist ORDER BY s)),
+                            (acc, x) -> acc + x) AS DOUBLE) AS quant_err
+    FROM argmin
+    GROUP BY vec_id
+    """,
+)
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011): each 64-dim embedding is
+    split into 8 subvectors of 8 dims and each subvector encoded as the
+    index of its nearest codebook entry — 8 x 4-bit codes, a 64x memory
+    shrink over float64 (the compression IVF-PQ indexes run on at
+    billion-vector scale; complements the oracled scalar-int8 entry
+    `embedding_quantize_int8`).
+
+    Codebooks here are ANCHOR-based (the 16 lowest-vec_id vectors'
+    subvectors) so the WHOLE operator — subspace split, per-subspace
+    argmin with deterministic tie-break, code assembly, residual
+    quantization error — is exactly SQL-expressible and oracle-checked;
+    a production run would train each subspace codebook with the shared
+    2-iteration Lloyd machinery (`km_assign_2iter` on sliced vectors)
+    exactly as `kmeans_embeddings_2iter` does for full vectors.
+
+    Plan shape: the 16-anchor frame broadcasts as one packed row; the
+    encode is explode(subspace) x explode(anchor) -> per-(vec, subspace)
+    argmin window -> re-assembly, all shuffle-bounded by n x 8 rows of
+    CODES (never vectors). Distances fold in index order and the
+    per-subspace error sum folds in subspace order, so doubles match
+    DuckDB bit-for-bit."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    anchors = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("rank"),
+            F.col("v").alias("av"),
+        )
+    )
+    subspaces = F.array(*[F.lit(s) for s in range(_PQ_SUBSPACES)])
+    grid = (
+        emb.select("vec_id", "v", F.explode(subspaces).alias("s"))
+        .crossJoin(F.broadcast(anchors))
+        .select(
+            "vec_id",
+            "s",
+            "rank",
+            F.aggregate(
+                F.zip_with(
+                    F.expr(f"slice(v, s*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})"),
+                    F.expr(f"slice(av, s*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dist", "rank")
+    am = (
+        grid.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", "s", F.col("rank").alias("code"), "dist")
+    )
+    assembled = am.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))), lambda p: p["code"]
+        ).alias("codes"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "dist"))),
+                lambda p: p["dist"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("quant_err"),
+    )
+    return assembled

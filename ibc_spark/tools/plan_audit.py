@@ -61,6 +61,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "heavy_hitters_cms": "1-row global-count broadcast into the threshold predicate",
     "dedup_semdedup": "O(k*dim) centroid broadcast (shared km_assign_2iter); pair join itself is hash equi on cid",
     "basket_lift_pairs": "1-row distinct-user-count broadcast into the lift expression",
+    "embedding_pq_encode": "16-row codebook-anchor frame broadcast (O(K) by construction)",
 }
 
 # Row-at-a-time Python allowlist: the engine-wide rule is Arrow-batched or

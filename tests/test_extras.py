@@ -287,6 +287,28 @@ def test_semdedup_finds_every_planted_pair(spark):
     assert all(r.cos_sim == 1.0 for r in rows)
 
 
+def test_pq_encode_invariants(spark):
+    """Every vector gets 8 codes in [0,16); the anchor vectors themselves
+    encode with zero quantization error (their own subvectors are in the
+    codebook)."""
+    from ibc_spark.registry_extras import _PQ_K, _PQ_SUBSPACES
+
+    rows = QUERIES["embedding_pq_encode"](spark, SF_SMOKE).collect()
+    from ibc_spark.io_.sources import read_table
+
+    n = read_table(spark, SF_SMOKE, "embeddings").count()
+    assert len(rows) == n
+    by_id = {r.vec_id: r for r in rows}
+    for r in rows:
+        assert len(r.codes) == _PQ_SUBSPACES
+        assert all(0 <= c < _PQ_K for c in r.codes), r.vec_id
+        assert r.quant_err >= 0
+    anchor_ids = sorted(by_id)[:_PQ_K]
+    for rank, vid in enumerate(anchor_ids):
+        assert by_id[vid].quant_err == 0.0, vid
+        assert list(by_id[vid].codes) == [rank] * _PQ_SUBSPACES, vid
+
+
 def test_attribution_linear_credit_sums_to_one(spark):
     """Per purchase, linear credits must sum to exactly 1, and the touch
     set must equal last-touch's candidate window."""
