@@ -1219,3 +1219,143 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quant_err"),
     )
     return assembled
+
+
+@query(
+    "ann_topk_pq_adc",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    anchors AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rank, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    grid AS (
+      SELECT e.vec_id, s.s, a.rank,
+             {_PQ_DIST.format(
+                 a=f"list_slice(e.v, s.s*{_PQ_SUBDIM}+1, s.s*{_PQ_SUBDIM}+{_PQ_SUBDIM})",
+                 b=f"list_slice(a.v, s.s*{_PQ_SUBDIM}+1, s.s*{_PQ_SUBDIM}+{_PQ_SUBDIM})",
+             )} AS dist
+      FROM emb e, generate_series(0, {_PQ_SUBSPACES - 1}) s(s), anchors a
+    ),
+    codes AS (
+      SELECT vec_id, s, rank AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dist, rank) AS rn
+        FROM grid
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    adc_table AS (
+      SELECT s.s, a.rank,
+             {_PQ_DIST.format(
+                 a=f"list_slice(q.qv, s.s*{_PQ_SUBDIM}+1, s.s*{_PQ_SUBDIM}+{_PQ_SUBDIM})",
+                 b=f"list_slice(a.v, s.s*{_PQ_SUBDIM}+1, s.s*{_PQ_SUBDIM}+{_PQ_SUBDIM})",
+             )} AS qdist
+      FROM q, generate_series(0, {_PQ_SUBSPACES - 1}) s(s), anchors a
+    ),
+    adist AS (
+      SELECT c.vec_id,
+             CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                           list(t.qdist ORDER BY c.s)),
+                              (acc, x) -> acc + x) AS DOUBLE) AS approx_dist
+      FROM codes c JOIN adc_table t ON t.s = c.s AND t.rank = c.code
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(approx_dist, 6) AS approx_dist_r, rk FROM (
+      SELECT vec_id, approx_dist,
+             row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
+      FROM adist
+    ) WHERE rk <= 10
+    """,
+)
+def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest neighbors by ASYMMETRIC DISTANCE COMPUTATION over
+    the PQ codes from ``embedding_pq_encode``'s codebook: the query
+    builds an 8 x 16 subspace-distance lookup table ONCE, and every
+    database vector's approximate distance is just the sum of 8 table
+    lookups addressed by its codes — no float vectors touched at query
+    time. This is the query path IVF-PQ serves at billion-vector scale:
+    the scan reads 4-bit codes (64x less IO) and does table adds instead
+    of full-dim arithmetic.
+
+    The 128-row ADC table broadcasts; the lookup is a hash equi-join on
+    (subspace, code); per-vector sums fold in subspace order
+    (bit-identical to DuckDB); top-10 compiles to TakeOrderedAndProject.
+    The anchor codebook keeps everything oracle-exact — same contract as
+    ``embedding_pq_encode``; pytest recomputes the whole ADC pipeline in
+    NumPy and pins exact agreement. Retrieval quality caveat, stated
+    plainly: on these STRUCTURELESS random test vectors a 16-entry
+    untrained codebook recalls only ~0.2-0.4 of the true top-10 — PQ
+    compresses variance that random data spreads evenly. Production
+    recall comes from trained per-subspace codebooks (k=256), larger
+    candidate lists, and exact reranking; the oracle-checked mechanics
+    here are identical."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    anchors = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("rank"),
+            F.col("v").alias("av"),
+        )
+    )
+    subspaces = F.array(*[F.lit(s) for s in range(_PQ_SUBSPACES)])
+
+    def subdist(vec_col: str, anchor_col: str):
+        return F.aggregate(
+            F.zip_with(
+                F.expr(f"slice({vec_col}, s*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})"),
+                F.expr(f"slice({anchor_col}, s*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    grid = (
+        emb.select("vec_id", "v", F.explode(subspaces).alias("s"))
+        .crossJoin(F.broadcast(anchors))
+        .select("vec_id", "s", "rank", subdist("v", "av").alias("dist"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dist", "rank")
+    codes = (
+        grid.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", "s", F.col("rank").alias("code"))
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    adc_table = (
+        q.crossJoin(F.broadcast(anchors))
+        .select(F.explode(subspaces).alias("s"), "rank", "qv", "av")
+        .select("s", "rank", subdist("qv", "av").alias("qdist"))
+    )
+    adist = (
+        codes.where(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(adc_table.select("s", F.col("rank").alias("code"), "qdist")),
+            on=["s", "code"],
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "qdist"))),
+                    lambda p: p["qdist"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("approx_dist")
+        )
+    )
+    wk = Window.orderBy("approx_dist", "vec_id")
+    return (
+        adist.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 10)
+        .select("vec_id", F.round("approx_dist", 6).alias("approx_dist_r"), "rk")
+    )

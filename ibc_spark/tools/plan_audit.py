@@ -62,6 +62,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "dedup_semdedup": "O(k*dim) centroid broadcast (shared km_assign_2iter); pair join itself is hash equi on cid",
     "basket_lift_pairs": "1-row distinct-user-count broadcast into the lift expression",
     "embedding_pq_encode": "16-row codebook-anchor frame broadcast (O(K) by construction)",
+    "ann_topk_pq_adc": "16-row anchor frame + 1-row query vector + 128-row ADC table broadcasts",
 }
 
 # Row-at-a-time Python allowlist: the engine-wide rule is Arrow-batched or

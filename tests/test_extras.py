@@ -309,6 +309,48 @@ def test_pq_encode_invariants(spark):
         assert list(by_id[vid].codes) == [rank] * _PQ_SUBSPACES, vid
 
 
+def test_adc_topk_matches_numpy_recomputation(spark):
+    """End-to-end mechanical check: recompute codes, ADC table, and top-10
+    in NumPy from the raw embeddings; the Spark result must agree exactly
+    (ids, ranks, and distances to 1e-9)."""
+    import numpy as np
+
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.registry_extras import _PQ_K, _PQ_SUBDIM, _PQ_SUBSPACES
+
+    got = {
+        r.rk: (r.vec_id, r.approx_dist_r)
+        for r in QUERIES["ann_topk_pq_adc"](spark, SF_SMOKE).collect()
+    }
+    rows = sorted(
+        (r.vec_id, np.array(r.v, dtype=np.float64))
+        for r in read_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    ids = [i for i, _ in rows]
+    mat = np.stack([v for _, v in rows])
+    anchors = mat[:_PQ_K]  # lowest vec_ids sort first
+    sub = lambda m, s: m[:, s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+    q = mat[ids.index(0)]
+    adist = {}
+    for i, vid in enumerate(ids):
+        if vid == 0:
+            continue
+        total = 0.0
+        for s in range(_PQ_SUBSPACES):
+            d = ((sub(mat, s)[i] - sub(anchors, s)) ** 2).sum(axis=1)
+            code = int(np.argmin(d))  # ties break to lowest rank, matching SQL
+            qd = ((q[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM] - sub(anchors, s)[code]) ** 2).sum()
+            total += qd
+        adist[vid] = total
+    expect = sorted(adist.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    for rk, (vid, dist) in enumerate(expect, start=1):
+        gvid, gdist = got[rk]
+        assert gvid == vid, (rk, gvid, vid)
+        assert gdist == pytest.approx(round(dist, 6), abs=1e-9)
+
+
 def test_attribution_linear_credit_sums_to_one(spark):
     """Per purchase, linear credits must sum to exactly 1, and the touch
     set must equal last-touch's candidate window."""
