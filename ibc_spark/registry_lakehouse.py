@@ -554,46 +554,57 @@ def _km_fold_by_vec(val: F.Column) -> F.Column:
     return F.aggregate(F.array_sort(kv), F.lit(0.0), lambda a, p: a + p["x"])
 
 
-def km_assign_2iter(emb: DataFrame) -> DataFrame:
-    """Cluster assignment (vec_id, v, cid, dist) after two Lloyd iterations
-    with the deterministic init (centroids = the _KM_K lowest vec_ids).
-    Shared by ``kmeans_embeddings_2iter`` and the SemDeDup entry
-    (``dedup_semdedup`` in registry_extras); the input frame must carry
-    (vec_id, v: array<double>). Same plan shape as documented on the
-    kmeans entry: broadcast centroids, argmin window, posexplode centroid
-    update."""
+def km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, v, cid, dist) for every input
+    row against a (cid, cv) centroid frame (always broadcast — O(k*dim)).
+    Ties break to the lowest cid, matching the oracle's ORDER BY."""
+    d = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cid",
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return d.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+
+
+def km_train(emb: DataFrame, k: int = _KM_K) -> DataFrame:
+    """One Lloyd update from the deterministic init (centroids = the ``k``
+    lowest vec_ids): assign, then per-(cid, pos) mean folded in vec_id
+    order. Returns the updated (cid, cv) centroid frame — train on a
+    SAMPLE, then encode the full corpus with one :func:`km_assign` pass
+    (the production shape; the trained-PQ entry applies the same
+    train-on-sample/bulk-encode split with an exploded per-subspace
+    variant)."""
     c0 = (
         emb.orderBy("vec_id")
-        .limit(_KM_K)
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        d = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "v",
-            "cid",
-            F.aggregate(
-                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ).alias("dist"),
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return d.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
-
-    a1 = assign(c0)
+    a1 = km_assign(emb, c0)
     m1 = (
         a1.select("vec_id", "cid", F.posexplode("v").alias("pos0", "val"))
         .groupBy("cid", (F.col("pos0") + 1).alias("pos"))
         .agg((_km_fold_by_vec(F.col("val")) / F.count("*")).alias("mu"))
     )
-    c1 = m1.groupBy("cid").agg(
+    return m1.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
         ).alias("cv")
     )
-    return assign(c1)
+
+
+def km_assign_2iter(emb: DataFrame, k: int = _KM_K) -> DataFrame:
+    """Cluster assignment (vec_id, v, cid, dist) after two Lloyd iterations
+    with the deterministic init. Shared by ``kmeans_embeddings_2iter`` and
+    the SemDeDup entry (``dedup_semdedup``); the input frame must carry
+    (vec_id, v: array<double>). Composition of :func:`km_train` (one
+    update) and :func:`km_assign` (the second assignment)."""
+    return km_assign(emb, km_train(emb, k))
 
 
 # ---------------------------------------------------------------------------

@@ -309,6 +309,27 @@ def test_pq_encode_invariants(spark):
         assert list(by_id[vid].codes) == [rank] * _PQ_SUBSPACES, vid
 
 
+def test_pq_trained_improves_on_anchor_codebook(spark):
+    """Training must buy something: aggregate quantization error with
+    Lloyd-trained subspace codebooks strictly below the anchor codebook's;
+    codes stay in range; output is deterministic run-over-run."""
+    from ibc_spark.registry_extras import _PQ_K, _PQ_SUBSPACES
+
+    trained = QUERIES["embedding_pq_trained"](spark, SF_SMOKE).collect()
+    anchor = QUERIES["embedding_pq_encode"](spark, SF_SMOKE).collect()
+    assert len(trained) == len(anchor)
+    for r in trained:
+        assert len(r.codes) == _PQ_SUBSPACES
+        assert all(0 <= c < _PQ_K for c in r.codes)
+        assert r.quant_err >= 0
+    err_t = sum(r.quant_err for r in trained)
+    err_a = sum(r.quant_err for r in anchor)
+    assert err_t < err_a, (err_t, err_a)
+    again = {r.vec_id: (list(r.codes), r.quant_err) for r in
+             QUERIES["embedding_pq_trained"](spark, SF_SMOKE).collect()}
+    assert {r.vec_id: (list(r.codes), r.quant_err) for r in trained} == again
+
+
 def test_adc_topk_matches_numpy_recomputation(spark):
     """End-to-end mechanical check: recompute codes, ADC table, and top-10
     in NumPy from the raw embeddings; the Spark result must agree exactly
