@@ -1482,3 +1482,136 @@ def embedding_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("quant_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (sliding distinct — the op sketches exist for)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH days AS (
+      SELECT date_trunc('day', ts) + INTERVAL (o) DAY AS day, user_id
+      FROM events, generate_series(0, 6) t(o)
+    ),
+    bounds AS (
+      SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1
+      FROM events
+    )
+    SELECT CAST(day AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS distinct_users_7d
+    FROM days, bounds
+    WHERE day BETWEEN d0 AND d1
+    GROUP BY 1
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT users per day — the sliding-distinct
+    aggregate that plain windows cannot express (COUNT(DISTINCT) OVER a
+    RANGE frame is unsupported everywhere) and the textbook motivation
+    for mergeable HLL sketches (`sketch_hll_mergeable`): store per-day
+    sketches, union 7 on read.
+
+    This EXACT form pays the explode instead: each event contributes its
+    user to the 7 window-days it falls in (a bounded 7x row fan-out,
+    narrow, no Python), then one distinct aggregate per day. At 100 TB
+    the fan-out factor is the window length — fine at 7, the sketch path
+    takes over at 90+. Days beyond the observed range are clipped so
+    every reported day aggregates a full in-range window."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    )
+    bounds = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    offsets = F.array(*[F.lit(o) for o in range(7)])
+    days = ev.select(
+        F.explode(offsets).alias("o"), "d", "user_id"
+    ).select(
+        F.col("d") + F.make_interval(days=F.col("o")), "user_id"
+    ).toDF("day", "user_id")
+    return (
+        days.crossJoin(F.broadcast(bounds))
+        .where(F.col("day").between(F.col("d0"), F.col("d1")))
+        .groupBy(F.col("day").cast("date").alias("day"))
+        .agg(F.countDistinct("user_id").alias("distinct_users_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG / string_agg parity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "listagg_priorities_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def listagg_priorities_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG: the distinct priorities per order status as one
+    sorted comma-joined string — the SQL `string_agg(... ORDER BY)` /
+    `LISTAGG WITHIN GROUP` surface. Spark has no ordered string_agg
+    aggregate, so the deterministic spelling is collect_set ->
+    array_sort -> array_join (any per-group collection order collapses
+    to the same sorted result). Distinct-set size is bounded by the
+    priority domain, so the collected arrays are tiny regardless of
+    group size."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution union (allowMissingColumns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_evolved_snapshots",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority, 1 AS snapshot_ver
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE), o_orderpriority, 2
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def union_evolved_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two snapshot generations of the same table
+    carry DIFFERENT column sets (v1 has the price, v2 dropped it and
+    added the comment); ``unionByName(allowMissingColumns=True)``
+    reconciles by NAME and null-fills what each side lacks — the read
+    path every long-lived lakehouse table needs, and the failure mode
+    positional UNION silently corrupts (columns lining up by index, not
+    meaning). The oracle spells out the explicit NULL-cast form the
+    engine generates."""
+    o = read_table(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.lit(1).alias("snapshot_ver"),
+    )
+    v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.lit(2).alias("snapshot_ver"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+        "snapshot_ver",
+    )

@@ -63,6 +63,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "basket_lift_pairs": "1-row distinct-user-count broadcast into the lift expression",
     "embedding_pq_encode": "16-row codebook-anchor frame broadcast (O(K) by construction)",
     "ann_topk_pq_adc": "16-row anchor frame + 1-row query vector + 128-row ADC table broadcasts",
+    "rolling_7d_distinct_users": "1-row observed-day-range bounds broadcast (window clipping)",
 }
 
 # Row-at-a-time Python allowlist: the engine-wide rule is Arrow-batched or
