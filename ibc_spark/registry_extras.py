@@ -1615,3 +1615,85 @@ def union_evolved_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
         "snapshot_ver",
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (change-data-feed classification between table states)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH v_old AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    v_new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(12,2))
+               + CASE WHEN o_orderkey % 5 = 0 THEN CAST(1 AS DECIMAL(12,2))
+                      ELSE CAST(0 AS DECIMAL(12,2)) END AS price
+      FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.price IS DISTINCT FROM n.price THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           n.o_orderstatus AS new_status,
+           CAST(n.price AS DOUBLE) AS new_price
+    FROM v_old o
+    FULL OUTER JOIN v_new n USING (o_orderkey)
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two table snapshots: a keyed FULL OUTER
+    join classifies every key as insert / delete / update / unchanged
+    (null-safe value comparison via ``IS DISTINCT FROM`` — the change
+    feed Delta/Iceberg CDF emits, derived here from states alone). The
+    two synthetic snapshot views carve deterministic inserts (keys
+    divisible by 7, absent from v_old), deletes (divisible by 11) and
+    updates (divisible by 5, status+price changed) out of the same
+    orders scan.
+
+    One shuffle on the key for the full outer join; comparisons are
+    codegen; at 100 TB both snapshots bucket by key and the join is
+    shuffle-free. Exact DECIMAL price arithmetic keeps the update
+    classification and the output values engine-identical."""
+    o = read_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    v_old = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("old_status"),
+        price.alias("old_price"),
+    )
+    bump = F.when(F.col("o_orderkey") % 5 == 0, F.lit(1)).otherwise(
+        F.lit(0)
+    ).cast("decimal(12,2)")
+    v_new = o.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("new_status"),
+        (price + bump).cast("decimal(12,2)").alias("new_price"),
+    )
+    j = v_old.join(v_new, "o_orderkey", "full_outer")
+    return j.select(
+        "o_orderkey",
+        F.when(F.col("old_status").isNull() & F.col("old_price").isNull(), "insert")
+        .when(F.col("new_status").isNull() & F.col("new_price").isNull(), "delete")
+        .when(
+            ~F.col("old_status").eqNullSafe(F.col("new_status"))
+            | ~F.col("old_price").eqNullSafe(F.col("new_price")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        "new_status",
+        F.col("new_price").cast("double").alias("new_price"),
+    )
