@@ -1,7 +1,9 @@
-"""Lakehouse-maintenance + graph/layout analytics registry entries
-(round 7): Z-order layout keys, compaction bin-packing, the full
-Gopher-style document-quality rule suite, a 2-D skyline (Pareto frontier),
-iterative weighted PageRank, and fixed-iteration k-means.
+"""Lakehouse-maintenance + graph/layout analytics registry entries:
+Z-order layout keys, compaction bin-packing, the full Gopher-style
+document-quality rule suite, a 2-D skyline (Pareto frontier), iterative
+weighted PageRank, fixed-iteration k-means (plus the shared Lloyd
+train/assign helpers), triangle counting, k-hop BFS, power-iteration
+PC1, and scan-pruning stats.
 
 Cross-engine determinism follows the repo rules (``ibc_spark.registry``):
 integer math wherever possible; every floating-point GROUP sum is a LEFT
