@@ -1697,3 +1697,47 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_status",
         F.col("new_price").cast("double").alias("new_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic argmax (struct-max — the safe spelling of max_by)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "argmax_order_per_customer",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             max({'p': CAST(o_totalprice AS DECIMAL(12,2)), 'k': o_orderkey})
+               AS m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, (m).k AS best_orderkey,
+           CAST((m).p AS DOUBLE) AS best_price
+    FROM m
+    """,
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer argmax (the most expensive order) via STRUCT-MAX:
+    ``max(struct(price, key))`` compares lexicographically, so the unique
+    key inside the struct makes ties deterministic — the safe spelling of
+    ``max_by``/``arg_max``, whose bare forms are free to return ANY
+    tied row on both engines. One hash aggregate with map-side partials
+    (cheaper than the row_number-window spelling, which must shuffle and
+    sort every row); exact DECIMAL price inside the comparison and one
+    cast out."""
+    o = read_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(
+                F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+                F.col("o_orderkey").alias("k"),
+            )
+        ).alias("m")
+    )
+    return m.select(
+        "o_custkey",
+        F.col("m.k").alias("best_orderkey"),
+        F.col("m.p").cast("double").alias("best_price"),
+    )
