@@ -479,17 +479,53 @@ _KM_DIST = (
     " list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2]))),"
     " (acc, x) -> acc + x)"
 )
-_KM_FOLD_BY_VEC = (
+# --- bounded deterministic two-level tree fold -----------------------------
+#
+# Round 6 flagged the single-level deterministic fold
+# (array_sort(collect_list(struct(vec_id, x))) then F.aggregate) as a scale
+# killer: the whole group's members sit in ONE aggregation buffer, O(n) per
+# group for the power-iteration per-position sums. The fix keeps bit-exact
+# cross-engine determinism while bounding state: fold values in vec_id order
+# WITHIN fixed-width vec_id buckets (level 1, <= _FOLD_B structs per
+# aggregation group), then fold the bucket partials in bucket order
+# (level 2, <= n/_FOLD_B partials per group — 128x smaller; the same
+# construction nests to log_B(n) levels if a corpus ever outgrows two, and
+# the training-side alternative is the `sample_mod` hash-sample below). Both
+# engines run the identical (bucket, order) fold tree, so doubles agree
+# bit-for-bit. _FOLD_B = 128 so the driver SF (500 vectors) genuinely
+# exercises multiple buckets per group.
+_FOLD_B = 128
+
+# Level-1 fold: {val} folded in vec_id order within one bucket.
+_FOLD_PARTIAL = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list({val} ORDER BY vec_id)), (a, x) -> a + x)"
+)
+# Level-2 fold: bucket partials folded in bucket (bkt) order.
+_FOLD_BUCKETS = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list({val} ORDER BY bkt)), (a, x) -> a + x)"
 )
 
 
-def _km_assign_sql(cents: str, out: str) -> str:
+def _fold_bkt() -> F.Column:
+    """The level-1 bucket key: vec_id DIV _FOLD_B (oracle: vec_id // B)."""
+    return F.expr(f"vec_id DIV {_FOLD_B}").alias("bkt")
+
+
+def _ordered_fold(key: F.Column, val: F.Column) -> F.Column:
+    """Fold ``val`` in ``key`` order — deterministic left fold, identical to
+    the oracle's ``list_reduce(... list(val ORDER BY key))``. Callers MUST
+    bound the group (level-1: the _FOLD_B-wide bucket; level-2: bucket
+    partials; O(dim) frames) — never a whole corpus-scale group."""
+    kv = F.collect_list(F.struct(key.alias("k"), val.alias("x")))
+    return F.aggregate(F.array_sort(kv), F.lit(0.0), lambda a, p: a + p["x"])
+
+
+def _km_assign_sql(cents: str, out: str, src: str = "emb") -> str:
     dist = _KM_DIST.format(a="e.v", b="c.cv")
     return f"""
     d_{out} AS (
       SELECT e.vec_id, e.v, c.cid, {dist} AS dist
-      FROM emb e, {cents} c
+      FROM {src} e, {cents} c
     ),
     {out} AS (
       SELECT vec_id, v, cid, dist FROM (
@@ -510,17 +546,27 @@ def _km_assign_sql(cents: str, out: str) -> str:
       SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT {_KM_K}
     ),
     {_km_assign_sql("c0", "a1")},
-    m1 AS (
-      SELECT cid, i AS pos,
-             {_KM_FOLD_BY_VEC.format(val="v[i]")} / count(*) AS mu
+    p1 AS (
+      SELECT cid, i AS pos, vec_id // {_FOLD_B} AS bkt,
+             {_FOLD_PARTIAL.format(val="v[i]")} AS psum, count(*) AS pn
       FROM a1, generate_series(1, {_KM_DIM}) t(i)
-      GROUP BY cid, i
+      GROUP BY cid, pos, bkt
+    ),
+    m1 AS (
+      SELECT cid, pos,
+             {_FOLD_BUCKETS.format(val="psum")} / CAST(sum(pn) AS BIGINT) AS mu
+      FROM p1 GROUP BY cid, pos
     ),
     c1 AS (SELECT cid, list(mu ORDER BY pos) AS cv FROM m1 GROUP BY cid),
-    {_km_assign_sql("c1", "a2")}
-    SELECT cid, count(*) AS n_members,
-           round({_KM_FOLD_BY_VEC.format(val="dist")}, 6) AS inertia
-    FROM a2
+    {_km_assign_sql("c1", "a2")},
+    p2 AS (
+      SELECT cid, vec_id // {_FOLD_B} AS bkt,
+             {_FOLD_PARTIAL.format(val="dist")} AS psum, count(*) AS pn
+      FROM a2 GROUP BY cid, bkt
+    )
+    SELECT cid, CAST(sum(pn) AS BIGINT) AS n_members,
+           round({_FOLD_BUCKETS.format(val="psum")}, 6) AS inertia
+    FROM p2
     GROUP BY cid
     """,
 )
@@ -532,28 +578,31 @@ def kmeans_embeddings_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: centroids are O(k·dim) — always broadcast; each
     assignment pass is a broadcast crossJoin + one narrow argmin window
     per vec_id (no shuffle of the vectors themselves beyond the window);
-    the centroid update is a posexplode → (cid, pos) partial aggregation,
-    i.e. map-side combinable and shuffle-bounded by k·dim groups, not by
-    rows. That loop shape holds at any corpus size; more iterations are
-    the same stages repeated. Determinism: distances fold the squared
-    diffs in index order; centroid means and inertia fold member values in
-    vec_id order — the same left-fold the DuckDB oracle runs, so doubles
+    the centroid update is a posexplode → (cid, pos, bkt) partial
+    aggregation, map-side combinable. Determinism at bounded state: all
+    member folds (centroid means, inertia) are TWO-LEVEL tree folds —
+    fold in vec_id order within width-{B} vec_id buckets, then fold
+    bucket partials in bucket order — so no aggregation buffer ever holds
+    more than max(_FOLD_B, n/_FOLD_B) entries per group (round 6 flagged
+    the previous whole-group collect_list as the one remaining 100 TB
+    scale killer). The oracle runs the identical fold tree, so doubles
     match bit-for-bit and assignments (ties broken by cid) agree exactly.
+    For corpora where even n/_FOLD_B partials are too many, train on a
+    hash sample instead (``km_train(sample_mod=...)`` — the SemDeDup
+    entry's production shape).
     """
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     a2 = km_assign_2iter(emb)
-    return a2.groupBy("cid").agg(
-        F.count("*").alias("n_members"),
-        F.round(_km_fold_by_vec(F.col("dist")), 6).alias("inertia"),
+    p2 = a2.groupBy("cid", _fold_bkt()).agg(
+        _ordered_fold(F.col("vec_id"), F.col("dist")).alias("psum"),
+        F.count(F.lit(1)).alias("pn"),
     )
-
-
-def _km_fold_by_vec(val: F.Column) -> F.Column:
-    """Fold an aggregated double in vec_id order (the oracle's left fold)."""
-    kv = F.collect_list(F.struct(F.col("vec_id").alias("k"), val.alias("x")))
-    return F.aggregate(F.array_sort(kv), F.lit(0.0), lambda a, p: a + p["x"])
+    return p2.groupBy("cid").agg(
+        F.sum("pn").alias("n_members"),
+        F.round(_ordered_fold(F.col("bkt"), F.col("psum")), 6).alias("inertia"),
+    )
 
 
 def km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
@@ -574,24 +623,36 @@ def km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     return d.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
 
 
-def km_train(emb: DataFrame, k: int = _KM_K) -> DataFrame:
+def km_train(emb: DataFrame, k: int = _KM_K, sample_mod: int | None = None) -> DataFrame:
     """One Lloyd update from the deterministic init (centroids = the ``k``
-    lowest vec_ids): assign, then per-(cid, pos) mean folded in vec_id
-    order. Returns the updated (cid, cv) centroid frame — train on a
-    SAMPLE, then encode the full corpus with one :func:`km_assign` pass
-    (the production shape; the trained-PQ entry applies the same
-    train-on-sample/bulk-encode split with an exploded per-subspace
-    variant)."""
+    lowest vec_ids of the TRAINING SET): assign, then per-(cid, pos) mean
+    via the bounded two-level fold (vec_id order within width-_FOLD_B
+    buckets, then bucket order — never a whole cluster in one aggregation
+    buffer). Returns the updated (cid, cv) centroid frame.
+
+    ``sample_mod=m`` trains on the deterministic hash-sample
+    ``vec_id % m == 0`` (portable to the DuckDB oracle verbatim) — the
+    train-on-sample / bulk-encode production split: centroid quality needs
+    only a representative sample, and the full corpus is touched exactly
+    once by the caller's :func:`km_assign` encode pass. The trained-PQ
+    entry applies the same split with an exploded per-subspace variant."""
+    train = emb.where(F.col("vec_id") % sample_mod == 0) if sample_mod else emb
     c0 = (
-        emb.orderBy("vec_id")
+        train.orderBy("vec_id")
         .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
-    a1 = km_assign(emb, c0)
-    m1 = (
+    a1 = km_assign(train, c0)
+    p1 = (
         a1.select("vec_id", "cid", F.posexplode("v").alias("pos0", "val"))
-        .groupBy("cid", (F.col("pos0") + 1).alias("pos"))
-        .agg((_km_fold_by_vec(F.col("val")) / F.count("*")).alias("mu"))
+        .groupBy("cid", (F.col("pos0") + 1).alias("pos"), _fold_bkt())
+        .agg(
+            _ordered_fold(F.col("vec_id"), F.col("val")).alias("psum"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+    )
+    m1 = p1.groupBy("cid", "pos").agg(
+        (_ordered_fold(F.col("bkt"), F.col("psum")) / F.sum("pn")).alias("mu")
     )
     return m1.groupBy("cid").agg(
         F.transform(
@@ -600,13 +661,16 @@ def km_train(emb: DataFrame, k: int = _KM_K) -> DataFrame:
     )
 
 
-def km_assign_2iter(emb: DataFrame, k: int = _KM_K) -> DataFrame:
+def km_assign_2iter(
+    emb: DataFrame, k: int = _KM_K, sample_mod: int | None = None
+) -> DataFrame:
     """Cluster assignment (vec_id, v, cid, dist) after two Lloyd iterations
     with the deterministic init. Shared by ``kmeans_embeddings_2iter`` and
     the SemDeDup entry (``dedup_semdedup``); the input frame must carry
     (vec_id, v: array<double>). Composition of :func:`km_train` (one
-    update) and :func:`km_assign` (the second assignment)."""
-    return km_assign(emb, km_train(emb, k))
+    update, optionally on the ``sample_mod`` hash-sample) and
+    :func:`km_assign` (the full-corpus second assignment)."""
+    return km_assign(emb, km_train(emb, k, sample_mod))
 
 
 # ---------------------------------------------------------------------------
@@ -719,21 +783,28 @@ _PI_DOT = (
 def _pi_iter_sql(prev: str, nxt: str) -> str:
     """One power iteration y = Xᵀ(X·v); v' = y/‖y‖ as CTE fragments.
 
-    ``s``: per-row projection x_i·v (fold in position order); ``y``: per
-    position, Σ_i x_i[p]·s_i folded in vec_id order; ``n``: ‖y‖ folded in
-    position order; ``{nxt}``: the normalized vector as a list again.
+    ``s``: per-row projection x_i·v (fold in position order); ``yp``/``y``:
+    per position, Σ_i x_i[p]·s_i as the bounded TWO-LEVEL fold (vec_id
+    order within width-_FOLD_B vec_id buckets, then bucket order — round 6
+    flagged the single-level whole-group fold as O(n) state per position
+    group); ``n``: ‖y‖ folded in position order; ``{nxt}``: the normalized
+    vector as a list again.
     """
     dot = _PI_DOT.format(a="e.v", b="w.vv")
     return f"""
     s_{nxt} AS (
       SELECT e.vec_id, e.v, {dot} AS s FROM emb e, {prev} w
     ),
-    y_{nxt} AS (
-      SELECT i AS pos,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v[i] * s ORDER BY vec_id)),
-                         (a, x) -> a + x) AS y
+    yp_{nxt} AS (
+      SELECT i AS pos, vec_id // {_FOLD_B} AS bkt,
+             {_FOLD_PARTIAL.format(val="v[i] * s")} AS py
       FROM s_{nxt}, generate_series(1, {_PI_DIM}) t(i)
-      GROUP BY i
+      GROUP BY pos, bkt
+    ),
+    y_{nxt} AS (
+      SELECT pos, {_FOLD_BUCKETS.format(val="py")} AS y
+      FROM yp_{nxt}
+      GROUP BY pos
     ),
     n_{nxt} AS (
       SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(y * y ORDER BY pos)),
@@ -769,21 +840,22 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     """Top principal direction (uncentered PCA / top right-singular vector)
     of the embedding matrix by 3 power iterations, never materializing the
     Gram matrix: y = Xᵀ(X·v) is two narrow passes — a per-row dot product
-    (map-only) and a per-position sum (shuffle bounded by dim, not rows).
-    The direction vector is O(dim), broadcast every pass; at 100 TB the
-    plan is the same two stages per iteration. Deterministic: unit init
-    (1/√dim), per-row dots fold in position order, per-position sums fold
-    in vec_id order, ‖y‖ folds in position order — all matching the
-    oracle's folds, so doubles agree bit-for-bit. Output: the 64 loadings
-    and ‖y₃‖ (→ the top eigenvalue of XᵀX as iterations grow).
+    (map-only) and a per-position sum (shuffle bounded by dim·buckets, not
+    rows). The direction vector is O(dim), broadcast every pass; at 100 TB
+    the plan is the same two stages per iteration. Deterministic at
+    BOUNDED state: per-row dots fold in position order; each per-position
+    sum is a two-level tree fold — vec_id order within width-_FOLD_B
+    vec_id buckets, then bucket order — so no aggregation buffer holds
+    more than max(_FOLD_B, n/_FOLD_B) entries (round 6 flagged the
+    previous whole-group fold as O(n) state in each of the 64 position
+    groups); ‖y‖ folds in position order over O(dim) values. The oracle
+    runs the identical fold tree, so doubles agree bit-for-bit. Output:
+    the 64 loadings and ‖y₃‖ (→ the top eigenvalue of XᵀX as iterations
+    grow).
     """
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-
-    def fold_by_vec(val: F.Column) -> F.Column:
-        kv = F.collect_list(F.struct(F.col("vec_id").alias("k"), val.alias("x")))
-        return F.aggregate(F.array_sort(kv), F.lit(0.0), lambda a, p: a + p["x"])
 
     w = spark.range(1).select(
         F.array_repeat(F.lit(0.125), _PI_DIM).alias("vv"), F.lit(0.0).alias("nrm")
@@ -796,10 +868,15 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.zip_with("v", "vv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
             ).alias("s"),
         )
-        y = (
+        yp = (
             s.select("vec_id", F.posexplode("v").alias("pos0", "val"), "s")
-            .groupBy((F.col("pos0") + 1).alias("pos"))
-            .agg(fold_by_vec(F.col("val") * F.col("s")).alias("y"))
+            .groupBy((F.col("pos0") + 1).alias("pos"), _fold_bkt())
+            .agg(
+                _ordered_fold(F.col("vec_id"), F.col("val") * F.col("s")).alias("py")
+            )
+        )
+        y = yp.groupBy("pos").agg(
+            _ordered_fold(F.col("bkt"), F.col("py")).alias("y")
         )
         n = y.agg(
             F.sqrt(

@@ -114,6 +114,57 @@ def test_kmeans_covers_all_vectors(spark):
     assert 1 <= len(out) <= 4
 
 
+def test_no_unbounded_rowscale_collects(spark):
+    """Contract for the round-6 scale flag (VERDICT r6 #1): every
+    collect_list that gathers ROW-KEYED structs (struct(k=vec_id, ...) —
+    the deterministic-fold input whose group size tracks corpus size) must
+    be grouped by the width-_FOLD_B vec_id bucket, so no aggregation
+    buffer ever holds a whole corpus-scale group. Level-2 folds (bucket
+    partials) and O(dim) folds (pos-keyed) are exempt by construction."""
+    import re
+
+    from ibc_spark.registry import QUERIES
+    from ibc_spark.registry_lakehouse import _FOLD_B
+
+    for name in (
+        "kmeans_embeddings_2iter",
+        "embedding_power_iteration_pc1",
+        "dedup_semdedup",
+    ):
+        plan = QUERIES[name](spark, SF_ORACLE)._jdf.queryExecution().analyzed().toString()
+        for line in plan.splitlines():
+            if "collect_list(struct(k, vec_id#" not in line:
+                continue
+            m = re.search(r"Aggregate \[([^\]]*)\]", line)
+            assert m, f"{name}: collect_list outside an Aggregate node:\n{line[:200]}"
+            assert f"div cast({_FOLD_B} as bigint)" in m.group(1), (
+                f"{name}: row-scale collect_list not bucket-grouped:\n{line[:200]}"
+            )
+
+
+def test_km_level1_groups_are_bucket_bounded(spark):
+    """The level-1 fold's aggregation groups hold at most _FOLD_B structs —
+    checked by replaying km_train's level-1 grouping on a 1000-vector frame
+    (multiple buckets per cluster) and measuring the max group size."""
+    from pyspark.sql import functions as F
+
+    from ibc_spark.registry_lakehouse import _FOLD_B, _fold_bkt, km_assign, km_train
+
+    emb = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), (F.col("id") % 3).cast("double")
+        ).alias("v"),
+    )
+    a1 = km_assign(emb, km_train(emb, k=2))
+    sizes = (
+        a1.select("vec_id", "cid", F.posexplode("v").alias("pos0", "val"))
+        .groupBy("cid", (F.col("pos0") + 1).alias("pos"), _fold_bkt())
+        .count()
+    )
+    assert sizes.agg(F.max("count")).collect()[0][0] <= _FOLD_B
+
+
 def test_gopher_rules_pure_projection_plan(spark):
     """The quality gate must stay a shuffle-free codegen projection."""
     from ibc_spark.registry import QUERIES
