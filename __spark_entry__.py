@@ -52,22 +52,22 @@ def _last_green_round() -> dict[str, int]:
 
 # Entries whose SEMANTICS (or candidate/pruning path — the round-5 lesson)
 # changed after their last green driver row — they jump the rotation queue.
-# Clear once the next CORRECTNESS snapshot carries them. Round-5 set
-# (corpus_dedup_materialize, split_leakage_safe, quota_per_source) cleared:
-# all three green in CORRECTNESS_r05.json.
+# Clear once the next CORRECTNESS snapshot carries them. Round-6 set
+# (dedup_ngram_jaccard, dedup_cluster_components, knn_graph_topk,
+# quota_per_source, dedup_minhash_verified, ann_topk_bruteforce) cleared:
+# all six green in CORRECTNESS_r06.json.
 _FORCE_RECHECK: set[str] = {
-    # candidate path rewritten to adaptive PPJoin in round 5; last driver row r1
-    "dedup_ngram_jaccard",
-    # round 6: candidate stage switched from blocked all-pairs to banded LSH
-    "dedup_cluster_components",
-    # round 6: self-pair masking switched from positional to id-equality
-    "knn_graph_topk",
-    # round 6: zero-survivor groups added to the shortfall fallback
-    "quota_per_source",
-    # exact siblings of the rows-only approximate family — re-attest them in
-    # the same snapshot as their waivered twins (VERDICT r5 #7)
-    "dedup_minhash_verified",
-    "ann_topk_bruteforce",
+    # round 7: whole-group deterministic folds replaced by bounded two-level
+    # bucket tree folds (VERDICT r6 #1) — oracles rewritten to match
+    "kmeans_embeddings_2iter",
+    "embedding_power_iteration_pc1",
+    # round 7: same fold rewrite + k-means blocker now trains on the
+    # vec_id % 3 hash-sample (VERDICT r6 #5)
+    "dedup_semdedup",
+    # round 7: promoted from rows-only waivers to full oracles — portable
+    # md5_16 token hash / KMV + hash-sample sketch family (VERDICT r6 #4)
+    "dedup_simhash",
+    "approx_sketch_stats",
 }
 
 
@@ -76,14 +76,14 @@ _FORCE_RECHECK: set[str] = {
 # re-attestation backlog. They are fully hash-checked by the STRICTER local
 # parity suite every pytest run (tests/test_oracle_parity.py).
 #
-# Currently EMPTY on purpose: no CORRECTNESS snapshot has landed since the
-# round-6 additions, so every round-6 entry is still unattested and flows
-# through the never-green bucket below — with 168 registry entries that
-# bucket (47) plus _FORCE_RECHECK (6) overfills the 50 snapshot slots by
-# 3, so the three newest never-green entries roll to the next snapshot
-# (they are parity-proven locally every pytest run). External attestation
-# of never-checked entries beats re-attesting greens the local parity
-# suite already re-hashes.
+# Round-7 window arithmetic (registry at 174 entries when the round opened):
+# 5 force-recheck + the never-green bucket (10 standing rows-only entries
+# after the two promotions above, plus the 9 entries added late in round 6
+# that never got a driver slot — embedding_pq_trained is in both sets, so
+# 18 distinct) = 23 slots, leaving 27 for the oldest-green drain — enough
+# to retire the entire 22-entry r2-stale backlog (VERDICT r6 #2/#3).
+# Entries ADDED in round 7 are therefore deferred here so they cannot eat
+# drain slots; they graduate to the never-green bucket next round.
 _DEFER_TO_NEXT_ROUND: set[str] = set()
 
 

@@ -673,11 +673,30 @@ def _simhash_np(bits: int):
 
 
 def simhash_groups(
-    df: DataFrame, *, id_col: str, text_col: str, bits: int = 16
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup groups = identical simhash. groupBy on the signature; at
-    larger Hamming radii, join on signature ⊕ single-bit masks."""
-    hashed = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    larger Hamming radii, join on signature ⊕ single-bit masks.
+
+    ``token_hash`` picks the per-token hash: ``"xxhash64"`` (default —
+    fastest, JVM-native) or ``"md5_16"`` (first 16 bits of md5 —
+    bit-reproducible on any engine, the instantiation the registry runs
+    under the external DuckDB oracle). The vote arithmetic downstream is
+    hash-agnostic."""
+    if token_hash == "xxhash64":
+        hashed = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    elif token_hash == "md5_16":
+        hashed = F.transform(
+            tokens(F.col(text_col)),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"),
+        )
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r} (xxhash64|md5_16)")
     sh = df.select(
         F.col(id_col).alias("doc_id"), _simhash_np(bits)(hashed).alias("simhash")
     )

@@ -12,7 +12,7 @@ values match bit-for-bit before the defensive ROUND.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibc_spark.ext import dedup, multimodal, similarity, text
@@ -333,16 +333,59 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.passage_exact_dups(d, id_col="doc_id", text_col="text", window=10, stride=5)
 
 
-@query("dedup_simhash")  # xxhash64-based → rows-only driver check
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16) signature groups (collision groups = near-dup clusters).
+# SimHash bit-vote SQL fragments (shared by the dedup_simhash oracle below
+# and the dedup_simhash_verified sibling further down): bit i of the
+# signature is set iff the ±1 votes of that bit across the document's token
+# multiset sum positive.
+_SIMHASH_BITS = 16
+_B_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_B_ASSEMBLE = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS)
+)
 
-    The library returns ``members`` as an array; the driver's canonicalizer
-    hashes scalar cells only, so the query surface serializes it to a CSV
-    string (the array stays available via :func:`dedup.simhash_groups`).
-    """
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT) AS h
+      FROM tok
+    ),
+    bits AS (SELECT doc_id, {_B_SUMS} FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_B_ASSEMBLE} AS simhash FROM bits)
+    SELECT simhash, count(*) AS group_size, min(doc_id) AS kept_id,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members_csv
+    FROM sh GROUP BY simhash
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16) signature groups (collision groups = near-dup clusters),
+    with the full member list per group serialized as a CSV string (the
+    array form stays available via :func:`dedup.simhash_groups`; scalar
+    cells keep the driver's canonicalizer happy — the r3 comparator crash
+    was list-typed cells).
+
+    Runs the library's Arrow-batched SimHash kernel under the PORTABLE
+    per-token hash (``token_hash="md5_16"`` — first 16 bits of md5,
+    expressible identically in DuckDB), so the whole pipeline — tokenize,
+    hash, bit votes, signature groupBy, member aggregation — is attested
+    by the external hash-check (VERDICT r6 #4; the xxhash64 instantiation
+    was stuck on a rows-only waiver because DuckDB lacks xxhash64). The
+    xxhash64 fast path stays the library default and keeps its own pytest
+    coverage (`test_simhash_deterministic_and_discriminative`).
+
+    Oracle caveat shared with ``dedup_simhash_verified``: a zero-token
+    document folds to signature 0 in Spark but vanishes from the oracle's
+    explode — no such document exists in the corpus (the verified sibling
+    has hash-matched since r5)."""
     d = read_table(spark, sf_dir, "documents")
-    groups = dedup.simhash_groups(d, id_col="doc_id", text_col="text", bits=16)
+    groups = dedup.simhash_groups(
+        d, id_col="doc_id", text_col="text", bits=16, token_hash="md5_16"
+    )
     return groups.select(
         "simhash",
         "group_size",
@@ -566,19 +609,117 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_sketch_stats")  # HLL/quantile sketches are engine-specific → rows-only
+# KMV (k-minimum-values) distinct-count sketch size. With k=64 the
+# estimator's relative standard error is ~1/sqrt(k-2) ~ 12.7% — pytest
+# bounds it at 3 sigma vs the exact counts.
+_KMV_K = 64
+# Hash-sample 1-in-_QSAMPLE_MOD events (by event_id md5) for the quantile
+# estimates.
+_QSAMPLE_MOD = 4
+
+
+@query(
+    "approx_sketch_stats",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, value,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uh,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS BIGINT) AS sh
+      FROM events
+    ),
+    kmv AS (
+      SELECT event_type, uh,
+             row_number() OVER (PARTITION BY event_type ORDER BY uh) AS rn
+      FROM (SELECT DISTINCT event_type, uh FROM h)
+    ),
+    est AS (
+      SELECT event_type,
+             round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                        ELSE {_KMV_K - 1} * pow(2.0, 60)
+                             / CAST(max(CASE WHEN rn = {_KMV_K} THEN uh END) AS DOUBLE)
+                   END, 4) AS approx_users
+      FROM kmv WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    q AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS value_p50,
+             round(quantile_cont(value, 0.95), 6) AS value_p95
+      FROM h WHERE sh % {_QSAMPLE_MOD} = 0 GROUP BY event_type
+    ),
+    n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
+    SELECT n.event_type, est.approx_users, q.value_p50, q.value_p95, n.n_events
+    FROM n JOIN est USING (event_type) JOIN q USING (event_type)
+    """,
+)
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates for 100 TB profiling: HyperLogLog distinct users
-    and approximate value quantiles per event type — O(KB) state per group
-    regardless of cardinality (the streaming/interactive alternative to
-    exact distincts). pytest bounds the error vs exact answers."""
+    """Sketch aggregates for 100 TB profiling, in the ENGINE-PORTABLE
+    sketch family so the external oracle attests the sketch math exactly
+    (VERDICT r6 #4 — the old HLL++/GK form was engine-specific and stuck
+    on the rows-only waiver):
+
+    - ``approx_users``: a KMV (k-minimum-values) distinct-count estimate —
+      hash each user to 60 uniform bits (md5, portable), keep the
+      k=_KMV_K (64) smallest distinct hashes per group, estimate
+      (k-1)/u_(k). O(k) state per group, mergeable (union the hash sets,
+      re-take the k smallest), and bit-reproducible on any engine —
+      unlike HLL++, whose register layout is engine-private.
+    - ``value_p50/p95``: exact interpolated percentiles over a
+      deterministic 1-in-_QSAMPLE_MOD (4) hash-sample of events (by
+      event_id md5) — the sample, not the estimator, is the
+      approximation, so both engines agree bit-for-bit.
+
+    Spark-NATIVE sketches stay first-class next to this: HLL++/GK in
+    ``sketch_hll_mergeable`` (rows-only + error-bound pytest), DataSketches
+    KLL/theta siblings, and the exact anchor ``sketch_exact_stats``.
+    pytest bounds this entry's estimates against the exact entry.
+
+    Plan shape: the KMV branch is one distinct + one k-bounded window per
+    group (at scale: partial top-k per partition then merge — no global
+    sort); the quantile branch scans the 25% sample. All folds are
+    group-bounded at k, never corpus-scale."""
     ev = read_table(spark, sf_dir, "events")
-    pcts = F.percentile_approx("value", [0.5, 0.95], 10000)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        pcts.getItem(0).alias("value_p50"),
-        pcts.getItem(1).alias("value_p95"),
-        F.count(F.lit(1)).alias("n_events"),
+    h = ev.select(
+        "event_type",
+        "value",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("uh"),
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        .alias("sh"),
+    )
+    w = Window.partitionBy("event_type").orderBy("uh")
+    kmv = (
+        h.select("event_type", "uh")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+    )
+    est = kmv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("uh"))).alias("uhk"),
+    ).select(
+        "event_type",
+        F.round(
+            F.when(F.col("nk") < _KMV_K, F.col("nk").cast("double")).otherwise(
+                F.lit(float(_KMV_K - 1)) * F.lit(2.0**60) / F.col("uhk").cast("double")
+            ),
+            4,
+        ).alias("approx_users"),
+    )
+    q = (
+        h.where(F.col("sh") % _QSAMPLE_MOD == 0)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("value_p95"),
+        )
+    )
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        n.join(est, "event_type")
+        .join(q, "event_type")
+        .select("event_type", "approx_users", "value_p50", "value_p95", "n_events")
     )
 
 
@@ -1301,16 +1442,6 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 5: oracle-verifiable simhash sibling, corpus mixing/sampling,
 # range similarity search, percentile length trim
 # ---------------------------------------------------------------------------
-
-_SIMHASH_BITS = 16
-_B_SUMS = ", ".join(
-    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-    for i in range(_SIMHASH_BITS)
-)
-_B_ASSEMBLE = " + ".join(
-    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS)
-)
-
 
 @query(
     "dedup_simhash_verified",

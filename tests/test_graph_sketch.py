@@ -69,6 +69,34 @@ def test_approx_sketches_within_bounds(spark):
         assert abs(r["p50"] - ep50) <= max(0.5, 0.05 * abs(ep50))
 
 
+def test_kmv_sketch_entry_bounds(spark):
+    """The portable KMV/sample sketch entry (now under the full oracle)
+    stays within statistical bounds of the exact sibling: distinct-count
+    estimates within ~3 sigma (rse ~ 1/sqrt(k-2), k=64) and sampled
+    quantiles within 15% of the exact interpolated values."""
+    from ibc_spark.registry import QUERIES
+    from ibc_spark.registry_ext import _KMV_K
+
+    from .conftest import SF_ORACLE
+
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["approx_sketch_stats"](spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in QUERIES["sketch_exact_stats"](spark, SF_ORACLE).collect()
+    }
+    assert set(approx) == set(exact)
+    rse = 3.0 / (_KMV_K - 2) ** 0.5
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["approx_users"] - e["n_users"]) <= max(2.0, rse * e["n_users"]), et
+        assert a["n_events"] == e["n_events"], et
+        for c in ("value_p50", "value_p95"):
+            assert abs(a[c] - e[c]) <= max(0.5, 0.15 * abs(e[c])), (et, c)
+
+
 def test_hll_mergeable_sketch_bounds_and_merge_consistency(spark):
     """Per-group HLL estimates within ±5%% of exact; the merged-union
     estimate tracks the sketch-of-the-whole estimate within 1%% and the
