@@ -84,7 +84,11 @@ _FORCE_RECHECK: set[str] = {
 # to retire the entire 22-entry r2-stale backlog (VERDICT r6 #2/#3).
 # Entries ADDED in round 7 are therefore deferred here so they cannot eat
 # drain slots; they graduate to the never-green bucket next round.
-_DEFER_TO_NEXT_ROUND: set[str] = set()
+_DEFER_TO_NEXT_ROUND: set[str] = {
+    # round 7: node-scale PageRank twin (VERDICT r6 #7) — parity-proven
+    # locally every pytest run; driver slot next round
+    "graph_pagerank_shuffled",
+}
 
 
 def _ordered(mapping: dict) -> dict:

@@ -54,6 +54,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "zorder_layout_events": "1-row min/max quantization-bounds broadcast",
     "kmeans_embeddings_2iter": "O(k*dim) centroid frame broadcast per assignment pass",
     "graph_pagerank_trade": "1-row node-count + 1-row dangling-mass broadcasts per iteration",
+    "graph_pagerank_shuffled": "1-row node-count + 1-row dangling-mass broadcasts per iteration (the RANK joins are hinted shuffle-hash — asserted in test_plans)",
     "graph_triangle_count": "final summary row: crossJoin of four 1-row count frames",
     "graph_khop_reachability": "1-row per-hop frontier-size/summary broadcasts (frontier join itself is hash equi)",
     "embedding_power_iteration_pc1": "1-row norm / Rayleigh-quotient scalar broadcasts per pass",

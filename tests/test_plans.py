@@ -421,6 +421,35 @@ def test_bigram_pmi_top20_is_take_ordered(spark):
     ), plan
 
 
+def test_pagerank_shuffled_flip_compiles_to_hash_joins(spark):
+    """The node-scale PageRank twin's rank joins must compile to SHUFFLED
+    hash joins partitioned on the key — never a broadcast — proving the
+    broadcast-entry docstring's scale flip rather than narrating it
+    (VERDICT r6 #7). One iteration is built directly from the shared
+    helper so the assertion sees the join nodes (the registry entry
+    persists each iteration, which hides them behind InMemoryTableScan)."""
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.registry_lakehouse import _pr_iteration_shuffled
+
+    na = read_table(spark, SF_SMOKE, "nation")
+    nodes = na.select(F.col("n_nationkey").alias("node"))
+    cnt = na.agg(F.count("*").cast("double").alias("n"))
+    pedges = nodes.select(
+        F.col("node").alias("src"),
+        ((F.col("node") + 1) % 25).alias("dst"),
+        F.lit(1.0).alias("p"),
+    )
+    outs = pedges.select("src").distinct()
+    ranks = nodes.select("node", F.lit(0.04).alias("rank"))
+    plan = plan_of(_pr_iteration_shuffled(pedges, outs, nodes, cnt, ranks))
+    # both hinted rank joins present as shuffled hash joins...
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    # ...fed by key-partitioned exchanges, and neither turned into a
+    # broadcast (the two BNLJs allowed are the 1-row mass/count scalars)
+    assert "hashpartitioning" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_repo_wide_plan_audit(spark):
     """EVERY registry entry's physical plan passes the mechanical audit:
     no CartesianProduct anywhere, BroadcastNestedLoopJoin only for the
