@@ -132,6 +132,11 @@ def main() -> None:
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 4)
+    # Host load (1/5/15-min averages) stamped into both JSON lines so
+    # round-over-round deltas are mechanically adjudicable against co-tenant
+    # noise (round 6's closing numbers needed a prose disclaimer; VERDICT
+    # r6 #6). Taken AFTER the run: the 15-min average covers most of it.
+    load = [round(x, 2) for x in os.getloadavg()]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -152,6 +157,7 @@ def main() -> None:
                 # family — flag the methodology so round-over-round deltas
                 # stay interpretable.
                 "methodology": f"cold+session-refresh/{restart_every}",
+                "load": load,
             }
         ),
         flush=True,
@@ -170,6 +176,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "runs_per_query": runs,
                 "methodology": f"cold+session-refresh/{restart_every}",
+                "load": load,
                 "sum_median_sec": round(sum(t for t in timings.values() if t > 0), 2),
             }
         ),

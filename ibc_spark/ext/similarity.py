@@ -612,7 +612,28 @@ def gemm_threshold_pairs(
     )
     joined = a.join(b, on="cell").where(F.col("block_a") <= F.col("block_b"))
 
-    out_schema = "id_a long, id_b long, cell long, cos double"
+    # The ids are stacked into int64 matrices, so id_col must be integral —
+    # fail fast with a clear message instead of an opaque numpy error inside
+    # the pandas iterator. The cell key passes through untouched, so its
+    # output type is derived from the input (an LSH bucket may be a string;
+    # ADVICE r6).
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        raise TypeError(
+            f"gemm_threshold_pairs: id_col {id_col!r} must be an integral type, "
+            f"got {id_type.simpleString()}"
+        )
+    cell_type = df.schema[cell_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cell", cell_type),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
 
     def _score(pdf_iter):
         for pdf in pdf_iter:
@@ -646,7 +667,7 @@ def gemm_threshold_pairs(
                     elif x == y:
                         continue
                     lo, hi = (x, y) if x < y else (y, x)
-                    outs.append((lo, hi, int(row.cell), float(cos[i, j])))
+                    outs.append((lo, hi, row.cell, float(cos[i, j])))
             yield pd.DataFrame(outs, columns=["id_a", "id_b", "cell", "cos"])
 
     return joined.mapInPandas(_score, out_schema)

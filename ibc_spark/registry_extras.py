@@ -58,20 +58,54 @@ _STREAM_SEQ = itertools.count()
 _STREAM_SHUFFLE_PARTITIONS = "8"
 
 
-def _run_stream_scoped(spark: SparkSession, writer):
-    """Start + await a streaming writer under a scoped shuffle-partition
-    override. Unlike batch entries (whose plans materialize lazily AFTER
-    the entry returns), a streaming query materializes inside
-    ``awaitTermination`` — so a set/restore here is race-free."""
+# prefix -> the live memory-sink temp view from this prefix's LAST
+# invocation (see _run_stream_to_memory).
+_STREAM_VIEWS: dict[str, str] = {}
+
+
+def _run_stream_to_memory(spark: SparkSession, make_writer, prefix: str) -> DataFrame:
+    """Run a streaming writer into a fresh in-memory sink table and return
+    that table, owning the resources a bare start/await leaks (bench runs
+    every entry 3x and tests re-invoke them — ADVICE r6):
+
+    - the checkpoint dir is a throwaway tempdir, removed once the
+      availableNow run terminates (the sink data lives in driver memory;
+      the checkpoint is only needed across restarts, which a fresh dir
+      per invocation precludes anyway);
+    - the PREVIOUS invocation's sink view for the same prefix is dropped,
+      bounding accumulated sink state to one table per entry. (The
+      returned frame is lazy, so the CURRENT view cannot be dropped here;
+      callers materialize it before re-invoking the entry — true for the
+      driver, bench, and tests.)
+
+    ``make_writer(query_name)`` builds the writer; the shuffle-partition
+    override is scoped here because a streaming query materializes inside
+    ``awaitTermination`` — so set/restore is race-free, unlike batch."""
+    import shutil
+
+    prev = _STREAM_VIEWS.pop(prefix, None)
+    if prev is not None:
+        try:
+            spark.catalog.dropTempView(prev)
+        except Exception:
+            pass  # a different session owns it — nothing to free here
+    name = f"{prefix}_{next(_STREAM_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="ibc_stream_ckpt_")
     key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(key)
     spark.conf.set(key, _STREAM_SHUFFLE_PARTITIONS)
     try:
-        q = writer.start()
+        q = (
+            make_writer(name)
+            .option("checkpointLocation", os.path.join(ckpt, "q"))
+            .start()
+        )
         q.awaitTermination()
     finally:
         spark.conf.set(key, saved)
-    return q
+        shutil.rmtree(ckpt, ignore_errors=True)
+    _STREAM_VIEWS[prefix] = name
+    return spark.table(name)
 
 
 @query(
@@ -110,17 +144,15 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value", 10, 2)).cast("double").alias("total_value"),
     )
-    name = f"streaming_hourly_rollup_{next(_STREAM_SEQ)}"
-    ckpt = tempfile.mkdtemp(prefix="ibc_stream_ckpt_")
-    q = _run_stream_scoped(
+    tbl = _run_stream_to_memory(
         spark,
-        agg.writeStream.format("memory")
+        lambda name: agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", os.path.join(ckpt, "q"))
         .trigger(availableNow=True),
+        "streaming_hourly_rollup",
     )
-    return spark.table(name).select(
+    return tbl.select(
         F.col("w.start").alias("window_start"),
         "event_type",
         "n_events",
@@ -167,11 +199,17 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cms_cell(key: F.Column, row: int, width: int) -> F.Column:
+def _cms_cell(key: F.Column, row: int | F.Column, width: int) -> F.Column:
     """Deterministic CMS column index for hash-row ``row``: xxhash64 with
     the row id mixed in as a leading column (xxhash64's seed is fixed in
-    Spark, so the row id IS the seed). Non-negative modulo via pmod."""
-    return F.pmod(F.xxhash64(F.lit(row), key), F.lit(width))
+    Spark, so the row id IS the seed). Non-negative modulo via pmod.
+    ``row`` may be a literal int (probe side) or a Column (the build
+    side's exploded row id) — BOTH sides must route through this one
+    helper, because the sketch is only correct while build and probe hash
+    the identical (row, key) expression (incl. the row literal's integer
+    type; ADVICE r6)."""
+    row_col = F.lit(row) if isinstance(row, int) else row
+    return F.pmod(F.xxhash64(row_col, key), F.lit(width))
 
 
 @query("heavy_hitters_cms")  # xxhash64 has no DuckDB twin -> rows-only;
@@ -211,7 +249,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(rows_arr).alias("row"), F.col("user_id").alias("key")
     ).select(
         "row",
-        F.pmod(F.xxhash64(F.col("row"), F.col("key")), F.lit(_CMS_WIDTH)).alias("col"),
+        _cms_cell(F.col("key"), F.col("row"), _CMS_WIDTH).alias("col"),
     )
     sketch = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -465,17 +503,15 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    name = f"streaming_sessionize_{next(_STREAM_SEQ)}"
-    ckpt = tempfile.mkdtemp(prefix="ibc_stream_ckpt_")
-    _run_stream_scoped(
+    tbl = _run_stream_to_memory(
         spark,
-        agg.writeStream.format("memory")
+        lambda name: agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", os.path.join(ckpt, "q"))
         .trigger(availableNow=True),
+        "streaming_sessionize",
     )
-    return spark.table(name).select(
+    return tbl.select(
         "user_id",
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
@@ -549,17 +585,14 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_seconds"),
     )
-    name = f"streaming_stream_join_{next(_STREAM_SEQ)}"
-    ckpt = tempfile.mkdtemp(prefix="ibc_stream_ckpt_")
-    _run_stream_scoped(
+    return _run_stream_to_memory(
         spark,
-        j.writeStream.format("memory")
+        lambda name: j.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", os.path.join(ckpt, "q"))
         .trigger(availableNow=True),
+        "streaming_stream_join",
     )
-    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------
@@ -785,17 +818,14 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     both = feed().unionByName(feed())
     deduped = both.dropDuplicates(["sha"])
-    name = f"streaming_dedup_exact_{next(_STREAM_SEQ)}"
-    ckpt = tempfile.mkdtemp(prefix="ibc_stream_ckpt_")
-    _run_stream_scoped(
+    return _run_stream_to_memory(
         spark,
-        deduped.writeStream.format("memory")
+        lambda name: deduped.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", os.path.join(ckpt, "q"))
         .trigger(availableNow=True),
+        "streaming_dedup_exact",
     )
-    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------

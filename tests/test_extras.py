@@ -46,8 +46,7 @@ def test_cms_superset_and_bounds(spark):
     cms_rows = QUERIES["heavy_hitters_cms"](spark, SF_ORACLE).collect()
     cms = {r.user_id: (r.est_count, r.exact_count) for r in cms_rows}
     assert set(exact) <= set(cms)
-    n = sum(r.exact_count for r in cms_rows) if cms_rows else 0
-    # recompute true n independently of the entry
+    # true n recomputed independently of the entry
     from ibc_spark.io_.sources import read_table
 
     n = read_table(spark, SF_ORACLE, "events").count()
