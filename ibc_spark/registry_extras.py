@@ -1485,15 +1485,28 @@ def embedding_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         return g.withColumn("rn", F.row_number().over(w0)).where("rn = 1")
 
     a1 = assign(sub_grid(sample), seeds)
-    fold_by_vec = lambda val: F.aggregate(
-        F.array_sort(F.collect_list(F.struct(F.col("vec_id").alias("k"), val.alias("x")))),
-        F.lit(0.0),
-        lambda a, p: a + p["x"],
-    )
-    m1 = (
+    # Codebook means fold through the same bounded two-level bucket tree as
+    # km_train (fold in vec_id order within width-_FOLD_B buckets, then in
+    # bucket order) — the training sample is a fraction of the corpus, not
+    # a constant, so even sample-side folds must not hold a whole
+    # (s, cid, pos) group in one aggregation buffer.
+    from ibc_spark.registry_lakehouse import _FOLD_B, _ordered_fold
+
+    p1 = (
         a1.select("vec_id", "s", "cid", F.posexplode("sv").alias("pos0", "val"))
-        .groupBy("s", "cid", (F.col("pos0") + 1).alias("pos"))
-        .agg((fold_by_vec(F.col("val")) / F.count("*")).alias("mu"))
+        .groupBy(
+            "s",
+            "cid",
+            (F.col("pos0") + 1).alias("pos"),
+            F.expr(f"vec_id DIV {_FOLD_B}").alias("bkt"),
+        )
+        .agg(
+            _ordered_fold(F.col("vec_id"), F.col("val")).alias("psum"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+    )
+    m1 = p1.groupBy("s", "cid", "pos").agg(
+        (_ordered_fold(F.col("bkt"), F.col("psum")) / F.sum("pn")).alias("mu")
     )
     cents = (
         m1.groupBy("s", "cid")

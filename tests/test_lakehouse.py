@@ -130,16 +130,23 @@ def test_no_unbounded_rowscale_collects(spark):
         "kmeans_embeddings_2iter",
         "embedding_power_iteration_pc1",
         "dedup_semdedup",
+        "embedding_pq_trained",
+        "graph_pagerank_shuffled",
     ):
         plan = QUERIES[name](spark, SF_ORACLE)._jdf.queryExecution().analyzed().toString()
+        rowkeyed = re.compile(r"collect_list\(struct\(k, (vec_id|src|node)#")
         for line in plan.splitlines():
-            if "collect_list(struct(k, vec_id#" not in line:
+            if not rowkeyed.search(line):
                 continue
             m = re.search(r"Aggregate \[([^\]]*)\]", line)
             assert m, f"{name}: collect_list outside an Aggregate node:\n{line[:200]}"
-            assert f"div cast({_FOLD_B} as bigint)" in m.group(1), (
-                f"{name}: row-scale collect_list not bucket-grouped:\n{line[:200]}"
-            )
+            grouping = m.group(1)
+            # the bucket key appears either inline (groupBy(expr)) or as a
+            # pre-projected attribute named bkt (groupBy("dst", "bkt"))
+            assert (
+                f"div cast({_FOLD_B} as bigint)" in grouping
+                or re.search(r"\bbkt#\d+", grouping)
+            ), f"{name}: row-scale collect_list not bucket-grouped:\n{line[:200]}"
 
 
 def test_km_level1_groups_are_bucket_bounded(spark):
