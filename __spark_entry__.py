@@ -88,6 +88,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 7: node-scale PageRank twin (VERDICT r6 #7) — parity-proven
     # locally every pytest run; driver slot next round
     "graph_pagerank_shuffled",
+    # round 7: mergeable Bloom-filter decontamination (full md5-portable
+    # oracle); parity-proven locally, driver slot next round
+    "decontaminate_bloom",
 }
 
 

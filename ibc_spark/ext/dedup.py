@@ -301,6 +301,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def distinct_ngrams_np(n: int):
+    """Arrow-batched distinct word ``n``-gram kernel over PRE-TOKENIZED
+    arrays: at n=8 the zip_with-chain Column form runs n-1 interpreted
+    passes per row and dominated `contamination_tags` (~70% of runtime);
+    joining token slices in Python per batch produces the identical
+    distinct gram strings (tokenization itself stays JVM-side, so there is
+    no regex-dialect divergence). Documents shorter than ``n`` tokens
+    yield NO grams (no whole-doc fallback — a 5-token doc must not match
+    on a sub-8-gram). Shared by `contamination_tags` and
+    `bloom_contamination`."""
+
+    @pandas_udf("array<string>")
+    def _grams(toks: pd.Series) -> pd.Series:
+        out = []
+        for t in toks:
+            if t is None or len(t) < n:
+                out.append([])
+            else:
+                tl = list(t)
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(tl[i : i + n]) for i in range(len(tl) - n + 1)
+                        )
+                    )
+                )
+        return pd.Series(out)
+
+    return _grams
+
+
 def contamination_tags(
     corpus: DataFrame,
     testset: DataFrame,
@@ -328,30 +359,7 @@ def contamination_tags(
     8-gram overlap).
     """
 
-    # n-gram construction is an Arrow-batched kernel over the JVM-side token
-    # arrays: at n=8 the zip_with-chain form (`shingles`) runs 7 interpreted
-    # passes per row and dominated the operator (~70% of runtime); joining
-    # token slices in Python per batch produces the identical distinct gram
-    # strings (tokenization itself stays JVM-side, so there is no
-    # regex-dialect divergence) and gram ORDER is irrelevant to the
-    # membership join both sides feed.
-    @pandas_udf("array<string>")
-    def true_ngrams_np(toks: pd.Series) -> pd.Series:
-        out = []
-        for t in toks:
-            if t is None or len(t) < n:
-                out.append([])
-            else:
-                tl = list(t)
-                out.append(
-                    list(
-                        dict.fromkeys(
-                            " ".join(tl[i : i + n]) for i in range(len(tl) - n + 1)
-                        )
-                    )
-                )
-        return pd.Series(out)
-
+    true_ngrams_np = distinct_ngrams_np(n)
     c_sh = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.explode(true_ngrams_np(tokens(F.col(text_col)))).alias("g"),
@@ -371,6 +379,122 @@ def contamination_tags(
         "doc_id",
         F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
         F.col("n_hits").isNotNull().alias("contaminated"),
+    )
+
+
+def _bloom_bases(g: Column) -> tuple[Column, Column]:
+    """Portable double-hashing bases for a shingle string: h1 = first 60
+    md5 bits, h2 = next 60 md5 bits forced odd (so it is nonzero and
+    coprime with any power-of-two filter size). Position i is
+    (h1 + i*h2) % m — the standard Kirsch–Mitzenmacher construction, and
+    expressible identically in DuckDB (the oracle replays it)."""
+    h = F.md5(g)
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") * 2 + 1
+    return h1, h2
+
+
+def bloom_build(
+    testset: DataFrame, *, text_col: str, n: int = 8, m_bits: int = 65536, k: int = 4
+) -> DataFrame:
+    """Build a MERGEABLE Bloom filter over the test set's distinct word
+    ``n``-grams as a sparse (word_idx, bits) frame: ≤ m/64 rows regardless
+    of input size, entirely JVM-side (md5 + bit ops, no Python), and two
+    filters merge by unioning and re-`bit_or`-ing — the same
+    store-per-benchmark / merge-on-read shape as the CMS/HLL sketches.
+    ``k`` must keep i*h2 inside int64: h2 < 2^61, so k ≤ 4."""
+    if k > 4:
+        raise ValueError("bloom_build: k > 4 overflows the int64 double-hash")
+    grams = distinct_ngrams_np(n)
+    t_g = (
+        testset.select(F.explode(grams(tokens(F.col(text_col)))).alias("g"))
+        .dropDuplicates()
+    )
+    h1, h2 = _bloom_bases(F.col("g"))
+    pos = (
+        t_g.select(h1.alias("h1"), h2.alias("h2"))
+        .select(F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"), "h1", "h2")
+        .select(((F.col("h1") + F.col("i") * F.col("h2")) % m_bits).alias("pos"))
+        .dropDuplicates()
+    )
+    # shiftleft's Python wrapper wants a literal shift amount; the SQL form
+    # accepts a column expression
+    # 32-bit words in a BIGINT container: DuckDB's checked << overflows at
+    # bit 63 (Spark wraps silently), so the portable form never shifts past
+    # bit 31
+    return pos.groupBy(F.expr("pos DIV 32").alias("word_idx")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        ).alias("bits")
+    )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    testset: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    m_bits: int = 65536,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination — the SKETCH-BACKED face of
+    :func:`contamination_tags` for the regime where the held-out shingle
+    set itself is too large to broadcast as strings: the benchmark side
+    compresses to an m-bit Bloom filter (m/8 bytes, here 8 KB) that every
+    executor probes locally; a corpus shingle is flagged iff all ``k``
+    positions are set. No false negatives (every truly-shared shingle is
+    flagged — dropping flagged rows can only over-drop, never leak), FP
+    rate ≈ (1-e^{-kn/m})^k, and the filter is mergeable across benchmark
+    shards (`bloom_build`). Probe plan: corpus shingles explode ×k
+    positions → broadcast join against the ≤m/64-row word frame → all-k
+    test per shingle → per-doc counts; one shuffle on (doc_id, g), one on
+    doc_id. Returns (doc_id, n_shingles, n_flagged, maybe_contaminated)
+    for every corpus row. Fully deterministic (md5 double hashing), so an
+    external SQL oracle replays it bit-for-bit."""
+    bloom = bloom_build(testset, text_col=text_col, n=n, m_bits=m_bits, k=k)
+    grams = distinct_ngrams_np(n)
+    c_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(grams(tokens(F.col(text_col)))).alias("g"),
+    )
+    h1, h2 = _bloom_bases(F.col("g"))
+    probes = (
+        c_sh.select("doc_id", "g", h1.alias("h1"), h2.alias("h2"))
+        .select(
+            "doc_id",
+            "g",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+            "h1",
+            "h2",
+        )
+        .select(
+            "doc_id",
+            "g",
+            ((F.col("h1") + F.col("i") * F.col("h2")) % m_bits).alias("pos"),
+        )
+        .withColumn("word_idx", F.expr("pos DIV 32"))
+    )
+    present = F.col("bits").isNotNull() & (
+        F.expr("shiftright(bits, CAST(pos % 32 AS INT)) & 1") == 1
+    )
+    per_g = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy("doc_id", "g")
+        .agg(F.sum(F.when(present, 1).otherwise(0)).alias("np"))
+    )
+    per_doc = per_g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("np") == k).cast("long")).alias("n_flagged"),
+    )
+    ids = corpus.select(F.col(id_col).alias("doc_id"))
+    zero = F.lit(0).cast("long")
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", zero).alias("n_shingles"),
+        F.coalesce("n_flagged", zero).alias("n_flagged"),
+        (F.coalesce("n_flagged", zero) > 0).alias("maybe_contaminated"),
     )
 
 

@@ -303,6 +303,89 @@ def decontaminate_against_holdout(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_BLOOM_M = 65536
+_BLOOM_K = 4
+# Double-hash bases per shingle (md5, portable): h1 = first 60 bits,
+# h2 = next 60 bits forced odd. Mirrors ext.dedup._bloom_bases.
+_BLOOM_H = (
+    "CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h1,"
+    " CAST(('0x' || substr(md5(g), 16, 15)) AS BIGINT) * 2 + 1 AS h2"
+)
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 8 THEN {_SHINGLES8}
+                         ELSE [] END) AS g
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    th AS (
+      SELECT {_BLOOM_H}
+      FROM (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
+    ),
+    tpos AS (
+      SELECT DISTINCT (h1 + i * h2) % {_BLOOM_M} AS pos
+      FROM th, range(0, {_BLOOM_K}) t(i)
+    ),
+    bloom AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+      FROM tpos GROUP BY 1
+    ),
+    cp AS (
+      SELECT doc_id, g, (h1 + i * h2) % {_BLOOM_M} AS pos
+      FROM (SELECT doc_id, g, {_BLOOM_H}
+            FROM sh WHERE doc_id % 97 <> 0), range(0, {_BLOOM_K}) t(i)
+    ),
+    pg AS (
+      SELECT c.doc_id, c.g,
+             sum(CASE WHEN b.bits IS NOT NULL
+                       AND ((b.bits >> CAST(c.pos % 32 AS INTEGER)) & 1) = 1
+                 THEN 1 ELSE 0 END) AS np
+      FROM cp c LEFT JOIN bloom b ON c.pos // 32 = b.word_idx
+      GROUP BY c.doc_id, c.g
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN np = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+      FROM pg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_shingles, 0) AS n_shingles,
+           COALESCE(p.n_flagged, 0) AS n_flagged,
+           COALESCE(p.n_flagged, 0) > 0 AS maybe_contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (sketch-backed sibling of
+    ``decontaminate_against_holdout``): the held-out benchmark's distinct
+    8-grams compress to a 64 Kbit mergeable Bloom filter (sparse
+    (word_idx, bits) frame, ≤1024 rows) that every executor probes
+    locally — the shape for benchmark suites too large to broadcast as
+    strings at 100 TB. No false negatives (flagged ⊇ truly contaminated,
+    pinned in pytest against the exact sibling); FP rate bounded by
+    (1-e^(-kn/m))^k. Deterministic md5 double hashing on both engines, so
+    this probabilistic operator still gets a FULL hash oracle — the
+    filter bits, probe results, and per-doc counts are replayed exactly
+    in DuckDB."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.bloom_contamination(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        id_col="doc_id",
+        text_col="text",
+        n=8,
+        m_bits=_BLOOM_M,
+        k=_BLOOM_K,
+    )
+
+
 @query(
     "dedup_paragraph_exact",
     oracle=f"""

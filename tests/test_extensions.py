@@ -312,6 +312,86 @@ def test_contamination_tags_planted_overlap(spark):
     assert out[3] == (1, True)
 
 
+def test_bloom_contamination_no_false_negatives(spark):
+    """The Bloom probe must flag a SUPERSET of the exact overlap check
+    (false positives allowed and bounded elsewhere; a false negative would
+    leak benchmark text into training) and agree on shingle counts."""
+    from ibc_spark.registry import QUERIES
+
+    exact = {
+        r["doc_id"]: r
+        for r in QUERIES["decontaminate_against_holdout"](spark, SF_ORACLE).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in QUERIES["decontaminate_bloom"](spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(bloom)
+    n_fp = 0
+    for did, e in exact.items():
+        b = bloom[did]
+        assert b["n_flagged"] >= e["n_hits"], did
+        if e["contaminated"]:
+            assert b["maybe_contaminated"], did
+        elif b["maybe_contaminated"]:
+            n_fp += 1
+    # with ~500 distinct holdout shingles in a 65536-bit filter (k=4) the
+    # per-shingle FP rate is ~(1-e^(-4*500/65536))^4 ~ 8e-7 — a handful of
+    # corpus docs flagging spuriously would indicate a broken hash
+    assert n_fp <= max(2, len(exact) // 100), n_fp
+
+
+def test_bloom_contamination_planted_overlap(spark):
+    """Planted true positives (the corpus-level entry runs on a corpus with
+    ZERO real overlap, so the superset check there is vacuous for hits): a
+    doc containing the benchmark 8-gram must be flagged, the clean doc must
+    not (FP chance at this filter load is ~1e-6)."""
+    from ibc_spark.ext.dedup import bloom_contamination
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {bench} trailing text here"),
+            (2, "totally unrelated content with no overlap at all whatsoever"),
+            (3, f"{bench}"),
+        ],
+        "doc_id long, text string",
+    )
+    testset = spark.createDataFrame(
+        [(100, f"prefix {bench} suffix")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom_contamination(
+            corpus, testset, id_col="doc_id", text_col="text", n=8
+        ).collect()
+    }
+    assert out[1]["maybe_contaminated"] and out[1]["n_flagged"] >= 1
+    assert out[3]["maybe_contaminated"] and out[3]["n_flagged"] == 1
+    assert not out[2]["maybe_contaminated"] and out[2]["n_flagged"] == 0
+
+
+def test_bloom_filter_is_mergeable(spark):
+    """bit_or-merging two half-benchmark filters equals the filter built
+    over the union — the store-per-benchmark / merge-on-read property."""
+    from ibc_spark.ext.dedup import bloom_build
+    from ibc_spark.io_.sources import read_table
+
+    hold = read_table(spark, SF_ORACLE, "documents").where(
+        F.col("doc_id") % 97 == 0
+    )
+    a = bloom_build(hold.where(F.col("doc_id") % 2 == 0), text_col="text")
+    b = bloom_build(hold.where(F.col("doc_id") % 2 == 1), text_col="text")
+    merged = (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    whole = bloom_build(hold, text_col="text")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
 def test_hash_bucket_extreme_keys_match_duckdb(spark):
     """Negative keys and keys above 2^32 must still land in [0, 100) and be
     bit-identical to the SQL mirror of the hash (DuckDB as the reference
