@@ -20,9 +20,7 @@ Cross-engine determinism rules used throughout (so value hashes match):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ibc_spark.io_.sinks import merge_upsert
@@ -39,24 +37,12 @@ from ibc_spark.ops.mutate import bulk_mutate, last_write_wins
 from ibc_spark.ops.reshape import unpivot_columns
 from ibc_spark.ops.validate import validate_split
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def dec(c: Column | str, precision: int = 10, scale: int = 2) -> Column:
-    """Pin a float column to an exact decimal for order-insensitive sums."""
-    c = F.col(c) if isinstance(c, str) else c
-    return c.cast(f"decimal({precision},{scale})")
+# The dicts + decorator live in the LEAF module registry_core so entry
+# modules can be imported directly without re-entering this module's
+# bottom aggregation imports (circular-import crash). Re-exported here so
+# `from ibc_spark.registry import QUERIES, ORACLES, query, dec` keeps
+# working everywhere.
+from ibc_spark.registry_core import ORACLES, QUERIES, dec, query  # noqa: F401
 
 
 # ---------------------------------------------------------------------------

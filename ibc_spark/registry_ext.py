@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ibc_spark.ext import dedup, multimodal, similarity, text
 from ibc_spark.io_.sources import read_table
-from ibc_spark.registry import query
+from ibc_spark.registry_core import query
 
 # Shared SQL fragments (DuckDB list-lambda dialect).
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"

@@ -42,7 +42,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibc_spark.io_.sources import read_table
-from ibc_spark.registry import dec, query
+from ibc_spark.registry_core import dec, query
+
+# decoration-time oracle compositions below reference fragments that these
+# modules REGISTER — import them explicitly so a direct
+# `import ibc_spark.registry_extras` is self-sufficient (ordering matters:
+# without this, only the ibc_spark.registry aggregation order made it work)
+from ibc_spark import registry_ext as _dep_registry_ext  # noqa: E402,F401
+from ibc_spark import registry_lakehouse as _dep_registry_lakehouse  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Structured Streaming under the driver's oracle check
@@ -611,8 +618,7 @@ _SEMDEDUP_SAMPLE_MOD = 3
 
 
 def _semdedup_oracle() -> str:
-    from ibc_spark.registry_ext import _PLANT_SQL, _cos_sql
-    from ibc_spark.registry_lakehouse import (
+    from ibc_spark.ext.foldspec import (
         _FOLD_B,
         _FOLD_BUCKETS,
         _FOLD_PARTIAL,
@@ -620,6 +626,7 @@ def _semdedup_oracle() -> str:
         _KM_K,
         _km_assign_sql,
     )
+    from ibc_spark.registry_ext import _PLANT_SQL, _cos_sql
 
     return f"""
     WITH emb0 AS ({_PLANT_SQL}),
@@ -966,7 +973,7 @@ def _funnel_oracle() -> str:
     """Compose the funnel oracle from the REGISTERED oracles of its stage
     operators (gopher gate, lang-id, decontamination) so the funnel can
     never drift from the operators it chains."""
-    from ibc_spark.registry import ORACLES
+    from ibc_spark.registry_core import ORACLES
 
     g = ORACLES["text_gopher_rules"].strip()
     l = ORACLES["text_lang_id"].strip()
@@ -1034,7 +1041,7 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle SF the synthetic documents are all English with no exact-dup
     texts, so the quality gate and decontamination are the active
     stages; the oracle still verifies all five counts exactly."""
-    from ibc_spark.registry import QUERIES
+    from ibc_spark.registry_core import QUERIES
 
     g = QUERIES["text_gopher_rules"](spark, sf_dir).select("doc_id", "keep")
     lng = QUERIES["text_lang_id"](spark, sf_dir)
@@ -1490,7 +1497,7 @@ def embedding_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket order) — the training sample is a fraction of the corpus, not
     # a constant, so even sample-side folds must not hold a whole
     # (s, cid, pos) group in one aggregation buffer.
-    from ibc_spark.registry_lakehouse import _FOLD_B, _ordered_fold
+    from ibc_spark.ext.foldspec import _FOLD_B, _ordered_fold
 
     p1 = (
         a1.select("vec_id", "s", "cid", F.posexplode("sv").alias("pos0", "val"))

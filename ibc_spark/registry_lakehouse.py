@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ibc_spark.ext import layout
 from ibc_spark.io_.sources import read_table
-from ibc_spark.registry import query
+from ibc_spark.registry_core import query
 
 # ---------------------------------------------------------------------------
 # Z-order layout (data clustering for multi-dimensional pruning)
@@ -314,47 +314,18 @@ def skyline_orders_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trade graph (the repo's canonical iterative-algorithm shape)
 # ---------------------------------------------------------------------------
 
-# --- bounded deterministic two-level tree fold -----------------------------
-#
-# Round 6 flagged the single-level deterministic fold
-# (array_sort(collect_list(struct(vec_id, x))) then F.aggregate) as a scale
-# killer: the whole group's members sit in ONE aggregation buffer, O(n) per
-# group for the power-iteration per-position sums. The fix keeps bit-exact
-# cross-engine determinism while bounding state: fold values in vec_id order
-# WITHIN fixed-width vec_id buckets (level 1, <= _FOLD_B structs per
-# aggregation group), then fold the bucket partials in bucket order
-# (level 2, <= n/_FOLD_B partials per group — 128x smaller; the same
-# construction nests to log_B(n) levels if a corpus ever outgrows two, and
-# the training-side alternative is the `sample_mod` hash-sample below). Both
-# engines run the identical (bucket, order) fold tree, so doubles agree
-# bit-for-bit. _FOLD_B = 128 so the driver SF (500 vectors) genuinely
-# exercises multiple buckets per group.
-_FOLD_B = 128
-
-# Level-1 fold: {val} folded in vec_id order within one bucket.
-_FOLD_PARTIAL = (
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list({val} ORDER BY vec_id)), (a, x) -> a + x)"
+# Bounded two-level tree fold + Lloyd SQL spec: defined in the LEAF module
+# ext/foldspec (shared with registry_extras' SemDeDup oracle at
+# module-evaluation time — importing them from here made a direct
+# `import ibc_spark.registry_lakehouse` a circular-import crash). See
+# foldspec's docstring for the full scale/determinism rationale.
+from ibc_spark.ext.foldspec import (  # noqa: E402
+    _FOLD_B,
+    _FOLD_BUCKETS,
+    _FOLD_PARTIAL,
+    _fold_bkt,
+    _ordered_fold,
 )
-# Level-2 fold: bucket partials folded in bucket (bkt) order.
-_FOLD_BUCKETS = (
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list({val} ORDER BY bkt)), (a, x) -> a + x)"
-)
-
-
-def _fold_bkt() -> F.Column:
-    """The level-1 bucket key: vec_id DIV _FOLD_B (oracle: vec_id // B)."""
-    return F.expr(f"vec_id DIV {_FOLD_B}").alias("bkt")
-
-
-def _ordered_fold(key: F.Column, val: F.Column) -> F.Column:
-    """Fold ``val`` in ``key`` order — deterministic left fold, identical to
-    the oracle's ``list_reduce(... list(val ORDER BY key))``. Callers MUST
-    bound the group (level-1: the _FOLD_B-wide bucket; level-2: bucket
-    partials; O(dim) frames) — never a whole corpus-scale group."""
-    kv = F.collect_list(F.struct(key.alias("k"), val.alias("x")))
-    return F.aggregate(F.array_sort(kv), F.lit(0.0), lambda a, p: a + p["x"])
-
-
 
 _PR_EDGES_SQL = """
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
@@ -665,29 +636,12 @@ def graph_pagerank_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fixed-iteration k-means (Lloyd) over the embeddings table
 # ---------------------------------------------------------------------------
 
-_KM_K = 4
-_KM_DIM = 64
-
-# Squared-L2 between two double lists, folded in index order (zip preserves
-# position, so the fold order is identical on both engines).
-_KM_DIST = (
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
-    " list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2]))),"
-    " (acc, x) -> acc + x)"
+from ibc_spark.ext.foldspec import (  # noqa: E402
+    _KM_DIM,
+    _KM_DIST,
+    _KM_K,
+    _km_assign_sql,
 )
-def _km_assign_sql(cents: str, out: str, src: str = "emb") -> str:
-    dist = _KM_DIST.format(a="e.v", b="c.cv")
-    return f"""
-    d_{out} AS (
-      SELECT e.vec_id, e.v, c.cid, {dist} AS dist
-      FROM {src} e, {cents} c
-    ),
-    {out} AS (
-      SELECT vec_id, v, cid, dist FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        FROM d_{out}
-      ) WHERE rn = 1
-    )"""
 
 
 @query(

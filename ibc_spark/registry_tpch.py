@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ibc_spark.io_.sources import read_table
-from ibc_spark.registry import dec, query
+from ibc_spark.registry_core import dec, query
 
 
 @query(

@@ -172,6 +172,40 @@ def test_km_level1_groups_are_bucket_bounded(spark):
     assert sizes.agg(F.max("count")).collect()[0][0] <= _FOLD_B
 
 
+def test_two_level_fold_matches_python_replay_bitwise(spark):
+    """The bounded two-level fold must produce EXACTLY the bits of its
+    specification (fold in key order within width-_FOLD_B buckets, then
+    fold bucket partials in bucket order) — replayed in plain Python
+    floats over a value set chosen to make summation order matter
+    (alternating magnitudes), across a bucket boundary."""
+    from pyspark.sql import functions as F
+
+    from ibc_spark.registry_lakehouse import _FOLD_B, _fold_bkt, _ordered_fold
+
+    n = 3 * _FOLD_B + 17
+    vals = [((-1.0) ** i) * (1e10 if i % 5 == 0 else 1e-7) * (i + 1) for i in range(n)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "vec_id long, x double"
+    )
+    got = (
+        df.groupBy(_fold_bkt())
+        .agg(_ordered_fold(F.col("vec_id"), F.col("x")).alias("psum"))
+        .groupBy()
+        .agg(_ordered_fold(F.col("bkt"), F.col("psum")).alias("total"))
+        .collect()[0]["total"]
+    )
+    partials = []
+    for b in range(0, n, _FOLD_B):
+        acc = 0.0
+        for v in vals[b : b + _FOLD_B]:
+            acc += v
+        partials.append(acc)
+    expect = 0.0
+    for p in partials:
+        expect += p
+    assert got == expect  # bit-for-bit, not approx
+
+
 def test_gopher_rules_pure_projection_plan(spark):
     """The quality gate must stay a shuffle-free codegen projection."""
     from ibc_spark.registry import QUERIES
