@@ -97,6 +97,48 @@ def test_kmv_sketch_entry_bounds(spark):
             assert abs(a[c] - e[c]) <= max(0.5, 0.15 * abs(e[c])), (et, c)
 
 
+def test_kmv_sketch_is_mergeable(spark):
+    """KMV's merge rule (union the per-shard k-minimum hash sets, re-take
+    the k smallest) must reproduce the whole-input sketch exactly — the
+    property that lets per-day KMV state merge on read like the HLL/CMS
+    family. Checked on the raw hash sets the entry is built from."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.registry_ext import _KMV_K
+
+    from .conftest import SF_ORACLE
+
+    ev = read_table(spark, SF_ORACLE, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("uh"),
+        (F.col("event_id") % 2).alias("shard"),
+    )
+    w = Window.partitionBy("event_type").orderBy("uh")
+
+    def kmin(df):
+        return (
+            df.select("event_type", "uh")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _KMV_K)
+            .select("event_type", "uh")
+        )
+
+    whole = kmin(h)
+    merged = kmin(
+        kmin(h.where(F.col("shard") == 0)).unionByName(
+            kmin(h.where(F.col("shard") == 1))
+        )
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
 def test_hll_mergeable_sketch_bounds_and_merge_consistency(spark):
     """Per-group HLL estimates within ±5%% of exact; the merged-union
     estimate tracks the sketch-of-the-whole estimate within 1%% and the
