@@ -206,6 +206,37 @@ def test_two_level_fold_matches_python_replay_bitwise(spark):
     assert got == expect  # bit-for-bit, not approx
 
 
+def test_two_level_fold_is_partitioning_invariant(spark):
+    """The fold's result must not depend on HOW the input is distributed —
+    the property that makes the bit-exact oracle claim valid on a real
+    cluster, where partition counts and row placement differ from
+    local[32]. Same data through 1, 13, and 64 partitions must produce
+    identical bits."""
+    from pyspark.sql import functions as F
+
+    from ibc_spark.registry_lakehouse import _fold_bkt, _ordered_fold
+
+    n = 1000
+    vals = [((-1.0) ** i) * (1e9 if i % 7 == 0 else 1e-6) * (i + 1) for i in range(n)]
+    base = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "vec_id long, x double"
+    )
+
+    def total(df):
+        return (
+            df.groupBy(_fold_bkt())
+            .agg(_ordered_fold(F.col("vec_id"), F.col("x")).alias("psum"))
+            .groupBy()
+            .agg(_ordered_fold(F.col("bkt"), F.col("psum")).alias("t"))
+            .collect()[0]["t"]
+        )
+
+    t1 = total(base.coalesce(1))
+    t13 = total(base.repartition(13))
+    t64 = total(base.repartition(64, "x"))
+    assert t1 == t13 == t64
+
+
 def test_gopher_rules_pure_projection_plan(spark):
     """The quality gate must stay a shuffle-free codegen projection."""
     from ibc_spark.registry import QUERIES
