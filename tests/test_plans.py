@@ -421,6 +421,18 @@ def test_bigram_pmi_top20_is_take_ordered(spark):
     ), plan
 
 
+def test_topk_entries_get_window_group_limit(spark):
+    """The rank-then-filter top-k spellings must keep compiling to
+    WindowGroupLimit (partial per-key top-k BEFORE the shuffle, Spark
+    3.5+): it bounds state to k rows per key on the map side — at 100 TB
+    the difference between shuffling k rows per key and shuffling the
+    whole candidate set. Silent killers: filtering on a derived column or
+    a non-rank function, which drop the optimization without failing."""
+    for name in ("ann_topk_bruteforce", "knn_graph_topk"):
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        assert "WindowGroupLimit" in plan, (name, plan)
+
+
 def test_pagerank_shuffled_flip_compiles_to_hash_joins(spark):
     """The node-scale PageRank twin's rank joins must compile to SHUFFLED
     hash joins partitioned on the key — never a broadcast — proving the
