@@ -206,32 +206,72 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cms_cell(key: F.Column, row: int | F.Column, width: int) -> F.Column:
-    """Deterministic CMS column index for hash-row ``row``: xxhash64 with
-    the row id mixed in as a leading column (xxhash64's seed is fixed in
-    Spark, so the row id IS the seed). Non-negative modulo via pmod.
-    ``row`` may be a literal int (probe side) or a Column (the build
-    side's exploded row id) — BOTH sides must route through this one
-    helper, because the sketch is only correct while build and probe hash
-    the identical (row, key) expression (incl. the row literal's integer
-    type; ADVICE r6)."""
-    row_col = F.lit(row) if isinstance(row, int) else row
-    return F.pmod(F.xxhash64(row_col, key), F.lit(width))
+def _cms_bases(key: F.Column) -> tuple[F.Column, F.Column]:
+    """PORTABLE double-hashing bases for a CMS key (round 7 — previously
+    xxhash64, which DuckDB lacks and which forced the entry onto a
+    rows-only waiver): h1 = first 60 md5 bits, h2 = next 60 bits forced
+    odd. Row ``r``'s cell is (h1 + r*h2) % width — the same
+    Kirsch–Mitzenmacher scheme as the Bloom-filter entry, replayable
+    verbatim in the SQL oracle. r ≤ 3 keeps h1 + r*h2 inside int64."""
+    h = F.md5(key.cast("string"))
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") * 2 + 1
+    return h1, h2
 
 
-@query("heavy_hitters_cms")  # xxhash64 has no DuckDB twin -> rows-only;
-# exact sibling: heavy_hitters_exact (same threshold), bound pinned in pytest
+def _cms_pos(h1: F.Column, h2: F.Column, row: F.Column, width: int) -> F.Column:
+    """The one cell-index expression BOTH build and probe must use (value
+    drift between the two sides silently corrupts the sketch; ADVICE r6)."""
+    return (h1 + row * h2) % width
+
+
+_CMS_H_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,"
+    " CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 16, 15)) AS BIGINT) * 2 + 1 AS h2"
+)
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH h AS (SELECT user_id, {_CMS_H_SQL} FROM events),
+    cells AS (
+      SELECT i AS row, (h1 + i * h2) % {_CMS_WIDTH} AS col,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM h, range(0, {_CMS_DEPTH}) t(i)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT user_id, h1, h2, CAST(count(*) AS BIGINT) AS exact_count
+      FROM h GROUP BY 1, 2, 3
+    ),
+    probe AS (
+      SELECT c.user_id, c.exact_count, min(s.cnt) AS est_count
+      FROM cand c, range(0, {_CMS_DEPTH}) t(i)
+      JOIN cells s ON s.row = i AND s.col = (c.h1 + i * c.h2) % {_CMS_WIDTH}
+      GROUP BY 1, 2
+    )
+    SELECT user_id, est_count, exact_count
+    FROM probe, (SELECT count(*) AS n FROM events) tot
+    WHERE est_count * {_PHI_DENOM} > tot.n
+    """,
+)
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """phi-heavy-hitters via a MERGEABLE Count-Min sketch, built entirely
-    JVM-side as a sparse aggregate.
+    JVM-side as a sparse aggregate — and since round 7 under the FULL
+    hash oracle: the cell hash is portable md5 double hashing
+    (`_cms_bases`/`_cms_pos`, the same Kirsch–Mitzenmacher scheme as the
+    Bloom entry), so DuckDB replays the exact sketch cells, probes, and
+    threshold — the previous xxhash64 form was stuck on a rows-only
+    waiver (VERDICT r6 #4's promotion pattern applied here).
 
-    Build: explode each event into d=4 (row, col) cell hits
-    (col = xxhash64(row, user_id) mod w=1024) and count per cell — one
-    codegen projection + one hash aggregate. The (row, col, cnt) frame IS
-    the sketch: O(d*w) rows regardless of input size, and two sketches
-    merge by unioning and re-summing — the same incremental-dashboard
-    shape as the HLL/KLL/Theta entries (store per-day sketches, merge on
-    read; no re-scan).
+    Build: hash each key's two bases once, explode into d=4 (row, col)
+    cell hits (col = (h1 + row*h2) mod w=1024) and count per cell — one
+    codegen projection + one hash aggregate, single fact-table pass. The
+    (row, col, cnt) frame IS the sketch: O(d*w) rows regardless of input
+    size, and two sketches merge by unioning and re-summing — the same
+    incremental-dashboard shape as the HLL/KLL/Theta entries (store
+    per-day sketches, merge on read; no re-scan).
 
     Probe: each candidate key probes its d cells (broadcast hash join
     against the tiny sketch) and takes the MIN — the classic CMS
@@ -239,32 +279,26 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     here are the distinct keys (exact count carried in-row so pytest can
     pin est >= exact and est - exact <= 4n/w); in a true streaming
     deployment candidates come from the arriving keys themselves.
-
-    Rows-only waiver: xxhash64 is Spark-specific (no DuckDB equivalent);
-    the exact sibling ``heavy_hitters_exact`` runs the same threshold
-    under the full hash-check, and pytest asserts the CMS answer is a
-    SUPERSET of the exact answer (CMS never undercounts).
     """
     ev = read_table(spark, sf_dir, "events")
-    # ONE scan: explode each event into its d hash rows and hash the
-    # (row, key) pair — xxhash64 hashes VALUES, so the exploded row-id
-    # column produces exactly the same cells as the literal-seeded probe
-    # side below (a previous form ran d separate scans union-ed together;
-    # at 100 TB the build must be single-pass, it is I/O-bound).
+    h1, h2 = _cms_bases(F.col("user_id"))
+    # ONE scan: bases once per event, then explode into the d hash rows —
+    # build and probe share _cms_pos so the two sides cannot drift.
     rows_arr = F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])
-    cells = ev.select(
-        F.explode(rows_arr).alias("row"), F.col("user_id").alias("key")
+    cells = ev.select(h1.alias("h1"), h2.alias("h2")).select(
+        F.explode(rows_arr).alias("row"), "h1", "h2"
     ).select(
         "row",
-        _cms_cell(F.col("key"), F.col("row"), _CMS_WIDTH).alias("col"),
+        _cms_pos(F.col("h1"), F.col("h2"), F.col("row"), _CMS_WIDTH).alias("col"),
     )
     sketch = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
 
     total = ev.agg(F.count(F.lit(1)).alias("__n"))
     cand = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    ch1, ch2 = _cms_bases(F.col("user_id"))
     probes = cand
     for r in range(_CMS_DEPTH):
-        probes = probes.withColumn(f"c{r}", _cms_cell(F.col("user_id"), r, _CMS_WIDTH))
+        probes = probes.withColumn(f"c{r}", _cms_pos(ch1, ch2, F.lit(r), _CMS_WIDTH))
     est = None
     joined = probes
     for r in range(_CMS_DEPTH):

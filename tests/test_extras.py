@@ -61,17 +61,18 @@ def test_cms_sketch_is_mergeable(spark):
     """Summing two half-sketches cell-wise equals the whole-input sketch —
     the property that makes per-day sketch storage + merge-on-read work."""
     from ibc_spark.io_.sources import read_table
-    from ibc_spark.registry_extras import _CMS_DEPTH, _CMS_WIDTH, _cms_cell
+    from ibc_spark.registry_extras import _CMS_DEPTH, _CMS_WIDTH, _cms_bases, _cms_pos
 
     ev = read_table(spark, SF_SMOKE, "events")
 
     def sketch_of(df):
         parts = []
+        h1, h2 = _cms_bases(F.col("user_id"))
         for r in range(_CMS_DEPTH):
             parts.append(
                 df.select(
                     F.lit(r).alias("row"),
-                    _cms_cell(F.col("user_id"), r, _CMS_WIDTH).alias("col"),
+                    _cms_pos(h1, h2, F.lit(r), _CMS_WIDTH).alias("col"),
                 )
             )
         out = parts[0]
