@@ -1232,7 +1232,7 @@ _PQ_DIST = (
       ) WHERE rn = 1
     )
     SELECT vec_id,
-           list(code ORDER BY s) AS codes,
+           array_to_string(list(code ORDER BY s), ',') AS codes_csv,
            CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                                          list(dist ORDER BY s)),
                             (acc, x) -> acc + x) AS DOUBLE) AS quant_err
@@ -1311,7 +1311,16 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("quant_err"),
     )
-    return assembled
+    # codes serialize to CSV on the query surface: the driver's comparator
+    # canonicalizes scalar cells only (list cells crashed it in r3 — the
+    # same lesson as dedup_simhash's members_csv)
+    return assembled.select("vec_id", _codes_csv(), "quant_err")
+
+
+def _codes_csv() -> F.Column:
+    return F.array_join(
+        F.transform("codes", lambda c: c.cast("string")), ","
+    ).alias("codes_csv")
 
 
 @query(
@@ -1575,7 +1584,7 @@ def embedding_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("rn = 1")
         .select("vec_id", "s", "code", "dist")
     )
-    return am.groupBy("vec_id").agg(
+    assembled = am.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("s", "code"))), lambda p: p["code"]
         ).alias("codes"),
@@ -1588,6 +1597,8 @@ def embedding_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("quant_err"),
     )
+    # same scalar-cell surface as the anchor entry (driver comparator)
+    return assembled.select("vec_id", _codes_csv(), "quant_err")
 
 
 # ---------------------------------------------------------------------------

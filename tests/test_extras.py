@@ -332,14 +332,18 @@ def test_pq_encode_invariants(spark):
     n = read_table(spark, SF_SMOKE, "embeddings").count()
     assert len(rows) == n
     by_id = {r.vec_id: r for r in rows}
+
+    def codes(r):
+        return [int(c) for c in r.codes_csv.split(",")]
+
     for r in rows:
-        assert len(r.codes) == _PQ_SUBSPACES
-        assert all(0 <= c < _PQ_K for c in r.codes), r.vec_id
+        assert len(codes(r)) == _PQ_SUBSPACES
+        assert all(0 <= c < _PQ_K for c in codes(r)), r.vec_id
         assert r.quant_err >= 0
     anchor_ids = sorted(by_id)[:_PQ_K]
     for rank, vid in enumerate(anchor_ids):
         assert by_id[vid].quant_err == 0.0, vid
-        assert list(by_id[vid].codes) == [rank] * _PQ_SUBSPACES, vid
+        assert codes(by_id[vid]) == [rank] * _PQ_SUBSPACES, vid
 
 
 def test_pq_trained_improves_on_anchor_codebook(spark):
@@ -352,15 +356,16 @@ def test_pq_trained_improves_on_anchor_codebook(spark):
     anchor = QUERIES["embedding_pq_encode"](spark, SF_SMOKE).collect()
     assert len(trained) == len(anchor)
     for r in trained:
-        assert len(r.codes) == _PQ_SUBSPACES
-        assert all(0 <= c < _PQ_K for c in r.codes)
+        cs = [int(c) for c in r.codes_csv.split(",")]
+        assert len(cs) == _PQ_SUBSPACES
+        assert all(0 <= c < _PQ_K for c in cs)
         assert r.quant_err >= 0
     err_t = sum(r.quant_err for r in trained)
     err_a = sum(r.quant_err for r in anchor)
     assert err_t < err_a, (err_t, err_a)
-    again = {r.vec_id: (list(r.codes), r.quant_err) for r in
+    again = {r.vec_id: (r.codes_csv, r.quant_err) for r in
              QUERIES["embedding_pq_trained"](spark, SF_SMOKE).collect()}
-    assert {r.vec_id: (list(r.codes), r.quant_err) for r in trained} == again
+    assert {r.vec_id: (r.codes_csv, r.quant_err) for r in trained} == again
 
 
 def test_adc_topk_matches_numpy_recomputation(spark):
