@@ -24,6 +24,27 @@ def test_oracle_parity(spark, duck, name):
     assert_parity(name, df, duck, ORACLES[name])
 
 
+def test_oracled_entries_emit_scalar_columns_only(spark):
+    """The driver's comparator canonicalizes scalar cells only — a list/
+    map/struct output column crashes it (r3: `unhashable type: 'list'`).
+    Array-valued results must serialize on the query surface
+    (array_join/to_json), like dedup_simhash's members_csv and the PQ
+    entries' codes_csv."""
+    from ibc_spark.registry import ORACLES, QUERIES
+
+    offenders = {}
+    for name in sorted(ORACLES):
+        df = QUERIES[name](spark, SF_ORACLE)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, offenders
+
+
 def test_all_queries_return_rows(spark):
     from ibc_spark.registry import QUERIES
 
