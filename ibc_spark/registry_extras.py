@@ -1463,10 +1463,79 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_pq_trained")  # rows-only: the oracle would be 8 nested
-# 2-iteration Lloyd replays (one per subspace) — impractical SQL; the exact
-# sibling embedding_pq_encode oracles the identical encode mechanics, and
-# pytest pins that training strictly reduces aggregate quantization error
+def _pq_trained_oracle() -> str:
+    from ibc_spark.ext.foldspec import _FOLD_B
+
+    d1 = _PQ_DIST.format(a="g.sv", b="c.av")
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    smp AS (SELECT * FROM emb WHERE vec_id % 5 = 0),
+    sg AS (
+      SELECT vec_id, s,
+             list_slice(v, s*{_PQ_SUBDIM}+1, s*{_PQ_SUBDIM}+{_PQ_SUBDIM}) AS sv
+      FROM smp, range(0, {_PQ_SUBSPACES}) t(s)
+    ),
+    seed_ranks AS (
+      SELECT vec_id AS cid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      FROM (SELECT vec_id FROM smp ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    seeds AS (
+      SELECT g.s, g.vec_id AS cid, g.sv AS av
+      FROM sg g JOIN seed_ranks r ON g.vec_id = r.cid
+    ),
+    d1 AS (
+      SELECT g.vec_id, g.s, g.sv, c.cid, {d1} AS dist
+      FROM sg g JOIN seeds c ON g.s = c.s
+    ),
+    a1 AS (
+      SELECT vec_id, s, sv, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    p1 AS (
+      SELECT s, cid, i AS pos, vec_id // {_FOLD_B} AS bkt,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sv[i] ORDER BY vec_id)),
+                         (a, x) -> a + x) AS psum,
+             count(*) AS pn
+      FROM a1, generate_series(1, {_PQ_SUBDIM}) t(i)
+      GROUP BY s, cid, pos, bkt
+    ),
+    m1 AS (
+      SELECT s, cid, pos,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list(psum ORDER BY bkt)),
+                         (a, x) -> a + x) / CAST(sum(pn) AS BIGINT) AS mu
+      FROM p1 GROUP BY s, cid, pos
+    ),
+    cents AS (SELECT s, cid, list(mu ORDER BY pos) AS av FROM m1 GROUP BY s, cid),
+    cb AS (SELECT c.s, r.code, c.av FROM cents c JOIN seed_ranks r USING (cid)),
+    fg AS (
+      SELECT vec_id, s,
+             list_slice(v, s*{_PQ_SUBDIM}+1, s*{_PQ_SUBDIM}+{_PQ_SUBDIM}) AS sv
+      FROM emb, range(0, {_PQ_SUBSPACES}) t(s)
+    ),
+    d2 AS (
+      SELECT g.vec_id, g.s, c.code, {d1} AS dist
+      FROM fg g JOIN cb c ON g.s = c.s
+    ),
+    am AS (
+      SELECT vec_id, s, code, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           array_to_string(list(code ORDER BY s), ',') AS codes_csv,
+           CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY s)),
+                            (acc, x) -> acc + x) AS DOUBLE) AS quant_err
+    FROM am GROUP BY vec_id
+    """
+
+
+@query("embedding_pq_trained", oracle=_pq_trained_oracle())
 def embedding_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization with TRAINED per-subspace codebooks — the
     production path ``embedding_pq_encode``'s docstring names: each of
@@ -1487,10 +1556,15 @@ def embedding_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     one grid — runs 2.8s and is how PQ is actually built at corpus
     scale.)
 
-    Output matches the anchor entry's shape (vec_id, codes, quant_err)
-    so the two are directly comparable; pytest asserts the trained
-    aggregate error is strictly below the anchor-codebook error (what
-    training buys) and that codes stay in [0, 16)."""
+    Output matches the anchor entry's shape (vec_id, codes_csv,
+    quant_err) so the two are directly comparable; pytest asserts the
+    trained aggregate error is strictly below the anchor-codebook error
+    (what training buys) and that codes stay in [0, 16). Since round 7
+    this entry carries the FULL nested-Lloyd oracle (the r6 waiver called
+    it impractical SQL; with the shared foldspec fragments it is ~60
+    mechanical lines): DuckDB replays sample selection, seed ranking, the
+    exploded 8-subspace assignment, bucketed two-level centroid means,
+    and the full-corpus encode — codes and errors hash-exact."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
