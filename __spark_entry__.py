@@ -91,6 +91,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 7: mergeable Bloom-filter decontamination (full md5-portable
     # oracle); parity-proven locally, driver slot next round
     "decontaminate_bloom",
+    # round 7: its stream-static ingest-gate face (executor-local bitset
+    # probe; batch oracle attests the availableNow run)
+    "streaming_decontaminate_bloom",
 }
 
 

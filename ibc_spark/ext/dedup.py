@@ -498,6 +498,84 @@ def bloom_contamination(
     )
 
 
+def bloom_bitset(bloom: DataFrame) -> dict[int, int]:
+    """Collect a `bloom_build` frame into a {word_idx: bits} dict for
+    executor-local probing. The collect is BOUNDED BY CONSTRUCTION at
+    m_bits/32 rows (the filter's word count — 2048 rows for the default
+    64 Kbit filter) regardless of how much text built it, so this is the
+    sketch-to-driver pattern the IVF trainer also uses — never an O(data)
+    collect."""
+    return {r["word_idx"]: r["bits"] for r in bloom.collect()}
+
+
+def bloom_flag_docs(
+    df: DataFrame,
+    bits: dict[int, int],
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    m_bits: int = 65536,
+    k: int = 4,
+) -> DataFrame:
+    """PRODUCTION-SHAPE Bloom decontamination probe: the filter rides along
+    as an in-memory bitset on every executor (a Spark broadcast of the
+    bounded `bloom_bitset` dict) and each document is flagged in ONE
+    Arrow-batched pass over its own shingles — no join, no aggregation, a
+    pure projection. That makes it legal in an append-mode STREAMING query
+    (the join+two-aggregation spelling in :func:`bloom_contamination` is
+    not), and it is how Bloom filters are actually probed at 100 TB.
+    Hashing is the identical md5 double-hash as `bloom_build`
+    (hashlib.md5 over the same UTF-8 gram strings Spark's ``md5`` hashes),
+    so the two spellings agree exactly. Returns
+    (doc_id, n_shingles, n_flagged, maybe_contaminated) per input row."""
+    import hashlib
+
+    sc = df.sparkSession.sparkContext
+    b_bits = sc.broadcast(bits)
+
+    @pandas_udf("struct<n_shingles:long,n_flagged:long>")
+    def _probe(toks_s: pd.Series) -> pd.DataFrame:
+        bb = b_bits.value
+        ns_out, nf_out = [], []
+        for t in toks_s:
+            if t is None or len(t) < n:
+                ns_out.append(0)
+                nf_out.append(0)
+                continue
+            tl = list(t)
+            grams = dict.fromkeys(
+                " ".join(tl[i : i + n]) for i in range(len(tl) - n + 1)
+            )
+            flagged = 0
+            for g in grams:
+                h = hashlib.md5(g.encode("utf-8")).hexdigest()
+                h1 = int(h[:15], 16)
+                h2 = int(h[15:30], 16) * 2 + 1
+                hit = True
+                for i in range(k):
+                    pos = (h1 + i * h2) % m_bits
+                    w = bb.get(pos // 32)
+                    if w is None or not (w >> (pos % 32)) & 1:
+                        hit = False
+                        break
+                if hit:
+                    flagged += 1
+            ns_out.append(len(grams))
+            nf_out.append(flagged)
+        return pd.DataFrame({"n_shingles": ns_out, "n_flagged": nf_out})
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"), _probe(tokens(F.col(text_col))).alias("r")
+    )
+    return out.select(
+        "doc_id",
+        F.col("r.n_shingles").alias("n_shingles"),
+        F.col("r.n_flagged").alias("n_flagged"),
+        (F.col("r.n_flagged") > 0).alias("maybe_contaminated"),
+    )
+
+
 def _hash_shingles(sh: Column) -> Column:
     """xxhash64 per shingle folded into [0, 2^31-1) — computed ONCE per
     shingle; the k permutations below are arithmetic over these hashes."""

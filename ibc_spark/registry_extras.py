@@ -167,6 +167,52 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_bloom_oracle() -> str:
+    # identical semantics to the batch entry — the stream processes the same
+    # backlog with the same filter, so the batch oracle IS the oracle
+    from ibc_spark.registry_core import ORACLES
+
+    return ORACLES["decontaminate_bloom"]
+
+
+@query("streaming_decontaminate_bloom", oracle=_streaming_bloom_oracle())
+def streaming_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC decontamination gate — the ingest-time face of
+    ``decontaminate_bloom``, and the streaming family's missing
+    stream-vs-STATIC shape (rollup/sessionize/stream-stream-join/dedup
+    cover the others): the benchmark's Bloom filter is built ONCE from
+    the static holdout, collected as its bounded m/32-word bitset
+    (`bloom_bitset` — 2048 rows by construction, never O(data)) and
+    broadcast; the documents STREAM is then flagged row-by-row in one
+    Arrow-batched projection (`bloom_flag_docs`) — no join, no
+    aggregation, so append mode is trivially legal and per-row latency is
+    microseconds. This is exactly how a 100 TB ingest pipeline gates
+    arriving shards against benchmark contamination: filter state is
+    O(m) per executor, stream state is zero. availableNow processes the
+    whole backlog, so the result equals the batch entry bit-for-bit and
+    the batch oracle attests the streaming run."""
+    from ibc_spark.ext.dedup import bloom_bitset, bloom_build, bloom_flag_docs
+    from ibc_spark.registry_ext import _BLOOM_K, _BLOOM_M
+    from ibc_spark.streaming.sources import read_documents_stream
+
+    hold = read_table(spark, sf_dir, "documents").where(F.col("doc_id") % 97 == 0)
+    bits = bloom_bitset(
+        bloom_build(hold, text_col="text", n=8, m_bits=_BLOOM_M, k=_BLOOM_K)
+    )
+    corpus = read_documents_stream(spark, sf_dir).where(F.col("doc_id") % 97 != 0)
+    flagged = bloom_flag_docs(
+        corpus, bits, id_col="doc_id", text_col="text", n=8, m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    return _run_stream_to_memory(
+        spark,
+        lambda name: flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True),
+        "streaming_decontaminate_bloom",
+    )
+
+
 # ---------------------------------------------------------------------------
 # phi-heavy-hitters: exact, and a mergeable Count-Min sketch sibling
 # ---------------------------------------------------------------------------

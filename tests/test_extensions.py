@@ -371,6 +371,23 @@ def test_bloom_contamination_planted_overlap(spark):
     assert not out[2]["maybe_contaminated"] and out[2]["n_flagged"] == 0
 
 
+def test_streaming_bloom_gate_equals_batch(spark):
+    """The stream-static ingest gate (executor-local bitset probe, zero
+    stream state) must reproduce the batch Bloom entry bit-for-bit after
+    the availableNow backlog run — including the hashlib-vs-Spark md5
+    agreement the probe kernel depends on."""
+    from ibc_spark.registry import QUERIES
+
+    batch = {
+        tuple(r) for r in QUERIES["decontaminate_bloom"](spark, SF_ORACLE).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in QUERIES["streaming_decontaminate_bloom"](spark, SF_ORACLE).collect()
+    }
+    assert stream == batch
+
+
 def test_bloom_filter_is_mergeable(spark):
     """bit_or-merging two half-benchmark filters equals the filter built
     over the union — the store-per-benchmark / merge-on-read property."""
