@@ -94,6 +94,8 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 7: its stream-static ingest-gate face (executor-local bitset
     # probe; batch oracle attests the availableNow run)
     "streaming_decontaminate_bloom",
+    # round 7: perceptual-hash image dedup through the real codec
+    "multimodal_image_dedup_ahash",
 }
 
 

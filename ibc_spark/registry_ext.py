@@ -2874,6 +2874,89 @@ def multimodal_image_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "multimodal_image_dedup_ahash",
+    oracle=f"""
+    WITH emb0 AS ({_PLANT_SQL}),
+    px AS (
+      SELECT vec_id,
+             list_transform(embedding[1:48],
+               x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0)
+                               * 127.0 + 128.0) AS BIGINT)) AS p
+      FROM emb0
+    ),
+    g AS (
+      SELECT vec_id,
+             list_transform(range(0, 16),
+               k -> p[3*k + 1]*299 + p[3*k + 2]*587 + p[3*k + 3]*114) AS lum
+      FROM px
+    ),
+    h AS (
+      SELECT vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, 16),
+                 k -> CASE WHEN 16 * lum[k + 1] >
+                            list_reduce(list_prepend(CAST(0 AS BIGINT), lum),
+                                        (a, x) -> a + x)
+                      THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
+                      ELSE CAST(0 AS BIGINT) END)),
+               (a, x) -> a + x) AS ahash
+      FROM g
+    )
+    SELECT ahash, count(*) AS n_images, min(vec_id) AS kept_id
+    FROM h GROUP BY ahash
+    """,
+)
+def multimodal_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup groups via a perceptual AVERAGE HASH computed through
+    the REAL codec path — the image-modality counterpart of the text
+    dedup family: each embedding of the planted-duplicate fixture (every
+    vec_id % 10 pair shares identical vectors) renders to a 4×4
+    RGB image, round-trips through the pure-numpy PPM encoder/decoder,
+    and the DECODED pixels produce a 16-bit average hash (bit p set iff
+    pixel p's integer luma 299R+587G+114B exceeds the image mean —
+    spelled 16·luma_p > Σluma so the whole hash is exact int64 math);
+    identical hash = duplicate group, exactly how production image dedup
+    buckets perceptual hashes before pairwise verification. The planted
+    fixture's duplicate vectors render to identical images, so every
+    planted pair collides into one group (pinned in pytest). The oracle
+    recomputes the hash from the RAW numbers without ever seeing an
+    image, so a hash match re-proves codec identity AND the dedup math.
+    Scale: one narrow Arrow pass per image + a hash groupBy — the same
+    two-stage profile as content-SHA text dedup; at billions of images
+    the groupBy key is 16-64 bits and skew-free."""
+    import numpy as np
+    import pandas as pd
+
+    from ibc_spark.ext.multimodal import decode_image, encode_ppm
+
+    e = _planted_embeddings(spark, sf_dir)
+
+    def _ahash(batches):
+        lw = np.array([299, 587, 114], dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
+                vals = np.asarray(emb[:48], dtype=np.float64)
+                px = np.floor(np.clip(vals, -1.0, 1.0) * 127.0 + 128.0).astype(
+                    np.uint8
+                )
+                dec = decode_image(encode_ppm(px.reshape(4, 4, 3))).astype(np.int64)
+                lum = dec.reshape(-1, 3) @ lw
+                total = int(lum.sum())
+                bits = 0
+                for k in range(16):
+                    if 16 * int(lum[k]) > total:
+                        bits |= 1 << k
+                out.append((int(vec_id), bits))
+            yield pd.DataFrame(out, columns=["vec_id", "ahash"])
+
+    h = e.mapInPandas(_ahash, "vec_id long, ahash long")
+    return h.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_images"), F.min("vec_id").alias("kept_id")
+    )
+
+
+@query(
     "corpus_datacard",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, lang, source, n_chars, len({_TOKS}) AS n_toks

@@ -312,6 +312,26 @@ def test_contamination_tags_planted_overlap(spark):
     assert out[3] == (1, True)
 
 
+def test_image_ahash_groups_planted_duplicates(spark):
+    """Every planted duplicate embedding renders to an identical image and
+    must therefore share its average-hash group with its source vector;
+    hashes stay in the 16-bit range and groups partition the id space."""
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.registry import QUERIES
+
+    rows = QUERIES["multimodal_image_dedup_ahash"](spark, SF_ORACLE).collect()
+    n = read_table(spark, SF_ORACLE, "embeddings").count()
+    n_pairs = len([i for i in range(0, n, 10) if i + 1 < n])
+    # the planted fixture REPLACES vec i+1's embedding with vec i's for
+    # every i % 10 == 0, so groups partition the same n ids and each of
+    # the planted identical-image pairs collapses its two members into
+    # one hash group
+    assert sum(r.n_images for r in rows) == n
+    assert all(0 <= r.ahash < (1 << 16) for r in rows)
+    assert len(rows) <= n - n_pairs
+    assert sum(1 for r in rows if r.n_images > 1) >= 1
+
+
 def test_bloom_contamination_no_false_negatives(spark):
     """The Bloom probe must flag a SUPERSET of the exact overlap check
     (false positives allowed and bounded elsewhere; a false negative would
