@@ -182,3 +182,40 @@ def test_pgwire_literal_quoting_property(parts):
                 break
             i += 1
         assert not bad, lit
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=400,
+    )
+)
+@SLOW
+def test_two_level_fold_property(spark, vals):
+    """For ARBITRARY float lists the bounded two-level tree fold must be
+    bit-identical to its pure-Python specification: left-fold within
+    width-_FOLD_B id buckets in id order, then left-fold bucket partials
+    in bucket order. (A crafted-magnitude case lives in test_lakehouse;
+    this widens it to arbitrary inputs.)"""
+    from ibc_spark.ext.foldspec import _FOLD_B, _fold_bkt, _ordered_fold
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "vec_id long, x double"
+    )
+    got = (
+        df.groupBy(_fold_bkt())
+        .agg(_ordered_fold(F.col("vec_id"), F.col("x")).alias("psum"))
+        .groupBy()
+        .agg(_ordered_fold(F.col("bkt"), F.col("psum")).alias("t"))
+        .collect()[0]["t"]
+    )
+    expect = 0.0
+    for b in range(0, len(vals), _FOLD_B):
+        acc = 0.0
+        for v in vals[b : b + _FOLD_B]:
+            acc += v
+        expect += acc
+    assert got == expect or (got != got and expect != expect)
