@@ -881,6 +881,7 @@ def simhash_groups(
     text_col: str,
     bits: int = 16,
     token_hash: str = "xxhash64",
+    with_members: bool = True,
 ) -> DataFrame:
     """Near-dup groups = identical simhash. groupBy on the signature; at
     larger Hamming radii, join on signature ⊕ single-bit masks.
@@ -889,7 +890,14 @@ def simhash_groups(
     fastest, JVM-native) or ``"md5_16"`` (first 16 bits of md5 —
     bit-reproducible on any engine, the instantiation the registry runs
     under the external DuckDB oracle). The vote arithmetic downstream is
-    hash-agnostic."""
+    hash-agnostic.
+
+    Scale contract: the ``members`` array packs a whole collision group
+    into ONE row — bounded by the LARGEST group, which on boilerplate-
+    heavy corpora can be a significant corpus fraction. At that scale
+    pass ``with_members=False`` (stats only, bounded state) and consume
+    memberships as the pre-aggregation (simhash, doc_id) pairs — i.e.
+    join docs back on the signature — instead of a packed array."""
     if token_hash == "xxhash64":
         hashed = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     elif token_hash == "md5_16":
@@ -902,11 +910,13 @@ def simhash_groups(
     sh = df.select(
         F.col(id_col).alias("doc_id"), _simhash_np(bits)(hashed).alias("simhash")
     )
-    return sh.groupBy("simhash").agg(
+    aggs = [
         F.count(F.lit(1)).alias("group_size"),
         F.min("doc_id").alias("kept_id"),
-        F.array_sort(F.collect_list("doc_id")).alias("members"),
-    )
+    ]
+    if with_members:
+        aggs.append(F.array_sort(F.collect_list("doc_id")).alias("members"))
+    return sh.groupBy("simhash").agg(*aggs)
 
 
 def cosine(a: Column, b: Column) -> Column:
