@@ -228,3 +228,17 @@ def test_xml_source_sink_round_trip(spark, tmp_path):
         (r["id"], r["name"], r["score"], r["ok"]) for r in back.collect()
     )
     assert got == sorted(rows)
+
+
+def test_events_read_on_unconfigured_session(spark):
+    """The driver runs a PLAIN SparkSession (none of ibc_spark.session's
+    confs pre-set); events.parquet carries TIMESTAMP(NANOS), which Spark
+    only reads with the nanosAsLong legacy conf read_table sets lazily.
+    A fresh newSession() has its own SQLConf — the closest in-process
+    stand-in for the driver's fresh-session regression trap."""
+    from ibc_spark.io_.sources import read_table
+
+    ns = spark.newSession()
+    ev = read_table(ns, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() > 0
