@@ -398,7 +398,7 @@ def bloom_build(
     testset: DataFrame, *, text_col: str, n: int = 8, m_bits: int = 65536, k: int = 4
 ) -> DataFrame:
     """Build a MERGEABLE Bloom filter over the test set's distinct word
-    ``n``-grams as a sparse (word_idx, bits) frame: ≤ m/64 rows regardless
+    ``n``-grams as a sparse (word_idx, bits) frame: ≤ m/32 rows regardless
     of input size, entirely JVM-side (md5 + bit ops, no Python), and two
     filters merge by unioning and re-`bit_or`-ing — the same
     store-per-benchmark / merge-on-read shape as the CMS/HLL sketches.
@@ -442,13 +442,13 @@ def bloom_contamination(
     """Bloom-filter decontamination — the SKETCH-BACKED face of
     :func:`contamination_tags` for the regime where the held-out shingle
     set itself is too large to broadcast as strings: the benchmark side
-    compresses to an m-bit Bloom filter (m/8 bytes, here 8 KB) that every
+    compresses to an m-bit Bloom filter (m/8 bytes, here 8 KB; ≤ m/32 = 2048 words) that every
     executor probes locally; a corpus shingle is flagged iff all ``k``
     positions are set. No false negatives (every truly-shared shingle is
     flagged — dropping flagged rows can only over-drop, never leak), FP
     rate ≈ (1-e^{-kn/m})^k, and the filter is mergeable across benchmark
     shards (`bloom_build`). Probe plan: corpus shingles explode ×k
-    positions → broadcast join against the ≤m/64-row word frame → all-k
+    positions → broadcast join against the ≤m/32-row word frame → all-k
     test per shingle → per-doc counts; one shuffle on (doc_id, g), one on
     doc_id. Returns (doc_id, n_shingles, n_flagged, maybe_contaminated)
     for every corpus row. Fully deterministic (md5 double hashing), so an
@@ -549,6 +549,9 @@ def bloom_flag_docs(
             )
             flagged = 0
             for g in grams:
+                # hashlib spelling of foldspec.md5_double_hash — byte
+                # agreement with the Spark/SQL spellings is PINNED by
+                # test_streaming_bloom_gate_equals_batch
                 h = hashlib.md5(g.encode("utf-8")).hexdigest()
                 h1 = int(h[:15], 16)
                 h2 = int(h[15:30], 16) * 2 + 1

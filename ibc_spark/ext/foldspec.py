@@ -53,6 +53,32 @@ def _ordered_fold(key: F.Column, val: F.Column) -> F.Column:
     return F.aggregate(F.array_sort(kv), F.lit(0.0), lambda a, p: a + p["x"])
 
 
+# --- portable md5 double hashing (Kirsch–Mitzenmacher) ---------------------
+#
+# THE one definition of the h1/h2 bases used by the Bloom-filter and
+# Count-Min entries, in both spellings, so the Spark, DuckDB, and (via the
+# pinned equality test) hashlib copies cannot drift (review r7): h1 = first
+# 60 md5 bits, h2 = next 60 bits forced odd; position i = (h1 + i*h2) % m.
+# i ≤ 4 keeps h1 + i*h2 inside int64.
+
+
+def md5_double_hash(g: F.Column) -> tuple[F.Column, F.Column]:
+    """Column spelling over an already-string column."""
+    h = F.md5(g)
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") * 2 + 1
+    return h1, h2
+
+
+def md5_double_hash_sql(expr: str) -> str:
+    """DuckDB spelling: an ``h1, h2`` select-list fragment over ``expr``
+    (a VARCHAR expression)."""
+    return (
+        f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) AS h1,"
+        f" CAST(('0x' || substr(md5({expr}), 16, 15)) AS BIGINT) * 2 + 1 AS h2"
+    )
+
+
 # --- fixed-iteration Lloyd (k-means) SQL spec ------------------------------
 
 _KM_K = 4

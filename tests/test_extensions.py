@@ -1029,3 +1029,18 @@ def test_embedding_quantize_error_bound(spark):
     assert (df["max_abs_err"] <= (df["scale"] + 5e-7) / 254 + 5e-7 + 1e-9).all()
     for q in df["quantized"].head(50):
         assert all(-127 <= int(v) <= 127 for v in q.split(","))
+
+
+def test_simhash_groups_stats_only_mode(spark, docs):
+    """with_members=False (the bounded-state escape hatch for
+    boilerplate-heavy corpora) must return the same groups minus the
+    packed members column."""
+    from ibc_spark.ext.dedup import simhash_groups
+
+    full = simhash_groups(docs, id_col="doc_id", text_col="text")
+    slim = simhash_groups(docs, id_col="doc_id", text_col="text", with_members=False)
+    assert slim.columns == ["simhash", "group_size", "kept_id"]
+    assert (
+        slim.exceptAll(full.select("simhash", "group_size", "kept_id")).count() == 0
+    )
+    assert slim.count() == full.count()

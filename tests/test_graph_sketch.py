@@ -94,6 +94,9 @@ def test_kmv_sketch_entry_bounds(spark):
         assert abs(a["approx_users"] - e["n_users"]) <= max(2.0, rse * e["n_users"]), et
         assert a["n_events"] == e["n_events"], et
         for c in ("value_p50", "value_p95"):
+            # NULL percentiles only when the group's hash-sample is empty —
+            # impossible at this SF (2000 sampled values per type)
+            assert a[c] is not None, (et, c)
             assert abs(a[c] - e[c]) <= max(0.5, 0.15 * abs(e[c])), (et, c)
 
 

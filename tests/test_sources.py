@@ -238,7 +238,9 @@ def test_events_read_on_unconfigured_session(spark):
     stand-in for the driver's fresh-session regression trap."""
     from ibc_spark.io_.sources import read_table
 
+    from .conftest import SF_SMOKE
+
     ns = spark.newSession()
-    ev = read_table(ns, "/root/testdata/sf0.001", "events")
+    ev = read_table(ns, SF_SMOKE, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.count() > 0
