@@ -96,6 +96,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "streaming_decontaminate_bloom",
     # round 7: perceptual-hash image dedup through the real codec
     "multimodal_image_dedup_ahash",
+    # round 7: md5-planes strict-fold LSH ANN — the oracle-attested face
+    # of ann_topk_lsh's machinery
+    "ann_topk_lsh_portable",
 }
 
 

@@ -98,6 +98,50 @@ def lsh_signature(vec: Column, *, bits: int = 12, dim: int = 64, seed: int = 7) 
     return _sig(vec)
 
 
+def lsh_hyperplanes_md5(bits: int, dim: int) -> np.ndarray:
+    """ENGINE-PORTABLE hyperplane matrix: w[j][d] = md5("p{j},{d}")'s first
+    60 bits as a double in [0,1) minus 0.5 — the same md5-uniform trick the
+    Bloom/KMV entries use, so a SQL oracle regenerates the identical
+    planes. float(h) first (then the exact power-of-two division) mirrors
+    DuckDB's CAST(h AS DOUBLE)/pow(2,60) bit-for-bit."""
+    import hashlib
+
+    return np.array(
+        [
+            [
+                float(int(hashlib.md5(f"p{j},{d}".encode()).hexdigest()[:15], 16))
+                / 2.0**60
+                - 0.5
+                for d in range(dim)
+            ]
+            for j in range(bits)
+        ]
+    )
+
+
+def lsh_signature_portable(vec: Column, *, bits: int, dim: int = 64) -> Column:
+    """Hyperplane signature with md5-derived planes and STRICT LEFT-FOLD
+    projections: each bit's dot product accumulates in index order
+    (``np.cumsum`` computes every prefix, so its last element IS the
+    sequential left fold — bit-identical to the oracle's
+    ``list_reduce(... ORDER BY d)``), making the sign decision — and thus
+    the whole bucket structure — reproducible on any engine, not just
+    ulp-close. Same Arrow-batched shape as :func:`lsh_signature`; the
+    (n, bits, dim) product tensor bounds batch memory, fine for the
+    32-bit signatures used here."""
+    planes = lsh_hyperplanes_md5(bits, dim)  # (bits, dim)
+    powers = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        prods = mat[:, None, :] * planes[None, :, :]  # (n, bits, dim)
+        s = np.cumsum(prods, axis=2)[:, :, -1]  # strict left fold per bit
+        return pd.Series(((s > 0) * powers).sum(axis=1))
+
+    return _sig(vec)
+
+
 def lsh_band_signatures(
     vec: Column, *, bits_per_band: int = 8, bands: int = 32, dim: int = 64, seed: int = 7
 ) -> Column:
@@ -242,11 +286,18 @@ def topk_lsh(
     tables: int = 8,
     dim: int = 64,
     multiprobe: bool = True,
+    signature: str = "prng",
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE hyperplane LSH: ``tables``
     independent signatures of ``bits`` bits each; a candidate shares any
     table's bucket with the query (with ``multiprobe``, also any bucket at
     Hamming distance 1). Candidates are deduped, then exactly re-ranked.
+
+    ``signature`` picks the hyperplane source: ``"prng"`` (default —
+    fixed-seed PCG64, one matmul per batch) or ``"md5"``
+    (:func:`lsh_signature_portable` — md5-derived planes + strict
+    left-fold projections, bit-reproducible on any engine; the registry's
+    oracled instantiation).
 
     Recall math (why multi-table): with per-hyperplane agreement p =
     1 − θ/π, one b-bit table recalls p^b; L tables recall 1−(1−p^b)^L.
@@ -263,6 +314,14 @@ def topk_lsh(
     # materialized signature column (an order of magnitude less codegen).
     total_bits = bits * tables
     mask = (1 << bits) - 1
+    if signature == "prng":
+        def sig_of(v: Column) -> Column:
+            return lsh_signature(v, bits=total_bits, dim=dim, seed=7)
+    elif signature == "md5":
+        def sig_of(v: Column) -> Column:
+            return lsh_signature_portable(v, bits=total_bits, dim=dim)
+    else:
+        raise ValueError(f"unknown signature {signature!r} (prng|md5)")
 
     def table_bucket(sig: Column, t: int) -> Column:
         return F.shiftright(sig, bits * t).bitwiseAND(F.lit(mask))
@@ -270,7 +329,7 @@ def topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        lsh_signature(F.col(vec_col), bits=total_bits, dim=dim, seed=7).alias("__sig"),
+        sig_of(F.col(vec_col)).alias("__sig"),
     ).select(
         "neighbor_id",
         "c_vec",
@@ -298,7 +357,7 @@ def topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_signature(F.col(vec_col), bits=total_bits, dim=dim, seed=7).alias("__sig"),
+        sig_of(F.col(vec_col)).alias("__sig"),
     ).select(
         "query_id",
         "q_vec",

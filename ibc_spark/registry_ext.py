@@ -895,6 +895,89 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_topk_lsh_portable",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT j, d,
+             CAST(CAST(('0x' || substr(md5('p' || CAST(j AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+               / pow(2.0, 60) - 0.5 AS w
+      FROM range(0, 32) tj(j), range(0, 64) td(d)
+    ),
+    proj AS (
+      SELECT e.vec_id, p.j,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(e.v[p.d + 1] * p.w ORDER BY p.d)),
+                         (a, x) -> a + x) AS s
+      FROM emb e, planes p
+      GROUP BY e.vec_id, p.j
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sg
+      FROM proj GROUP BY vec_id
+    ),
+    cb AS (
+      SELECT g.vec_id AS neighbor_id, t.t AS tab,
+             (g.sg >> CAST(4 * t.t AS INT)) & 15 AS bucket
+      FROM sig g, range(0, 8) t(t)
+    ),
+    qp AS (
+      SELECT g.vec_id AS query_id, t.t AS tab,
+             CASE WHEN pr.i = 0 THEN (g.sg >> CAST(4 * t.t AS INT)) & 15
+                  ELSE xor((g.sg >> CAST(4 * t.t AS INT)) & 15,
+                           CAST(1 AS BIGINT) << CAST(pr.i - 1 AS INT)) END AS bucket
+      FROM sig g, range(0, 8) t(t), range(0, 5) pr(i)
+      WHERE g.vec_id < 10
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id
+      FROM qp q JOIN cb c ON q.tab = c.tab AND q.bucket = c.bucket
+      WHERE q.query_id <> c.neighbor_id
+    ),
+    scored AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             {_cos_sql('qe.embedding', 'ne.embedding')} AS cos
+      FROM cand ca
+      JOIN embeddings qe ON qe.vec_id = ca.query_id
+      JOIN embeddings ne ON ne.vec_id = ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5
+    """,
+)
+def ann_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-ATTESTED face of the multi-table LSH ANN search: identical
+    bucketing machinery to ``ann_topk_lsh`` (8 tables × 4 bits, Hamming≤1
+    multi-probe, dedup, exact re-rank) but the hyperplanes derive from
+    md5 (the Bloom/KMV md5-uniform trick) and each projection accumulates
+    as a STRICT LEFT FOLD (`similarity.lsh_signature_portable`), so the
+    ENTIRE pipeline — planes, sign bits, buckets, probes, candidate set,
+    re-rank, ranking — is replayed bit-for-bit by the DuckDB oracle. The
+    PRNG-planes production variant stays registered (`ann_topk_lsh`,
+    rows-only + recall pytest — an oracle replaying an approximation
+    cannot prove recall; this entry instead proves the MACHINERY end to
+    end externally, the same sibling split as dedup_simhash /
+    dedup_simhash_verified)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.topk_lsh(
+        e,
+        e.where(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        signature="md5",
+    )
+
+
 @query("ann_topk_ivf")  # sample-trained quantizer → rows-only check
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-indexed approximate top-5 (k-means coarse quantizer trained on a

@@ -133,6 +133,22 @@ def test_lsh_topk_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.3, f"LSH recall collapsed: {recall}"
 
 
+def test_lsh_portable_signature_recall(spark, emb):
+    """The md5-planes strict-fold signature variant (the oracled face)
+    must deliver the same recall bar as the PRNG variant — different
+    random planes, same statistics."""
+    from ibc_spark.ext.similarity import topk_bruteforce, topk_lsh
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = topk_bruteforce(emb, q, id_col="vec_id", vec_col="embedding", k=5)
+    approx = topk_lsh(
+        emb, q, id_col="vec_id", vec_col="embedding", k=5, signature="md5"
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.3, "portable-LSH recall collapsed"
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, emb):
     """IVF with nprobe=6 of 16 cells must recall a solid fraction of the
     exact top-5, and nprobe=16 (probe every cell) must equal brute force —
