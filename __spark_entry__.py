@@ -99,6 +99,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 7: md5-planes strict-fold LSH ANN — the oracle-attested face
     # of ann_topk_lsh's machinery
     "ann_topk_lsh_portable",
+    # round 7: fold-exact-quantizer IVF — the oracle-attested face of
+    # ann_topk_ivf's machinery (ANN family fully attested)
+    "ann_topk_ivf_portable",
 }
 
 

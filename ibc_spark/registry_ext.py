@@ -978,6 +978,133 @@ def ann_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_portable_oracle() -> str:
+    from ibc_spark.ext.foldspec import (
+        _FOLD_B,
+        _FOLD_BUCKETS,
+        _FOLD_PARTIAL,
+        _KM_DIM,
+        _KM_DIST,
+        _km_assign_sql,
+    )
+
+    qdist = _KM_DIST.format(a="e.v", b="c.cv")
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    trn AS (SELECT * FROM emb WHERE vec_id % 5 = 0),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM trn ORDER BY vec_id LIMIT 16),
+    {_km_assign_sql("c0", "a1", src="trn")},
+    p1 AS (
+      SELECT cid, i AS pos, vec_id // {_FOLD_B} AS bkt,
+             {_FOLD_PARTIAL.format(val="v[i]")} AS psum, count(*) AS pn
+      FROM a1, generate_series(1, {_KM_DIM}) t(i)
+      GROUP BY cid, pos, bkt
+    ),
+    m1 AS (
+      SELECT cid, pos,
+             {_FOLD_BUCKETS.format(val="psum")} / CAST(sum(pn) AS BIGINT) AS mu
+      FROM p1 GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(mu ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+    {_km_assign_sql("c1", "a2")},
+    qd AS (
+      SELECT e.vec_id AS query_id, c.cid, {qdist} AS dist
+      FROM emb e, c1 c
+      WHERE e.vec_id < 10
+    ),
+    qp AS (
+      SELECT query_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS rn
+        FROM qd
+      ) WHERE rn <= 6
+    ),
+    cand AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id
+      FROM qp q JOIN a2 a ON a.cid = q.cid
+      WHERE a.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             {_cos_sql('qe.embedding', 'ne.embedding')} AS cos
+      FROM cand ca
+      JOIN embeddings qe ON qe.vec_id = ca.query_id
+      JOIN embeddings ne ON ne.vec_id = ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5
+    """
+
+
+@query("ann_topk_ivf_portable", oracle=_ivf_portable_oracle())
+def ann_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-ATTESTED face of the IVF ANN search, completing the family
+    (brute force, portable-LSH, and now portable-IVF all under the full
+    hash-check): the coarse quantizer is the repo's fold-exact Lloyd
+    trainer (`km_train`: 16 centroids, one update, trained on the
+    vec_id % 5 hash-sample with bounded two-level folds), corpus rows
+    land in their nearest cell by the same deterministic L2 argmin the
+    k-means entries use, each query probes its 6 nearest cells, and
+    candidates re-rank by exact cosine — every stage replayed bit-for-bit
+    in DuckDB. The numpy-trained production variant stays registered
+    (`ann_topk_ivf`, rows-only + recall pytest + full-probe==exact):
+    the oracle attests the MACHINERY, the pytests attest recall."""
+    from ibc_spark.registry_lakehouse import km_assign, km_train
+
+    e = read_table(spark, sf_dir, "embeddings")
+    emb = e.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = km_train(emb.select("vec_id", "v"), k=16, sample_mod=5)
+    cells = km_assign(emb.select("vec_id", "v"), cents).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("cell")
+    )
+    corpus = cells.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")),
+        "neighbor_id",
+    )
+    qd = (
+        emb.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "v", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            F.col("embedding").alias("q_vec"),
+            "cid",
+            F.aggregate(
+                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("dist"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cid")
+    qp = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 6)
+        .select("query_id", "q_vec", F.col("cid").alias("cell"))
+    )
+    cands = corpus.join(F.broadcast(qp), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.withColumn(
+        "cos", dedup.cosine_fast(F.col("q_vec"), F.col("c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 @query("ann_topk_ivf")  # sample-trained quantizer → rows-only check
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-indexed approximate top-5 (k-means coarse quantizer trained on a

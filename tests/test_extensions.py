@@ -149,6 +149,24 @@ def test_lsh_portable_signature_recall(spark, emb):
     assert len(e & a) / len(e) >= 0.3, "portable-LSH recall collapsed"
 
 
+def test_ivf_portable_recall(spark, emb):
+    """The fold-exact-quantizer IVF variant (the oracled face) must hold
+    the same recall bar as the numpy-trained variant at nprobe=6/16."""
+    from ibc_spark.ext.similarity import topk_bruteforce
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = topk_bruteforce(emb, q, id_col="vec_id", vec_col="embedding", k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_topk_ivf_portable"](spark, SF_ORACLE).collect()
+    }
+    assert len(e & a) / len(e) >= 0.3, "portable-IVF recall collapsed"
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, emb):
     """IVF with nprobe=6 of 16 cells must recall a solid fraction of the
     exact top-5, and nprobe=16 (probe every cell) must equal brute force —
