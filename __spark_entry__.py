@@ -102,6 +102,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 7: fold-exact-quantizer IVF — the oracle-attested face of
     # ann_topk_ivf's machinery (ANN family fully attested)
     "ann_topk_ivf_portable",
+    # round 7: md5-planes LSH-pruned kNN graph — attested face of
+    # knn_graph_lsh's cells/probes/GEMM/merge machinery
+    "knn_graph_lsh_portable",
 }
 
 

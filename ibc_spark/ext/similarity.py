@@ -526,10 +526,13 @@ def knn_graph_lsh(
     dim: int = 64,
     seed: int = 7,
     max_block_rows: int = MAX_BLOCK_ROWS,
+    signature: str = "prng",
 ) -> DataFrame:
     """Approximate k-NN graph: BLOCKED GEMM over LSH candidate cells — the
     production path beyond exact-GEMM reach that
-    :func:`knn_graph_blocked`'s docstring names.
+    :func:`knn_graph_blocked`'s docstring names. ``signature`` picks the
+    hyperplane source, as in :func:`topk_lsh` ("prng" default; "md5" =
+    :func:`lsh_signature_portable`, the oracle-replayable instantiation).
 
     Each vector lands in one cell per LSH table ((table, bucket) from a
     ``bits``-bit slice of one shared hyperplane signature, as in
@@ -550,10 +553,16 @@ def knn_graph_lsh(
     oracle."""
     total_bits = bits * tables
     mask = (1 << bits) - 1
+    if signature == "prng":
+        sig_col = lsh_signature(F.col(vec_col), bits=total_bits, dim=dim, seed=seed)
+    elif signature == "md5":
+        sig_col = lsh_signature_portable(F.col(vec_col), bits=total_bits, dim=dim)
+    else:
+        raise ValueError(f"unknown signature {signature!r} (prng|md5)")
     base = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
-        lsh_signature(F.col(vec_col), bits=total_bits, dim=dim, seed=seed).alias("__sig"),
+        sig_col.alias("__sig"),
     )
     cells = base.select(
         "vid",

@@ -2644,6 +2644,82 @@ def knn_graph_lsh_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_graph_lsh_portable",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT j, d,
+             CAST(CAST(('0x' || substr(md5('p' || CAST(j AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+               / pow(2.0, 60) - 0.5 AS w
+      FROM range(0, 32) tj(j), range(0, 64) td(d)
+    ),
+    proj AS (
+      SELECT e.vec_id, p.j,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(e.v[p.d + 1] * p.w ORDER BY p.d)),
+                         (a, x) -> a + x) AS s
+      FROM emb e, planes p
+      GROUP BY e.vec_id, p.j
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sg
+      FROM proj GROUP BY vec_id
+    ),
+    cells AS (
+      SELECT g.vec_id, t.t AS tab,
+             (g.sg >> CAST(4 * t.t AS INT)) & 15 AS bucket
+      FROM sig g, range(0, 8) t(t)
+    ),
+    probes AS (
+      SELECT c.vec_id, c.tab,
+             CASE WHEN pr.i = 0 THEN c.bucket
+                  ELSE xor(c.bucket, CAST(1 AS BIGINT) << CAST(pr.i - 1 AS INT)) END AS bucket
+      FROM cells c, range(0, 5) pr(i)
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS src, c.vec_id AS dst
+      FROM probes p JOIN cells c ON p.tab = c.tab AND p.bucket = c.bucket
+      WHERE p.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT ca.src, ca.dst, {_cos_sql('a.embedding', 'b.embedding')} AS cos
+      FROM cand ca
+      JOIN embeddings a ON a.vec_id = ca.src
+      JOIN embeddings b ON b.vec_id = ca.dst
+    )
+    SELECT src, dst, round(cos, 4) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rk
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= 3
+    """,
+)
+def knn_graph_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-ATTESTED face of the LSH-pruned k-NN graph, completing the
+    probabilistic family's attested-machinery siblings (portable-LSH and
+    portable-IVF cover the search entries; this covers the graph
+    builder): md5-derived hyperplanes with strict left-fold projections
+    feed the SAME packed-cell blocked-GEMM pipeline — cells, Hamming≤1
+    probes, per-block top-k partials, multi-table max-cos merge, per-src
+    ranking — and DuckDB replays the candidate structure and the ranked
+    edges exactly (the oracle scores ALL candidates; the partial top-k
+    is lossless for the final per-src top-3, so the results coincide).
+    The PRNG production entry keeps the recall≥0.9 pytest vs the exact
+    graph."""
+    from ibc_spark.ext.similarity import knn_graph_lsh
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return knn_graph_lsh(
+        e, id_col="vec_id", vec_col="embedding", k=3, bits=4, tables=8,
+        signature="md5",
+    )
+
+
+@query(
     "setop_all_multiset",
     oracle="""
     WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),

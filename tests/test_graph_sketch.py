@@ -219,6 +219,29 @@ def test_knn_graph_lsh_recall_vs_exact(spark):
     assert all(src != dst for src, dst in approx)
 
 
+def test_knn_graph_lsh_portable_recall_vs_exact(spark):
+    """The md5-planes oracled variant must hold the same recall bar as the
+    PRNG variant — different random planes, same statistics."""
+    from ibc_spark.ext.similarity import knn_graph_blocked, knn_graph_lsh
+
+    e = read_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r["src"], r["dst"])
+        for r in knn_graph_blocked(
+            e, id_col="vec_id", vec_col="embedding", k=3
+        ).collect()
+    }
+    approx = {
+        (r["src"], r["dst"])
+        for r in knn_graph_lsh(
+            e, id_col="vec_id", vec_col="embedding", k=3, bits=4, tables=8,
+            signature="md5",
+        ).collect()
+    }
+    assert exact
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
 def test_knn_graph_block_cap_raises_loudly(spark):
     """A packed block above max_block_rows must fail the stage with an
     actionable error, not limp toward the 2 GB single-row limit."""
