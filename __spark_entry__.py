@@ -105,6 +105,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 7: md5-planes LSH-pruned kNN graph — attested face of
     # knn_graph_lsh's cells/probes/GEMM/merge machinery
     "knn_graph_lsh_portable",
+    # round 7: KMV set operations — the portable oracled face of the
+    # Theta-sketch entry
+    "sketch_kmv_setops",
 }
 
 

@@ -851,6 +851,121 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_kmv_setops",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uh
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    ka AS (
+      SELECT uh, row_number() OVER (ORDER BY uh) AS rn
+      FROM (SELECT DISTINCT uh FROM h WHERE event_type = 'click')
+    ),
+    kb AS (
+      SELECT uh, row_number() OVER (ORDER BY uh) AS rn
+      FROM (SELECT DISTINCT uh FROM h WHERE event_type = 'purchase')
+    ),
+    ku AS (
+      SELECT uh, row_number() OVER (ORDER BY uh) AS rn
+      FROM (SELECT DISTINCT uh FROM h)
+    ),
+    est AS (
+      SELECT
+        (SELECT round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                 ELSE {_KMV_K - 1} * pow(2.0, 60)
+                      / CAST(max(CASE WHEN rn = {_KMV_K} THEN uh END) AS DOUBLE) END, 4)
+         FROM ka WHERE rn <= {_KMV_K}) AS est_a,
+        (SELECT round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                 ELSE {_KMV_K - 1} * pow(2.0, 60)
+                      / CAST(max(CASE WHEN rn = {_KMV_K} THEN uh END) AS DOUBLE) END, 4)
+         FROM kb WHERE rn <= {_KMV_K}) AS est_b,
+        (SELECT round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                 ELSE {_KMV_K - 1} * pow(2.0, 60)
+                      / CAST(max(CASE WHEN rn = {_KMV_K} THEN uh END) AS DOUBLE) END, 4)
+         FROM ku WHERE rn <= {_KMV_K}) AS est_union
+    )
+    SELECT est_a, est_b, est_union,
+           round(est_a + est_b - est_union, 4) AS est_intersection,
+           (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS exact_a,
+           (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS exact_b
+    FROM est
+    """,
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET OPERATIONS on KMV sketches — the engine-PORTABLE face of
+    ``sketch_theta_setops`` (whose DataSketches Theta state is
+    engine-private and rows-only): estimate |clicks|, |purchases|, their
+    UNION (merge = union the k-minimum hash sets, re-take the k
+    smallest — here spelled directly over the unioned distinct hashes,
+    which is identical by construction), and their INTERSECTION by
+    inclusion–exclusion on the three estimates — the audience-overlap
+    question that distinct-count sketches exist for, answerable from
+    per-segment stored sketches without re-scanning. Every number is
+    deterministic md5/rank/double math, so the whole calculation replays
+    bit-for-bit in DuckDB; exact distincts ride along for the pytest
+    error bound. At 100 TB each branch is one distinct + a k-bounded
+    rank — never corpus-scale state."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("uh"),
+    )
+
+    def kmv_est(df, alias):
+        w = Window.orderBy("uh")
+        km = (
+            df.select("uh")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _KMV_K)
+        )
+        return km.agg(
+            F.round(
+                F.when(
+                    F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)).cast("double")
+                ).otherwise(
+                    F.lit(float(_KMV_K - 1))
+                    * F.lit(2.0**60)
+                    / F.max(F.when(F.col("rn") == _KMV_K, F.col("uh"))).cast("double")
+                ),
+                4,
+            ).alias(alias)
+        )
+
+    ea = kmv_est(h.where(F.col("event_type") == "click"), "est_a")
+    eb = kmv_est(h.where(F.col("event_type") == "purchase"), "est_b")
+    eu = kmv_est(h, "est_union")
+    exacts = ev.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_b"),
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exacts)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersection"),
+            "exact_a",
+            "exact_b",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -60,6 +60,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "graph_khop_reachability": "1-row per-hop frontier-size/summary broadcasts (frontier join itself is hash equi)",
     "embedding_power_iteration_pc1": "1-row norm / Rayleigh-quotient scalar broadcasts per pass",
     "heavy_hitters_exact": "1-row global-count broadcast into the HAVING predicate",
+    "sketch_kmv_setops": "crossJoin of four 1-row estimate/exact aggregate frames into the single summary row",
     "heavy_hitters_cms": "1-row global-count broadcast into the threshold predicate",
     "dedup_semdedup": "O(k*dim) centroid broadcast (shared km_assign_2iter); pair join itself is hash equi on cid",
     "basket_lift_pairs": "1-row distinct-user-count broadcast into the lift expression",

@@ -142,6 +142,23 @@ def test_kmv_sketch_is_mergeable(spark):
     assert whole.exceptAll(merged).count() == 0
 
 
+def test_kmv_setops_bounds(spark):
+    """KMV set-op estimates stay within ~3 sigma of the exact sizes, and
+    inclusion–exclusion is internally consistent (est_intersection =
+    est_a + est_b - est_union by construction)."""
+    from ibc_spark.registry import QUERIES
+    from ibc_spark.registry_ext import _KMV_K
+
+    from .conftest import SF_ORACLE
+
+    r = QUERIES["sketch_kmv_setops"](spark, SF_ORACLE).collect()[0]
+    rse = 3.0 / (_KMV_K - 2) ** 0.5
+    assert abs(r.est_a - r.exact_a) <= max(2.0, rse * r.exact_a)
+    assert abs(r.est_b - r.exact_b) <= max(2.0, rse * r.exact_b)
+    assert abs((r.est_a + r.est_b - r.est_union) - r.est_intersection) < 1e-3
+    assert 0 <= r.est_union <= r.est_a + r.est_b + 1e-6
+
+
 def test_hll_mergeable_sketch_bounds_and_merge_consistency(spark):
     """Per-group HLL estimates within ±5%% of exact; the merged-union
     estimate tracks the sketch-of-the-whole estimate within 1%% and the
