@@ -37,10 +37,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ibc_spark.ext.foldspec import md5_double_hash, md5_double_hash_py
 from ibc_spark.ext.persistreg import persist_tracked
 from ibc_spark.ext.text import tokens
 
 MERSENNE = 2147483647  # 2^31-1
+
+# Single-slot broadcast memo for `bloom_flag_docs`: (bits dict, Broadcast).
+_BLOOM_BCAST: tuple[dict, object] | None = None
 
 
 def norm_key(c: Column | str, n_tokens: int = 5) -> Column:
@@ -387,11 +391,10 @@ def _bloom_bases(g: Column) -> tuple[Column, Column]:
     md5 bits, h2 = next 60 md5 bits forced odd (so it is nonzero and
     coprime with any power-of-two filter size). Position i is
     (h1 + i*h2) % m — the standard Kirsch–Mitzenmacher construction, and
-    expressible identically in DuckDB (the oracle replays it)."""
-    h = F.md5(g)
-    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") * 2 + 1
-    return h1, h2
+    expressible identically in DuckDB (the oracle replays it). Delegates
+    to :func:`ibc_spark.ext.foldspec.md5_double_hash`, THE one definition
+    shared with the Count-Min entries, so the spellings cannot drift."""
+    return md5_double_hash(g)
 
 
 def bloom_build(
@@ -526,13 +529,25 @@ def bloom_flag_docs(
     (the join+two-aggregation spelling in :func:`bloom_contamination` is
     not), and it is how Bloom filters are actually probed at 100 TB.
     Hashing is the identical md5 double-hash as `bloom_build`
-    (hashlib.md5 over the same UTF-8 gram strings Spark's ``md5`` hashes),
-    so the two spellings agree exactly. Returns
-    (doc_id, n_shingles, n_flagged, maybe_contaminated) per input row."""
-    import hashlib
+    (``foldspec.md5_double_hash_py`` — the hashlib spelling of THE one
+    definition), so the two spellings agree exactly. Returns
+    (doc_id, n_shingles, n_flagged, maybe_contaminated) per input row.
 
+    The broadcast is MEMOIZED on the bitset's identity (one live broadcast
+    per process; a new bitset unpersists the previous one) so repeated
+    invocations — the bench runs each entry 3×, tests re-invoke — do not
+    accumulate broadcast variables on the executors (the resource-leak
+    class ADVICE r6 flagged for streaming checkpoints)."""
     sc = df.sparkSession.sparkContext
-    b_bits = sc.broadcast(bits)
+    global _BLOOM_BCAST
+    if _BLOOM_BCAST is not None and _BLOOM_BCAST[0] is bits:
+        b_bits = _BLOOM_BCAST[1]
+    else:
+        if _BLOOM_BCAST is not None:
+            _BLOOM_BCAST[1].unpersist()
+        b_bits = sc.broadcast(bits)
+        # keep a reference to `bits` so its identity stays valid
+        _BLOOM_BCAST = (bits, b_bits)
 
     @pandas_udf("struct<n_shingles:long,n_flagged:long>")
     def _probe(toks_s: pd.Series) -> pd.DataFrame:
@@ -549,12 +564,7 @@ def bloom_flag_docs(
             )
             flagged = 0
             for g in grams:
-                # hashlib spelling of foldspec.md5_double_hash — byte
-                # agreement with the Spark/SQL spellings is PINNED by
-                # test_streaming_bloom_gate_equals_batch
-                h = hashlib.md5(g.encode("utf-8")).hexdigest()
-                h1 = int(h[:15], 16)
-                h2 = int(h[15:30], 16) * 2 + 1
+                h1, h2 = md5_double_hash_py(g)
                 hit = True
                 for i in range(k):
                     pos = (h1 + i * h2) % m_bits

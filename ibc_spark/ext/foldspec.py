@@ -79,6 +79,17 @@ def md5_double_hash_sql(expr: str) -> str:
     )
 
 
+def md5_double_hash_py(g: str) -> tuple[int, int]:
+    """hashlib spelling over a UTF-8 string — the executor-local form the
+    Arrow-batched Bloom probe uses. Byte agreement with the Column/SQL
+    spellings above is pinned by ``test_streaming_bloom_gate_equals_batch``
+    (Spark's ``md5`` hashes the same UTF-8 bytes hashlib does)."""
+    import hashlib
+
+    h = hashlib.md5(g.encode("utf-8")).hexdigest()
+    return int(h[:15], 16), int(h[15:30], 16) * 2 + 1
+
+
 # --- fixed-iteration Lloyd (k-means) SQL spec ------------------------------
 
 _KM_K = 4

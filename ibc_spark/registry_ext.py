@@ -711,7 +711,7 @@ _QSAMPLE_MOD = 4
     kmv AS (
       SELECT event_type, uh,
              row_number() OVER (PARTITION BY event_type ORDER BY uh) AS rn
-      FROM (SELECT DISTINCT event_type, uh FROM h)
+      FROM (SELECT DISTINCT event_type, uh FROM h WHERE uh IS NOT NULL)
     ),
     est AS (
       SELECT event_type,
@@ -792,9 +792,13 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sh"),
     )
+    # NULL user_id → NULL uh; Spark's ascending sort is NULLS FIRST while
+    # DuckDB's is NULLS LAST, so a NULL would both break oracle parity and
+    # waste a k-min slot — drop NULL hashes on BOTH engines (ADVICE r7).
     w = Window.partitionBy("event_type").orderBy("uh")
     kmv = (
         h.select("event_type", "uh")
+        .where(F.col("uh").isNotNull())
         .distinct()
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _KMV_K)
@@ -857,34 +861,26 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT event_type,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uh
-      FROM events WHERE event_type IN ('click', 'purchase')
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL
     ),
-    ka AS (
-      SELECT uh, row_number() OVER (ORDER BY uh) AS rn
-      FROM (SELECT DISTINCT uh FROM h WHERE event_type = 'click')
-    ),
-    kb AS (
-      SELECT uh, row_number() OVER (ORDER BY uh) AS rn
-      FROM (SELECT DISTINCT uh FROM h WHERE event_type = 'purchase')
-    ),
-    ku AS (
-      SELECT uh, row_number() OVER (ORDER BY uh) AS rn
-      FROM (SELECT DISTINCT uh FROM h)
-    ),
+    ka AS (SELECT uh FROM (SELECT DISTINCT uh FROM h WHERE event_type = 'click')
+           ORDER BY uh LIMIT {_KMV_K}),
+    kb AS (SELECT uh FROM (SELECT DISTINCT uh FROM h WHERE event_type = 'purchase')
+           ORDER BY uh LIMIT {_KMV_K}),
+    ku AS (SELECT uh FROM (SELECT DISTINCT uh FROM h)
+           ORDER BY uh LIMIT {_KMV_K}),
     est AS (
       SELECT
         (SELECT round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
-                 ELSE {_KMV_K - 1} * pow(2.0, 60)
-                      / CAST(max(CASE WHEN rn = {_KMV_K} THEN uh END) AS DOUBLE) END, 4)
-         FROM ka WHERE rn <= {_KMV_K}) AS est_a,
+                 ELSE {_KMV_K - 1} * pow(2.0, 60) / CAST(max(uh) AS DOUBLE) END, 4)
+         FROM ka) AS est_a,
         (SELECT round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
-                 ELSE {_KMV_K - 1} * pow(2.0, 60)
-                      / CAST(max(CASE WHEN rn = {_KMV_K} THEN uh END) AS DOUBLE) END, 4)
-         FROM kb WHERE rn <= {_KMV_K}) AS est_b,
+                 ELSE {_KMV_K - 1} * pow(2.0, 60) / CAST(max(uh) AS DOUBLE) END, 4)
+         FROM kb) AS est_b,
         (SELECT round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
-                 ELSE {_KMV_K - 1} * pow(2.0, 60)
-                      / CAST(max(CASE WHEN rn = {_KMV_K} THEN uh END) AS DOUBLE) END, 4)
-         FROM ku WHERE rn <= {_KMV_K}) AS est_union
+                 ELSE {_KMV_K - 1} * pow(2.0, 60) / CAST(max(uh) AS DOUBLE) END, 4)
+         FROM ku) AS est_union
     )
     SELECT est_a, est_b, est_union,
            round(est_a + est_b - est_union, 4) AS est_intersection,
@@ -903,14 +899,19 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusion–exclusion on the three estimates — the audience-overlap
     question that distinct-count sketches exist for, answerable from
     per-segment stored sketches without re-scanning. Every number is
-    deterministic md5/rank/double math, so the whole calculation replays
+    deterministic md5/sort/double math, so the whole calculation replays
     bit-for-bit in DuckDB; exact distincts ride along for the pytest
-    error bound. At 100 TB each branch is one distinct + a k-bounded
-    rank — never corpus-scale state."""
+    error bound. At 100 TB each branch is one distinct + a global k-min
+    spelled orderBy().limit(k) — TakeOrderedAndProject, i.e. partial
+    per-partition top-k merged on the driver (plan-asserted), never a
+    single-partition global sort or corpus-scale state."""
     ev = read_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
     )
-    h = ev.select(
+    # NULL user_id → NULL uh: Spark sorts NULLS FIRST vs DuckDB's NULLS
+    # LAST, and a NULL must not occupy a k-min slot — drop on both engines
+    # (ADVICE r7; mirrors approx_sketch_stats).
+    h = ev.where(F.col("user_id").isNotNull()).select(
         "event_type",
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
@@ -918,13 +919,13 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kmv_est(df, alias):
-        w = Window.orderBy("uh")
-        km = (
-            df.select("uh")
-            .distinct()
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= _KMV_K)
-        )
+        # Global k-min via orderBy(uh).limit(k): compiles to
+        # TakeOrderedAndProject — a partial per-partition top-k merged on
+        # the driver — NOT an unpartitioned rank window, which would move
+        # the whole distinct frame to a single partition before ranking
+        # (ADVICE r7; plan-asserted in test_plans). u_(k) is then simply
+        # max(uh) of the ≤k-row frame, so no window is needed at all.
+        km = df.select("uh").distinct().orderBy("uh").limit(_KMV_K)
         return km.agg(
             F.round(
                 F.when(
@@ -932,7 +933,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(
                     F.lit(float(_KMV_K - 1))
                     * F.lit(2.0**60)
-                    / F.max(F.when(F.col("rn") == _KMV_K, F.col("uh"))).cast("double")
+                    / F.max("uh").cast("double")
                 ),
                 4,
             ).alias(alias)

@@ -427,10 +427,27 @@ def test_topk_entries_get_window_group_limit(spark):
     3.5+): it bounds state to k rows per key on the map side — at 100 TB
     the difference between shuffling k rows per key and shuffling the
     whole candidate set. Silent killers: filtering on a derived column or
-    a non-rank function, which drop the optimization without failing."""
-    for name in ("ann_topk_bruteforce", "knn_graph_topk"):
+    a non-rank function, which drop the optimization without failing.
+
+    The per-group KMV sketch entry rides the same pushdown — its
+    'k-bounded, never corpus-scale state' claim IS the WindowGroupLimit
+    (partial k-min per partition, merge k·parts rows), so a regression
+    that drops it (e.g. ranking a derived column) must fail loudly
+    (ADVICE r7)."""
+    for name in ("ann_topk_bruteforce", "knn_graph_topk", "approx_sketch_stats"):
         plan = plan_of(QUERIES[name](spark, SF_SMOKE))
         assert "WindowGroupLimit" in plan, (name, plan)
+
+
+def test_kmv_setops_global_kmin_is_take_ordered(spark):
+    """The GLOBAL k-min branches of sketch_kmv_setops must compile to
+    TakeOrderedAndProject (partial per-partition top-k merged on the
+    driver) — an unpartitioned rank window would move each whole distinct
+    frame to one partition before ranking (the regression ADVICE r7
+    warned about; the fix dropped the window for orderBy().limit(k))."""
+    plan = plan_of(QUERIES["sketch_kmv_setops"](spark, SF_SMOKE))
+    assert n_nodes(plan, "TakeOrderedAndProject") == 3, plan
+    assert "Window" not in plan, plan
 
 
 def test_pagerank_shuffled_flip_compiles_to_hash_joins(spark):
