@@ -52,21 +52,16 @@ def _last_green_round() -> dict[str, int]:
 
 # Entries whose SEMANTICS (or candidate/pruning path — the round-5 lesson)
 # changed after their last green driver row — they jump the rotation queue.
-# Clear once the next CORRECTNESS snapshot carries them. Round-6 set
-# (dedup_ngram_jaccard, dedup_cluster_components, knn_graph_topk,
-# quota_per_source, dedup_minhash_verified, ann_topk_bruteforce) cleared:
-# all six green in CORRECTNESS_r06.json.
+# Clear once the next CORRECTNESS snapshot carries them. Round-7 set
+# (kmeans_embeddings_2iter, embedding_power_iteration_pc1, dedup_semdedup,
+# dedup_simhash, approx_sketch_stats) cleared: all five green in
+# CORRECTNESS_r07.json.
 _FORCE_RECHECK: set[str] = {
-    # round 7: whole-group deterministic folds replaced by bounded two-level
-    # bucket tree folds (VERDICT r6 #1) — oracles rewritten to match
-    "kmeans_embeddings_2iter",
-    "embedding_power_iteration_pc1",
-    # round 7: same fold rewrite + k-means blocker now trains on the
-    # vec_id % 3 hash-sample (VERDICT r6 #5)
-    "dedup_semdedup",
-    # round 7: promoted from rows-only waivers to full oracles — portable
-    # md5_16 token hash / KMV + hash-sample sketch family (VERDICT r6 #4)
-    "dedup_simhash",
+    # round 8: KMV entries drop NULL hashes on both engines and the
+    # setops global k-min respelled orderBy().limit(k) →
+    # TakeOrderedAndProject (ADVICE r7) — approx_sketch_stats is green r7
+    # but its oracle/plan changed; sketch_kmv_setops is still never-green
+    # so it re-attests from bucket 1 anyway
     "approx_sketch_stats",
 }
 
@@ -76,38 +71,18 @@ _FORCE_RECHECK: set[str] = {
 # re-attestation backlog. They are fully hash-checked by the STRICTER local
 # parity suite every pytest run (tests/test_oracle_parity.py).
 #
-# Round-7 window arithmetic (registry at 174 entries when the round opened):
-# 5 force-recheck + the never-green bucket (10 standing rows-only entries
-# after the two promotions above, plus the 9 entries added late in round 6
-# that never got a driver slot — embedding_pq_trained is in both sets, so
-# 18 distinct) = 23 slots, leaving 27 for the oldest-green drain — enough
-# to retire the entire 22-entry r2-stale backlog (VERDICT r6 #2/#3).
-# Entries ADDED in round 7 are therefore deferred here so they cannot eat
-# drain slots; they graduate to the never-green bucket next round.
+# Round-8 window arithmetic (registry opened at 182 entries): the 8
+# round-7 deferrals graduate to the never-green bucket (16 entries total:
+# those 8 + the 8 standing rows-only entries) + 1 force-recheck = 17
+# slots, leaving 33 for the oldest-green drain — enough to retire the
+# ENTIRE 27-entry r3-stale backlog (VERDICT r7 #1/#2: TPC-H q2–q22 block
+# + 7 text/pipe entries) with 6 slots spilling into the r4 pool. The one
+# round-8 addition is deferred here so it cannot eat drain slots.
 _DEFER_TO_NEXT_ROUND: set[str] = {
-    # round 7: node-scale PageRank twin (VERDICT r6 #7) — parity-proven
-    # locally every pytest run; driver slot next round
-    "graph_pagerank_shuffled",
-    # round 7: mergeable Bloom-filter decontamination (full md5-portable
-    # oracle); parity-proven locally, driver slot next round
-    "decontaminate_bloom",
-    # round 7: its stream-static ingest-gate face (executor-local bitset
-    # probe; batch oracle attests the availableNow run)
-    "streaming_decontaminate_bloom",
-    # round 7: perceptual-hash image dedup through the real codec
-    "multimodal_image_dedup_ahash",
-    # round 7: md5-planes strict-fold LSH ANN — the oracle-attested face
-    # of ann_topk_lsh's machinery
-    "ann_topk_lsh_portable",
-    # round 7: fold-exact-quantizer IVF — the oracle-attested face of
-    # ann_topk_ivf's machinery (ANN family fully attested)
-    "ann_topk_ivf_portable",
-    # round 7: md5-planes LSH-pruned kNN graph — attested face of
-    # knn_graph_lsh's cells/probes/GEMM/merge machinery
-    "knn_graph_lsh_portable",
-    # round 7: KMV set operations — the portable oracled face of the
-    # Theta-sketch entry
-    "sketch_kmv_setops",
+    # round 8: md5-portable banding face of dedup_minhash_lsh at the
+    # working threshold (VERDICT r7 #3) — parity-proven locally every
+    # pytest run; driver slot next round
+    "dedup_minhash_lsh_portable",
 }
 
 

@@ -595,6 +595,23 @@ def _hash_shingles(sh: Column) -> Column:
     return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
 
 
+def _hash_shingles_portable(sh: Column) -> Column:
+    """ENGINE-PORTABLE shingle hash: first 60 md5 bits mod 2^31-1 — the
+    same md5-hex-prefix spelling as ``foldspec.md5_double_hash``, so an
+    external SQL oracle replays the hashes (and therefore the signatures,
+    band keys, and candidate set) bit-for-bit. Slower than xxhash64 (md5 +
+    hex conv per shingle) — the production path stays ``_hash_shingles``;
+    this face exists so the banding machinery is oracle-attestable at the
+    WORKING threshold, where output depends on candidate generation."""
+    return F.transform(
+        sh,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(MERSENNE),
+        ),
+    )
+
+
 def _minhash_row(hashed: Column, k: int) -> Column:
     """k-permutation MinHash signature over pre-hashed shingles: for
     permutation i, min over shingles of ((2i+1)·h + i²+7) mod 2^31-1.
@@ -676,7 +693,7 @@ def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
 
 
 def _hashed_shingle_frame(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, *, portable: bool = False
 ) -> DataFrame:
     """(doc_id, hsh array<long>) — the narrow frame EVERY downstream MinHash
     stage consumes (banding kernel and exact-Jaccard verification alike).
@@ -694,19 +711,28 @@ def _hashed_shingle_frame(
 
     Tracked in ``ext.persistreg``; session owners release after
     materializing results."""
+    hasher = _hash_shingles_portable if portable else _hash_shingles
     frame = df.select(
         F.col(id_col).alias("doc_id"),
-        _hash_shingles(shingles(tokens(F.col(text_col)), n)).alias("hsh"),
+        hasher(shingles(tokens(F.col(text_col)), n)).alias("hsh"),
     )
     return persist_tracked(frame)
 
 
-def _band_frame(base: DataFrame, k: int, bands: int) -> DataFrame:
+def _band_frame(
+    base: DataFrame, k: int, bands: int, *, portable: bool = False
+) -> DataFrame:
     """(doc_id, band_idx, band_hash) rows from a hashed-shingle frame. Band
     rows carry ONLY the id and the band key — the shingle arrays never
     enter the band shuffle (at scale they dominate shuffle bytes
-    otherwise); verification re-attaches them by id."""
+    otherwise); verification re-attaches them by id. ``portable`` swaps
+    the xxhash64 band key for its md5 hex spelling (same join semantics;
+    SQL-replayable)."""
     rows_per_band = k // bands
+
+    def band_key(joined: Column) -> Column:
+        return F.md5(joined) if portable else F.xxhash64(joined)
+
     sigs = base.select("doc_id", _minhash_rows_np(k)(F.col("hsh")).alias("sig"))
     return sigs.select(
         "doc_id",
@@ -715,7 +741,7 @@ def _band_frame(base: DataFrame, k: int, bands: int) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_idx"),
-                    F.xxhash64(
+                    band_key(
                         F.array_join(
                             F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
                             ",",
@@ -736,6 +762,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs.
 
@@ -746,9 +773,16 @@ def minhash_lsh_pairs(
     sets. The only shuffles are the band-key join and the final distinct —
     both on keys whose cardinality LSH keeps high (no mega-buckets unless
     the data truly is one dup class; AQE skew-split covers that).
+
+    ``portable`` swaps the xxhash64 shingle/band hashes for their md5
+    spellings so an external SQL oracle replays the ENTIRE pipeline —
+    signatures, band keys, candidate set, verification — bit-for-bit even
+    at a working threshold where the output is candidate-generation-
+    dependent. Same plan shape, same permutation arithmetic (the Arrow
+    signature kernel runs unchanged over the portable hashes).
     """
-    base = _hashed_shingle_frame(df, id_col, text_col, n)
-    banded = _band_frame(base, k, bands)
+    base = _hashed_shingle_frame(df, id_col, text_col, n, portable=portable)
+    banded = _band_frame(base, k, bands, portable=portable)
 
     a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_hash")

@@ -89,6 +89,40 @@ def test_minhash_pairs_are_verified(spark, docs):
     assert all(r["jaccard"] >= 0.5 for r in rows)
 
 
+def test_minhash_portable_face_same_guarantees(spark, docs):
+    """The md5-portable banding face (dedup_minhash_lsh_portable's
+    machinery) keeps the production entry's statistical guarantees: every
+    exact pair ≥0.8 recalled, every emitted pair exact-verified ≥0.5, and
+    its Jaccard VALUES agree with the xxhash64 sibling on shared pairs
+    (verification is over shingle-hash sets; both hash families are
+    collision-free on this corpus)."""
+    from ibc_spark.ext.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", block_col="source", threshold=0.8
+        ).collect()
+    }
+    port = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_pairs(
+            docs, id_col="doc_id", text_col="text", k=32, bands=8,
+            threshold=0.5, portable=True,
+        ).collect()
+    }
+    assert exact and not (exact - set(port)), f"portable LSH missed: {exact - set(port)}"
+    assert all(j >= 0.5 for j in port.values())
+    prod = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_pairs(
+            docs, id_col="doc_id", text_col="text", k=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    shared = set(port) & set(prod)
+    assert shared and all(port[p] == prod[p] for p in shared)
+
+
 def test_cross_corpus_neardup_direction(spark, docs):
     """Cross pairs run new x seen only: every emitted pair has a new-side
     id and a seen-side id, never seen x seen (the archive is not re-paired
