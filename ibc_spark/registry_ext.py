@@ -1,8 +1,20 @@
-"""Extension-operator registry entries (SURVEY §7.7): dedup, similarity
-search, text analysis, multimodal plumbing — each over the ``documents`` /
-``embeddings`` testdata tables, oracle-checked where the construction is
-SQL-expressible (xxhash64-based signatures are not; those entries take the
-driver's rows-only check and are verified against exact methods in pytest).
+"""Extension-operator registry facade (SURVEY §7.7).
+
+Round 8 split the 3.8k-line monolith by family (VERDICT r7 #7) with entry
+names, oracles, and behavior unchanged:
+
+- ``registry_ext_base``   — shared SQL fragments + planted-dup fixtures
+- ``registry_ext_text``   — text analysis (counts, quality, lang-id, PMI…)
+- ``registry_ext_dedup``  — dedup + decontamination (MinHash/SimHash/Bloom…)
+- ``registry_ext_sketch`` — KMV/quantile sketches + DataSketches siblings
+- ``registry_ext_ann``    — ANN search, kNN graphs, quantization
+- ``registry_ext_pipe``   — corpus assembly (splits/packing/mixing) + multimodal
+- ``registry_ext_rel``    — relational/profiling/data-quality entries
+
+Importing this module registers every family's entries (the same
+side-effect contract ``ibc_spark.registry`` has always relied on), and the
+legacy private names other modules/tests import from here are re-exported
+unchanged.
 
 Shares the cross-engine determinism rules of ``ibc_spark.registry`` —
 notably: every similarity is a LEFT FOLD in doubles on both engines, so
@@ -11,3769 +23,28 @@ values match bit-for-bit before the defensive ROUND.
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from ibc_spark.ext import dedup, multimodal, similarity, text
-from ibc_spark.io_.sources import read_table
-from ibc_spark.registry_core import query
-
-# Shared SQL fragments (DuckDB list-lambda dialect).
-_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
-_SHINGLES = (
-    "list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),"
-    " i -> array_to_string(list_slice(toks, i, i+2), ' ')))"
-)
-_FOLD_SUM_D = "list_reduce(list_prepend(CAST(0 AS DOUBLE), {}), (acc,x) -> acc + x)"
-
-
-def _cos_sql(a: str, b: str) -> str:
-    dot = _FOLD_SUM_D.format(f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))")
-    na = _FOLD_SUM_D.format(f"list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))")
-    nb = _FOLD_SUM_D.format(f"list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))")
-    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
-
-
-# ---------------------------------------------------------------------------
-# Text analysis
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "text_token_counts",
-    oracle=f"""
-    SELECT doc_id,
-           len({_TOKS}) AS n_tokens,
-           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_pieces
-    FROM documents
-    """,
-)
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish token counting (pure codegen, zero shuffle)."""
-    d = read_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        text.token_count("text").alias("n_tokens"),
-        text.bpe_ish_count("text").alias("n_pieces"),
-    )
-
-
-@query(
-    "text_quality_metrics",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
-    SELECT doc_id,
-           len(toks) AS n_tokens,
-           length(text) AS n_chars,
-           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> length(t))),
-                            (acc,x) -> acc + x) AS DOUBLE) / greatest(len(toks), 1) AS avg_token_len,
-           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
-           CAST(len(list_filter(toks, t -> list_contains(['the','of','and','to','in','is','a'], t))) AS DOUBLE)
-               / greatest(len(toks), 1) AS stopword_ratio
-    FROM t
-    """,
-)
-def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality signals: sizes, avg token length, punctuation + stopword
-    ratios — the filter columns of a pretraining quality gate."""
-    d = read_table(spark, sf_dir, "documents")
-    m = text.quality_metrics("text")
-    return d.select("doc_id", *[expr.alias(name) for name, expr in m.items()])
-
-
-_LANG_HITS = {
-    "en": "['the','of','and','to','in','is','a']",
-    "es": "['el','la','de','que','y','los','una']",
-    "de": "['der','die','und','das','ist','von','ein']",
-    "fr": "['le','les','et','des','est','une','dans']",
-}
-_LANG_COUNTS = ", ".join(
-    f"len(list_filter(toks, t -> list_contains({lst}, t))) AS c_{lang}"
-    for lang, lst in _LANG_HITS.items()
-)
-
-
-@query(
-    "text_lang_id",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
-    c AS (SELECT doc_id, text, {_LANG_COUNTS} FROM t)
-    SELECT doc_id,
-           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
-                WHEN c_en > 0 AND c_en >= greatest(c_en, c_es, c_de, c_fr) THEN 'en'
-                WHEN c_es > 0 AND c_es >= greatest(c_en, c_es, c_de, c_fr) THEN 'es'
-                WHEN c_de > 0 AND c_de >= greatest(c_en, c_es, c_de, c_fr) THEN 'de'
-                WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_es, c_de, c_fr) THEN 'fr'
-                ELSE 'und' END AS lang_pred
-    FROM c
-    """,
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-heuristic language ID (CJK fast path, en→es→de→fr ties)."""
-    d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", text.lang_id("text").alias("lang_pred"))
-
-
-@query(
-    "text_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-                                    list_transform(string_split(text, ''), c -> ascii(c))),
-                       (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
-    FROM documents
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint (engine-portable left fold)."""
-    d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", text.fingerprint("text").alias("fp"))
-
-
-# ---------------------------------------------------------------------------
-# Dedup
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "dedup_exact_prefix",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, array_to_string(list_slice({_TOKS}, 1, 5), ' ') AS dedup_key
-               FROM documents)
-    SELECT dedup_key, min(doc_id) AS kept_id, count(*) AS group_size
-    FROM t GROUP BY dedup_key
-    """,
-)
-def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on a 5-token-prefix normalization key (hash groupBy —
-    ONE shuffle regardless of scale)."""
-    d = read_table(spark, sf_dir, "documents")
-    return dedup.dedup_exact(d, key=dedup.norm_key("text", 5), id_col="doc_id")
-
-
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, source, {_SHINGLES} AS sh
-      FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-    FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked 3-gram Jaccard near-dup pairs (block = source)."""
-    d = read_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(
-        d, id_col="doc_id", text_col="text", block_col="source", n=3, threshold=0.05
-    )
-
-
-@query("dedup_minhash_lsh")  # rows-only driver check — waiver documented below
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) + LSH(8 bands) near-dup pairs, exact-Jaccard verified.
-
-    ORACLE WAIVER: at working threshold 0.5 the output is candidate-
-    generation-dependent — a 0.5-similarity pair's banding hit probability
-    is 1-(1-0.5^4)^8 ≈ 0.40, so the pair set is a function of the xxhash64
-    signatures, which no SQL engine reproduces. Correctness is covered by
-    (a) pytest recall-vs-exact (every exact pair ≥0.8 must be recalled) and
-    precision (every emitted pair's EXACT jaccard ≥ 0.5 — the operator
-    verifies candidates before emitting), (b) the oracle-checked
-    ``dedup_minhash_verified`` entry below, which runs this same operator
-    at a threshold where banding recall is ~1 and the output therefore
-    equals the exact pair set, and (c) ``dedup_minhash_lsh_portable``,
-    which replays this IDENTICAL banding machinery — working threshold
-    included — under a full SQL oracle via md5 hashes."""
-    d = read_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
-        d, id_col="doc_id", text_col="text", k=32, bands=8, n=3, threshold=0.5
-    )
-
-
-# Portable-minhash parameters (k=32 signatures, 8 bands of 4) and the
-# unrolled per-permutation min fragments of the oracle: permutation i maps a
-# pre-hashed shingle h to ((2i+1)·h + i²+7) mod 2^31-1 — the identical
-# arithmetic the Arrow signature kernel runs (ints < 2^38, exact in int64
-# on both engines).
-_MH_K, _MH_BANDS = 32, 8
-_MH_RPB = _MH_K // _MH_BANDS
-_MH_HSH = (
-    "list_transform(sh, s -> "
-    "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)"
-)
-_MH_MINS = ", ".join(
-    f"list_min(list_transform(hsh, h -> ({2 * i + 1}*h + {i * i + 7}) % 2147483647))"
-    for i in range(_MH_K)
-)
-
-
-@query(
-    "dedup_minhash_lsh_portable",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, {_MH_HSH} AS hsh
-      FROM (SELECT doc_id, {_SHINGLES} AS sh
-            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
-    ),
-    sigs AS (SELECT doc_id, [{_MH_MINS}] AS sig FROM base),
-    bandf AS (
-      SELECT doc_id, CAST(t.i AS INT) AS band_idx,
-             md5(array_to_string(list_slice(sig, t.i*{_MH_RPB}+1, t.i*{_MH_RPB}+{_MH_RPB}), ',')) AS band_hash
-      FROM sigs, range({_MH_BANDS}) t(i)
-    ),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bandf a JOIN bandf b
-        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b,
-           CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE)
-             / len(list_distinct(list_concat(x.hsh, y.hsh))) AS jaccard
-    FROM cands JOIN base x ON x.doc_id = id_a JOIN base y ON y.doc_id = id_b
-    WHERE CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE)
-             / len(list_distinct(list_concat(x.hsh, y.hsh))) >= 0.5
-    """,
-)
-def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The oracle-attested PORTABLE FACE of ``dedup_minhash_lsh`` at the
-    WORKING threshold 0.5 (VERDICT r7 #3 — the last probabilistic entry
-    without one): md5-prefix shingle hashes and md5 band keys replace the
-    xxhash64 spellings, so DuckDB replays signatures → band keys →
-    candidate self-join → exact-Jaccard verification bit-for-bit,
-    including the ~0.40 banding recall that makes the xxhash64 sibling
-    rows-only. Same r7 pattern as ``ann_topk_lsh_portable`` /
-    ``knn_graph_lsh_portable``; same plan shape as the production entry
-    (banded equi-join, never all-pairs — the oracle's own band join is
-    the same equi-join). The Arrow signature kernel runs UNCHANGED over
-    the portable hashes, so this also attests the kernel arithmetic."""
-    d = read_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
-        d,
-        id_col="doc_id",
-        text_col="text",
-        k=_MH_K,
-        bands=_MH_BANDS,
-        n=3,
-        threshold=0.5,
-        portable=True,
-    )
-
-
-@query(
-    "dedup_minhash_verified",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, {_SHINGLES} AS sh
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-    FROM base a JOIN base b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
-    """,
-)
-def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH at CONFIDENCE threshold 0.8 with a deep signature
-    (k=64, 16 bands of 4 rows), oracled against the exact global pair set:
-    a 0.8-similarity pair's probability of missing every band is
-    (1-0.8^4)^16 ≈ 2e-4 and ≥0.87 pairs ≈ 4e-15; the signatures are
-    seeded/deterministic, so on fixed data the LSH output equals the exact
-    pair set (the parity suite proves it per dataset; any regression in the
-    banding plumbing breaks the hash match). The oracle is the O(n²)
-    cross-join ONLY the oracle pays — the operator under test stays the
-    banded equi-join."""
-    d = read_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
-        d, id_col="doc_id", text_col="text", k=64, bands=16, n=3, threshold=0.8
-    )
-
-
-@query(
-    "dedup_incremental_cross",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, {_SHINGLES} AS sh
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    )
-    SELECT a.doc_id AS new_id, b.doc_id AS seen_id,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-    FROM base a JOIN base b
-      ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
-    """,
-)
-def dedup_incremental_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup: every 3rd document plays the newly ingested batch,
-    the rest the archive; banded new×seen join (candidate volume scales with
-    the batch) exact-verified at confidence threshold 0.8, where the deep
-    k=64/16 signature makes the LSH output equal the exact cross pair set
-    (same determinism argument as ``dedup_minhash_verified``)."""
-    d = read_table(spark, sf_dir, "documents")
-    return dedup.cross_corpus_neardup_pairs(
-        d.where(F.col("doc_id") % 3 == 0),
-        d.where(F.col("doc_id") % 3 != 0),
-        id_col="doc_id",
-        text_col="text",
-        k=64,
-        bands=16,
-        n=3,
-        threshold=0.8,
-    )
-
-
-_SHINGLES8 = (
-    "list_distinct(list_transform(range(1, greatest(len(toks)-7,1)+1),"
-    " i -> array_to_string(list_slice(toks, i, i+7), ' ')))"
-)
-
-
-@query(
-    "decontaminate_against_holdout",
-    oracle=f"""
-    WITH sh AS (
-      SELECT doc_id,
-             unnest(CASE WHEN len(toks) >= 8 THEN {_SHINGLES8}
-                         ELSE [] END) AS g
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    ),
-    test AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
-    hits AS (
-      SELECT s.doc_id, COUNT(*) AS n_hits
-      FROM (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 97 <> 0) s
-      JOIN test USING (g)
-      GROUP BY s.doc_id
-    )
-    SELECT d.doc_id,
-           COALESCE(h.n_hits, 0) AS n_hits,
-           h.doc_id IS NOT NULL AS contaminated
-    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
-    LEFT JOIN hits h USING (doc_id)
-    """,
-)
-def decontaminate_against_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (GPT-3-style 8-gram overlap): every 97th
-    document plays the held-out benchmark; the rest of the corpus is tagged
-    with its shared-8-gram count. Test-set shingles broadcast (map-side
-    membership probe), one shuffle on doc_id for the hit count."""
-    d = read_table(spark, sf_dir, "documents")
-    corpus = d.where(F.col("doc_id") % 97 != 0)
-    holdout = d.where(F.col("doc_id") % 97 == 0)
-    return dedup.contamination_tags(
-        corpus, holdout, id_col="doc_id", text_col="text", n=8
-    )
-
-
-_BLOOM_M = 65536
-_BLOOM_K = 4
-# Double-hash bases per shingle — the one shared spelling (foldspec).
-from ibc_spark.ext.foldspec import md5_double_hash_sql as _md5_dh_sql  # noqa: E402
-
-_BLOOM_H = _md5_dh_sql("g")
-
-
-@query(
-    "decontaminate_bloom",
-    oracle=f"""
-    WITH sh AS (
-      SELECT doc_id,
-             unnest(CASE WHEN len(toks) >= 8 THEN {_SHINGLES8}
-                         ELSE [] END) AS g
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    ),
-    th AS (
-      SELECT {_BLOOM_H}
-      FROM (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
-    ),
-    tpos AS (
-      SELECT DISTINCT (h1 + i * h2) % {_BLOOM_M} AS pos
-      FROM th, range(0, {_BLOOM_K}) t(i)
-    ),
-    bloom AS (
-      SELECT pos // 32 AS word_idx,
-             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
-      FROM tpos GROUP BY 1
-    ),
-    cp AS (
-      SELECT doc_id, g, (h1 + i * h2) % {_BLOOM_M} AS pos
-      FROM (SELECT doc_id, g, {_BLOOM_H}
-            FROM sh WHERE doc_id % 97 <> 0), range(0, {_BLOOM_K}) t(i)
-    ),
-    pg AS (
-      SELECT c.doc_id, c.g,
-             sum(CASE WHEN b.bits IS NOT NULL
-                       AND ((b.bits >> CAST(c.pos % 32 AS INTEGER)) & 1) = 1
-                 THEN 1 ELSE 0 END) AS np
-      FROM cp c LEFT JOIN bloom b ON c.pos // 32 = b.word_idx
-      GROUP BY c.doc_id, c.g
-    ),
-    per_doc AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-             CAST(sum(CASE WHEN np = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_flagged
-      FROM pg GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           COALESCE(p.n_shingles, 0) AS n_shingles,
-           COALESCE(p.n_flagged, 0) AS n_flagged,
-           COALESCE(p.n_flagged, 0) > 0 AS maybe_contaminated
-    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
-    LEFT JOIN per_doc p USING (doc_id)
-    """,
-)
-def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter decontamination (sketch-backed sibling of
-    ``decontaminate_against_holdout``): the held-out benchmark's distinct
-    8-grams compress to a 64 Kbit mergeable Bloom filter (sparse
-    (word_idx, bits) frame, ≤ m/32 = 2048 rows) that every executor probes
-    locally — the shape for benchmark suites too large to broadcast as
-    strings at 100 TB. No false negatives (flagged ⊇ truly contaminated,
-    pinned in pytest against the exact sibling); FP rate bounded by
-    (1-e^(-kn/m))^k. Deterministic md5 double hashing on both engines, so
-    this probabilistic operator still gets a FULL hash oracle — the
-    filter bits, probe results, and per-doc counts are replayed exactly
-    in DuckDB."""
-    d = read_table(spark, sf_dir, "documents")
-    return dedup.bloom_contamination(
-        d.where(F.col("doc_id") % 97 != 0),
-        d.where(F.col("doc_id") % 97 == 0),
-        id_col="doc_id",
-        text_col="text",
-        n=8,
-        m_bits=_BLOOM_M,
-        k=_BLOOM_K,
-    )
-
-
-@query(
-    "dedup_paragraph_exact",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    occ AS (
-      SELECT doc_id, CAST(u.i AS INT) AS start_tok,
-             array_to_string(list_slice(toks, u.i, u.i + 9), ' ') AS passage
-      FROM t, unnest(CASE WHEN len(toks) >= 10
-                          THEN range(1, len(toks) - 8, 5) ELSE [] END) AS u(i)
-    )
-    SELECT doc_id, start_tok, passage,
-           COUNT(*) OVER (PARTITION BY passage) AS n_copies,
-           COUNT(DISTINCT doc_id) OVER (PARTITION BY passage) AS n_docs,
-           ROW_NUMBER() OVER (PARTITION BY passage ORDER BY doc_id, start_tok) = 1
-             AS is_canonical
-    FROM occ
-    QUALIFY COUNT(*) OVER (PARTITION BY passage) > 1
-    """,
-)
-def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Passage-level exact dedup (Lee et al.-style): every 10-token window
-    (stride 5) occurring more than once in the corpus, per occurrence, with
-    group stats and a canonical-occurrence flag. Doc-level dedup misses
-    shared spans inside otherwise-distinct documents; this is the operator
-    that finds them. range(1, len-8, 5) in the oracle = full-window starts
-    1, 6, 11, … ≤ len-9, matching the Spark side's strided window filter."""
-    d = read_table(spark, sf_dir, "documents")
-    return dedup.passage_exact_dups(d, id_col="doc_id", text_col="text", window=10, stride=5)
-
-
-# SimHash bit-vote SQL fragments (shared by the dedup_simhash oracle below
-# and the dedup_simhash_verified sibling further down): bit i of the
-# signature is set iff the ±1 votes of that bit across the document's token
-# multiset sum positive.
-_SIMHASH_BITS = 16
-_B_SUMS = ", ".join(
-    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-    for i in range(_SIMHASH_BITS)
-)
-_B_ASSEMBLE = " + ".join(
-    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS)
-)
-
-
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-    h AS (
-      SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT) AS h
-      FROM tok
-    ),
-    bits AS (SELECT doc_id, {_B_SUMS} FROM h GROUP BY doc_id),
-    sh AS (SELECT doc_id, {_B_ASSEMBLE} AS simhash FROM bits)
-    SELECT simhash, count(*) AS group_size, min(doc_id) AS kept_id,
-           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members_csv
-    FROM sh GROUP BY simhash
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16) signature groups (collision groups = near-dup clusters),
-    with the full member list per group serialized as a CSV string (the
-    array form stays available via :func:`dedup.simhash_groups`; scalar
-    cells keep the driver's canonicalizer happy — the r3 comparator crash
-    was list-typed cells).
-
-    Runs the library's Arrow-batched SimHash kernel under the PORTABLE
-    per-token hash (``token_hash="md5_16"`` — first 16 bits of md5,
-    expressible identically in DuckDB), so the whole pipeline — tokenize,
-    hash, bit votes, signature groupBy, member aggregation — is attested
-    by the external hash-check (VERDICT r6 #4; the xxhash64 instantiation
-    was stuck on a rows-only waiver because DuckDB lacks xxhash64). The
-    xxhash64 fast path stays the library default and keeps its own pytest
-    coverage (`test_simhash_deterministic_and_discriminative`).
-
-    Oracle caveat shared with ``dedup_simhash_verified``: a zero-token
-    document folds to signature 0 in Spark but vanishes from the oracle's
-    explode — no such document exists in the corpus (the verified sibling
-    has hash-matched since r5)."""
-    d = read_table(spark, sf_dir, "documents")
-    groups = dedup.simhash_groups(
-        d, id_col="doc_id", text_col="text", bits=16, token_hash="md5_16"
-    )
-    return groups.select(
-        "simhash",
-        "group_size",
-        "kept_id",
-        F.array_join(
-            F.transform("members", lambda m: m.cast("string")), ","
-        ).alias("members_csv"),
-    )
-
-
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked embedding-cosine near-dup pairs (block = label) — the exact
-    small-block path; for large or absent blocks use the LSH entry below."""
-    e = read_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_neardup_pairs(
-        e, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3
-    )
-
-
-# Planted near-duplicates for the LSH dedup entry: the synthetic embeddings
-# have NO natural pairs above cosine 0.51 (measured at sf0.01/sf0.1), so a
-# high-threshold entry on the raw table would be trivially empty. Every 10th
-# vector gets a near-copy (element 0 scaled ×1.5 in double, cast back to
-# float — cosine to its original is ≥ 0.98 for any vector, while copies stay
-# ≤ ~0.51 from everything else). The float32 round-trip makes the augmented
-# table bit-identical across engines.
-_AUG_SQL = """
-      SELECT vec_id, embedding FROM embeddings
-      UNION ALL
-      SELECT vec_id + 1000000,
-             list_concat([CAST(CAST(embedding[1] AS DOUBLE) * 1.5 AS FLOAT)],
-                         embedding[2:])
-      FROM embeddings WHERE vec_id % 10 = 0
-"""
-
-
-def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = e.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.concat(
-            F.array((F.col("embedding")[0].cast("double") * 1.5).cast("float")),
-            F.slice(F.col("embedding"), 2, F.size(F.col("embedding")) - 1),
-        ).alias("embedding"),
-    )
-    return e.unionByName(planted)
-
-
-@query(
-    "dedup_embedding_lsh",
-    oracle=f"""
-    WITH aug AS ({_AUG_SQL})
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
-    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.9
-    """,
-)
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unblocked embedding near-dup via banded hyperplane LSH + exact
-    cosine verification, at confidence threshold 0.9 on the planted-dup
-    augmented table. A threshold-0.9 pair misses every band with
-    probability ≤1.7e-5 (r=8, B=32) and the planted pairs (cos ≥ 0.98) with
-    ≤4e-17, so on fixed data the LSH output equals the exact global pair
-    set — which is what the O(n²) oracle (that only the oracle pays)
-    computes. Same construction as ``dedup_minhash_verified``: the operator
-    under test stays the banded equi-join."""
-    aug = _augmented_embeddings(spark, sf_dir)
-    return dedup.embedding_lsh_pairs(
-        aug, id_col="vec_id", vec_col="embedding", threshold=0.9, bits_per_band=8, bands=32
-    )
-
-
-# Planted-dup fixture INSIDE the real doc-id space (unlike _AUG_SQL, whose
-# planted ids are out-of-corpus): every vec_id ≡ 0 (mod 10) takes its
-# successor's embedding, creating exact-dup pairs (10k, 10k+1) whose cluster
-# drops map back onto `documents`. Lets the corpus-level dedup entries run
-# the UNBLOCKED banded-LSH candidate path (threshold 0.9, the regime LSH is
-# built for) instead of blocked all-pairs, and still be oracle-exact: cos=1
-# pairs hit every band with probability 1, and no natural pair reaches 0.9
-# at oracle SF (checked: 0 pairs ≥ 0.85 at sf0.01).
-_PLANT_SQL = """
-      SELECT e.vec_id,
-             CASE WHEN e.vec_id % 10 = 0 AND p.embedding IS NOT NULL
-                  THEN p.embedding ELSE e.embedding END AS embedding
-      FROM embeddings e LEFT JOIN embeddings p ON p.vec_id = e.vec_id + 1
-"""
-
-_PLANTED_PAIRS = f"""
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.9
-"""
-
-
-def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of ``_PLANT_SQL``: successor-embedding override via an
-    equi-self-join on vec_id (no global-sort window)."""
-    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    succ = e.select(
-        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("succ_emb")
-    )
-    return e.join(succ, on="vec_id", how="left").select(
-        "vec_id",
-        F.when(
-            (F.col("vec_id") % 10 == 0) & F.col("succ_emb").isNotNull(),
-            F.col("succ_emb"),
-        )
-        .otherwise(F.col("embedding"))
-        .alias("embedding"),
-    )
-
-
-def _planted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed candidate generation for the corpus-level entries: banded
-    hyperplane LSH + exact cosine verify over the planted-dup table — the
-    same scale path `dedup_embedding_lsh` proves, nothing quadratic."""
-    return dedup.embedding_lsh_pairs(
-        _planted_embeddings(spark, sf_dir),
-        id_col="vec_id",
-        vec_col="embedding",
-        threshold=0.9,
-        bits_per_band=8,
-        bands=32,
-    )
-
-
-@query(
-    "dedup_cluster_components",
-    oracle=f"""
-    WITH RECURSIVE
-    emb AS ({_PLANT_SQL}),
-    pairs AS ({_PLANTED_PAIRS}),
-    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
-    reach(a, b) AS (
-      SELECT u, u FROM sym
-      UNION
-      SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
-    )
-    SELECT a AS member_id, min(b) AS kept_id, a = min(b) AS is_kept
-    FROM reach GROUP BY a
-    """,
-)
-def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS via iterative connected components over the
-    near-dup pair graph (ext.graph: min-label propagation, O(log n)
-    self-join iterations, lineage checkpointed). Candidate pairs come
-    from the UNBLOCKED banded-LSH path over the planted-dup table
-    (`_planted_lsh_pairs`, threshold 0.9) — the same non-quadratic
-    candidate stage the corpus dedup/split entries use; round 5's
-    blocked all-pairs stage at threshold 0.3 was the last quadratic
-    consumer and is gone (plan-asserted: no per-block self-join in the
-    DAG). The DuckDB oracle computes the same components with a
-    recursive transitive closure — tractable at oracle scale,
-    quadratic-in-cluster-size at 100 TB, which is why the engine
-    iterates instead."""
-    from ibc_spark.ext.graph import dedup_clusters
-
-    pairs = _planted_lsh_pairs(spark, sf_dir)
-    return dedup_clusters(pairs).select("member_id", "kept_id", "is_kept")
-
-
-@query(
-    "text_quality_gate",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
-    m AS (
-      SELECT doc_id,
-             len(toks) AS n_tokens,
-             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-                 / greatest(length(text), 1) AS punct_ratio,
-             CAST(len(list_filter(toks, x -> list_contains(['the','of','and','to','in','is','a'], x))) AS DOUBLE)
-                 / greatest(len(toks), 1) AS stopword_ratio
-      FROM t
-    )
-    SELECT doc_id,
-           n_tokens BETWEEN 10 AND 5000
-             AND punct_ratio < 0.30
-             AND stopword_ratio >= 0.01 AS keep,
-           concat(
-             CASE WHEN n_tokens NOT BETWEEN 10 AND 5000 THEN 'length;' ELSE '' END,
-             CASE WHEN punct_ratio >= 0.30 THEN 'punct;' ELSE '' END,
-             CASE WHEN stopword_ratio < 0.01 THEN 'stopwords;' ELSE '' END
-           ) AS drop_reasons
-    FROM m
-    """,
-)
-def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed pretraining quality gate: length + punctuation + stopword
-    thresholds → keep/drop with stacked reason codes (errors-as-data, same
-    convention as the validation quarantine)."""
-    d = read_table(spark, sf_dir, "documents")
-    m = text.quality_metrics("text")
-    scored = d.select(
-        "doc_id",
-        m["n_tokens"].alias("n_tokens"),
-        m["punct_ratio"].alias("punct_ratio"),
-        m["stopword_ratio"].alias("stopword_ratio"),
-    )
-    bad_len = ~F.col("n_tokens").between(10, 5000)
-    bad_punct = F.col("punct_ratio") >= 0.30
-    bad_stop = F.col("stopword_ratio") < 0.01
-    return scored.select(
-        "doc_id",
-        (~bad_len & ~bad_punct & ~bad_stop).alias("keep"),
-        F.concat(
-            F.when(bad_len, "length;").otherwise(""),
-            F.when(bad_punct, "punct;").otherwise(""),
-            F.when(bad_stop, "stopwords;").otherwise(""),
-        ).alias("drop_reasons"),
-    )
-
-
-# KMV (k-minimum-values) distinct-count sketch size. With k=64 the
-# estimator's relative standard error is ~1/sqrt(k-2) ~ 12.7% — pytest
-# bounds it at 3 sigma vs the exact counts.
-_KMV_K = 64
-# Hash-sample 1-in-_QSAMPLE_MOD events (by event_id md5) for the quantile
-# estimates.
-_QSAMPLE_MOD = 4
-
-
-@query(
-    "approx_sketch_stats",
-    oracle=f"""
-    WITH h AS (
-      SELECT event_type, value,
-             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uh,
-             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS BIGINT) AS sh
-      FROM events
-    ),
-    kmv AS (
-      SELECT event_type, uh,
-             row_number() OVER (PARTITION BY event_type ORDER BY uh) AS rn
-      FROM (SELECT DISTINCT event_type, uh FROM h WHERE uh IS NOT NULL)
-    ),
-    est AS (
-      SELECT event_type,
-             round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
-                        ELSE {_KMV_K - 1} * pow(2.0, 60)
-                             / CAST(max(CASE WHEN rn = {_KMV_K} THEN uh END) AS DOUBLE)
-                   END, 4) AS approx_users
-      FROM kmv WHERE rn <= {_KMV_K} GROUP BY event_type
-    ),
-    ranked AS (
-      SELECT event_type, value,
-             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS nq
-      FROM h WHERE sh % {_QSAMPLE_MOD} = 0
-    ),
-    picks AS (
-      SELECT event_type,
-             CAST(1 AS DOUBLE) + (max(nq) - 1) * CAST(0.5 AS DOUBLE) AS x50,
-             CAST(1 AS DOUBLE) + (max(nq) - 1) * CAST(0.95 AS DOUBLE) AS x95,
-             max(CASE WHEN rn = CAST(floor(CAST(1 AS DOUBLE) + (nq - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN value END) AS lo50,
-             max(CASE WHEN rn = CAST(ceil(CAST(1 AS DOUBLE) + (nq - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN value END) AS hi50,
-             max(CASE WHEN rn = CAST(floor(CAST(1 AS DOUBLE) + (nq - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN value END) AS lo95,
-             max(CASE WHEN rn = CAST(ceil(CAST(1 AS DOUBLE) + (nq - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN value END) AS hi95
-      FROM ranked GROUP BY event_type
-    ),
-    q AS (
-      SELECT event_type,
-             round(lo50 + (hi50 - lo50) * (x50 - floor(x50)), 6) AS value_p50,
-             round(lo95 + (hi95 - lo95) * (x95 - floor(x95)), 6) AS value_p95
-      FROM picks
-    ),
-    n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
-    SELECT n.event_type, est.approx_users, q.value_p50, q.value_p95, n.n_events
-    FROM n JOIN est USING (event_type) LEFT JOIN q USING (event_type)
-    """,
-)
-def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates for 100 TB profiling, in the ENGINE-PORTABLE
-    sketch family so the external oracle attests the sketch math exactly
-    (VERDICT r6 #4 — the old HLL++/GK form was engine-specific and stuck
-    on the rows-only waiver):
-
-    - ``approx_users``: a KMV (k-minimum-values) distinct-count estimate —
-      hash each user to 60 uniform bits (md5, portable), keep the
-      k=_KMV_K (64) smallest distinct hashes per group, estimate
-      (k-1)/u_(k). O(k) state per group, mergeable (union the hash sets,
-      re-take the k smallest), and bit-reproducible on any engine —
-      unlike HLL++, whose register layout is engine-private.
-    - ``value_p50/p95``: exact interpolated percentiles over a
-      deterministic 1-in-_QSAMPLE_MOD (4) hash-sample of events (by
-      event_id md5) — the sample, not the estimator, is the
-      approximation, so both engines agree bit-for-bit. The quantile is
-      spelled as a SORT (rank window + pick the two straddling ranks +
-      percentile_cont interpolation) rather than a percentile aggregate:
-      a sort is a spillable shuffle, while ``percentile()``'s buffer
-      holds the whole group in executor memory — the unbounded-state
-      class VERDICT r6 #1 flagged (review r7). The sample modulus is the
-      cost knob. A group whose hash-sample is EMPTY keeps its row with
-      NULL percentiles (LEFT join — review r7).
-
-    Spark-NATIVE sketches stay first-class next to this: HLL++/GK in
-    ``sketch_hll_mergeable`` (rows-only + error-bound pytest), DataSketches
-    KLL/theta siblings, and the exact anchor ``sketch_exact_stats``.
-    pytest bounds this entry's estimates against the exact entry.
-
-    Plan shape: the KMV branch is one distinct + one k-bounded window per
-    group (at scale: partial top-k per partition then merge — no global
-    sort); the quantile branch sorts the 25% sample per group. No
-    corpus-scale aggregation buffers anywhere."""
-    ev = read_table(spark, sf_dir, "events")
-    h = ev.select(
-        "event_type",
-        "value",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("uh"),
-        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
-        .cast("long")
-        .alias("sh"),
-    )
-    # NULL user_id → NULL uh; Spark's ascending sort is NULLS FIRST while
-    # DuckDB's is NULLS LAST, so a NULL would both break oracle parity and
-    # waste a k-min slot — drop NULL hashes on BOTH engines (ADVICE r7).
-    w = Window.partitionBy("event_type").orderBy("uh")
-    kmv = (
-        h.select("event_type", "uh")
-        .where(F.col("uh").isNotNull())
-        .distinct()
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _KMV_K)
-    )
-    est = kmv.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("nk"),
-        F.max(F.when(F.col("rn") == _KMV_K, F.col("uh"))).alias("uhk"),
-    ).select(
-        "event_type",
-        F.round(
-            F.when(F.col("nk") < _KMV_K, F.col("nk").cast("double")).otherwise(
-                F.lit(float(_KMV_K - 1)) * F.lit(2.0**60) / F.col("uhk").cast("double")
-            ),
-            4,
-        ).alias("approx_users"),
-    )
-    wq = Window.partitionBy("event_type").orderBy("value")
-    ranked = h.where(F.col("sh") % _QSAMPLE_MOD == 0).select(
-        "event_type",
-        "value",
-        F.row_number().over(wq).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("nq"),
-    )
-
-    def x_of(p: float) -> F.Column:
-        return F.lit(1.0) + (F.col("nq") - 1) * F.lit(p)
-
-    picks = ranked.groupBy("event_type").agg(
-        (F.lit(1.0) + (F.max("nq") - 1) * F.lit(0.5)).alias("x50"),
-        (F.lit(1.0) + (F.max("nq") - 1) * F.lit(0.95)).alias("x95"),
-        F.max(F.when(F.col("rn") == F.floor(x_of(0.5)), F.col("value"))).alias("lo50"),
-        F.max(F.when(F.col("rn") == F.ceil(x_of(0.5)), F.col("value"))).alias("hi50"),
-        F.max(F.when(F.col("rn") == F.floor(x_of(0.95)), F.col("value"))).alias("lo95"),
-        F.max(F.when(F.col("rn") == F.ceil(x_of(0.95)), F.col("value"))).alias("hi95"),
-    )
-    q = picks.select(
-        "event_type",
-        F.round(
-            F.col("lo50")
-            + (F.col("hi50") - F.col("lo50")) * (F.col("x50") - F.floor(F.col("x50"))),
-            6,
-        ).alias("value_p50"),
-        F.round(
-            F.col("lo95")
-            + (F.col("hi95") - F.col("lo95")) * (F.col("x95") - F.floor(F.col("x95"))),
-            6,
-        ).alias("value_p95"),
-    )
-    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    return (
-        n.join(est, "event_type")
-        .join(q, "event_type", "left")
-        .select("event_type", "approx_users", "value_p50", "value_p95", "n_events")
-    )
-
-
-@query(
-    "sketch_kmv_setops",
-    oracle=f"""
-    WITH h AS (
-      SELECT event_type,
-             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uh
-      FROM events
-      WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL
-    ),
-    ka AS (SELECT uh FROM (SELECT DISTINCT uh FROM h WHERE event_type = 'click')
-           ORDER BY uh LIMIT {_KMV_K}),
-    kb AS (SELECT uh FROM (SELECT DISTINCT uh FROM h WHERE event_type = 'purchase')
-           ORDER BY uh LIMIT {_KMV_K}),
-    ku AS (SELECT uh FROM (SELECT DISTINCT uh FROM h)
-           ORDER BY uh LIMIT {_KMV_K}),
-    est AS (
-      SELECT
-        (SELECT round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
-                 ELSE {_KMV_K - 1} * pow(2.0, 60) / CAST(max(uh) AS DOUBLE) END, 4)
-         FROM ka) AS est_a,
-        (SELECT round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
-                 ELSE {_KMV_K - 1} * pow(2.0, 60) / CAST(max(uh) AS DOUBLE) END, 4)
-         FROM kb) AS est_b,
-        (SELECT round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
-                 ELSE {_KMV_K - 1} * pow(2.0, 60) / CAST(max(uh) AS DOUBLE) END, 4)
-         FROM ku) AS est_union
-    )
-    SELECT est_a, est_b, est_union,
-           round(est_a + est_b - est_union, 4) AS est_intersection,
-           (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS exact_a,
-           (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS exact_b
-    FROM est
-    """,
-)
-def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SET OPERATIONS on KMV sketches — the engine-PORTABLE face of
-    ``sketch_theta_setops`` (whose DataSketches Theta state is
-    engine-private and rows-only): estimate |clicks|, |purchases|, their
-    UNION (merge = union the k-minimum hash sets, re-take the k
-    smallest — here spelled directly over the unioned distinct hashes,
-    which is identical by construction), and their INTERSECTION by
-    inclusion–exclusion on the three estimates — the audience-overlap
-    question that distinct-count sketches exist for, answerable from
-    per-segment stored sketches without re-scanning. Every number is
-    deterministic md5/sort/double math, so the whole calculation replays
-    bit-for-bit in DuckDB; exact distincts ride along for the pytest
-    error bound. At 100 TB each branch is one distinct + a global k-min
-    spelled orderBy().limit(k) — TakeOrderedAndProject, i.e. partial
-    per-partition top-k merged on the driver (plan-asserted), never a
-    single-partition global sort or corpus-scale state."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("event_type").isin("click", "purchase")
-    )
-    # NULL user_id → NULL uh: Spark sorts NULLS FIRST vs DuckDB's NULLS
-    # LAST, and a NULL must not occupy a k-min slot — drop on both engines
-    # (ADVICE r7; mirrors approx_sketch_stats).
-    h = ev.where(F.col("user_id").isNotNull()).select(
-        "event_type",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("uh"),
-    )
-
-    def kmv_est(df, alias):
-        # Global k-min via orderBy(uh).limit(k): compiles to
-        # TakeOrderedAndProject — a partial per-partition top-k merged on
-        # the driver — NOT an unpartitioned rank window, which would move
-        # the whole distinct frame to a single partition before ranking
-        # (ADVICE r7; plan-asserted in test_plans). u_(k) is then simply
-        # max(uh) of the ≤k-row frame, so no window is needed at all.
-        km = df.select("uh").distinct().orderBy("uh").limit(_KMV_K)
-        return km.agg(
-            F.round(
-                F.when(
-                    F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)).cast("double")
-                ).otherwise(
-                    F.lit(float(_KMV_K - 1))
-                    * F.lit(2.0**60)
-                    / F.max("uh").cast("double")
-                ),
-                4,
-            ).alias(alias)
-        )
-
-    ea = kmv_est(h.where(F.col("event_type") == "click"), "est_a")
-    eb = kmv_est(h.where(F.col("event_type") == "purchase"), "est_b")
-    eu = kmv_est(h, "est_union")
-    exacts = ev.agg(
-        F.count_distinct(
-            F.when(F.col("event_type") == "click", F.col("user_id"))
-        ).alias("exact_a"),
-        F.count_distinct(
-            F.when(F.col("event_type") == "purchase", F.col("user_id"))
-        ).alias("exact_b"),
-    )
-    return (
-        ea.crossJoin(eb)
-        .crossJoin(eu)
-        .crossJoin(exacts)
-        .select(
-            "est_a",
-            "est_b",
-            "est_union",
-            F.round(
-                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
-            ).alias("est_intersection"),
-            "exact_a",
-            "exact_b",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Similarity search
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "ann_topk_bruteforce",
-    oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-    scored AS (
-      SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
-      FROM c JOIN q ON query_id <> neighbor_id
-    )
-    SELECT query_id, neighbor_id,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
-           round(cos, 4) AS cos_sim
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5
-    """,
-)
-def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for 10 query vectors — the ANN correctness
-    baseline (broadcast queries × corpus scan + per-query window)."""
-    e = read_table(spark, sf_dir, "embeddings")
-    return similarity.topk_bruteforce(
-        e, e.where(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5
-    )
-
-
-@query("ann_topk_lsh")  # PRNG-derived hyperplanes → rows-only check
-def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (multi-probe, exact re-rank); pytest
-    measures recall against the brute-force baseline."""
-    e = read_table(spark, sf_dir, "embeddings")
-    return similarity.topk_lsh(
-        e,
-        e.where(F.col("vec_id") < 10),
-        id_col="vec_id",
-        vec_col="embedding",
-        k=5,
-    )
-
-
-@query(
-    "ann_topk_lsh_portable",
-    oracle=f"""
-    WITH emb AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    planes AS (
-      SELECT j, d,
-             CAST(CAST(('0x' || substr(md5('p' || CAST(j AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
-               / pow(2.0, 60) - 0.5 AS w
-      FROM range(0, 32) tj(j), range(0, 64) td(d)
-    ),
-    proj AS (
-      SELECT e.vec_id, p.j,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                      list(e.v[p.d + 1] * p.w ORDER BY p.d)),
-                         (a, x) -> a + x) AS s
-      FROM emb e, planes p
-      GROUP BY e.vec_id, p.j
-    ),
-    sig AS (
-      SELECT vec_id,
-             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT)
-                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sg
-      FROM proj GROUP BY vec_id
-    ),
-    cb AS (
-      SELECT g.vec_id AS neighbor_id, t.t AS tab,
-             (g.sg >> CAST(4 * t.t AS INT)) & 15 AS bucket
-      FROM sig g, range(0, 8) t(t)
-    ),
-    qp AS (
-      SELECT g.vec_id AS query_id, t.t AS tab,
-             CASE WHEN pr.i = 0 THEN (g.sg >> CAST(4 * t.t AS INT)) & 15
-                  ELSE xor((g.sg >> CAST(4 * t.t AS INT)) & 15,
-                           CAST(1 AS BIGINT) << CAST(pr.i - 1 AS INT)) END AS bucket
-      FROM sig g, range(0, 8) t(t), range(0, 5) pr(i)
-      WHERE g.vec_id < 10
-    ),
-    cand AS (
-      SELECT DISTINCT q.query_id, c.neighbor_id
-      FROM qp q JOIN cb c ON q.tab = c.tab AND q.bucket = c.bucket
-      WHERE q.query_id <> c.neighbor_id
-    ),
-    scored AS (
-      SELECT ca.query_id, ca.neighbor_id,
-             {_cos_sql('qe.embedding', 'ne.embedding')} AS cos
-      FROM cand ca
-      JOIN embeddings qe ON qe.vec_id = ca.query_id
-      JOIN embeddings ne ON ne.vec_id = ca.neighbor_id
-    )
-    SELECT query_id, neighbor_id,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
-           round(cos, 4) AS cos_sim
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5
-    """,
-)
-def ann_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE-ATTESTED face of the multi-table LSH ANN search: identical
-    bucketing machinery to ``ann_topk_lsh`` (8 tables × 4 bits, Hamming≤1
-    multi-probe, dedup, exact re-rank) but the hyperplanes derive from
-    md5 (the Bloom/KMV md5-uniform trick) and each projection accumulates
-    as a STRICT LEFT FOLD (`similarity.lsh_signature_portable`), so the
-    ENTIRE pipeline — planes, sign bits, buckets, probes, candidate set,
-    re-rank, ranking — is replayed bit-for-bit by the DuckDB oracle. The
-    PRNG-planes production variant stays registered (`ann_topk_lsh`,
-    rows-only + recall pytest — an oracle replaying an approximation
-    cannot prove recall; this entry instead proves the MACHINERY end to
-    end externally, the same sibling split as dedup_simhash /
-    dedup_simhash_verified)."""
-    e = read_table(spark, sf_dir, "embeddings")
-    return similarity.topk_lsh(
-        e,
-        e.where(F.col("vec_id") < 10),
-        id_col="vec_id",
-        vec_col="embedding",
-        k=5,
-        signature="md5",
-    )
-
-
-def _ivf_portable_oracle() -> str:
-    from ibc_spark.ext.foldspec import (
-        _FOLD_B,
-        _FOLD_BUCKETS,
-        _FOLD_PARTIAL,
-        _KM_DIM,
-        _KM_DIST,
-        _km_assign_sql,
-    )
-
-    qdist = _KM_DIST.format(a="e.v", b="c.cv")
-    return f"""
-    WITH emb AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    trn AS (SELECT * FROM emb WHERE vec_id % 5 = 0),
-    c0 AS (SELECT vec_id AS cid, v AS cv FROM trn ORDER BY vec_id LIMIT 16),
-    {_km_assign_sql("c0", "a1", src="trn")},
-    p1 AS (
-      SELECT cid, i AS pos, vec_id // {_FOLD_B} AS bkt,
-             {_FOLD_PARTIAL.format(val="v[i]")} AS psum, count(*) AS pn
-      FROM a1, generate_series(1, {_KM_DIM}) t(i)
-      GROUP BY cid, pos, bkt
-    ),
-    m1 AS (
-      SELECT cid, pos,
-             {_FOLD_BUCKETS.format(val="psum")} / CAST(sum(pn) AS BIGINT) AS mu
-      FROM p1 GROUP BY cid, pos
-    ),
-    c1 AS (SELECT cid, list(mu ORDER BY pos) AS cv FROM m1 GROUP BY cid),
-    {_km_assign_sql("c1", "a2")},
-    qd AS (
-      SELECT e.vec_id AS query_id, c.cid, {qdist} AS dist
-      FROM emb e, c1 c
-      WHERE e.vec_id < 10
-    ),
-    qp AS (
-      SELECT query_id, cid FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS rn
-        FROM qd
-      ) WHERE rn <= 6
-    ),
-    cand AS (
-      SELECT q.query_id, a.vec_id AS neighbor_id
-      FROM qp q JOIN a2 a ON a.cid = q.cid
-      WHERE a.vec_id <> q.query_id
-    ),
-    scored AS (
-      SELECT ca.query_id, ca.neighbor_id,
-             {_cos_sql('qe.embedding', 'ne.embedding')} AS cos
-      FROM cand ca
-      JOIN embeddings qe ON qe.vec_id = ca.query_id
-      JOIN embeddings ne ON ne.vec_id = ca.neighbor_id
-    )
-    SELECT query_id, neighbor_id,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
-           round(cos, 4) AS cos_sim
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5
-    """
-
-
-@query("ann_topk_ivf_portable", oracle=_ivf_portable_oracle())
-def ann_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE-ATTESTED face of the IVF ANN search, completing the family
-    (brute force, portable-LSH, and now portable-IVF all under the full
-    hash-check): the coarse quantizer is the repo's fold-exact Lloyd
-    trainer (`km_train`: 16 centroids, one update, trained on the
-    vec_id % 5 hash-sample with bounded two-level folds), corpus rows
-    land in their nearest cell by the same deterministic L2 argmin the
-    k-means entries use, each query probes its 6 nearest cells, and
-    candidates re-rank by exact cosine — every stage replayed bit-for-bit
-    in DuckDB. The numpy-trained production variant stays registered
-    (`ann_topk_ivf`, rows-only + recall pytest + full-probe==exact):
-    the oracle attests the MACHINERY, the pytests attest recall."""
-    from ibc_spark.ext.persistreg import persist_tracked
-    from ibc_spark.registry_lakehouse import km_assign, km_train
-
-    e = read_table(spark, sf_dir, "embeddings")
-    emb = e.select(
-        "vec_id",
-        "embedding",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    # the 16-row centroid frame feeds BOTH the corpus assignment and the
-    # query-probe ranking — persist it or the whole Lloyd training chain
-    # re-executes per consumer (measured 3.6 s -> 2.7 s at sf0.1)
-    cents = persist_tracked(km_train(emb.select("vec_id", "v"), k=16, sample_mod=5))
-    cells = km_assign(emb.select("vec_id", "v"), cents).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("cell")
-    )
-    corpus = cells.join(
-        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")),
-        "neighbor_id",
-    )
-    qd = (
-        emb.where(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("query_id"), "v", "embedding")
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "query_id",
-            F.col("embedding").alias("q_vec"),
-            "cid",
-            F.aggregate(
-                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ).alias("dist"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy("dist", "cid")
-    qp = (
-        qd.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 6)
-        .select("query_id", "q_vec", F.col("cid").alias("cell"))
-    )
-    cands = corpus.join(F.broadcast(qp), "cell").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = cands.withColumn(
-        "cos", dedup.cosine_fast(F.col("q_vec"), F.col("c_vec"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_sim"))
-    )
-
-
-@query("ann_topk_ivf")  # sample-trained quantizer → rows-only check
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-indexed approximate top-5 (k-means coarse quantizer trained on a
-    bounded fixed-seed sample, nprobe cells probed per query, exact
-    re-rank); pytest measures recall against the brute-force baseline."""
-    e = read_table(spark, sf_dir, "embeddings")
-    return similarity.topk_ivf(
-        e,
-        e.where(F.col("vec_id") < 10),
-        id_col="vec_id",
-        vec_col="embedding",
-        k=5,
-        n_centroids=16,
-        nprobe=6,
-    )
-
-
-# ---------------------------------------------------------------------------
-# Multimodal plumbing
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "multimodal_features",
-    oracle="""
-    WITH t AS (SELECT doc_id, octet_length(encode(substring(text, 1, 64))) AS byte_len,
-                      ascii(substring(text, 1, 1)) AS head_byte
-               FROM documents)
-    SELECT doc_id, byte_len, head_byte,
-           array_to_string(list_transform(range(1, 9), i -> CAST((byte_len * i) % 97 AS INT)), ',')
-             AS fake_embedding_csv
-    FROM t
-    """,
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column attach + Arrow-batched mapInPandas feature extraction
-    (deterministic fake decode — the codec seam is stubbed, the Spark
-    plumbing is real and hash-checked). The embedding values are exact
-    small integers stored as floats; the query surface serializes them to
-    a CSV of ints so the driver's scalar-only canonicalizer can hash them
-    (the array form stays available via :func:`multimodal.extract_features`)."""
-    d = read_table(spark, sf_dir, "documents")
-    feats = multimodal.extract_features(multimodal.attach_binary(d))
-    return feats.select(
-        "doc_id",
-        "byte_len",
-        "head_byte",
-        F.array_join(
-            F.transform("fake_embedding", lambda x: x.cast("int").cast("string")), ","
-        ).alias("fake_embedding_csv"),
-    )
-
-
-@query(
-    "multimodal_frame_sample",
-    oracle="""
-    WITH t AS (SELECT doc_id, encode(substring(text, 1, 64)) AS payload FROM documents),
-    f AS (SELECT doc_id, hex(payload) AS payload_hex,
-                 greatest(octet_length(payload) - 8, 0) AS span FROM t)
-    SELECT doc_id, frame_idx,
-           CAST((span * frame_idx) // 2 AS BIGINT) AS frame_offset,
-           substring(payload_hex, CAST((span * frame_idx) // 2 AS BIGINT) * 2 + 1, 16) AS frame_hex
-    FROM f CROSS JOIN (VALUES (0), (1), (2)) AS fi(frame_idx)
-    """,
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: 1:N mapInPandas fan-out of evenly-spaced byte
-    windows per media payload (the keyframe-extraction shape; codec seam
-    stubbed, offsets + bytes hash-checked via hex)."""
-    d = read_table(spark, sf_dir, "documents")
-    frames = multimodal.sample_frames(
-        multimodal.attach_binary(d), n_frames=3, frame_size=8
-    )
-    return frames.select(
-        "doc_id",
-        "frame_idx",
-        "frame_offset",
-        F.hex("frame_bytes").alias("frame_hex"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Dataset assembly (ext.datapipe): splits, vocabulary, packing
-# ---------------------------------------------------------------------------
-
-from ibc_spark.ext import datapipe  # noqa: E402
-
-
-@query(
-    "split_train_val_test",
-    oracle="""
-    WITH b AS (
-      SELECT n_chars,
-             ((doc_id % 2147483648 + 2147483648) % 2147483648
-              * 2654435761) % 4294967296 % 100 AS bucket
-      FROM documents
-    )
-    SELECT CASE WHEN bucket < 90 THEN 'train'
-                WHEN bucket < 95 THEN 'val'
-                ELSE 'test' END AS split,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM b
-    GROUP BY 1
-    """,
-)
-def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 90/5/5 corpus split via a multiplicative hash of
-    doc_id — stateless (no sampling, no shuffle for the assignment itself),
-    stable across runs and engines, leakage-safe for rows sharing a key.
-    Summarized per split for the hash check."""
-    d = read_table(spark, sf_dir, "documents")
-    return (
-        datapipe.hash_split(d, "doc_id", (("train", 90), ("val", 5), ("test", 5)))
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-    )
-
-
-@query(
-    "vocab_top_terms",
-    oracle=f"""
-    SELECT term, COUNT(*) AS term_count, COUNT(DISTINCT doc_id) AS doc_freq
-    FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
-    GROUP BY term
-    ORDER BY term_count DESC, term
-    LIMIT 100
-    """,
-)
-def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-100 vocabulary with collection frequency and document
-    frequency. Explode → partial agg → TakeOrdered; the tie-break on term
-    makes the top-k deterministic across engines."""
-    d = read_table(spark, sf_dir, "documents")
-    return datapipe.vocab_topk(d, text.tokens("text"), k=100)
-
-
-@query(
-    "tfidf_top_terms",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
-    ),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term, tf.tf,
-             round(CAST(tf.tf AS DOUBLE)
-                   * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
-      FROM tf JOIN dfreq USING (term) CROSS JOIN n
-    )
-    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
-    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                                       ORDER BY tfidf DESC, term) AS rn
-          FROM scored)
-    WHERE rn <= 3
-    """,
-)
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 characteristic terms per document by smoothed TF-IDF —
-    keyword extraction over the corpus. One explode shuffle; document
-    frequencies derive from the (doc, term) aggregate; df and N broadcast."""
-    d = read_table(spark, sf_dir, "documents")
-    return datapipe.tfidf_top_terms(d, text.tokens("text"), doc_id="doc_id", k=3)
-
-
-@query(
-    "pack_token_budget_bins",
-    oracle=f"""
-    WITH toks AS (
-      SELECT source, doc_id, len({_TOKS}) AS n_tokens FROM documents
-    ),
-    binned AS (
-      SELECT source, n_tokens,
-             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         - n_tokens) / 512.0) AS BIGINT) AS bin_id
-      FROM toks
-    )
-    SELECT source, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
-    FROM binned
-    GROUP BY source, bin_id
-    """,
-)
-def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing by token offset: documents are binned into ~512-
-    token packs in corpus order per source (bin = floor(exclusive prefix
-    sum / budget)), then summarized per bin. One shuffle on source; the
-    running sum streams each group in sorted order."""
-    d = read_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", text.token_count("text").alias("n_tokens")
-    )
-    packed = datapipe.pack_by_token_budget(
-        d, group="source", order="doc_id", n_tokens=F.col("n_tokens"), budget=512
-    )
-    return packed.groupBy("source", "bin_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("bin_tokens"),
-    )
-
-
-@query(
-    "chunk_token_windows",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    w AS (
-      SELECT doc_id, toks,
-             CASE WHEN len(toks) <= 0 THEN 0
-                  ELSE CAST(floor((greatest(len(toks) - 12, 0) + 4) / 5) AS BIGINT) + 1
-             END AS n_windows
-      FROM t
-    )
-    SELECT doc_id,
-           unnest(range(0, n_windows)) AS chunk_idx,
-           array_to_string(list_slice(toks, unnest(range(0, n_windows)) * 5 + 1,
-                                            unnest(range(0, n_windows)) * 5 + 12), ' ')
-             AS chunk_text,
-           CAST(len(list_slice(toks, unnest(range(0, n_windows)) * 5 + 1,
-                                     unnest(range(0, n_windows)) * 5 + 12)) AS BIGINT)
-             AS n_chunk_tokens
-    FROM w
-    """,
-)
-def chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking: 12-token windows at stride 5 (overlapping),
-    trailing tokens kept in a short final window. Narrow explode — zero
-    shuffle; RAG indexing / long-doc training preprocessing shape.
-
-    Tokens are whitespace-split, so rejoining with a single space is a
-    lossless serialization — used because the driver's canonicalizer
-    hashes scalar cells only (the array form stays available via
-    :func:`datapipe.chunk_token_windows`)."""
-    d = read_table(spark, sf_dir, "documents")
-    chunks = datapipe.chunk_token_windows(
-        d, id_col="doc_id", tokens_col=text.tokens("text"), chunk_size=12, stride=5
-    )
-    return chunks.select(
-        "doc_id",
-        "chunk_idx",
-        F.array_join("chunk_tokens", " ").alias("chunk_text"),
-        "n_chunk_tokens",
-    )
-
-
-@query(
-    "mix_corpus_epochs",
-    oracle="""
-    SELECT doc_id, source,
-           unnest(range(0, CASE source WHEN 'src0' THEN 3
-                                       WHEN 'src1' THEN 0
-                                       ELSE 1 END)) AS epoch
-    FROM documents
-    """,
-)
-def mix_corpus_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixture weighting by epoch counts: src0 upsampled 3x, src1 dropped,
-    everything else 1 epoch — the deterministic replicate-with-epoch-id
-    explode a training run feeds its shuffler (zero shuffle here)."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
-    return datapipe.mix_epochs(
-        d, stratum="source", epochs={"src0": 3, "src1": 0}, default_epochs=1
-    )
-
-
-@query(
-    "text_repetition_metrics",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
-    ),
-    counts AS (
-      SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term
-    ),
-    per_doc AS (
-      SELECT doc_id,
-             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-             COUNT(*) AS n_distinct,
-             MAX(cnt) AS top_cnt
-      FROM counts GROUP BY doc_id
-    )
-    SELECT doc_id, n_tokens,
-           CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-               AS dup_token_frac,
-           CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac
-    FROM per_doc
-    """,
-)
-def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality signals per document: the fraction
-    of tokens that are repeats of an earlier token and the share of the
-    single most frequent token. Explode → (doc, term) partial count →
-    per-doc rollup: two map-side-combining aggregations on the same doc_id
-    key (AQE coalesces them into one shuffle's worth of group-level rows),
-    instead of an O(n²) per-row higher-order-function scan — the shape that
-    survives book-length documents at 100 TB."""
-    d = read_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(text.tokens("text")).alias("term"))
-    counts = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    per_doc = counts.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("cnt").alias("top_cnt"),
-    )
-    nt = F.col("n_tokens").cast("double")
-    return per_doc.select(
-        "doc_id",
-        "n_tokens",
-        ((F.col("n_tokens") - F.col("n_distinct")).cast("double") / nt).alias(
-            "dup_token_frac"
-        ),
-        (F.col("top_cnt").cast("double") / nt).alias("top_token_frac"),
-    )
-
-
-@query(
-    "text_pii_scrub",
-    oracle="""
-    WITH seeded AS (
-      SELECT doc_id,
-             text || ' contact ' || source || '@example.com or 555-123-4567'
-                 AS seeded_text
-      FROM documents
-    )
-    SELECT doc_id,
-           len(regexp_extract_all(seeded_text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-             + len(regexp_extract_all(seeded_text, '\\d{3}-\\d{3}-\\d{4}'))
-               AS n_redactions,
-           regexp_replace(
-             regexp_replace(seeded_text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS scrubbed
-    FROM seeded
-    """,
-)
-def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction over text: emails and phone-shaped numbers replaced by
-    typed placeholders, with a per-document redaction count. The testdata
-    corpus is synthetic word-soup, so deterministic PII is seeded into each
-    row first — the parity check then proves the Java-regex and RE2 engines
-    scrub identically. Pure projection: runs inside the scan's codegen
-    stage, no shuffle (patterns kept to RE2-safe syntax; see
-    ``ext.text.EMAIL_RE``)."""
-    d = read_table(spark, sf_dir, "documents")
-    seeded = F.concat(
-        F.col("text"),
-        F.lit(" contact "),
-        F.col("source"),
-        F.lit("@example.com or 555-123-4567"),
-    )
-    return d.select(
-        "doc_id",
-        text.pii_redaction_count(seeded).alias("n_redactions"),
-        text.pii_scrub(seeded).alias("scrubbed"),
-    )
-
-
-@query(
-    "sample_stratified",
-    oracle="""
-    SELECT doc_id, lang
-    FROM documents
-    WHERE ((doc_id % 2147483648 + 2147483648) % 2147483648
-           * 2654435761) % 4294967296 % 100
-          < CASE lang WHEN 'en' THEN 10 ELSE 50 END
-    """,
-)
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus mixing via deterministic stratified sampling: downsample the
-    dominant language to 10% while keeping 50% of everything else. The
-    keep/drop decision is the same engine-independent multiplicative hash
-    as ``split_train_val_test`` — stateless, zero-shuffle, reproducible,
-    and consistent with the split assignment (no resurrected drops)."""
-    d = read_table(spark, sf_dir, "documents")
-    rates = {"de": 50, "es": 50, "fr": 50, "zh": 50}
-    return datapipe.stratified_sample(
-        d, "doc_id", "lang", {"en": 10, **rates}, default_pct=50
-    ).select("doc_id", "lang")
-
-
-@query(
-    "quota_per_source",
-    oracle="""
-    SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
-    FROM (
-      SELECT source, doc_id,
-             row_number() OVER (
-               PARTITION BY source
-               ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
-             ) AS rn
-      FROM documents
-    )
-    WHERE rn <= 25
-    """,
-)
-def quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain quota sampling: keep a deterministic 25-doc quota per
-    source (the crawl-balancing step that stops one giant domain from
-    dominating a training mix). Two-phase skew-safe plan — per-group
-    counts broadcast back, stateless hash pre-filter to ~k*safety rows
-    per group, exact rank on the survivors; the oracle's naive global
-    window proves the pre-filter drops nothing at test scale (see
-    ``datapipe.quota_per_group``)."""
-    d = read_table(spark, sf_dir, "documents")
-    return datapipe.quota_per_group(d, group_col="source", id_col="doc_id", k=25)
-
-
-@query(
-    "assign_training_shards",
-    oracle="""
-    SELECT ((doc_id % 2147483648) * 2654435761) % 4294967296 % 16 AS shard,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def assign_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 16-way shard assignment + per-shard size audit — the
-    step before a partitioned training-data write (`repartition(n, shard)`
-    + `partitionBy(shard)` gives balanced, reproducible output files).
-    Stateless arithmetic hash, one map-side-combining aggregate."""
-    d = read_table(spark, sf_dir, "documents")
-    sharded = datapipe.assign_shards(d, key_col="doc_id", n_shards=16)
-    return sharded.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-
-
-@query(
-    "text_normalize",
-    oracle=r"""
-    SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-                               '\s+', ' ', 'g')) AS norm_text,
-           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-                                           '\s+', ' ', 'g'))) AS BIGINT) AS n_norm_chars
-    FROM documents
-    """,
-)
-def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical text normalization (lowercase, strip punctuation, collapse
-    whitespace) — the shared preprocessing for dedup keys, fingerprints and
-    tokenizer input. Pure projection in scan codegen; zero shuffle."""
-    d = read_table(spark, sf_dir, "documents")
-    norm = text.normalize("text")
-    return d.select(
-        "doc_id",
-        norm.alias("norm_text"),
-        F.length(norm).cast("long").alias("n_norm_chars"),
-    )
-
-
-@query(
-    "corpus_dedup_materialize",
-    oracle=f"""
-    WITH RECURSIVE
-    emb AS ({_PLANT_SQL}),
-    pairs AS ({_PLANTED_PAIRS}),
-    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
-    reach(a, b) AS (
-      SELECT u, u FROM sym
-      UNION
-      SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
-    ),
-    labels AS (SELECT a AS member_id, min(b) AS kept_id FROM reach GROUP BY a)
-    SELECT d.doc_id, d.source, d.n_chars
-    FROM documents d
-    WHERE d.doc_id NOT IN (SELECT member_id FROM labels WHERE member_id <> kept_id)
-    """,
-)
-def corpus_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end semantic dedup MATERIALIZATION: emit the cleaned corpus
-    itself, not just the dup report — documents whose embedding is a
-    near-dup (cosine ≥ 0.9) of a lower-id document are dropped; cluster
-    canonicals and never-paired docs survive. Dup pairs are planted by the
-    ``_PLANT_SQL`` fixture so the drop set is non-trivial at oracle SF.
-
-    Pipeline shape at scale: candidate pairs via UNBLOCKED banded
-    hyperplane LSH + exact cosine verify (``dedup.embedding_lsh_pairs`` —
-    band equi-joins, nothing quadratic in the corpus) → connected
-    components (iterative min-label, ``ext.graph``) → non-canonical member
-    ids (small: one row per dropped doc) → LEFT ANTI join against the full
-    corpus. The anti join broadcasts the drop list when it fits; the
-    corpus is never collected or re-shuffled."""
-    from ibc_spark.ext.graph import dedup_clusters
-
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = _planted_lsh_pairs(spark, sf_dir)
-    drop = (
-        dedup_clusters(pairs)
-        .where(~F.col("is_kept"))
-        .select(F.col("member_id").alias("doc_id"))
-    )
-    return docs.join(F.broadcast(drop), on="doc_id", how="left_anti").select(
-        "doc_id", "source", "n_chars"
-    )
-
-
-@query(
-    "dedup_exact_content_sha",
-    oracle="""
-    SELECT sha256(text) AS content_sha,
-           min(doc_id) AS kept_id,
-           count(*) AS group_size
-    FROM documents
-    GROUP BY sha256(text)
-    """,
-)
-def dedup_exact_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact full-content dedup on a SHA-256 content address — the
-    byte-identical-document pass that runs before any fuzzy method (and
-    the key a content-addressed store dedups on). One hash groupBy — a
-    single shuffle whose keys are 64-char digests, so the shuffle carries
-    no document bodies; collision probability is cryptographically nil,
-    making min-id canonical selection deterministic at any scale."""
-    d = read_table(spark, sf_dir, "documents")
-    return d.groupBy(F.sha2(F.col("text"), 256).alias("content_sha")).agg(
-        F.min("doc_id").alias("kept_id"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
-
-
-@query(
-    "bm25_keyword_search",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
-    stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
-    tf AS (
-      SELECT doc_id, term, count(*) AS tf
-      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
-      WHERE term IN ('model', 'data', 'training')
-      GROUP BY doc_id, term
-    ),
-    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id,
-             sum(
-               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-               * (tf.tf * 2.2)
-               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
-             ) AS score
-      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY tf.doc_id
-    )
-    SELECT doc_id, round(score, 4) AS bm25
-    FROM scored
-    ORDER BY round(score, 4) DESC, doc_id
-    LIMIT 20
-    """,
-)
-def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
-    the lexical side of hybrid search over a training corpus.
-
-    Plan shape: tokenize → explode → FILTER TO QUERY TERMS BEFORE the
-    (doc, term) count (the filter reaches the explode, so the one shuffle
-    carries only query-term postings, not the whole corpus vocabulary);
-    document frequency is a term-window COUNT over that tiny aggregate;
-    N and avgdl are a one-row broadcast; final top-20 compiles to
-    TakeOrderedAndProject. Sums are per-(doc,term) single values folded in
-    doubles in deterministic term order short of reordering — the
-    defensive round(4) plus ≤3 summands keeps both engines identical."""
-    from pyspark.sql import Window
-
-    terms = ["model", "data", "training"]
-    d = read_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", text.tokens("text").alias("t"))
-    dl = toks.select("doc_id", F.size("t").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-    )
-    tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
-        .where(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    wdf = Window.partitionBy("term")
-    scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
-        .join(dl, on="doc_id")
-        .join(F.broadcast(stats))
-        .withColumn(
-            "part",
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-            )
-            * (F.col("tf") * 2.2)
-            / (
-                F.col("tf")
-                + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("part").alias("score"))
-    )
-    return (
-        scored.select("doc_id", F.round("score", 4).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
-    )
-
-
-@query(
-    "split_leakage_safe",
-    oracle=f"""
-    WITH RECURSIVE
-    emb AS ({_PLANT_SQL}),
-    pairs AS ({_PLANTED_PAIRS}),
-    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
-    reach(a, b) AS (
-      SELECT u, u FROM sym
-      UNION
-      SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
-    ),
-    labels AS (SELECT a AS member_id, min(b) AS kept_id FROM reach GROUP BY a),
-    keyed AS (
-      SELECT d.doc_id, coalesce(l.kept_id, d.doc_id) AS split_key
-      FROM documents d LEFT JOIN labels l ON d.doc_id = l.member_id
-    )
-    SELECT doc_id, split_key,
-           CASE WHEN ((split_key % 2147483648) * 2654435761) % 4294967296 % 100 < 90
-                  THEN 'train'
-                WHEN ((split_key % 2147483648) * 2654435761) % 4294967296 % 100 < 95
-                  THEN 'val'
-                ELSE 'test' END AS split
-    FROM keyed
-    """,
-)
-def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe train/val/test split: every document is hashed on its
-    near-dup CLUSTER CANONICAL id (its own id when unclustered), so
-    near-duplicate documents can never straddle the train/test boundary —
-    the contamination guard a pretraining pipeline needs on top of a plain
-    hash split (a test doc whose near-twin sits in train is a leaked
-    answer).
-
-    Plan: dup clusters (UNBLOCKED banded-LSH pairs with exact cosine
-    verify → iterative components, both already-scaled ops; pairs planted
-    by the ``_PLANT_SQL`` fixture) produce a SMALL (member, canonical)
-    relabel map — one row per clustered doc — broadcast LEFT-joined onto
-    the corpus; the split decision stays the stateless multiplicative hash
-    of ``ext.datapipe.hash_split``, so unclustered docs (the vast
-    majority) keep their plain-split assignment and the relabel map is the
-    only addition."""
-    from ibc_spark.ext.graph import dedup_clusters
-
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = _planted_lsh_pairs(spark, sf_dir)
-    labels = dedup_clusters(pairs).select("member_id", "kept_id")
-    keyed = docs.join(
-        F.broadcast(labels), docs["doc_id"] == labels["member_id"], "left"
-    ).select(
-        "doc_id", F.coalesce("kept_id", "doc_id").alias("split_key")
-    )
-    bucket = datapipe.hash_bucket(F.col("split_key"), 100)
-    return keyed.select(
-        "doc_id",
-        "split_key",
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 5: oracle-verifiable simhash sibling, corpus mixing/sampling,
-# range similarity search, percentile length trim
-# ---------------------------------------------------------------------------
-
-@query(
-    "dedup_simhash_verified",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-    h AS (
-      SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT) AS h
-      FROM tok
-    ),
-    bits AS (SELECT doc_id, {_B_SUMS} FROM h GROUP BY doc_id),
-    sh AS (SELECT doc_id, {_B_ASSEMBLE} AS simhash FROM bits)
-    SELECT simhash, min(doc_id) AS kept_id, count(*) AS group_size
-    FROM sh GROUP BY simhash
-    """,
-)
-def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE-VERIFIABLE SimHash sibling of ``dedup_simhash``: same
-    signature-groupBy dedup shape, but the per-token hash is the first 16
-    bits of md5 — expressible identically in any engine — instead of
-    xxhash64 (which DuckDB lacks, forcing the production entry onto the
-    rows-only check). Bit i of the signature is set iff the ±1 votes of
-    that bit across the document's token multiset sum positive.
-
-    Plan: explode tokens → 16 codegen CASE sums in ONE map-side-combining
-    groupBy (no UDF, no second shuffle for the signature assembly) → hash
-    groupBy on the signature. Same two-shuffle cost at 100 TB as the
-    xxhash64 form; md5-vs-xxhash only changes per-token CPU constant."""
-    d = read_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(text.tokens("text")).alias("term")
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(_SIMHASH_BITS)
-        ]
-    )
-    assemble = None
-    for i in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        assemble = term if assemble is None else assemble + term
-    per_doc = sums.select("doc_id", assemble.cast("long").alias("simhash"))
-    return per_doc.groupBy("simhash").agg(
-        F.min("doc_id").alias("kept_id"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
-
-
-@query(
-    "mix_temperature_weights",
-    oracle="""
-    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-    z AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z FROM c)
-    SELECT source, n_docs,
-           round(pow(CAST(n_docs AS DOUBLE), 0.7) / z, 6) AS weight
-    FROM c CROSS JOIN z
-    """,
-)
-def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled source mixing (alpha=0.7): per-source sampling
-    weight proportional to n^alpha, the standard multilingual/multi-source
-    rebalancing rule (upweights small sources relative to raw proportions;
-    alpha=1 is proportional, alpha=0 uniform).
-
-    Plan: ONE corpus scan into a map-side-combining count per source; the
-    normalizer is an unpartitioned window SUM over that tiny aggregate
-    (O(sources) rows in one task — fine precisely because the aggregate
-    is tiny), so the corpus is never scanned or shuffled twice. Doubles
-    cross engines: pow/sum agree to ulps over O(sources) terms; round(6)
-    absorbs them."""
-    from pyspark.sql import Window
-
-    d = read_table(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    pw = F.pow(F.col("n_docs").cast("double"), F.lit(0.7))
-    z = F.sum(pw).over(Window.partitionBy())
-    return counts.select(
-        "source", "n_docs", F.round(pw / z, 6).alias("weight")
-    )
-
-
-@query(
-    "sample_weighted_topk",
-    oracle="""
-    WITH keyed AS (
-      SELECT doc_id, n_chars,
-             pow(
-               (CAST((doc_id % 2147483648 + 2147483648) % 2147483648
-                     * 2654435761 % 4294967296 AS DOUBLE) + 0.5) / 4294967296,
-               1.0 / CAST(n_chars AS DOUBLE)
-             ) AS es_key
-      FROM documents
-    )
-    SELECT doc_id, n_chars, round(es_key, 6) AS es_key
-    FROM keyed
-    ORDER BY keyed.es_key DESC, doc_id
-    LIMIT 25
-    """,
-)
-def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling WITHOUT replacement
-    (Efraimidis-Spirakis): each doc draws u from the stateless id hash
-    (mapped into (0,1)) and ranks by u^(1/weight); the top-k by that key
-    is an exact weight-proportional sample. Weight here = n_chars
-    (favor longer documents), k=25.
-
-    Plan: stateless per-row arithmetic + TakeOrderedAndProject — no
-    shuffle, no RNG state; reproducible across runs/engines, which is the
-    property a distributed weighted sampler needs (seeded partition RNGs
-    reshuffle results whenever partitioning changes). The ORDER is on the
-    raw double key (ties are measure-zero); round(6) only formats the
-    reported key."""
-    from ibc_spark.ext.datapipe import hash_u32
-
-    d = read_table(spark, sf_dir, "documents")
-    u = (hash_u32(F.col("doc_id")).cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
-    keyed = d.select(
-        "doc_id",
-        "n_chars",
-        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")).alias("es_key"),
-    )
-    return (
-        keyed.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
-        .limit(25)
-        .select("doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
-    )
-
-
-@query(
-    "ann_range_search",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT a.vec_id, round({_cos_sql('a.embedding', 'q.qv')}, 4) AS cos_sim
-    FROM embeddings a CROSS JOIN q
-    WHERE {_cos_sql('a.embedding', 'q.qv')} >= 0.2 AND a.vec_id <> 0
-    """,
-)
-def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE similarity search: every vector within cosine radius (>= 0.2)
-    of a query vector — the fixed-radius companion to top-k retrieval
-    (radius queries power dedup-at-ingest and recall-bounded filtering).
-
-    Plan: the one-row query vector broadcasts onto a single corpus scan;
-    scoring is one vectorized Arrow kernel pass; the radius filter
-    prunes before any shuffle (there is none — output is the hit list).
-    Brute force IS the scale baseline here; the LSH/IVF variants
-    (`ann_topk_lsh`/`ann_topk_ivf`) show the bucketed path when scans
-    dominate."""
-    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    scored = e.join(F.broadcast(q)).withColumn(
-        "cos", dedup.cosine_fast(F.col("embedding"), F.col("qv"))
-    )
-    return (
-        scored.where((F.col("cos") >= 0.2) & (F.col("vec_id") != 0))
-        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
-    )
-
-
-@query(
-    "docs_length_trim_percentile",
-    oracle="""
-    WITH pr AS (
-      SELECT doc_id, source, n_chars,
-             percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
-      FROM documents
-    )
-    SELECT doc_id, source, n_chars, round(pr, 6) AS pr
-    FROM pr WHERE pr.pr >= 0.05 AND pr.pr <= 0.95
-    """,
-)
-def docs_length_trim_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source length-percentile trim: drop each source's shortest and
-    longest 5% of documents (boilerplate stubs and concatenation
-    monsters) by exact percent_rank. percent_rank = (rank-1)/(n-1) is the
-    same exact double in every engine (integer inputs), so the boundary
-    filter needs no epsilon.
-
-    Scale note: exact per-source percentiles sort each source partition
-    (one window shuffle). At 100 TB the same trim runs on
-    approx_percentile cutoffs (two map-side passes, no sort) — the exact
-    window form is kept here because the oracle contract demands exact
-    equality; swap the rank source, not the shape."""
-    from pyspark.sql import Window
-
-    d = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars")
-    pr = d.select(
-        "doc_id", "source", "n_chars", F.percent_rank().over(w).alias("pr")
-    )
-    return pr.where((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95)).select(
-        "doc_id", "source", "n_chars", F.round("pr", 6).alias("pr")
-    )
-
-
-@query(
-    "anomaly_mad_event_volume",
-    oracle="""
-    WITH hourly AS (
-      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
-      FROM events GROUP BY 1, 2
-    ),
-    med AS (
-      SELECT event_type, quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
-      FROM hourly GROUP BY event_type
-    ),
-    mad AS (
-      SELECT h.event_type, min(m.med) AS med,
-             quantile_cont(abs(CAST(h.n AS DOUBLE) - m.med), 0.5) AS mad
-      FROM hourly h JOIN med m USING (event_type)
-      GROUP BY h.event_type
-    )
-    SELECT h.event_type, strftime(h.hr, '%Y-%m-%d %H:00') AS hour,
-           h.n AS n_events,
-           round((h.n - d.med) / (1.4826 * d.mad), 3) AS robust_z
-    FROM hourly h JOIN mad d USING (event_type)
-    WHERE d.mad > 0 AND abs((h.n - d.med) / (1.4826 * d.mad)) >= 3.5
-    """,
-)
-def anomaly_mad_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROBUST volume-anomaly detection via median absolute deviation: hours
-    whose count deviates from the event-type median by more than 3.5
-    robust z units (MAD x 1.4826 estimates sigma under normality). The
-    companion to the trailing z-score entry: mean/stddev scores are
-    themselves dragged by the outliers they hunt, so heavy-tailed volumes
-    (exactly what incidents look like) need the median-based form.
-
-    Plan: one scan -> (type, hour) map-side-combining count [the only
-    data-sized shuffle] -> two EXACT-percentile aggregations over the tiny
-    hourly frame with broadcast joins back. Percentile interpolation is
-    the same formula in both engines, so med/mad match bit-for-bit before
-    the defensive round."""
-    hourly = (
-        read_table(spark, sf_dir, "events")
-        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    med = hourly.groupBy("event_type").agg(
-        F.expr("percentile(CAST(n AS DOUBLE), 0.5)").alias("med")
-    )
-    j = hourly.join(F.broadcast(med), on="event_type")
-    mad = j.groupBy("event_type").agg(
-        F.min("med").alias("med"),
-        F.expr("percentile(abs(CAST(n AS DOUBLE) - med), 0.5)").alias("mad"),
-    )
-    rz = (F.col("n") - F.col("med")) / (1.4826 * F.col("mad"))
-    return (
-        hourly.join(F.broadcast(mad), on="event_type")
-        .where((F.col("mad") > 0) & (F.abs(rz) >= 3.5))
-        .select(
-            "event_type",
-            F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
-            F.col("n").alias("n_events"),
-            F.round(rz, 3).alias("robust_z"),
-        )
-    )
-
-
-@query(
-    "vocab_coverage_curve",
-    oracle=f"""
-    WITH tf AS (
-      SELECT term, count(*) AS cnt
-      FROM (SELECT unnest({_TOKS}) AS term FROM documents)
-      GROUP BY term
-    ),
-    c AS (
-      SELECT term, cnt,
-             sum(cnt) OVER (ORDER BY cnt DESC, term
-                            ROWS UNBOUNDED PRECEDING) AS cum,
-             sum(cnt) OVER () AS total,
-             row_number() OVER (ORDER BY cnt DESC, term) AS rnk
-      FROM tf
-    )
-    SELECT rnk, term, cnt, round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
-    FROM c WHERE rnk <= 50
-    """,
-)
-def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary coverage curve: the top-50 terms by frequency with the
-    CUMULATIVE share of all token occurrences they cover — the plot that
-    sizes a vocabulary (how many types cover 95% of tokens?) and flags
-    boilerplate-dominated corpora (curve saturates absurdly early).
-
-    Plan: explode -> term count (the one data-sized shuffle, map-side
-    combining) -> running total over the frequency-ranked VOCABULARY
-    (aggregate-sized; the single-task window is over types, not tokens,
-    and is explicitly bounded to the head of the curve). Ties are ordered
-    (cnt DESC, term) so the rank and running sum are deterministic in
-    both engines; cum/total is one exact integer division per row."""
-    from pyspark.sql import Window
-
-    d = read_table(spark, sf_dir, "documents")
-    tf = (
-        d.select(F.explode(text.tokens("text")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    order = [F.col("cnt").desc(), F.col("term").asc()]
-    wcum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    curve = tf.select(
-        F.row_number().over(Window.orderBy(*order)).alias("rnk"),
-        "term",
-        "cnt",
-        (
-            F.sum("cnt").over(wcum).cast("double")
-            / F.sum("cnt").over(Window.partitionBy())
-        ).alias("share"),
-    )
-    return curve.where(F.col("rnk") <= 50).select(
-        "rnk", "term", "cnt", F.round("share", 6).alias("cum_share")
-    )
-
-
-@query(
-    "profile_dup_rate_by_source",
-    oracle="""
-    SELECT source, count(*) AS n_docs,
-           count(DISTINCT sha256(text)) AS n_unique,
-           round(1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE) / count(*), 6)
-             AS dup_rate
-    FROM documents GROUP BY source
-    """,
-)
-def profile_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source exact-duplication profile: how much of each source is
-    byte-identical copies (1 - distinct content hashes / docs) — the
-    health metric a crawl pipeline watches per domain to catch mirror
-    explosions before they skew the training mix.
-
-    Plan: content-address first (SHA-256 projection), then ONE
-    count-distinct aggregation keyed by source — Spark plans it as the
-    standard two-phase distinct expand; only digests travel, never
-    bodies."""
-    d = read_table(spark, sf_dir, "documents")
-    sha = F.sha2(F.col("text"), 256)
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(sha).alias("n_unique"),
-        F.round(
-            1.0 - F.countDistinct(sha).cast("double") / F.count(F.lit(1)), 6
-        ).alias("dup_rate"),
-    )
-
-
-@query(
-    "json_variant_extract",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-           json_extract_string(props, '$.k') AS k_str,
-           CASE WHEN json_valid(props)
-                THEN 'OBJECT<k: BIGINT>' ELSE NULL END AS v_type
-    FROM events
-    """,
-)
-def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured access through the VARIANT type (Spark 4, SPARK-45891):
-    ``parse_json`` ONCE into an open-schema binary-encoded value, then
-    multiple typed ``variant_get`` extractions — the modern replacement
-    for repeated ``get_json_object`` calls, which re-parse the JSON string
-    per extraction (one parse per field per row at 100 TB vs one parse
-    per row here; with many extracted fields the difference is the scan's
-    CPU budget). ``schema_of_variant``/``typeof`` gives cheap shape
-    telemetry on ingest.
-
-    DuckDB has no VARIANT; the oracle extracts the same typed values from
-    the JSON text directly — identical results, which is the point: the
-    variant is an encoding, not a semantic."""
-    ev = read_table(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
-    return ev.select(
-        "event_id",
-        F.try_variant_get(v, "$.k", "bigint").alias("k_value"),
-        F.try_variant_get(v, "$.k", "string").alias("k_str"),
-        F.schema_of_variant(v).alias("v_type"),
-    )
-
-
-@query(
-    "assign_contiguous_ids",
-    oracle="""
-    SELECT doc_id, n_chars,
-           row_number() OVER (ORDER BY n_chars, doc_id) AS new_id
-    FROM documents
-    """,
-)
-def assign_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contiguous corpus id assignment in (n_chars, doc_id) order — but via
-    the two-phase range-partitioned rank of
-    ``ext.datapipe.assign_contiguous_ids``, NOT the oracle's
-    ``row_number() OVER (ORDER BY ...)``, which funnels the whole corpus
-    through one task. Offsets come from per-partition counts (an
-    aggregate-sized window), so each partition sorts only its slice; the
-    result equals the global rank regardless of the sampled range
-    boundaries."""
-    from ibc_spark.ext.datapipe import assign_contiguous_ids as _ids
-
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return _ids(d, order_by=["n_chars", "doc_id"], id_name="new_id")
-
-
-@query(
-    "grouping_sets_revenue",
-    oracle="""
-    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
-           coalesce(o_orderstatus, 'ALL') AS status,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-           count(*) AS n_orders
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-    """,
-)
-def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS — the third multi-dimensional aggregation
-    face next to the rollup/cube entries: exactly the (priority), (status),
-    and grand-total groupings, no cross products. Spark plans all sets in
-    ONE Expand + single aggregation pass over one scan (not one scan per
-    set, which is what a UNION ALL of three GROUP BYs pays). Money sums go
-    through the pinned-scale DECIMAL cast (registry.py determinism rule)."""
-    o = read_table(spark, sf_dir, "orders")
-    g = (
-        o.groupingSets(
-            [["o_orderpriority"], ["o_orderstatus"], []],
-            "o_orderpriority",
-            "o_orderstatus",
-        )
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-    return g.select(
-        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-        "revenue",
-        "n_orders",
-    )
-
-
-@query("sketch_hll_mergeable")  # Apache DataSketches HLL — engine-specific → rows-only
-def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE distinct-count sketches (Apache DataSketches HLL,
-    Spark 4 ``hll_sketch_agg``/``hll_union_agg``): per-priority customer
-    sketches whose UNION yields the global estimate WITHOUT re-scanning —
-    the pattern that makes 100 TB distinct-count dashboards incremental
-    (store O(KB) sketch bytes per partition/day, merge on read; a plain
-    approx_count_distinct result cannot be combined later).
-
-    Output: one row per priority plus an 'ALL' row whose estimate comes
-    from merging the per-priority sketches, never from a second scan.
-    Sketch estimates are engine-specific (DuckDB has no DataSketches HLL)
-    → rows-only driver check; pytest pins the ±5% error bound against
-    exact counts AND merge consistency (union-of-parts within 1% of
-    sketch-of-whole; the union's target type can differ slightly)."""
-    o = read_table(spark, sf_dir, "orders")
-    from ibc_spark.ext.persistreg import persist_tracked
-
-    per = persist_tracked(
-        o.groupBy("o_orderpriority").agg(
-            F.hll_sketch_agg("o_custkey").alias("sk"),
-            F.countDistinct("o_custkey").alias("exact_distinct"),
-        )
-    )
-    parts = per.select(
-        F.col("o_orderpriority").alias("priority"),
-        F.hll_sketch_estimate("sk").alias("approx_distinct"),
-        "exact_distinct",
-    )
-    union_row = per.agg(
-        F.lit("ALL").alias("priority"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct"),
-        F.lit(None).cast("long").alias("exact_distinct"),
-    )
-    return parts.unionByName(union_row)
-
-
-@query(
-    "attribution_last_touch",
-    oracle="""
-    WITH p AS (
-      SELECT user_id, event_id AS purchase_id, ts AS p_ts
-      FROM events WHERE event_type = 'purchase'
-    ),
-    c AS (
-      SELECT user_id, event_id AS click_id, ts AS c_ts
-      FROM events WHERE event_type = 'click'
-    ),
-    j AS (
-      SELECT p.purchase_id, p.user_id, c.click_id, c.c_ts
-      FROM p LEFT JOIN c
-        ON p.user_id = c.user_id
-       AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 1 HOUR
-    ),
-    r AS (
-      SELECT purchase_id, user_id, click_id,
-             row_number() OVER (PARTITION BY purchase_id
-                                ORDER BY c_ts DESC, click_id DESC) AS rn,
-             count(click_id) OVER (PARTITION BY purchase_id) AS n_clicks_in_window
-      FROM j
-    )
-    SELECT purchase_id, user_id,
-           click_id AS attributed_click, n_clicks_in_window
-    FROM r WHERE rn = 1
-    """,
-)
-def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-touch attribution: each purchase credits the LAST click by the
-    same user within the preceding hour (NULL when none) — the
-    bounded-lookback as-of shape marketing/conversion pipelines run, which
-    plain as-of joins (unbounded lookback, see `asof_join_last_purchase`)
-    don't express.
-
-    Plan: purchases x clicks equi-join ON user_id with the hour band as a
-    join-level range predicate (the shuffle keys on user_id; the band
-    prunes inside the join), then ONE aggregation with `max_by` keyed on
-    (c_ts, click_id) — argmax without a second window pass, deterministic
-    under same-timestamp ties via the id tiebreak. At 100 TB, user_id is
-    the natural co-partitioning for both legs, and AQE handles power-user
-    skew."""
-    ev = read_table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
-    )
-    c = ev.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("c_ts"),
-    )
-    j = p.join(
-        c,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        "left",
-    )
-    return j.groupBy("purchase_id", "user_id").agg(
-        F.max_by("click_id", F.struct(F.col("c_ts"), F.col("click_id"))).alias(
-            "attributed_click"
-        ),
-        F.count("click_id").alias("n_clicks_in_window"),
-    )
-
-
-@query(
-    "dq_expectations_orders",
-    oracle="""
-    SELECT 'totalprice_positive' AS check_name,
-           count(*) FILTER (WHERE o_totalprice <= 0 OR o_totalprice IS NULL)
-             AS n_violations,
-           count(*) FILTER (WHERE o_totalprice <= 0 OR o_totalprice IS NULL) = 0
-             AS passed
-    FROM orders
-    UNION ALL
-    SELECT 'orderdate_in_range',
-           count(*) FILTER (WHERE o_orderdate < DATE '1992-01-01'
-                               OR o_orderdate > DATE '1998-12-31'
-                               OR o_orderdate IS NULL),
-           count(*) FILTER (WHERE o_orderdate < DATE '1992-01-01'
-                               OR o_orderdate > DATE '1998-12-31'
-                               OR o_orderdate IS NULL) = 0
-    FROM orders
-    UNION ALL
-    SELECT 'custkey_not_null',
-           count(*) FILTER (WHERE o_custkey IS NULL),
-           count(*) FILTER (WHERE o_custkey IS NULL) = 0
-    FROM orders
-    UNION ALL
-    SELECT 'orderkey_unique',
-           count(*) - count(DISTINCT o_orderkey),
-           count(*) - count(DISTINCT o_orderkey) = 0
-    FROM orders
-    UNION ALL
-    SELECT 'status_in_domain',
-           count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
-                               OR o_orderstatus IS NULL),
-           count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
-                               OR o_orderstatus IS NULL) = 0
-    FROM orders
-    """,
-)
-def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality EXPECTATIONS report (dbt-tests / Great-Expectations
-    shape): declarative per-column checks — positivity, date range,
-    NOT NULL, key uniqueness, value domain — evaluated in ONE scan and
-    ONE aggregation as conditional counts, emitted as data
-    (check_name, n_violations, passed), never as exceptions. The
-    violations-as-rows convention matches the engine's quarantine
-    philosophy: quality gates feed dashboards and circuit breakers, not
-    stack traces.
-
-    Plan: all non-distinct checks fold into a single aggregate pass over
-    one scan (conditional sums); the uniqueness check shares the same
-    aggregate via count vs count_distinct. The union of 5 one-row frames
-    is driver-trivial. At 100 TB this is the footprint of ONE full scan —
-    the minimum any audit pays."""
-    o = read_table(spark, sf_dir, "orders")
-
-    def viol(cond):  # violation counter: count rows failing the expectation
-        return F.sum(F.when(cond, 1).otherwise(0))
-
-    agg = o.agg(
-        viol(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).alias(
-            "v_price"
-        ),
-        viol(
-            F.col("o_orderdate").isNull()
-            | (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
-            | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date"))
-        ).alias("v_date"),
-        viol(F.col("o_custkey").isNull()).alias("v_cust"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
-        viol(
-            F.col("o_orderstatus").isNull()
-            | ~F.col("o_orderstatus").isin("O", "F", "P")
-        ).alias("v_dom"),
-    )
-    checks = [
-        ("totalprice_positive", "v_price"),
-        ("orderdate_in_range", "v_date"),
-        ("custkey_not_null", "v_cust"),
-        ("orderkey_unique", "v_uniq"),
-        ("status_in_domain", "v_dom"),
-    ]
-    frames = [
-        agg.select(
-            F.lit(name).alias("check_name"),
-            F.col(col).cast("long").alias("n_violations"),
-            (F.col(col) == 0).alias("passed"),
-        )
-        for name, col in checks
-    ]
-    out = frames[0]
-    for f2 in frames[1:]:
-        out = out.unionByName(f2)
-    return out
-
-
-@query(
-    "dq_hourly_gaps",
-    oracle="""
-    WITH ev AS (  -- planted outage: drop hour-07 events so the audit has
-                  -- a non-empty finding at every SF (testdata is gapless)
-      SELECT ts FROM events WHERE extract(hour FROM ts) <> 7
-    ),
-    bounds AS (
-      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
-      FROM ev
-    ),
-    grid AS (
-      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds
-    ),
-    seen AS (
-      SELECT DISTINCT date_trunc('hour', ts) AS hr FROM ev
-    )
-    SELECT strftime(g.hr, '%Y-%m-%d %H:00') AS missing_hour
-    FROM grid g LEFT JOIN seen s ON g.hr = s.hr
-    WHERE s.hr IS NULL
-    """,
-)
-def dq_hourly_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Freshness/completeness audit: hours with ZERO events between the
-    stream's first and last hour — the silent-pipeline detector (a feed
-    that stops emitting produces no error rows for validators to catch;
-    only the hole in the time grid shows it).
-
-    Plan: the expected grid comes from ONE min/max aggregate exploded
-    through `sequence()` (a one-row driver-free frame), LEFT ANTI joined
-    against the distinct observed hours — grid rows broadcast; the only
-    data-sized op is the distinct-hour aggregation. The testdata stream is
-    gapless, so a deterministic outage is planted (hour-07 events dropped
-    in both engines) to keep the finding non-empty at every SF."""
-    ev = read_table(spark, sf_dir, "events").where(F.hour("ts") != 7)
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    grid = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hr")
-    )
-    seen = ev.select(F.date_trunc("hour", F.col("ts")).alias("hr")).distinct()
-    return (
-        grid.join(seen, on="hr", how="left_anti")
-        .select(F.date_format("hr", "yyyy-MM-dd HH:00").alias("missing_hour"))
-    )
-
-
-@query(
-    "drift_source_mix_kl",
-    oracle="""
-    WITH a AS (
-      SELECT source, count(*) AS n FROM documents WHERE doc_id % 2 = 0 GROUP BY source
-    ),
-    b AS (
-      SELECT source, count(*) AS n FROM documents WHERE doc_id % 2 = 1 GROUP BY source
-    ),
-    tot AS (
-      SELECT (SELECT sum(n) FROM a) AS ta, (SELECT sum(n) FROM b) AS tb
-    ),
-    j AS (
-      SELECT coalesce(a.source, b.source) AS source,
-             CAST(coalesce(a.n, 0) AS DOUBLE) / ta AS p_ref,
-             CAST(coalesce(b.n, 0) AS DOUBLE) / tb AS p_new
-      FROM a FULL OUTER JOIN b ON a.source = b.source CROSS JOIN tot
-    )
-    SELECT source,
-           round(p_ref, 6) AS share_ref,
-           round(p_new, 6) AS share_new,
-           round(CASE WHEN p_new > 0 AND p_ref > 0
-                      THEN p_new * ln(p_new / p_ref) ELSE NULL END, 6)
-             AS kl_term
-    FROM j
-    """,
-)
-def drift_source_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-drift monitor: per-source share in a reference snapshot vs a
-    new snapshot (here the even/odd doc-id halves as the deterministic
-    stand-in for yesterday/today), with each source's KL-divergence term
-    p_new·ln(p_new/p_ref) — the alarm metric that catches one domain
-    silently flooding or vanishing from the mix between crawls. NULL term
-    where a source is absent on either side (those alarm on presence, not
-    magnitude).
-
-    Plan: two map-side-combining counts off one scan (the halves are
-    disjoint filters), FULL OUTER join of the tiny per-source aggregates,
-    normalizers as one-row broadcasts. Corpus is scanned once per half —
-    at 100 TB the halves are separate snapshot partitions and each side
-    reads only its own files."""
-    d = read_table(spark, sf_dir, "documents")
-    a = d.where(F.col("doc_id") % 2 == 0).groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_a")
-    )
-    b = d.where(F.col("doc_id") % 2 == 1).groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_b")
-    )
-    ta = a.agg(F.sum("n_a").alias("ta"))
-    tb = b.agg(F.sum("n_b").alias("tb"))
-    j = (
-        a.join(b, on="source", how="full_outer")
-        .join(F.broadcast(ta))
-        .join(F.broadcast(tb))
-        .select(
-            "source",
-            (F.coalesce("n_a", F.lit(0)).cast("double") / F.col("ta")).alias("p_ref"),
-            (F.coalesce("n_b", F.lit(0)).cast("double") / F.col("tb")).alias("p_new"),
-        )
-    )
-    kl = F.when(
-        (F.col("p_new") > 0) & (F.col("p_ref") > 0),
-        F.col("p_new") * F.log(F.col("p_new") / F.col("p_ref")),
-    )
-    return j.select(
-        "source",
-        F.round("p_ref", 6).alias("share_ref"),
-        F.round("p_new", 6).alias("share_new"),
-        F.round(kl, 6).alias("kl_term"),
-    )
-
-
-@query("text_compression_ratio")  # zlib is not expressible in SQL → rows-only
-def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression-ratio quality signal (Gopher/MassiveText lineage):
-    deflate-compressed length over raw length per document. Highly
-    repetitive machine-generated text compresses far below ~0.4; random
-    or encrypted junk sits near 1.0 — a one-number filter that catches
-    both failure modes without parsing anything.
-
-    Arrow-batched pandas UDF (zlib level 6 per batch) — Python is the
-    right tool here: there is no Column-expression compressor, and the
-    UDF is pure CPU over one string column (the narrow projection reaches
-    the scan). Rows-only driver check (no SQL zlib); pytest pins the
-    discriminative ordering on constructed repetitive vs high-entropy
-    text and determinism across runs."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _ratio(texts: pd.Series) -> pd.Series:
-        import zlib
-
-        out = []
-        for t in texts:
-            if t is None or len(t) == 0:
-                out.append(None)
-            else:
-                raw = t.encode("utf-8")
-                out.append(len(zlib.compress(raw, 6)) / len(raw))
-        return pd.Series(out, dtype="float64")
-
-    d = read_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.round(_ratio(F.col("text")), 6).alias("compression_ratio"),
-        F.col("n_chars"),
-    )
-
-
-@query(
-    "knn_graph_topk",
-    oracle=f"""
-    WITH pairs AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst,
-             {_cos_sql('a.embedding', 'b.embedding')} AS cos
-      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-    ),
-    ranked AS (
-      SELECT src, dst, round(cos, 4) AS cos_sim,
-             row_number() OVER (PARTITION BY src
-                                ORDER BY cos DESC, dst) AS rk
-      FROM pairs
-    )
-    SELECT src, dst, cos_sim, rk FROM ranked WHERE rk <= 3
-    """,
-)
-def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN GRAPH construction (k=3): every vector's top-3 cosine
-    neighbors — the building block SemDeDup-style semantic clustering,
-    graph-based ANN indexes (HNSW layers), and diversity sampling all
-    start from.
-
-    Plan: BLOCKED GEMM (`ext.similarity.knn_graph_blocked`) — the naive
-    pair explosion moves O(n²·dim) vector bytes through Arrow (measured
-    13 s at sf0.1 where the blocked form takes ~1 s); blocks cross-join
-    so each task scores one block pair with a single BLAS matmul, and a
-    per-src window merges the per-block top-k partials. Exact — flops
-    stay O(n²·dim), only the data movement shrinks. Ties broken by
-    neighbor id so the graph is deterministic in both engines; at 100 TB
-    the pair source swaps to LSH/IVF candidates, same final window."""
-    from ibc_spark.ext.similarity import knn_graph_blocked
-
-    e = read_table(spark, sf_dir, "embeddings")
-    return knn_graph_blocked(e, id_col="vec_id", vec_col="embedding", k=3)
-
-
-@query("knn_graph_lsh")  # LSH cell pruning is probabilistic → rows-only; exact
-# sibling knn_graph_topk carries the oracle (same schema, same window).
-def knn_graph_lsh_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN graph (k=3) via LSH-PRUNED blocked GEMM — the
-    beyond-GEMM-reach production path the exact entry's docstring names:
-    vectors land in one (table, bucket) cell per LSH table, each cell
-    GEMM-scores only its Hamming≤1 probe cells, and a (src, dst) max-cos
-    agg + per-src window merges multi-table discoveries. Flops drop by
-    ~L·(1+b)/2^b vs the exact n_blocks² sweep while cell size (not corpus
-    size) bounds task memory. pytest pins recall ≥ 0.9 against the exact
-    `knn_graph_topk` graph on the same table (`test_graph_sketch.py`)."""
-    from ibc_spark.ext.similarity import knn_graph_lsh
-
-    e = read_table(spark, sf_dir, "embeddings")
-    return knn_graph_lsh(
-        e, id_col="vec_id", vec_col="embedding", k=3, bits=4, tables=8
-    )
-
-
-@query(
-    "knn_graph_lsh_portable",
-    oracle=f"""
-    WITH emb AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    planes AS (
-      SELECT j, d,
-             CAST(CAST(('0x' || substr(md5('p' || CAST(j AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
-               / pow(2.0, 60) - 0.5 AS w
-      FROM range(0, 32) tj(j), range(0, 64) td(d)
-    ),
-    proj AS (
-      SELECT e.vec_id, p.j,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                      list(e.v[p.d + 1] * p.w ORDER BY p.d)),
-                         (a, x) -> a + x) AS s
-      FROM emb e, planes p
-      GROUP BY e.vec_id, p.j
-    ),
-    sig AS (
-      SELECT vec_id,
-             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT)
-                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sg
-      FROM proj GROUP BY vec_id
-    ),
-    cells AS (
-      SELECT g.vec_id, t.t AS tab,
-             (g.sg >> CAST(4 * t.t AS INT)) & 15 AS bucket
-      FROM sig g, range(0, 8) t(t)
-    ),
-    probes AS (
-      SELECT c.vec_id, c.tab,
-             CASE WHEN pr.i = 0 THEN c.bucket
-                  ELSE xor(c.bucket, CAST(1 AS BIGINT) << CAST(pr.i - 1 AS INT)) END AS bucket
-      FROM cells c, range(0, 5) pr(i)
-    ),
-    cand AS (
-      SELECT DISTINCT p.vec_id AS src, c.vec_id AS dst
-      FROM probes p JOIN cells c ON p.tab = c.tab AND p.bucket = c.bucket
-      WHERE p.vec_id <> c.vec_id
-    ),
-    scored AS (
-      SELECT ca.src, ca.dst, {_cos_sql('a.embedding', 'b.embedding')} AS cos
-      FROM cand ca
-      JOIN embeddings a ON a.vec_id = ca.src
-      JOIN embeddings b ON b.vec_id = ca.dst
-    )
-    SELECT src, dst, round(cos, 4) AS cos_sim,
-           CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rk
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= 3
-    """,
-)
-def knn_graph_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE-ATTESTED face of the LSH-pruned k-NN graph, completing the
-    probabilistic family's attested-machinery siblings (portable-LSH and
-    portable-IVF cover the search entries; this covers the graph
-    builder): md5-derived hyperplanes with strict left-fold projections
-    feed the SAME packed-cell blocked-GEMM pipeline — cells, Hamming≤1
-    probes, per-block top-k partials, multi-table max-cos merge, per-src
-    ranking — and DuckDB replays the candidate structure and the ranked
-    edges exactly (the oracle scores ALL candidates; the partial top-k
-    is lossless for the final per-src top-3, so the results coincide).
-    The PRNG production entry keeps the recall≥0.9 pytest vs the exact
-    graph."""
-    from ibc_spark.ext.similarity import knn_graph_lsh
-
-    e = read_table(spark, sf_dir, "embeddings")
-    return knn_graph_lsh(
-        e, id_col="vec_id", vec_col="embedding", k=3, bits=4, tables=8,
-        signature="md5",
-    )
-
-
-@query(
-    "setop_all_multiset",
-    oracle="""
-    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
-    b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-    SELECT 'intersect_all' AS op, o_custkey, count(*) AS multiplicity
-    FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
-    GROUP BY o_custkey
-    UNION ALL
-    SELECT 'except_all', o_custkey, count(*)
-    FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
-    GROUP BY o_custkey
-    """,
-)
-def setop_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MULTISET set operations (INTERSECT ALL / EXCEPT ALL): duplicate-
-    preserving cohort comparison — min(m_a, m_b) respectively
-    max(m_a - m_b, 0) copies per key — which the DISTINCT set-op entry
-    (`setop_intersect_except_union`) cannot express and naive dedup-first
-    rewrites get wrong. Spark plans both via Generate(replicate_rows) over
-    a counted aggregate, not a quadratic join.
-
-    The multiplicity aggregation on top makes the result order-free and
-    keeps the driver hash stable (raw ALL output is a bag)."""
-    o = read_table(spark, sf_dir, "orders")
-    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
-    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    ia = (
-        a.intersectAll(b)
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("multiplicity"))
-        .select(F.lit("intersect_all").alias("op"), "o_custkey", "multiplicity")
-    )
-    ea = (
-        a.exceptAll(b)
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("multiplicity"))
-        .select(F.lit("except_all").alias("op"), "o_custkey", "multiplicity")
-    )
-    return ia.unionByName(ea)
-
-
-@query(
-    "lateral_top_lineitems",
-    oracle="""
-    SELECT o.o_orderkey, l.l_linenumber, l.price
-    FROM (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o,
-    LATERAL (
-      SELECT l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
-      FROM lineitem
-      WHERE l_orderkey = o.o_orderkey
-      ORDER BY l_extendedprice DESC, l_linenumber
-      LIMIT 2
-    ) l
-    """,
-)
-def lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated LATERAL subquery: per urgent order, its 2 highest-value
-    line items — the SQL-API spelling of grouped top-k (a correlated
-    per-row subquery with its own ORDER BY/LIMIT), which Spark decorrelates
-    into the same ranked-window plan the DataFrame form produces rather
-    than executing N subqueries. Registered through `spark.sql` over temp
-    views to pin the LATERAL surface itself."""
-    read_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
-    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
-    return spark.sql(
-        """
-        SELECT o.o_orderkey, l.l_linenumber, l.price
-        FROM (SELECT o_orderkey FROM v_orders
-              WHERE o_orderpriority = '1-URGENT') o,
-        LATERAL (
-          SELECT l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
-          FROM v_lineitem
-          WHERE l_orderkey = o.o_orderkey
-          ORDER BY l_extendedprice DESC, l_linenumber
-          LIMIT 2
-        ) l
-        """
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 6 additions: embedding quantization, bigram PMI, window navigation
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "embedding_quantize_int8",
-    oracle="""
-    WITH s AS (
-      SELECT vec_id, embedding,
-             greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS mx
-      FROM embeddings
-    ), qq AS (
-      SELECT vec_id, embedding, mx,
-             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)) AS qv
-      FROM s
-    )
-    SELECT vec_id, round(mx, 6) AS scale,
-           array_to_string(qv, ',') AS quantized,
-           round(list_max(list_transform(list_zip(embedding, qv),
-                 p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * mx / 127.0))), 6) AS max_abs_err
-    FROM qq
-    """,
-)
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric per-vector INT8 quantization of the embedding column —
-    the 4x memory/IO shrink an ANN index wants before serving 100 TB of
-    vectors (FAISS SQ8-style): scale = max|x| (clamped away from 0 for
-    zero vectors), q_i = floor(127·x_i/scale + 0.5), plus the max
-    dequantization error as a per-row quality audit.
-
-    All pure Column expressions over array lambdas (transform/zip_with) —
-    zero shuffle, whole-stage codegen, embarrassingly parallel. floor(+0.5)
-    rather than round() because HALF_UP vs banker's rounding differs
-    across engines while floor is IEEE-exact everywhere; the quantized
-    array is emitted as a joined string so the hash is representation-
-    agnostic (registry convention, see `scalar_split_trim_lower`)."""
-    e = read_table(spark, sf_dir, "embeddings")
-    mx = F.greatest(
-        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
-        F.lit(1e-12),
-    )
-    with_mx = e.select("vec_id", "embedding", mx.alias("mx"))
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("mx") + F.lit(0.5)).cast("long"),
-    )
-    with_q = with_mx.select("vec_id", "embedding", "mx", qv.alias("qv"))
-    err = F.array_max(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("qv"),
-            lambda x, q: F.abs(x.cast("double") - q.cast("double") * F.col("mx") / F.lit(127.0)),
-        )
-    )
-    return with_q.select(
-        "vec_id",
-        F.round(F.col("mx"), 6).alias("scale"),
-        F.array_join(F.transform(F.col("qv"), lambda v: v.cast("string")), ",").alias("quantized"),
-        F.round(err, 6).alias("max_abs_err"),
-    )
-
-
-@query(
-    "text_bigram_pmi",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    big AS (
-      SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
-                    i -> {{'w1': toks[i], 'w2': toks[i+1]}}), recursive := true)
-      FROM t
-    ),
-    uni AS (SELECT unnest(toks) AS w FROM t),
-    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
-    nuni AS (SELECT count(*) AS n FROM uni),
-    bcnt AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
-    nbig AS (SELECT count(*) AS n FROM big)
-    SELECT b.w1, b.w2, b.c AS pair_count,
-           round(ln((CAST(b.c AS DOUBLE) / nb.n) / ((CAST(u1.c AS DOUBLE) / nu.n) * (CAST(u2.c AS DOUBLE) / nu.n))), 4) AS pmi
-    FROM bcnt b
-    JOIN ucnt u1 ON u1.w = b.w1
-    JOIN ucnt u2 ON u2.w = b.w2
-    CROSS JOIN nbig nb CROSS JOIN nuni nu
-    WHERE b.c >= 5
-    ORDER BY pmi DESC, w1, w2 LIMIT 20
-    """,
-)
-def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus collocations: top-20 bigrams by PMI (pointwise mutual
-    information, min pair count 5) — the classic phrase-mining /
-    boilerplate-detection statistic (high-PMI pairs are collocations;
-    recurring high-count low-PMI pairs are template noise).
-
-    Plan shape at scale: bigrams come from two shifted array slices
-    zip_with'd per document (narrow), one explode each for bigram and
-    unigram streams, map-side-combining counts on both, then the bigram
-    count frame joins the (vocabulary-sized) unigram counts twice by
-    word — plain equi-joins, skew-bounded by the count>=5 pre-filter
-    pushed BEFORE the joins. The two 1-row totals are broadcast. Final
-    top-20 is orderBy+limit = TakeOrderedAndProject, never a global
-    sort. Ordering key is (rounded pmi desc, w1, w2) in both engines so
-    the cut is deterministic."""
-    d = read_table(spark, sf_dir, "documents")
-    t = d.select(text.tokens(F.col("text")).alias("toks"))
-    npairs = F.greatest(F.size("toks") - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(F.col("toks"), 1, npairs),
-        F.slice(F.col("toks"), 2, npairs),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    big = t.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
-    uni = t.select(F.explode("toks").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    nuni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
-    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
-    nbig = big.agg(F.count(F.lit(1)).alias("n_big"))
-    joined = (
-        bcnt.where(F.col("pair_count") >= 5)
-        .join(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
-        .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
-        .crossJoin(F.broadcast(nbig))
-        .crossJoin(F.broadcast(nuni))
-    )
-    pmi = F.round(
-        F.log(
-            (F.col("pair_count").cast("double") / F.col("n_big"))
-            / (
-                (F.col("c1").cast("double") / F.col("n_uni"))
-                * (F.col("c2").cast("double") / F.col("n_uni"))
-            )
-        ),
-        4,
-    )
-    return (
-        joined.select("w1", "w2", "pair_count", pmi.alias("pmi"))
-        .orderBy(F.col("pmi").desc(), "w1", "w2")
-        .limit(20)
-    )
-
-
-@query(
-    "window_navigation_suite",
-    oracle="""
-    SELECT o_orderkey, o_custkey,
-           first_value(CASE WHEN o_orderstatus = 'O' THEN o_orderdate END IGNORE NULLS)
-             OVER w AS first_open_date,
-           nth_value(o_orderdate, 3) OVER w AS third_order_date,
-           lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
-           round(cume_dist() OVER w, 6) AS cd
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
-def window_navigation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window NAVIGATION functions over the per-customer order timeline —
-    the faces of SURVEY §2.7's window family the rank/lag/running entries
-    don't yet pin: FIRST_VALUE ... IGNORE NULLS (first open-order date,
-    skipping non-'O' rows), NTH_VALUE (third order date, NULL until it
-    exists), LAG with an explicit default, and CUME_DIST.
-
-    One window spec, partitioned by customer (shuffle on o_custkey only,
-    parallel across customers — no global window). The ordering key
-    includes the unique o_orderkey, so RANGE-frame peer groups are
-    singletons and both engines' default frames agree exactly."""
-    o = read_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.first_value(
-            F.when(F.col("o_orderstatus") == "O", F.col("o_orderdate")), True
-        ).over(w).alias("first_open_date"),
-        F.nth_value("o_orderdate", 3).over(w).alias("third_order_date"),
-        F.lag("o_totalprice", 1, -1.0).over(w).alias("prev_price"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-    )
-
-
-@query(
-    "interval_overlap_sessions",
-    oracle="""
-    WITH cs AS (
-      SELECT user_id AS ua, CAST(ts AS DATE) AS d, min(ts) AS cs_s, max(ts) AS cs_e
-      FROM events WHERE event_type = 'click' GROUP BY 1, 2
-    ),
-    ps AS (
-      SELECT user_id AS ub, CAST(ts AS DATE) AS d2, min(ts) AS ps_s, max(ts) AS ps_e
-      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT cs.ua, cs.d,
-             epoch_us(least(cs.cs_e, ps.ps_e)) - epoch_us(greatest(cs.cs_s, ps.ps_s)) AS ov_us
-      FROM cs JOIN ps ON cs.cs_s <= ps.ps_e AND ps.ps_s <= cs.cs_e
-    )
-    SELECT ua AS user_id, d AS day, count(*) AS n_overlaps,
-           CAST(sum(ov_us) AS BIGINT) AS total_overlap_us
-    FROM pairs GROUP BY ua, d
-    """,
-)
-def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KEY-FREE interval-overlap join: per click-session (user×day span of
-    clicks), how many purchase-sessions — of ANY user — overlap it in
-    time, and the summed overlap (co-activity analysis: ad-exposure
-    windows, incident blast radius, concurrent-session pricing).
-
-    The inequality-only predicate would compile to a
-    BroadcastNestedLoopJoin (per-row interpreted, O(|L|·|R|)); instead
-    sessions explode into the hour cells they cover and hash-equi-join ON
-    THE CELL (`ops.analytics.interval_overlap_grid`), with the exact
-    overlap predicate as a post-filter and a distinct collapsing
-    multi-cell pairs — candidate volume tracks temporal density, not the
-    row-count product, and the join shuffle-partitions by cell. The
-    DuckDB oracle runs the naive inequality join (fine at oracle SF)."""
-    from ibc_spark.ops.analytics import interval_overlap_grid
-
-    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-
-    def sess(etype: str, uid: str, day: str, s: str, e: str) -> DataFrame:
-        return (
-            ev.where(F.col("event_type") == etype)
-            .groupBy(F.col("user_id").alias(uid), F.to_date("ts").alias(day))
-            .agg(F.min("ts").alias(s), F.max("ts").alias(e))
-        )
-
-    cs = sess("click", "ua", "d", "cs_s", "cs_e")
-    ps = sess("purchase", "ub", "d2", "ps_s", "ps_e")
-    pairs = interval_overlap_grid(
-        cs,
-        ps,
-        left_start="cs_s",
-        left_end="cs_e",
-        right_start="ps_s",
-        right_end="ps_e",
-        grid="hour",
-    )
-    ov = F.unix_micros(F.least(F.col("cs_e"), F.col("ps_e"))) - F.unix_micros(
-        F.greatest(F.col("cs_s"), F.col("ps_s"))
-    )
-    return (
-        pairs.withColumn("ov_us", ov)
-        .groupBy(F.col("ua").alias("user_id"), F.col("d").alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_overlaps"),
-            F.sum("ov_us").alias("total_overlap_us"),
-        )
-    )
-
-
-@query(
-    "lm_bigram_logprob",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    big AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, greatest(len(toks), 1)),
-                    i -> {{'w1': toks[i], 'w2': toks[i+1]}}), recursive := true)
-      FROM t
-    ),
-    uni AS (SELECT unnest(toks) AS w FROM t),
-    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
-    vocab AS (SELECT count(*) AS v FROM ucnt),
-    bcnt AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2)
-    SELECT b.doc_id,
-           count(*) AS n_bigrams,
-           round(avg(ln((bc.c + 1.0) / (uc.c + vocab.v))), 4) AS avg_logprob
-    FROM big b
-    JOIN bcnt bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
-    JOIN ucnt uc ON uc.w = b.w1
-    CROSS JOIN vocab
-    GROUP BY b.doc_id
-    """,
-)
-def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-model QUALITY SCORE per document: mean bigram conditional
-    log-probability under the corpus's own add-one-smoothed MLE — the
-    perplexity-filter shape (CCNet/KenLM-style) pretraining pipelines use
-    to rank fluent text above gibberish/boilerplate, self-contained (the
-    corpus is its own model, no external LM artifact).
-
-    score(d) = mean over d's bigrams of ln((c(w1,w2)+1) / (c(w1)+V)).
-
-    Plan shape: the bigram stream (shifted-slice zip_with, as in
-    `text_bigram_pmi`) is both the model-estimation input (two map-side-
-    combining counts) and the scoring input (two equi-joins back by word
-    pair/word — vocabulary-keyed shuffles, skew-bounded by Zipf's law at
-    the partial-agg stage); the 1-row vocab size broadcasts. Docs with
-    fewer than two tokens have no bigrams and drop out (inner-join
-    semantics, mirrored by the oracle). Division operands are exact
-    integers-to-double on both engines, so the single ln per bigram is
-    the only float op before the defensive ROUND."""
-    d = read_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", text.tokens(F.col("text")).alias("toks"))
-    npairs = F.greatest(F.size("toks") - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(F.col("toks"), 1, npairs),
-        F.slice(F.col("toks"), 2, npairs),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    big = t.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", "p.w1", "p.w2"
-    )
-    uni = t.select(F.explode("toks").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    vocab = ucnt.agg(F.count(F.lit(1)).alias("v"))
-    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
-    scored = (
-        big.join(bcnt, ["w1", "w2"])
-        .join(ucnt.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_w1"), "w1")
-        .crossJoin(F.broadcast(vocab))
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(
-            F.avg(F.log((F.col("c_xy") + F.lit(1.0)) / (F.col("c_w1") + F.col("v")))), 4
-        ).alias("avg_logprob"),
-    )
-
-
-@query(
-    "sketch_exact_stats",
-    oracle="""
-    SELECT event_type,
-           count(DISTINCT user_id) AS n_users,
-           round(quantile_cont(value, 0.5), 6) AS value_p50,
-           round(quantile_cont(value, 0.95), 6) AS value_p95,
-           count(*) AS n_events
-    FROM events GROUP BY event_type
-    """,
-)
-def sketch_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT sibling of `approx_sketch_stats`: the same per-event-type
-    profile computed with exact distinct counts and exact interpolated
-    percentiles — the oracle anchor that lets the approximate family's
-    rows-only waiver cite a same-shape, same-snapshot exact entry (both
-    engines use the standard linear-interpolation quantile, so values
-    hash-match after the defensive round). At 100 TB you run the sketch
-    entry; this one is the audit tool for bounded slices."""
-    ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_users"),
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("value_p95"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@query(
-    "multimodal_image_roundtrip_stats",
-    oracle=f"""
-    WITH px AS (
-      SELECT vec_id,
-             list_transform(embedding[1:48],
-               x -> floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127.0 + 128.0)) AS p
-      FROM embeddings
-    )
-    SELECT vec_id, 4 AS width, 4 AS height,
-           round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 1])")} / 16.0, 6) AS mean_r,
-           round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 2])")} / 16.0, 6) AS mean_g,
-           round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 3])")} / 16.0, 6) AS mean_b
-    FROM px
-    """,
-)
-def multimodal_image_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE-CHECKED real-codec round trip: each embedding's first 48
-    values quantize to a 4×4 RGB image, ENCODE to a real PPM(P6) payload,
-    DECODE back through `ext.multimodal.decode_image`, and reduce to
-    per-channel means — while the DuckDB oracle computes the same means
-    directly from the raw numbers, never seeing an image. A hash match
-    therefore proves the encode→decode loop is the identity on every row
-    (the strongest check a binary codec path can get from a SQL oracle).
-    Arrow-batched mapInPandas; pixel ints are exact in doubles, so the
-    mean is an exact rational before the defensive round."""
-    import numpy as np
-    import pandas as pd
-
-    from ibc_spark.ext.multimodal import decode_image, encode_ppm
-
-    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    schema = (
-        "vec_id long, width int, height int, "
-        "mean_r double, mean_g double, mean_b double"
-    )
-
-    def _roundtrip(batches):
-        for pdf in batches:
-            out = []
-            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
-                vals = np.asarray(emb[:48], dtype=np.float64)
-                px = np.floor(np.clip(vals, -1.0, 1.0) * 127.0 + 128.0).astype(np.uint8)
-                img = px.reshape(4, 4, 3)
-                decoded = decode_image(encode_ppm(img))
-                m = decoded.reshape(-1, 3).astype(np.float64).mean(axis=0)
-                out.append(
-                    (int(vec_id), 4, 4, round(m[0], 6), round(m[1], 6), round(m[2], 6))
-                )
-            yield pd.DataFrame(
-                out, columns=["vec_id", "width", "height", "mean_r", "mean_g", "mean_b"]
-            )
-
-    return e.mapInPandas(_roundtrip, schema)
-
-
-@query(
-    "multimodal_image_dedup_ahash",
-    oracle=f"""
-    WITH emb0 AS ({_PLANT_SQL}),
-    px AS (
-      SELECT vec_id,
-             list_transform(embedding[1:48],
-               x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0)
-                               * 127.0 + 128.0) AS BIGINT)) AS p
-      FROM emb0
-    ),
-    g AS (
-      SELECT vec_id,
-             list_transform(range(0, 16),
-               k -> p[3*k + 1]*299 + p[3*k + 2]*587 + p[3*k + 3]*114) AS lum
-      FROM px
-    ),
-    h AS (
-      SELECT vec_id,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(0, 16),
-                 k -> CASE WHEN 16 * lum[k + 1] >
-                            list_reduce(list_prepend(CAST(0 AS BIGINT), lum),
-                                        (a, x) -> a + x)
-                      THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
-                      ELSE CAST(0 AS BIGINT) END)),
-               (a, x) -> a + x) AS ahash
-      FROM g
-    )
-    SELECT ahash, count(*) AS n_images, min(vec_id) AS kept_id
-    FROM h GROUP BY ahash
-    """,
-)
-def multimodal_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IMAGE near-dup groups via a perceptual AVERAGE HASH computed through
-    the REAL codec path — the image-modality counterpart of the text
-    dedup family: each embedding of the planted-duplicate fixture (every
-    vec_id % 10 pair shares identical vectors) renders to a 4×4
-    RGB image, round-trips through the pure-numpy PPM encoder/decoder,
-    and the DECODED pixels produce a 16-bit average hash (bit p set iff
-    pixel p's integer luma 299R+587G+114B exceeds the image mean —
-    spelled 16·luma_p > Σluma so the whole hash is exact int64 math);
-    identical hash = duplicate group, exactly how production image dedup
-    buckets perceptual hashes before pairwise verification. The planted
-    fixture's duplicate vectors render to identical images, so every
-    planted pair collides into one group (pinned in pytest). The oracle
-    recomputes the hash from the RAW numbers without ever seeing an
-    image, so a hash match re-proves codec identity AND the dedup math.
-    Scale: one narrow Arrow pass per image + a hash groupBy — the same
-    two-stage profile as content-SHA text dedup; at billions of images
-    the groupBy key is 16-64 bits and skew-free."""
-    import numpy as np
-    import pandas as pd
-
-    from ibc_spark.ext.multimodal import decode_image, encode_ppm
-
-    e = _planted_embeddings(spark, sf_dir)
-
-    def _ahash(batches):
-        lw = np.array([299, 587, 114], dtype=np.int64)
-        for pdf in batches:
-            out = []
-            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
-                vals = np.asarray(emb[:48], dtype=np.float64)
-                px = np.floor(np.clip(vals, -1.0, 1.0) * 127.0 + 128.0).astype(
-                    np.uint8
-                )
-                dec = decode_image(encode_ppm(px.reshape(4, 4, 3))).astype(np.int64)
-                lum = dec.reshape(-1, 3) @ lw
-                total = int(lum.sum())
-                bits = 0
-                for k in range(16):
-                    if 16 * int(lum[k]) > total:
-                        bits |= 1 << k
-                out.append((int(vec_id), bits))
-            yield pd.DataFrame(out, columns=["vec_id", "ahash"])
-
-    h = e.mapInPandas(_ahash, "vec_id long, ahash long")
-    return h.groupBy("ahash").agg(
-        F.count(F.lit(1)).alias("n_images"), F.min("vec_id").alias("kept_id")
-    )
-
-
-@query(
-    "corpus_datacard",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, text, lang, source, n_chars, len({_TOKS}) AS n_toks
-               FROM documents)
-    SELECT count(*) AS n_docs,
-           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
-           count(DISTINCT lang) AS n_langs,
-           count(DISTINCT source) AS n_sources,
-           round(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) / count(*), 6) AS pct_en,
-           round(CAST(sum(n_toks) AS DOUBLE) / count(*), 6) AS avg_doc_tokens,
-           CAST(median(n_chars) AS DOUBLE) AS p50_chars,
-           round(1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE) / count(*), 6) AS dup_rate
-    FROM t
-    """,
-)
-def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row corpus DATA CARD: the headline numbers a dataset release
-    documents (docs, tokens, language/source diversity, English share,
-    exact median length, exact content-hash dup rate) in ONE scan and one
-    aggregation.
-
-    The three exact COUNT(DISTINCT)s expand the single agg 3× — fine for
-    a release-time audit; the 100 TB every-run variant swaps them for the
-    mergeable sketches (`sketch_hll_mergeable`) and the exact median for
-    `percentile_approx`, trading bounded error for no expand. Exact here
-    so the oracle pins every value."""
-    d = read_table(spark, sf_dir, "documents")
-    t = d.select(
-        "lang", "source", "n_chars", "text", text.token_count("text").alias("n_toks")
-    )
-    n = F.count(F.lit(1))
-    return t.agg(
-        n.alias("n_docs"),
-        F.sum("n_toks").cast("bigint").alias("total_tokens"),
-        F.count_distinct("lang").alias("n_langs"),
-        F.count_distinct("source").alias("n_sources"),
-        F.round(F.count_if(F.col("lang") == "en").cast("double") / n, 6).alias("pct_en"),
-        F.round(F.sum("n_toks").cast("double") / n, 6).alias("avg_doc_tokens"),
-        F.median("n_chars").cast("double").alias("p50_chars"),
-        F.round(
-            F.lit(1.0) - F.count_distinct(F.sha2("text", 256)).cast("double") / n, 6
-        ).alias("dup_rate"),
-    )
-
-
-@query("sketch_kll_mergeable")  # Apache DataSketches KLL — engine-specific → rows-only
-def sketch_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE quantile sketches (Apache DataSketches KLL, Spark 4
-    ``kll_sketch_agg_double``/``kll_merge_agg_double``) — the quantile
-    face of `sketch_hll_mergeable`: per-event-type KLL sketches of
-    ``value`` whose MERGE yields global quantiles WITHOUT re-scanning.
-    This is the 100 TB dashboard shape for latency/size percentiles
-    (store O(KB) sketch bytes per partition/day, merge on read);
-    ``percentile_approx`` results cannot be combined later.
-
-    Output: one row per event type plus an 'ALL' row whose p50/p95 come
-    from merging the per-type sketches. Sketch estimates are
-    engine-specific → rows-only driver check; pytest pins the KLL rank
-    error (±2% rank ≈ small value error on this distribution) against
-    exact percentiles AND merge consistency vs a direct whole-table
-    sketch."""
-    ev = read_table(spark, sf_dir, "events")
-    from ibc_spark.ext.persistreg import persist_tracked
-
-    per = persist_tracked(
-        ev.groupBy("event_type").agg(
-            F.kll_sketch_agg_double("value").alias("sk"),
-            F.expr("percentile(value, 0.5)").alias("exact_p50"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
-    parts = per.select(
-        "event_type",
-        F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)), 6).alias(
-            "approx_p50"
-        ),
-        F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)), 6).alias(
-            "approx_p95"
-        ),
-        F.round(F.col("exact_p50").cast("double"), 6).alias("exact_p50"),
-        "n_events",
-    )
-    merged = per.agg(
-        F.lit("ALL").alias("event_type"),
-        F.round(
-            F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("sk"), F.lit(0.5)), 6
-        ).alias("approx_p50"),
-        F.round(
-            F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("sk"), F.lit(0.95)), 6
-        ).alias("approx_p95"),
-        F.lit(None).cast("double").alias("exact_p50"),
-        F.sum("n_events").alias("n_events"),
-    )
-    return parts.unionByName(merged)
-
-
-@query("sketch_theta_setops")  # Apache DataSketches Theta — engine-specific → rows-only
-def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta sketches (Spark 4 ``theta_sketch_agg``/``theta_union_agg``):
-    distinct-user sketches per event type that support SET OPERATIONS on
-    read — the sketch family HLL cannot provide (HLL unions only; Theta
-    also intersects/differences via inclusion-exclusion on unions). The
-    100 TB audience-overlap shape: "users who clicked AND purchased"
-    without a second scan or an exact distinct join.
-
-    Output: per-type estimates plus a click∪purchase row; the
-    click∩purchase estimate falls out client-side as |A|+|B|-|A∪B|
-    (emitted here as a column on the union row). Rows-only (estimates are
-    engine-specific); pytest pins error bounds against exact distinct and
-    exact-intersection counts."""
-    ev = read_table(spark, sf_dir, "events")
-    from ibc_spark.ext.persistreg import persist_tracked
-
-    per = persist_tracked(
-        ev.where(F.col("event_type").isin("click", "purchase"))
-        .groupBy("event_type")
-        .agg(
-            F.theta_sketch_agg("user_id").alias("sk"),
-            F.count_distinct("user_id").alias("exact_distinct"),
-        )
-    )
-    parts = per.select(
-        "event_type",
-        F.round(F.theta_sketch_estimate("sk"), 2).alias("approx_distinct"),
-        "exact_distinct",
-        F.lit(None).cast("double").alias("approx_intersection"),
-    )
-    union_row = per.agg(
-        F.lit("click_union_purchase").alias("event_type"),
-        F.round(F.theta_sketch_estimate(F.theta_union_agg("sk")), 2).alias(
-            "approx_distinct"
-        ),
-        F.lit(None).cast("long").alias("exact_distinct"),
-        F.round(
-            F.sum(F.theta_sketch_estimate("sk"))
-            - F.theta_sketch_estimate(F.theta_union_agg("sk")),
-            2,
-        ).alias("approx_intersection"),
-    )
-    return parts.unionByName(union_row)
-
-
-@query(
-    "fuzzy_resolve_names",
-    oracle="""
-    WITH dirty AS (
-      SELECT c_custkey AS dirty_key,
-             concat(substr(c_name, 1, (c_custkey % 12 + 4) - 1),
-                    substr(c_name, c_custkey % 12 + 5)) AS dirty_name
-      FROM customer WHERE c_custkey % 5 = 0
-    ),
-    pairs AS (
-      SELECT d.dirty_key, c.c_custkey AS matched_key,
-             levenshtein(d.dirty_name, c.c_name) AS dist
-      FROM dirty d JOIN customer c ON levenshtein(d.dirty_name, c.c_name) <= 1
-    )
-    SELECT dirty_key, matched_key, CAST(dist AS BIGINT) AS dist
-    FROM (SELECT *, row_number() OVER (PARTITION BY dirty_key
-                                       ORDER BY dist, matched_key) AS rk
-          FROM pairs)
-    WHERE rk = 1
-    """,
-)
-def fuzzy_resolve_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ENTITY RESOLUTION: map corrupted customer names (one planted char
-    deletion per c_custkey%5==0 row, position varying by key) back to
-    their canonical records despite the typo — the fuzzy-key lookup the
-    reference's exact email/netid joins (J1/J2) cannot do.
-
-    Candidates come from `ext.dedup.symdelete_fuzzy_join` — SymSpell
-    symmetric-delete blocking turns the edit-distance-1 join into a hash
-    EQUI-join on deletion variants (the naive `levenshtein<=1` predicate
-    compiles to a quadratic BroadcastNestedLoopJoin) — then each dirty
-    name keeps its best match (min distance, tie-break on matched key).
-    The DuckDB oracle runs the naive quadratic join, fine at oracle SF.
-    A handful of dirty names legitimately resolve to a near-neighbor id
-    (names differing only at the deleted digit); the ranked pick makes
-    that deterministic in both engines."""
-    from pyspark.sql import Window
-
-    c = read_table(spark, sf_dir, "customer")
-    dirty = c.where(F.col("c_custkey") % 5 == 0).select(
-        F.col("c_custkey").alias("dirty_key"),
-        F.expr(
-            "concat(substr(c_name, 1, c_custkey % 12 + 3),"
-            " substr(c_name, c_custkey % 12 + 5))"
-        ).alias("dirty_name"),
-    )
-    matches = dedup.symdelete_fuzzy_join(
-        dirty,
-        c.select("c_custkey", "c_name"),
-        left_id="dirty_key",
-        left_text="dirty_name",
-        right_id="c_custkey",
-        right_text="c_name",
-    )
-    w = Window.partitionBy("dirty_key").orderBy(F.col("dist"), F.col("c_custkey"))
-    return (
-        matches.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("dirty_key", F.col("c_custkey").alias("matched_key"), "dist")
-    )
-
-
-@query(
-    "dedup_passage_neardup",
-    oracle=f"""
-    WITH raw AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 100),
-    planted AS (
-      SELECT r.doc_id,
-             CASE WHEN r.doc_id % 7 = 0 AND len(r.toks) >= 16 AND len(d.toks) >= 10
-                  THEN list_concat(list_concat(list_slice(r.toks, 1, 5),
-                                               list_slice(d.toks, 1, 10)),
-                                   list_slice(r.toks, 16, len(r.toks)))
-                  ELSE r.toks END AS toks
-      FROM raw r LEFT JOIN raw d ON d.doc_id = r.doc_id + 1
-    ),
-    p AS (
-      SELECT unnest(list_transform(range(1, greatest(len(toks) - 8, 1), 5),
-             i -> {{'pid': doc_id * 100000 + i,
-                    'sh': list_distinct(list_transform(range(i, i + 9),
-                          j -> toks[j] || ' ' || toks[j + 1]))}}), recursive := true)
-      FROM planted
-    )
-    SELECT a.pid AS id_a, b.pid AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-    FROM p a JOIN p b ON a.pid < b.pid
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
-    """,
-)
-def dedup_passage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Passage-level NEAR-dup pairs: 10-token strided windows treated as
-    mini-documents and pushed through the SAME banded-MinHash machinery as
-    the doc-level entries (k=64/16 bands over 2-gram shingles, confidence
-    threshold 0.8, exact-Jaccard verified) — catching cross-document span
-    reuse that `dedup_paragraph_exact`'s exact window hash misses when
-    the surrounding text differs.
-
-    Fixture: docs with doc_id%7==0 take their successor's first 10 tokens
-    as tokens 6–15 (a stride-aligned shared window, same planted-dup
-    discipline as the embedding entries) so the finding is non-trivial at
-    oracle SF. pid = doc_id·100000 + 1-based start token, so span
-    provenance round-trips arithmetically. Scoped to doc_id < 100 because
-    the ORACLE is the O(passages²) cross join only the oracle pays; the
-    operator stays the banded equi-join and scales like the doc-level
-    entries. Same determinism argument as `dedup_minhash_verified`:
-    fixed seeds → on fixed data the LSH output equals the exact pair
-    set."""
-    from pyspark.sql.functions import pandas_udf
-
-    window, stride = 10, 5
-
-    @pandas_udf("array<struct<pid:long,passage:string>>")
-    def pass_np(ids: pd.Series, toks_s: pd.Series) -> pd.Series:
-        out = []
-        for did, t in zip(ids, toks_s):
-            if t is None or len(t) < window:
-                out.append([])
-            else:
-                tl = list(t)
-                out.append(
-                    [
-                        (int(did) * 100000 + i + 1, " ".join(tl[i : i + window]))
-                        for i in range(0, len(tl) - window + 1, stride)
-                    ]
-                )
-        return pd.Series(out)
-
-    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    raw = d.select("doc_id", text.tokens(F.col("text")).alias("toks"))
-    donor = raw.select(
-        (F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("d_toks")
-    )
-    toks = F.col("toks")
-    planted = raw.join(donor, on="doc_id", how="left").select(
-        "doc_id",
-        F.when(
-            (F.col("doc_id") % 7 == 0)
-            & (F.size(toks) >= 16)
-            & (F.size(F.col("d_toks")) >= 10),
-            F.concat(
-                F.slice(toks, 1, 5),
-                F.slice(F.col("d_toks"), 1, 10),
-                F.slice(toks, 16, F.size(toks) - 15),
-            ),
-        )
-        .otherwise(toks)
-        .alias("toks"),
-    )
-    passages = planted.select(
-        F.explode(pass_np(F.col("doc_id"), F.col("toks"))).alias("p")
-    ).select("p.pid", "p.passage")
-    return dedup.minhash_lsh_pairs(
-        passages, id_col="pid", text_col="passage", k=64, bands=16, n=2, threshold=0.8
-    )
+# Shared fragments first (leaf), then the family modules for their
+# registration side effects — import order sets only the last-resort
+# position tiebreaker in the driver's attestation rotation.
+from ibc_spark.registry_ext_base import (  # noqa: F401
+    _AUG_SQL,
+    _FOLD_SUM_D,
+    _PLANT_SQL,
+    _PLANTED_PAIRS,
+    _SHINGLES,
+    _TOKS,
+    _augmented_embeddings,
+    _cos_sql,
+    _planted_embeddings,
+    _planted_lsh_pairs,
+)
+from ibc_spark import registry_ext_text  # noqa: E402,F401
+from ibc_spark import registry_ext_dedup  # noqa: E402,F401
+from ibc_spark import registry_ext_sketch  # noqa: E402,F401
+from ibc_spark import registry_ext_ann  # noqa: E402,F401
+from ibc_spark import registry_ext_pipe  # noqa: E402,F401
+from ibc_spark import registry_ext_rel  # noqa: E402,F401
+
+# Legacy re-exports (registry_extras + tests import these from here).
+from ibc_spark.registry_ext_dedup import _BLOOM_K, _BLOOM_M  # noqa: F401
+from ibc_spark.registry_ext_sketch import _KMV_K  # noqa: F401

