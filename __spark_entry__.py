@@ -63,6 +63,12 @@ _FORCE_RECHECK: set[str] = {
     # but its oracle/plan changed; sketch_kmv_setops is still never-green
     # so it re-attests from bucket 1 anyway
     "approx_sketch_stats",
+    # round 8: execution path rewritten from the grid pair join to the
+    # sweep-line prefix-sum plan (the r8 scale sweep measured the pair
+    # plan quadratic, 2 s → 228 s at sf1); same semantics, same oracle —
+    # candidate-path changes jump the queue (the round-5 lesson). Also in
+    # the r3-stale drain window, so this costs no extra slot.
+    "interval_overlap_sessions",
 }
 
 

@@ -285,3 +285,140 @@ def interval_overlap_grid(
         .drop("__cell")
         .dropDuplicates()
     )
+
+
+def interval_overlap_totals(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_keys: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    partitions: int = 32,
+) -> DataFrame:
+    """Per-LEFT-interval overlap AGGREGATES against every RIGHT interval —
+    ``n_overlaps`` and ``total_overlap`` (endpoint units) — WITHOUT
+    enumerating the overlapping pairs.
+
+    The pair set of a key-free overlap query is Ω(density²): at 10× the
+    temporal density there are 100× overlapping pairs, so any
+    pair-producing plan (including the grid equi-join above, optimal when
+    the pairs ARE the output) goes quadratic when only per-interval
+    aggregates are needed — measured 2 s → 228 s from sf0.1 → sf1 in the
+    round-8 scale sweep. This is the O(n log n) sweep-line formulation
+    instead: with prefix counts/sums over right starts (``C_s``/``S_s``)
+    and right ends (``C_e``/``S_e``), a left interval [s, e] has
+
+        n  = C_s(e) − C_e(<s)                       (starts before my end,
+                                                     minus ended before my start)
+        Σ min(e, r_e) = (S_e(≤e) − S_e(<s)) + e·(n − (C_e(≤e) − C_e(<s)))
+        Σ max(s, r_s) = (S_s(≤e) − S_s(<s)) + s·(n − (C_s(≤e) − C_s(<s)))
+        total = Σ min − Σ max
+
+    Every prefix value is read off ONE ordered pass: right endpoints
+    become measure points (tb=0), each left row two query markers (tb=+1
+    at e for the inclusive ≤ reads, tb=−1 at s for the strict < reads),
+    and running sums ordered by (x, tb) evaluate all eight prefixes at
+    once. The global order uses the ``assign_contiguous_ids`` two-phase
+    shape — range-repartition + per-partition running sums + an
+    aggregate-sized (≤``partitions`` rows) offset window — never a
+    single-task global window.
+
+    Endpoint columns must be int64-comparable (e.g. epoch micros);
+    ``left_keys`` must uniquely key ``left``, and all columns must be
+    non-null. Running Σ of raw epoch values overflows int64 (1.7e15 µs ×
+    1e6 rows), so the four running sums ride decimal(38,0) and only the
+    final pair-bounded difference casts back to long. Rows with zero
+    overlaps are omitted (inner-join semantics, matching the naive pair
+    plan). Intervals are closed; touching endpoints overlap with measure 0.
+    """
+    from ibc_spark.ext.persistreg import persist_tracked
+
+    zero_l = F.lit(0).cast("long")
+    zero_d = F.lit(0).cast("decimal(38,0)")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+
+    rs, re_ = F.col(right_start).cast("long"), F.col(right_end).cast("long")
+    pts = right.select(
+        rs.alias("x"), F.lit(0).alias("tb"),
+        F.lit(1).cast("long").alias("c_s"), rs.cast("decimal(38,0)").alias("s_s"),
+        zero_l.alias("c_e"), zero_d.alias("s_e"),
+    ).unionByName(
+        right.select(
+            re_.alias("x"), F.lit(0).alias("tb"),
+            zero_l.alias("c_s"), zero_d.alias("s_s"),
+            F.lit(1).cast("long").alias("c_e"), re_.cast("decimal(38,0)").alias("s_e"),
+        )
+    )
+    ls, le = F.col(left_start).cast("long"), F.col(left_end).cast("long")
+    marks = left.select(
+        *left_keys, ls.alias("__ls"), le.alias("__le"),
+        le.alias("x"), F.lit(1).alias("tb"),
+    ).unionByName(
+        left.select(
+            *left_keys, ls.alias("__ls"), le.alias("__le"),
+            ls.alias("x"), F.lit(-1).alias("tb"),
+        )
+    )
+    stream = pts.unionByName(marks, allowMissingColumns=True)
+
+    ranged = persist_tracked(
+        stream.repartitionByRange(partitions, F.col("x"), F.col("tb")).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    measures = ["c_s", "s_s", "c_e", "s_e"]
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("x", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ranged.select(
+        "*", *[F.sum(F.coalesce(F.col(m), F.lit(0))).over(w).alias(f"r_{m}") for m in measures]
+    )
+    # aggregate-sized exclusive prefix over per-partition totals (≤
+    # `partitions` rows — bounded by construction, like assign_contiguous_ids)
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(*[F.sum(F.coalesce(F.col(m), F.lit(0))).alias(f"t_{m}") for m in measures])
+        .select(
+            "__pid",
+            *[
+                F.coalesce(F.sum(f"t_{m}").over(woff), zero_d if m.startswith("s") else zero_l).alias(f"o_{m}")
+                for m in measures
+            ],
+        )
+    )
+    glob = run.where(F.col("tb") != 0).join(F.broadcast(offsets), "__pid").select(
+        *left_keys, "__ls", "__le", "tb",
+        *[(F.col(f"r_{m}") + F.col(f"o_{m}")).alias(f"g_{m}") for m in measures],
+    )
+    hi = glob.where(F.col("tb") == 1).select(
+        *left_keys, "__ls", "__le",
+        F.col("g_c_s").alias("hi_c_s"), F.col("g_s_s").alias("hi_s_s"),
+        F.col("g_c_e").alias("hi_c_e"), F.col("g_s_e").alias("hi_s_e"),
+    )
+    lo = glob.where(F.col("tb") == -1).select(
+        *left_keys,
+        F.col("g_c_s").alias("lo_c_s"), F.col("g_s_s").alias("lo_s_s"),
+        F.col("g_c_e").alias("lo_c_e"), F.col("g_s_e").alias("lo_s_e"),
+    )
+    n = F.col("hi_c_s") - F.col("lo_c_e")
+    sum_min = (F.col("hi_s_e") - F.col("lo_s_e")) + dec("__le") * (
+        n - (F.col("hi_c_e") - F.col("lo_c_e"))
+    )
+    sum_max = (F.col("hi_s_s") - F.col("lo_s_s")) + dec("__ls") * (
+        n - (F.col("hi_c_s") - F.col("lo_c_s"))
+    )
+    return (
+        hi.join(lo, on=left_keys)
+        .where(n > 0)
+        .select(
+            *left_keys,
+            n.alias("n_overlaps"),
+            (sum_min - sum_max).cast("long").alias("total_overlap"),
+        )
+    )

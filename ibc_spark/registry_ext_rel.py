@@ -707,20 +707,24 @@ def window_navigation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KEY-FREE interval-overlap join: per click-session (user×day span of
-    clicks), how many purchase-sessions — of ANY user — overlap it in
-    time, and the summed overlap (co-activity analysis: ad-exposure
+    """KEY-FREE interval-overlap AGGREGATES: per click-session (user×day
+    span of clicks), how many purchase-sessions — of ANY user — overlap
+    it in time, and the summed overlap (co-activity analysis: ad-exposure
     windows, incident blast radius, concurrent-session pricing).
 
-    The inequality-only predicate would compile to a
-    BroadcastNestedLoopJoin (per-row interpreted, O(|L|·|R|)); instead
-    sessions explode into the hour cells they cover and hash-equi-join ON
-    THE CELL (`ops.analytics.interval_overlap_grid`), with the exact
-    overlap predicate as a post-filter and a distinct collapsing
-    multi-cell pairs — candidate volume tracks temporal density, not the
-    row-count product, and the join shuffle-partitions by cell. The
-    DuckDB oracle runs the naive inequality join (fine at oracle SF)."""
-    from ibc_spark.ops.analytics import interval_overlap_grid
+    Round 8 rewrote this from the grid-bucketed pair join
+    (`ops.analytics.interval_overlap_grid`) to the SWEEP-LINE prefix-sum
+    plan (`ops.analytics.interval_overlap_totals`): the pair set of a
+    key-free overlap query is Ω(density²) — the r8 scale sweep measured
+    the pair plan at 2 s → 228 s from sf0.1 → sf1 (exponent 2.06, the
+    round's one super-linear entry) — but the AGGREGATES need no pairs:
+    counts and summed overlaps read off eight prefix values per session
+    in one range-partitioned ordered pass (exponent ~linear after the
+    rewrite; the sweep table in COVERAGE.md records both). The grid join
+    remains the right operator when the pairs themselves are the output.
+    The DuckDB oracle still runs the naive inequality join + group-by
+    (fine at oracle SF), so the sweep-line algebra is hash-attested."""
+    from ibc_spark.ops.analytics import interval_overlap_totals
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
 
@@ -728,30 +732,28 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             ev.where(F.col("event_type") == etype)
             .groupBy(F.col("user_id").alias(uid), F.to_date("ts").alias(day))
-            .agg(F.min("ts").alias(s), F.max("ts").alias(e))
+            .agg(
+                F.unix_micros(F.min("ts")).alias(s),
+                F.unix_micros(F.max("ts")).alias(e),
+            )
         )
 
     cs = sess("click", "ua", "d", "cs_s", "cs_e")
     ps = sess("purchase", "ub", "d2", "ps_s", "ps_e")
-    pairs = interval_overlap_grid(
+    agg = interval_overlap_totals(
         cs,
         ps,
+        left_keys=["ua", "d"],
         left_start="cs_s",
         left_end="cs_e",
         right_start="ps_s",
         right_end="ps_e",
-        grid="hour",
     )
-    ov = F.unix_micros(F.least(F.col("cs_e"), F.col("ps_e"))) - F.unix_micros(
-        F.greatest(F.col("cs_s"), F.col("ps_s"))
-    )
-    return (
-        pairs.withColumn("ov_us", ov)
-        .groupBy(F.col("ua").alias("user_id"), F.col("d").alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_overlaps"),
-            F.sum("ov_us").alias("total_overlap_us"),
-        )
+    return agg.select(
+        F.col("ua").alias("user_id"),
+        F.col("d").alias("day"),
+        "n_overlaps",
+        F.col("total_overlap").alias("total_overlap_us"),
     )
 
 

@@ -278,3 +278,59 @@ def test_interval_overlap_grid_equals_naive_join(spark):
     }
     assert naive  # non-vacuous
     assert got == naive
+
+
+def test_interval_overlap_totals_equals_pair_enumeration(spark):
+    """The sweep-line aggregate (`interval_overlap_totals`, the r8 rewrite
+    that removed the Ω(density²) pair enumeration) must return EXACTLY the
+    naive pair plan's per-left counts and summed overlaps on a seeded
+    fixture with zero-length intervals, touching endpoints (overlap 0 but
+    counted), duplicate endpoints, and left rows with no overlaps (must
+    be omitted, inner-join semantics)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ibc_spark.ops.analytics import interval_overlap_totals
+
+    rng = random.Random(11)
+
+    def mk(n, prefix, lo, hi):
+        rows = []
+        for i in range(n):
+            s = rng.randrange(lo, hi)
+            rows.append((f"{prefix}{i}", s, s + rng.choice([0, 1, 5, 40, 300])))
+        # planted edge cases: exact-touch pair and an isolated far-away row
+        rows.append((f"{prefix}touch", 10_000, 10_050))
+        rows.append((f"{prefix}far", 9_000_000 + (0 if prefix == "L" else 500), 9_000_000 + (0 if prefix == "L" else 501)))
+        return rows
+
+    l = spark.createDataFrame(mk(120, "L", 0, 2000), "lid string, ls long, le long")
+    r = spark.createDataFrame(mk(120, "R", 0, 2000), "rid string, rs long, re long")
+    # exact-touch partner: starts exactly where Ltouch ends
+    r = r.unionByName(spark.createDataFrame([("Rtouch", 10_050, 10_060)], r.schema))
+
+    got = {
+        (x["lid"], x["n_overlaps"], x["total_overlap"])
+        for x in interval_overlap_totals(
+            l, r, left_keys=["lid"],
+            left_start="ls", left_end="le", right_start="rs", right_end="re",
+        ).collect()
+    }
+    naive = {
+        (x["lid"], x["n"], x["tot"])
+        for x in l.crossJoin(r)
+        .where((F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")))
+        .groupBy("lid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.least("le", "re") - F.greatest("ls", "rs")
+            ).alias("tot"),
+        )
+        .collect()
+    }
+    assert naive and got == naive
+    by_id = {t[0]: t for t in got}
+    assert by_id["Ltouch"][1] >= 1 and by_id["Ltouch"] is not None  # touch counted
+    assert "Lfar" not in by_id  # zero-overlap left rows omitted
