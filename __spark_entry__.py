@@ -89,6 +89,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # working threshold (VERDICT r7 #3) — parity-proven locally every
     # pytest run; driver slot next round
     "dedup_minhash_lsh_portable",
+    # round 8 additions, parity-proven locally; driver slots next round
+    "dedup_ngram_containment",
+    "search_hybrid_rrf",
 }
 
 

@@ -305,6 +305,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 2,
+    threshold: float = 0.15,
+) -> DataFrame:
+    """Blocked DIRECTED containment pairs: within each block, emit ordered
+    (inner, outer) pairs with shingle containment |A∩B| / |A| ≥ threshold
+    (A = inner). Jaccard misses the "quoted inside a larger page" shape —
+    a 100-gram doc fully embedded in a 10,000-gram doc has Jaccard ≈ 0.01
+    but containment 1.0; this is the operator that catches near-subset
+    duplication (partial scrapes, quote farms, boilerplate wrappers).
+
+    Plan: inverted-index count join (the exactness-preserving low-threshold
+    arm of ``ngram_jaccard_pairs`` — containment working points sit well
+    below the PPJoin prefix-filter regime, so prefix machinery would prune
+    ~nothing). The one asymmetric prune that DOES apply is pushed before
+    the count shuffle as a codegen predicate: |A∩B| ≤ |B|, so only pairs
+    with |B| ≥ t·|A| can qualify. |A∩B| falls out of the per-pair
+    co-occurrence count; no second pass over the shingle arrays. Each
+    direction of a pair is one aggregation row — both directions are
+    emitted (containment is not symmetric). Join key (block, shingle) is
+    high-cardinality; skew lands on genuinely common shingles only, which
+    AQE skew-split covers."""
+    base = persist_tracked(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(block_col).alias("block"),
+            shingles(tokens(F.col(text_col)), n).alias("sh"),
+        ).select("doc_id", "block", "sh", F.size("sh").alias("sz"))
+    )
+    postings = base.where(F.col("sz") > 0).select(
+        "doc_id", "block", "sz", F.explode("sh").alias("shingle")
+    )
+    a = postings.select(
+        F.col("doc_id").alias("inner_id"), F.col("sz").alias("sz_a"), "block", "shingle"
+    )
+    b = postings.select(
+        F.col("doc_id").alias("outer_id"), F.col("sz").alias("sz_b"), "block", "shingle"
+    )
+    pairs = (
+        a.join(b, on=["block", "shingle"])
+        .where(
+            (F.col("inner_id") != F.col("outer_id"))
+            & (F.col("sz_b") >= threshold * F.col("sz_a"))
+        )
+        .groupBy("inner_id", "outer_id", "sz_a")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.withColumn(
+            "containment", F.col("common").cast("double") / F.col("sz_a")
+        )
+        .where(F.col("containment") >= threshold)
+        .select("inner_id", "outer_id", "containment")
+    )
+
+
 def distinct_ngrams_np(n: int):
     """Arrow-batched distinct word ``n``-gram kernel over PRE-TOKENIZED
     arrays: at n=8 the zip_with-chain Column form runs n-1 interpreted

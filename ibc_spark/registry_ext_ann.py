@@ -527,3 +527,106 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical BM25 + dense cosine fused by Reciprocal Rank
+# Fusion (Cormack et al., SIGIR'09: score = Σ_arms 1/(κ + rank), κ=60)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_ARM_K = 20
+
+
+def _hybrid_rrf_oracle() -> str:
+    """Compose the hybrid oracle from the REGISTERED bm25 oracle (the
+    lexical arm can never drift from the standalone entry) plus a dense
+    cosine arm ranked against the vec_id=0 query vector."""
+    from ibc_spark.registry_core import ORACLES
+
+    bm25 = ORACLES["bm25_keyword_search"].strip()
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS rank_lex
+      FROM ({bm25})
+    ),
+    dense0 AS (
+      SELECT e.vec_id AS doc_id, {_cos_sql('q.qv', 'e.embedding')} AS cos
+      FROM embeddings e,
+           (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+    ),
+    dense AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+               AS rank_dense
+      FROM dense0
+      QUALIFY row_number() OVER (ORDER BY cos DESC, doc_id) <= {_RRF_ARM_K}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.rank_lex, d.rank_dense,
+             COALESCE(1.0 / ({_RRF_K} + l.rank_lex), 0)
+               + COALESCE(1.0 / ({_RRF_K} + d.rank_dense), 0) AS rrf
+      FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_dense, round(rrf, 6) AS rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 (the registered
+    ``bm25_keyword_search`` entry, called directly so the arm cannot drift)
+    + exact cosine dense top-20 against the vec_id=0 query embedding
+    (``similarity.topk_bruteforce`` — the machinery proven by
+    ``ann_topk_bruteforce``), fused by Reciprocal Rank Fusion
+    (1/(60+rank), the rank-only fusion that needs no score calibration
+    between arms) into a final top-10.
+
+    Scale shape: each arm ends in its own bounded top-k
+    (TakeOrderedAndProject / WindowGroupLimit) BEFORE fusion, so the
+    full-outer fusion join sees two ≤20-row frames regardless of corpus
+    size — at 100 TB the dense arm swaps to the LSH/IVF entries with the
+    same (doc_id, rank) contract and the fusion plan is unchanged. RRF
+    arithmetic is two exact 1/(60+r) doubles and one IEEE addition —
+    bit-identical across engines, round(6) only defensive."""
+    from ibc_spark.registry_core import QUERIES
+
+    lex = QUERIES["bm25_keyword_search"](spark, sf_dir)
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex = lex.select(
+        "doc_id", F.row_number().over(wl).cast("int").alias("rank_lex")
+    )
+    e = read_table(spark, sf_dir, "embeddings")
+    dense = similarity.topk_bruteforce(
+        e,
+        e.where(F.col("vec_id") == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_RRF_ARM_K,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank_dense"),
+    )
+    fused = lex.join(dense, on="doc_id", how="full").select(
+        "doc_id",
+        "rank_lex",
+        "rank_dense",
+        (
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_dense")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), F.col("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id", "rank_lex", "rank_dense", F.round("rrf_raw", 6).alias("rrf")
+        )
+    )

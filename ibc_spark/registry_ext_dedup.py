@@ -72,6 +72,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLES2 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-1,0)+1),"
+    " i -> array_to_string(list_slice(toks, i, i+1), ' ')))"
+)
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_SHINGLES2} AS sh
+      FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+             AS containment
+    FROM base a JOIN base b ON a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE len(a.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.15
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked DIRECTED 2-gram containment pairs (block = source, τ=0.15):
+    |A∩B|/|A| — the asymmetric near-subset detector that Jaccard cannot
+    express (a short doc fully embedded in a long one has Jaccard ≈ 0 but
+    containment 1). Inverted-index count join; the |B| ≥ τ·|A| prune is a
+    codegen predicate before the count shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        d, id_col="doc_id", text_col="text", block_col="source", n=2, threshold=0.15
+    )
+
+
 @query("dedup_minhash_lsh")  # rows-only driver check — waiver documented below
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands) near-dup pairs, exact-Jaccard verified.

@@ -67,6 +67,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "embedding_pq_encode": "16-row codebook-anchor frame broadcast (O(K) by construction)",
     "ann_topk_pq_adc": "16-row anchor frame + 1-row query vector + 128-row ADC table broadcasts",
     "rolling_7d_distinct_users": "1-row observed-day-range bounds broadcast (window clipping)",
+    "search_hybrid_rrf": "inherits the bm25 arm's 1-row corpus-stats broadcast and the dense arm's 1-row query-vector broadcast (both standalone-allowlisted); fusion join is two ≤20-row top-k frames",
 }
 
 # Row-at-a-time Python allowlist: the engine-wide rule is Arrow-batched or

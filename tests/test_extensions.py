@@ -1112,3 +1112,94 @@ def test_simhash_groups_stats_only_mode(spark, docs):
         slim.exceptAll(full.select("simhash", "group_size", "kept_id")).count() == 0
     )
     assert slim.count() == full.count()
+
+
+def test_containment_detects_embedded_subset(spark):
+    """A short doc fully embedded in a longer one must score containment
+    1.0 (short in long) while the reverse direction scores < 1 — the
+    asymmetric shape Jaccard cannot express."""
+    from ibc_spark.ext.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " zeta eta theta iota kappa " + "lam mu nu xi omicron pi rho"
+    df = spark.createDataFrame(
+        [(1, short, "s"), (2, long_, "s"), (3, "totally different words here", "s")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        (r["inner_id"], r["outer_id"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, id_col="doc_id", text_col="text", block_col="source",
+            n=2, threshold=0.1,
+        ).collect()
+    }
+    assert rows[(1, 2)] == 1.0, "embedded doc must be fully contained"
+    assert 0 < rows[(2, 1)] < 1.0, "reverse direction is partial"
+    assert (3, 1) not in rows and (3, 2) not in rows
+
+
+def test_containment_matches_bruteforce(spark, docs):
+    """The inverted-index count-join containment equals the per-pair
+    set-arithmetic bruteforce on real testdata (exactness of the
+    low-threshold arm, containment flavor)."""
+    from ibc_spark.ext.dedup import ngram_containment_pairs, shingles, tokens
+
+    got = {
+        (r["inner_id"], r["outer_id"]): round(r["containment"], 9)
+        for r in ngram_containment_pairs(
+            docs, id_col="doc_id", text_col="text", block_col="source",
+            n=2, threshold=0.15,
+        ).collect()
+    }
+    base = docs.select(
+        F.col("doc_id"), F.col("source"),
+        shingles(tokens(F.col("text")), 2).alias("sh"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("inner_id"), F.col("source"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("outer_id"), F.col("source"),
+        F.col("sh").alias("sh_b"),
+    )
+    exact = {
+        (r["inner_id"], r["outer_id"]): round(r["c"], 9)
+        for r in a.join(b, on="source")
+        .where(F.col("inner_id") != F.col("outer_id"))
+        .select(
+            "inner_id", "outer_id",
+            (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+             / F.size("sh_a")).alias("c"),
+        )
+        .where(F.col("c") >= 0.15)
+        .collect()
+    }
+    assert got == exact
+
+
+def test_hybrid_rrf_rewards_agreement(spark):
+    """A doc ranked in BOTH arms must outscore a doc holding the SAME rank
+    in only one arm, and every fused score must equal 1/(60+rl) + 1/(60+rd)."""
+    from ibc_spark.registry import QUERIES
+    from ibc_spark.registry_ext_ann import _RRF_K
+
+    rows = QUERIES["search_hybrid_rrf"](spark, str(SF_ORACLE)).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        want = 0.0
+        if r["rank_lex"] is not None:
+            want += 1.0 / (_RRF_K + r["rank_lex"])
+        if r["rank_dense"] is not None:
+            want += 1.0 / (_RRF_K + r["rank_dense"])
+        assert abs(r["rrf"] - want) < 1e-6
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    both = [r for r in rows if r["rank_lex"] is not None and r["rank_dense"] is not None]
+    single = [r for r in rows if (r["rank_lex"] is None) != (r["rank_dense"] is None)]
+    for b in both:
+        for s in single:
+            lone = s["rank_lex"] if s["rank_lex"] is not None else s["rank_dense"]
+            if min(b["rank_lex"], b["rank_dense"]) >= lone:
+                # agreement at no-better single-arm ranks still wins
+                assert b["rrf"] > s["rrf"]
