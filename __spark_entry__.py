@@ -92,6 +92,8 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 8 additions, parity-proven locally; driver slots next round
     "dedup_ngram_containment",
     "search_hybrid_rrf",
+    "dedup_duplicate_spans",
+    "embedding_random_projection",
 }
 
 

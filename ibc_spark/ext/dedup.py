@@ -173,6 +173,104 @@ def passage_exact_dups(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """MAXIMAL duplicated token spans per document — the full Spark-native
+    equivalent of suffix-array substring dedup (Lee et al. 2022): every
+    stride-1 ``window``-token passage occurring more than once anywhere in
+    the corpus (across documents OR repeated within one) marks its token
+    range duplicated; overlapping/adjacent duplicated ranges then merge
+    into maximal spans, which is exactly the set of tokens a
+    substring-level deduper would cut. ``passage_exact_dups`` (stride 5)
+    reports occurrences of fixed windows; this reports the MERGED spans at
+    token resolution — arbitrary-offset duplicated substrings of any
+    length ≥ window, without building a suffix array.
+
+    Plan shape: stride-1 window explode (~1 row per corpus token — linear,
+    the same asymptotics as the suffix-array's O(n) but embarrassingly
+    parallel) → ONE hash shuffle on the passage key for the occurrence
+    count → ONE shuffle on doc_id for the per-doc sort-merge windows. The
+    gap-merge is the classic sweep: a window opens a new span iff its
+    start exceeds the running max end of all earlier windows + 1; span id
+    = running sum of open flags; spans aggregate per (doc, span id). Group
+    state per doc is O(its duplicated windows); a boilerplate mega-passage
+    is the AQE skew-split case on the first shuffle. At 100 TB the passage
+    string itself would be replaced by xxhash64(passage) in the shuffle
+    key (collision-negligible, 8-byte keys) — kept as the string here so
+    the oracle replays byte-identically."""
+
+    @pandas_udf("array<struct<start_tok:int,passage:string>>")
+    def windows_np(toks_s: pd.Series) -> pd.Series:
+        out = []
+        for t in toks_s:
+            if t is None or len(t) < window:
+                out.append([])
+            else:
+                tl = list(t)
+                out.append(
+                    [
+                        (i + 1, " ".join(tl[i : i + window]))
+                        for i in range(0, len(tl) - window + 1)
+                    ]
+                )
+        return pd.Series(out)
+
+    occ = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select("doc_id", F.explode(windows_np(F.col("toks"))).alias("w"))
+        .select(
+            "doc_id",
+            F.col("w.start_tok").alias("start_tok"),
+            F.col("w.passage").alias("passage"),
+        )
+    )
+    dup = (
+        occ.withColumn(
+            "n_occ", F.count(F.lit(1)).over(Window.partitionBy("passage"))
+        )
+        .where(F.col("n_occ") > 1)
+        .select("doc_id", "start_tok")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("start_tok")
+    prev_end = F.max(F.col("start_tok") + window - 1).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "opens",
+        F.when(
+            prev_end.isNull() | (F.col("start_tok") > prev_end + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("opens").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("start_tok").alias("span_start"),
+            (F.max("start_tok") + window - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_id").cast("int").alias("span_id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias(
+                "span_tokens"
+            ),
+            "n_windows",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,

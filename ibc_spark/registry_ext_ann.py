@@ -630,3 +630,49 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "rank_lex", "rank_dense", F.round("rrf_raw", 6).alias("rrf")
         )
     )
+
+
+@query(
+    "embedding_random_projection",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT j, d,
+             CAST(CAST(('0x' || substr(md5('rp' || CAST(j AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+               / pow(2.0, 60) - 0.5 AS w
+      FROM range(0, 16) tj(j), range(0, 64) td(d)
+    ),
+    proj AS (
+      SELECT e.vec_id, CAST(p.j AS INT) AS j,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(e.v[p.d + 1] * p.w ORDER BY p.d)),
+                         (a, x) -> a + x) * sqrt(12.0 / 16.0) AS s
+      FROM emb e, planes p
+      GROUP BY e.vec_id, p.j
+    )
+    SELECT vec_id, j, round(s, 6) AS comp
+    FROM proj
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction 64 → 16 (the 4×
+    shuffle-byte shrink a 100 TB pipeline applies before ANN indexing),
+    via `similarity.random_projection_portable`: md5-derived planes in a
+    namespace disjoint from the LSH family, strict left-fold dot products,
+    one sqrt(12/16) variance-preserving scale — every component replayed
+    bit-for-bit by the oracle. Emitted as (vec_id, j, comp) rows so the
+    hash compares typed doubles, not array stringifications. Distance
+    preservation (the JL guarantee) is pinned in pytest, machinery here."""
+    e = read_table(spark, sf_dir, "embeddings")
+    proj = e.select(
+        "vec_id",
+        similarity.random_projection_portable(
+            F.col("embedding"), out_dim=16, dim=64
+        ).alias("pv"),
+    )
+    return proj.select(
+        "vec_id", F.posexplode("pv").alias("j", "comp_raw")
+    ).select("vec_id", F.col("j").cast("int").alias("j"), F.round("comp_raw", 6).alias("comp"))

@@ -387,6 +387,58 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, CAST(u.i AS INT) AS start_tok,
+             array_to_string(list_slice(toks, u.i, u.i + 9), ' ') AS passage
+      FROM t, unnest(CASE WHEN len(toks) >= 10
+                          THEN range(1, len(toks) - 8) ELSE [] END) AS u(i)
+    ),
+    dup AS (
+      SELECT doc_id, start_tok
+      FROM occ
+      QUALIFY COUNT(*) OVER (PARTITION BY passage) > 1
+    ),
+    flagged AS (
+      SELECT doc_id, start_tok,
+             CASE WHEN max(start_tok + 9) OVER (
+                      PARTITION BY doc_id ORDER BY start_tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR start_tok > max(start_tok + 9) OVER (
+                      PARTITION BY doc_id ORDER BY start_tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS opens
+      FROM dup
+    ),
+    spans AS (
+      SELECT doc_id, start_tok,
+             sum(opens) OVER (PARTITION BY doc_id ORDER BY start_tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id, CAST(span_id AS INT) AS span_id,
+           min(start_tok) AS span_start,
+           max(start_tok) + 9 AS span_end,
+           CAST(max(start_tok) + 9 - min(start_tok) + 1 AS BIGINT)
+             AS span_tokens,
+           count(*) AS n_windows
+    FROM spans GROUP BY doc_id, span_id
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated token spans (window=10, stride 1) — the
+    arbitrary-offset substring-dedup output (Lee et al. 2022): per doc,
+    the merged token ranges covered by any 10-gram occurring more than
+    once anywhere in the corpus. ``dedup_paragraph_exact`` lists strided
+    occurrences; this emits the exact spans a substring deduper cuts."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(d, id_col="doc_id", text_col="text", window=10)
+
+
+@query(
     "dedup_paragraph_exact",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

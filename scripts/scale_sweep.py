@@ -41,6 +41,9 @@ ENTRIES = [
     "graph_pagerank_shuffled",
     # sessionization: per-user windows over disjoint users
     "interval_overlap_sessions",
+    # directed containment: inverted-index count join (quadratic risk rides
+    # the per-shingle co-occurrence volume)
+    "dedup_ngram_containment",
 ]
 
 SFS = [

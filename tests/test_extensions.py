@@ -1203,3 +1203,70 @@ def test_hybrid_rrf_rewards_agreement(spark):
             if min(b["rank_lex"], b["rank_dense"]) >= lone:
                 # agreement at no-better single-arm ranks still wins
                 assert b["rrf"] > s["rrf"]
+
+
+def test_duplicate_spans_merge_and_coverage(spark):
+    """Planted scenario: two docs share one long passage; the stride-1
+    duplicated windows must merge into ONE maximal span per doc covering
+    exactly the shared tokens; a unique-text doc emits no spans."""
+    from ibc_spark.ext.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(15))  # 15 shared tokens
+    a = "ua1 ua2 ua3 " + shared + " ua4 ua5"
+    b = "ub1 " + shared + " ub2 ub3 ub4 ub5 ub6 ub7"
+    c = " ".join(f"c{i}" for i in range(30))  # unique
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    rows = duplicate_spans(df, id_col="doc_id", text_col="text", window=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    s1, s2 = by_doc[1][0], by_doc[2][0]
+    # doc 1: shared tokens at positions 4..18 (1-based); doc 2: 2..16
+    assert (s1["span_start"], s1["span_end"], s1["span_tokens"]) == (4, 18, 15)
+    assert (s2["span_start"], s2["span_end"], s2["span_tokens"]) == (2, 16, 15)
+    # windows per span: 15 - 10 + 1 = 6
+    assert s1["n_windows"] == 6 and s2["n_windows"] == 6
+
+
+def test_random_projection_preserves_distances(spark, emb):
+    """JL guarantee at 64→16: squared pairwise distances are preserved in
+    expectation — for a deterministic sample of pairs the ratio
+    ||f(a)-f(b)||² / ||a-b||² must stay within loose (4×) bounds, and the
+    projection must be deterministic across invocations."""
+    import numpy as np
+
+    from ibc_spark.ext.similarity import random_projection_portable
+
+    rows = (
+        emb.where(F.col("vec_id") < 40)
+        .select(
+            "vec_id",
+            "embedding",
+            random_projection_portable(F.col("embedding"), out_dim=16, dim=64).alias("pv"),
+        )
+        .collect()
+    )
+    by_id = {r["vec_id"]: (np.array(r["embedding"], float), np.array(r["pv"])) for r in rows}
+    ratios = []
+    ids = sorted(by_id)
+    for a, b in zip(ids[::2], ids[1::2]):
+        va, pa = by_id[a]
+        vb, pb = by_id[b]
+        d2 = float(((va - vb) ** 2).sum())
+        if d2 < 1e-12:
+            continue
+        ratios.append(float(((pa - pb) ** 2).sum()) / d2)
+    assert ratios, "need non-identical sample pairs"
+    assert 0.25 < float(np.median(ratios)) < 4.0
+    for r in ratios:
+        assert 0.05 < r < 20.0, f"pathological distortion: {r}"
+    again = (
+        emb.where(F.col("vec_id") == ids[0])
+        .select(random_projection_portable(F.col("embedding"), out_dim=16, dim=64).alias("pv"))
+        .collect()[0]["pv"]
+    )
+    assert list(again) == list(by_id[ids[0]][1])
