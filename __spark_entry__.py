@@ -94,6 +94,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "search_hybrid_rrf",
     "dedup_duplicate_spans",
     "embedding_random_projection",
+    "text_token_entropy",
 }
 
 

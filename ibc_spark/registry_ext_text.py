@@ -620,3 +620,94 @@ def fuzzy_resolve_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "text_token_entropy",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+    ent AS (
+      SELECT tf.doc_id,
+             sum(CAST(round(
+                   (CAST(c AS DOUBLE) / n_tokens)
+                     * ln(CAST(n_tokens AS DOUBLE) / c), 12)
+                 AS DECIMAL(20, 12))) AS h,
+             count(*) AS n_distinct
+      FROM tf JOIN dl USING (doc_id)
+      GROUP BY tf.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(dl.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(e.n_distinct, 0) AS n_distinct,
+           round(CAST(COALESCE(e.h, 0) AS DOUBLE), 6) AS entropy,
+           CASE WHEN dl.n_tokens > 1
+                THEN round(CAST(COALESCE(e.h, 0) AS DOUBLE)
+                           / ln(CAST(dl.n_tokens AS DOUBLE)), 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS entropy_norm
+    FROM documents d
+    JOIN dl ON d.doc_id = dl.doc_id
+    LEFT JOIN ent e ON d.doc_id = e.doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token Shannon entropy per document + the length-normalized
+    variant (entropy / ln(n_tokens) ∈ [0,1]) — the repetitiveness /
+    gibberish quality signal the ratio metrics miss: spammy low-diversity
+    docs score near 0, natural text near its length ceiling. Completes
+    the quality family (length/ratio → gopher → repetition → compression
+    → entropy).
+
+    Float discipline: each (doc, term) entropy term p·ln(1/p) is rounded
+    at 1e-12 and summed as DECIMAL(20,12) — an exact, order-free
+    aggregation, so the per-doc sum cannot drift with shuffle order on
+    either engine (the registry's pinned-scale DECIMAL convention). One
+    explode + one (doc,term) count shuffle + one per-doc sum; group state
+    is O(distinct terms of one doc)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", text.tokens("text").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("n_tokens"))
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = (F.col("c").cast("double") / F.col("n_tokens")) * F.log(
+        F.col("n_tokens").cast("double") / F.col("c")
+    )
+    ent = (
+        tf.join(dl, on="doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.round(term, 12).cast("decimal(20,12)")).alias("h"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(dl, on="doc_id")
+        .join(ent, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.round(F.coalesce(F.col("h").cast("double"), F.lit(0.0)), 6).alias(
+                "entropy"
+            ),
+            F.when(
+                F.col("n_tokens") > 1,
+                F.round(
+                    F.coalesce(F.col("h").cast("double"), F.lit(0.0))
+                    / F.log(F.col("n_tokens").cast("double")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("entropy_norm"),
+        )
+    )

@@ -1270,3 +1270,31 @@ def test_random_projection_preserves_distances(spark, emb):
         .collect()[0]["pv"]
     )
     assert list(again) == list(by_id[ids[0]][1])
+
+
+def test_token_entropy_bounds_and_extremes(spark, tmp_path):
+    """Entropy pins: a one-token-repeated doc scores 0; an all-distinct doc
+    scores ln(L) with normalized entropy 1; everything in between lands in
+    (0, 1) normalized."""
+    import math
+
+    from ibc_spark.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam", "en", "s", 29),
+            (1, "one two three four five six", "en", "s", 27),
+            (2, "aa bb aa bb cc dd", "en", "s", 17),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sf")
+    import os
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in QUERIES["text_token_entropy"](spark, sf).collect()}
+    assert rows[0]["entropy"] == 0.0 and rows[0]["entropy_norm"] == 0.0
+    assert abs(rows[1]["entropy"] - math.log(6)) < 1e-5
+    assert abs(rows[1]["entropy_norm"] - 1.0) < 1e-5
+    assert 0.0 < rows[2]["entropy_norm"] < 1.0
+    assert rows[2]["n_distinct"] == 4 and rows[2]["n_tokens"] == 6
