@@ -95,6 +95,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "dedup_duplicate_spans",
     "embedding_random_projection",
     "text_token_entropy",
+    "sketch_kmv_rollup_merge",
 }
 
 

@@ -465,3 +465,126 @@ def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.unionByName(union_row)
 
 
+
+
+@query(
+    "sketch_kmv_rollup_merge",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uh
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    daily AS (
+      SELECT event_type, day, uh
+      FROM (SELECT DISTINCT event_type, day, uh FROM h)
+      QUALIFY row_number() OVER (PARTITION BY event_type, day ORDER BY uh)
+              <= {_KMV_K}
+    ),
+    merged AS (
+      SELECT event_type, uh
+      FROM (SELECT DISTINCT event_type, uh FROM daily)
+      QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY uh)
+              <= {_KMV_K}
+    ),
+    est_m AS (
+      SELECT event_type,
+             round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                        ELSE {_KMV_K - 1} * pow(2.0, 60)
+                             / CAST(max(uh) AS DOUBLE) END, 4) AS approx_merged
+      FROM merged GROUP BY event_type
+    ),
+    direct AS (
+      SELECT event_type, uh
+      FROM (SELECT DISTINCT event_type, uh FROM h)
+      QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY uh)
+              <= {_KMV_K}
+    ),
+    est_d AS (
+      SELECT event_type,
+             round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                        ELSE {_KMV_K - 1} * pow(2.0, 60)
+                             / CAST(max(uh) AS DOUBLE) END, 4) AS approx_direct
+      FROM direct GROUP BY event_type
+    ),
+    days AS (
+      SELECT event_type, count(DISTINCT day) AS n_days FROM daily
+      GROUP BY event_type
+    )
+    SELECT d.event_type, days.n_days, m.approx_merged, d2.approx_direct,
+           m.approx_merged = d2.approx_direct AS merge_lossless
+    FROM est_d d2
+    JOIN est_m m ON d2.event_type = m.event_type
+    JOIN days ON days.event_type = m.event_type
+    JOIN (SELECT DISTINCT event_type FROM h) d ON d.event_type = m.event_type
+    """,
+)
+def sketch_kmv_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH PERSISTENCE + MERGE — the mergeable-rollup shape distinct
+    counts need at 100 TB: build one O(k) KMV sketch per (event_type,
+    day) partition (the artifact an incremental pipeline stores alongside
+    ``incremental_rollup_merge``'s counts), then answer the cross-day
+    question by MERGING stored sketches (union hash sets, re-take the k
+    smallest) instead of re-scanning events. The merge is provably
+    lossless for the global k-min: each of the k globally-smallest hashes
+    is among its own day's k smallest, so the union of daily sketches
+    contains all of them — the entry emits the merged AND direct
+    estimates plus their equality so the oracle attests the
+    losslessness, not just the numbers.
+
+    Plan: one distinct on (type, day, uh) → per-day rank (WindowGroupLimit
+    — k-bounded state) → dedup + per-type rank over ≤ k·days rows. No
+    corpus-scale aggregation buffers; daily sketch state is O(k) rows."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    h = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("uh"),
+    ).where(F.col("uh").isNotNull())
+
+    def kmin(df, keys):
+        w = Window.partitionBy(*keys).orderBy("uh")
+        return (
+            df.select(*keys, "uh")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _KMV_K)
+        )
+
+    def est(df, alias):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("nk"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("uh"))).alias("uhk"),
+        ).select(
+            "event_type",
+            F.round(
+                F.when(F.col("nk") < _KMV_K, F.col("nk").cast("double")).otherwise(
+                    F.lit(float(_KMV_K - 1))
+                    * F.lit(2.0**60)
+                    / F.col("uhk").cast("double")
+                ),
+                4,
+            ).alias(alias),
+        )
+
+    daily = kmin(h, ["event_type", "day"])
+    merged = est(kmin(daily, ["event_type"]), "approx_merged")
+    direct = est(kmin(h, ["event_type"]), "approx_direct")
+    days = daily.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_days")
+    )
+    return (
+        direct.join(merged, on="event_type")
+        .join(days, on="event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "approx_merged",
+            "approx_direct",
+            (F.col("approx_merged") == F.col("approx_direct")).alias(
+                "merge_lossless"
+            ),
+        )
+    )

@@ -44,6 +44,12 @@ ENTRIES = [
     # directed containment: inverted-index count join (quadratic risk rides
     # the per-shingle co-occurrence volume)
     "dedup_ngram_containment",
+    # stride-1 window explode (the most row-intensive dedup input shape)
+    "dedup_duplicate_spans",
+    # per-(doc,term) count shuffle + exact DECIMAL fold
+    "text_token_entropy",
+    # daily k-min sketches + lossless merge
+    "sketch_kmv_rollup_merge",
 ]
 
 SFS = [

@@ -332,3 +332,28 @@ def test_theta_setops_bounds_vs_exact(spark):
     u = rows["click_union_purchase"]
     assert abs(u["approx_distinct"] - exact_union) <= max(2, 0.05 * exact_union)
     assert abs(u["approx_intersection"] - exact_inter) <= max(3, 0.08 * exact_union)
+
+
+def test_kmv_rollup_merge_is_lossless(spark):
+    """Merging daily KMV sketches must reproduce the direct whole-range
+    sketch EXACTLY (the k global minima are contained in the union of
+    daily k-minima), and the estimate must stay within 3 sigma of exact."""
+    from tests.conftest import SF_ORACLE
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.registry import QUERIES
+
+    rows = QUERIES["sketch_kmv_rollup_merge"](spark, str(SF_ORACLE)).collect()
+    assert rows
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in read_table(spark, str(SF_ORACLE), "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for r in rows:
+        assert r["merge_lossless"], r
+        ex = exact[r["event_type"]]
+        # KMV rse ~ 1/sqrt(k-2) with k=64 → ~12.7%; allow 3 sigma
+        assert abs(r["approx_merged"] - ex) <= max(3 * ex / (62 ** 0.5), 5), (r, ex)

@@ -434,7 +434,12 @@ def test_topk_entries_get_window_group_limit(spark):
     (partial k-min per partition, merge k·parts rows), so a regression
     that drops it (e.g. ranking a derived column) must fail loudly
     (ADVICE r7)."""
-    for name in ("ann_topk_bruteforce", "knn_graph_topk", "approx_sketch_stats"):
+    for name in (
+        "ann_topk_bruteforce",
+        "knn_graph_topk",
+        "approx_sketch_stats",
+        "sketch_kmv_rollup_merge",  # daily + merged + direct k-min ranks
+    ):
         plan = plan_of(QUERIES[name](spark, SF_SMOKE))
         assert "WindowGroupLimit" in plan, (name, plan)
 
