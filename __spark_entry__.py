@@ -69,6 +69,12 @@ _FORCE_RECHECK: set[str] = {
     # candidate-path changes jump the queue (the round-5 lesson). Also in
     # the r3-stale drain window, so this costs no extra slot.
     "interval_overlap_sessions",
+    # round 8: LSH band parameters became corpus-size-adaptive (the
+    # full-registry scale scan found the fixed 8-bit band space
+    # saturating at sf1). At driver SF the derived (r=8, B=32) is
+    # IDENTICAL to the old constants, but candidate-path code changed —
+    # jump the queue per the round-5 lesson.
+    "dedup_embedding_lsh",
 }
 
 

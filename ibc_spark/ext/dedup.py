@@ -422,14 +422,17 @@ def ngram_containment_pairs(
     Plan: inverted-index count join (the exactness-preserving low-threshold
     arm of ``ngram_jaccard_pairs`` — containment working points sit well
     below the PPJoin prefix-filter regime, so prefix machinery would prune
-    ~nothing). The one asymmetric prune that DOES apply is pushed before
-    the count shuffle as a codegen predicate: |A∩B| ≤ |B|, so only pairs
-    with |B| ≥ t·|A| can qualify. |A∩B| falls out of the per-pair
-    co-occurrence count; no second pass over the shingle arrays. Each
-    direction of a pair is one aggregation row — both directions are
-    emitted (containment is not symmetric). Join key (block, shingle) is
-    high-cardinality; skew lands on genuinely common shingles only, which
-    AQE skew-split covers."""
+    ~nothing). The co-occurrence join runs UNDIRECTED (strict id order) so
+    each shared shingle shuffles ONE row, not one per direction — halving
+    the dominant stage of the whole plan — and both directed containments
+    (|A∩B|/|A|, |A∩B|/|B|) fall out of the single per-pair count, emitted
+    by a post-aggregation explode and filtered per direction. (The
+    per-direction |B| ≥ t·|A| length prune only fires at size ratios
+    > 1/t — at working thresholds it prunes less than the duplication it
+    would force, so the undirected form strictly wins.) |A∩B| falls out
+    of the count; no second pass over the shingle arrays. Join key
+    (block, shingle) is high-cardinality; skew lands on genuinely common
+    shingles only, which AQE skew-split covers."""
     base = persist_tracked(
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -441,27 +444,35 @@ def ngram_containment_pairs(
         "doc_id", "block", "sz", F.explode("sh").alias("shingle")
     )
     a = postings.select(
-        F.col("doc_id").alias("inner_id"), F.col("sz").alias("sz_a"), "block", "shingle"
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "block", "shingle"
     )
     b = postings.select(
-        F.col("doc_id").alias("outer_id"), F.col("sz").alias("sz_b"), "block", "shingle"
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "block", "shingle"
     )
     pairs = (
         a.join(b, on=["block", "shingle"])
-        .where(
-            (F.col("inner_id") != F.col("outer_id"))
-            & (F.col("sz_b") >= threshold * F.col("sz_a"))
-        )
-        .groupBy("inner_id", "outer_id", "sz_a")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
-        pairs.withColumn(
-            "containment", F.col("common").cast("double") / F.col("sz_a")
-        )
-        .where(F.col("containment") >= threshold)
-        .select("inner_id", "outer_id", "containment")
+    c = F.col("common").cast("double")
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("inner_id"),
+                    F.col("id_b").alias("outer_id"),
+                    (c / F.col("sz_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("inner_id"),
+                    F.col("id_a").alias("outer_id"),
+                    (c / F.col("sz_b")).alias("containment"),
+                ),
+            )
+        ).alias("d")
     )
+    return directed.select("d.*").where(F.col("containment") >= threshold)
 
 
 def distinct_ngrams_np(n: int):
@@ -1197,8 +1208,8 @@ def embedding_lsh_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
-    bits_per_band: int = 8,
-    bands: int = 32,
+    bits_per_band: int | None = None,
+    bands: int | None = None,
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
@@ -1215,15 +1226,38 @@ def embedding_lsh_pairs(
     one vectorized cosine kernel → threshold filter. Shuffles are all
     equi-key; nothing is quadratic in the corpus.
 
+    ADAPTIVE band width (the round-8 full-registry scale scan's lesson):
+    with FIXED r=8 the 256-value band-signature space saturates as the
+    corpus grows — at ~6k vectors every band bucket holds ~24 RANDOM
+    collisions and the candidate stage grows quadratically again (measured
+    47× time for 10× data). When ``bits_per_band`` is None it is derived
+    from the corpus count so expected random-collision bucket size stays
+    ~2.5 (r = max(8, ceil(log2(n/2.5)))), and ``bands`` then re-derives
+    from the banding calculus so the per-pair miss probability AT the
+    threshold stays ≤2e-5 regardless of r: B = ceil(ln(2e-5)/ln(1-p^r))
+    with p = 1-acos(threshold)/π — the standard LSH parameterization
+    (Indyk-Motwani), which lands on the classic (r=8, B=32) at oracle SF
+    and (r=12, B=65) at sf1. One count() action buys the corpus size —
+    the same bounded-planning move as ``km_train``'s sample.
+
     Recall: a pair at exactly ``threshold=0.9`` misses every band with
-    probability (1-p^r)^B = 1.7e-5 (p = 1-acos(0.9)/π = .856, r=8, B=32);
-    higher-cosine pairs are exponentially safer (4e-17 at 0.99). Pruning
-    sharpens as the threshold rises — hyperplane LSH is designed for the
-    ≥0.9 regime real embedding dedup (SemDeDup-style) runs at; at low
-    thresholds use blocking + :func:`embedding_neardup_pairs` instead."""
+    probability (1-p^r)^B ≤ 2e-5 BY CONSTRUCTION at every corpus size;
+    higher-cosine pairs are exponentially safer (4e-17 at 0.99 under
+    r=8/B=32). Pruning sharpens as the threshold rises — hyperplane LSH
+    is designed for the ≥0.9 regime real embedding dedup (SemDeDup-style)
+    runs at; at low thresholds use blocking +
+    :func:`embedding_neardup_pairs` instead."""
+    import math
+
     from ibc_spark.ext.similarity import lsh_band_signatures  # circular at module level
 
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    if bits_per_band is None:
+        n = base.count()
+        bits_per_band = max(8, math.ceil(math.log2(max(n, 8) / 2.5)))
+    if bands is None:
+        p = 1.0 - math.acos(threshold) / math.pi
+        bands = max(8, math.ceil(math.log(2e-5) / math.log(1.0 - p**bits_per_band)))
     # both self-join legs consume the banded frame; persist so the
     # signature matmul runs once (narrow rows: id + band key only);
     # tracked for ext.persistreg.release_persisted cleanup

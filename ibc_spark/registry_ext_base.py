@@ -107,8 +107,8 @@ def _planted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         threshold=0.9,
-        bits_per_band=8,
-        bands=32,
+        # adaptive (r, B): (8, 32) at oracle SF, grows with log(n) so the
+        # band-signature space never saturates (r8 full-registry scan)
     )
 
 

@@ -563,15 +563,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unblocked embedding near-dup via banded hyperplane LSH + exact
     cosine verification, at confidence threshold 0.9 on the planted-dup
-    augmented table. A threshold-0.9 pair misses every band with
-    probability ≤1.7e-5 (r=8, B=32) and the planted pairs (cos ≥ 0.98) with
-    ≤4e-17, so on fixed data the LSH output equals the exact global pair
-    set — which is what the O(n²) oracle (that only the oracle pays)
-    computes. Same construction as ``dedup_minhash_verified``: the operator
-    under test stays the banded equi-join."""
+    augmented table. Band parameters are ADAPTIVE (r8 scan fix): (r=8,
+    B=32) at oracle SF, growing with log(n) so the band-signature space
+    never saturates; the banding calculus keeps the per-pair miss ≤2e-5
+    at the threshold for every corpus size, and the planted pairs
+    (cos ≥ 0.98) miss with ≤4e-17 — so on fixed data the LSH output
+    equals the exact global pair set, which is what the O(n²) oracle
+    (that only the oracle pays) computes. Same construction as
+    ``dedup_minhash_verified``: the operator under test stays the banded
+    equi-join."""
     aug = _augmented_embeddings(spark, sf_dir)
     return dedup.embedding_lsh_pairs(
-        aug, id_col="vec_id", vec_col="embedding", threshold=0.9, bits_per_band=8, bands=32
+        aug, id_col="vec_id", vec_col="embedding", threshold=0.9
     )
 
 
