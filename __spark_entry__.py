@@ -83,13 +83,16 @@ _FORCE_RECHECK: set[str] = {
 # re-attestation backlog. They are fully hash-checked by the STRICTER local
 # parity suite every pytest run (tests/test_oracle_parity.py).
 #
-# Round-8 window arithmetic (registry opened at 182 entries): the 8
+# Round-8 window arithmetic (registry closes at 189 entries): the 8
 # round-7 deferrals graduate to the never-green bucket (16 entries total:
-# those 8 + the 8 standing rows-only entries) + 1 force-recheck = 17
-# slots, leaving 33 for the oldest-green drain — enough to retire the
-# ENTIRE 27-entry r3-stale backlog (VERDICT r7 #1/#2: TPC-H q2–q22 block
-# + 7 text/pipe entries) with 6 slots spilling into the r4 pool. The one
-# round-8 addition is deferred here so it cannot eat drain slots.
+# those 8 + the 8 standing rows-only entries) + 3 force-recheck
+# (approx_sketch_stats, interval_overlap_sessions — itself in the r3
+# drain pool, so it double-counts one drain slot — and
+# dedup_embedding_lsh) = 19 slots, leaving 31 for the oldest-green
+# drain — still enough to retire the ENTIRE 27-entry r3-stale backlog
+# (VERDICT r7 #1/#2: TPC-H q2–q22 block + 7 text/pipe entries) with ~5
+# slots spilling into the r4 pool. The round-8 additions are deferred
+# here so they cannot eat drain slots.
 _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 8: md5-portable banding face of dedup_minhash_lsh at the
     # working threshold (VERDICT r7 #3) — parity-proven locally every

@@ -43,8 +43,9 @@ from ibc_spark.ext.text import tokens
 
 MERSENNE = 2147483647  # 2^31-1
 
-# Single-slot broadcast memo for `bloom_flag_docs`: (bits dict, Broadcast).
-_BLOOM_BCAST: tuple[dict, object] | None = None
+# The previous `bloom_flag_docs` bitset broadcast — unpersisted before
+# each new one so repeated invocations never accumulate broadcasts.
+_BLOOM_BCAST: object | None = None
 
 
 def norm_key(c: Column | str, n_tokens: int = 5) -> Column:
@@ -114,6 +115,35 @@ def passage_windows(toks: Column, *, window: int, stride: int) -> Column:
     return F.filter(structs, lambda s: (s["start_tok"] - 1) % stride == 0)
 
 
+def _window_passages(window: int, stride: int):
+    """Arrow-batched (start_tok, passage) window kernel over pre-tokenized
+    arrays, shared by :func:`passage_exact_dups` (stride 5) and
+    :func:`duplicate_spans` (stride 1) so the two can never desync
+    (review r8). Same rationale as ``contamination_tags``'s kernel: the
+    zip_with-chain Column form runs window-1 interpreted passes per row;
+    joining slices in Python per batch emits identical structs, and
+    tokenization stays JVM-side so there is no regex divergence.
+    Documents shorter than ``window`` tokens yield NO windows."""
+
+    @pandas_udf("array<struct<start_tok:int,passage:string>>")
+    def _k(toks_s: pd.Series) -> pd.Series:
+        out = []
+        for t in toks_s:
+            if t is None or len(t) < window:
+                out.append([])
+            else:
+                tl = list(t)
+                out.append(
+                    [
+                        (i + 1, " ".join(tl[i : i + window]))
+                        for i in range(0, len(tl) - window + 1, stride)
+                    ]
+                )
+        return pd.Series(out)
+
+    return _k
+
+
 def passage_exact_dups(
     df: DataFrame,
     *,
@@ -136,26 +166,7 @@ def passage_exact_dups(
     boilerplate everywhere) is exactly the AQE skew-split case."""
     from pyspark.sql import Window
 
-    # passage construction is an Arrow-batched kernel over the JVM-side
-    # token arrays (same rationale as contamination_tags: the zip_with
-    # chain runs window-1 interpreted passes per row; joining slices in
-    # Python per batch emits identical (start_tok, passage) structs, and
-    # tokenization stays JVM-side so there is no regex divergence)
-    @pandas_udf("array<struct<start_tok:int,passage:string>>")
-    def passages_np(toks_s: pd.Series) -> pd.Series:
-        out = []
-        for t in toks_s:
-            if t is None or len(t) < window:
-                out.append([])
-            else:
-                tl = list(t)
-                out.append(
-                    [
-                        (i + 1, " ".join(tl[i : i + window]))
-                        for i in range(0, len(tl) - window + 1, stride)
-                    ]
-                )
-        return pd.Series(out)
+    passages_np = _window_passages(window, stride)
 
     occ = (
         df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
@@ -204,21 +215,7 @@ def duplicate_spans(
     key (collision-negligible, 8-byte keys) — kept as the string here so
     the oracle replays byte-identically."""
 
-    @pandas_udf("array<struct<start_tok:int,passage:string>>")
-    def windows_np(toks_s: pd.Series) -> pd.Series:
-        out = []
-        for t in toks_s:
-            if t is None or len(t) < window:
-                out.append([])
-            else:
-                tl = list(t)
-                out.append(
-                    [
-                        (i + 1, " ".join(tl[i : i + window]))
-                        for i in range(0, len(tl) - window + 1)
-                    ]
-                )
-        return pd.Series(out)
+    windows_np = _window_passages(window, stride=1)
 
     occ = (
         df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
@@ -440,9 +437,13 @@ def ngram_containment_pairs(
             shingles(tokens(F.col(text_col)), n).alias("sh"),
         ).select("doc_id", "block", "sh", F.size("sh").alias("sz"))
     )
+    # drop the degenerate '' shingle an empty/whitespace doc produces
+    # (shingles() pads short docs): such docs carry no content and the
+    # SQL oracle's list_distinct drops their NULL gram, so both engines
+    # must exclude them from the pair space (review r8)
     postings = base.where(F.col("sz") > 0).select(
         "doc_id", "block", "sz", F.explode("sh").alias("shingle")
-    )
+    ).where(F.col("shingle") != "")
     a = postings.select(
         F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "block", "shingle"
     )
@@ -703,21 +704,20 @@ def bloom_flag_docs(
     definition), so the two spellings agree exactly. Returns
     (doc_id, n_shingles, n_flagged, maybe_contaminated) per input row.
 
-    The broadcast is MEMOIZED on the bitset's identity (one live broadcast
-    per process; a new bitset unpersists the previous one) so repeated
+    One live broadcast per process: each invocation unpersists the
+    previous bitset broadcast before creating its own, so repeated
     invocations — the bench runs each entry 3×, tests re-invoke — do not
     accumulate broadcast variables on the executors (the resource-leak
-    class ADVICE r6 flagged for streaming checkpoints)."""
+    class ADVICE r6 flagged for streaming checkpoints; review r8
+    dropped the identity memo — every caller builds a fresh bits dict,
+    so the cache branch could never hit and only pinned the stale
+    dict)."""
     sc = df.sparkSession.sparkContext
     global _BLOOM_BCAST
-    if _BLOOM_BCAST is not None and _BLOOM_BCAST[0] is bits:
-        b_bits = _BLOOM_BCAST[1]
-    else:
-        if _BLOOM_BCAST is not None:
-            _BLOOM_BCAST[1].unpersist()
-        b_bits = sc.broadcast(bits)
-        # keep a reference to `bits` so its identity stays valid
-        _BLOOM_BCAST = (bits, b_bits)
+    if _BLOOM_BCAST is not None:
+        _BLOOM_BCAST.unpersist()
+    b_bits = sc.broadcast(bits)
+    _BLOOM_BCAST = b_bits
 
     @pandas_udf("struct<n_shingles:long,n_flagged:long>")
     def _probe(toks_s: pd.Series) -> pd.DataFrame:
@@ -1257,7 +1257,10 @@ def embedding_lsh_pairs(
         bits_per_band = max(8, math.ceil(math.log2(max(n, 8) / 2.5)))
     if bands is None:
         p = 1.0 - math.acos(threshold) / math.pi
-        bands = max(8, math.ceil(math.log(2e-5) / math.log(1.0 - p**bits_per_band)))
+        # threshold=1.0 → p=1 → log(0): identical vectors collide in every
+        # band, so any B works — clamp the miss base instead of crashing
+        miss = max(1.0 - p**bits_per_band, 1e-12)
+        bands = max(8, math.ceil(math.log(2e-5) / math.log(miss)))
     # both self-join legs consume the banded frame; persist so the
     # signature matmul runs once (narrow rows: id + band key only);
     # tracked for ext.persistreg.release_persisted cleanup

@@ -396,15 +396,23 @@ def interval_overlap_totals(
         *left_keys, "__ls", "__le", "tb",
         *[(F.col(f"r_{m}") + F.col(f"o_{m}")).alias(f"g_{m}") for m in measures],
     )
-    hi = glob.where(F.col("tb") == 1).select(
-        *left_keys, "__ls", "__le",
-        F.col("g_c_s").alias("hi_c_s"), F.col("g_s_s").alias("hi_s_s"),
-        F.col("g_c_e").alias("hi_c_e"), F.col("g_s_e").alias("hi_s_e"),
-    )
-    lo = glob.where(F.col("tb") == -1).select(
-        *left_keys,
-        F.col("g_c_s").alias("lo_c_s"), F.col("g_s_s").alias("lo_s_s"),
-        F.col("g_c_e").alias("lo_c_e"), F.col("g_s_e").alias("lo_s_e"),
+    # each left key contributes exactly two marker rows (tb=+1 at e,
+    # tb=-1 at s): fold them with ONE groupBy instead of a hi⋈lo
+    # self-join, which would evaluate the expensive running-sum window
+    # stage once per join side (review r8)
+    def side(prefix: str, tb_val: int):
+        return [
+            F.max(F.when(F.col("tb") == tb_val, F.col(f"g_{m}"))).alias(
+                f"{prefix}_{m}"
+            )
+            for m in measures
+        ]
+
+    agg = glob.groupBy(*left_keys).agg(
+        F.max("__ls").alias("__ls"),
+        F.max("__le").alias("__le"),
+        *side("hi", 1),
+        *side("lo", -1),
     )
     n = F.col("hi_c_s") - F.col("lo_c_e")
     sum_min = (F.col("hi_s_e") - F.col("lo_s_e")) + dec("__le") * (
@@ -413,12 +421,8 @@ def interval_overlap_totals(
     sum_max = (F.col("hi_s_s") - F.col("lo_s_s")) + dec("__ls") * (
         n - (F.col("hi_c_s") - F.col("lo_c_s"))
     )
-    return (
-        hi.join(lo, on=left_keys)
-        .where(n > 0)
-        .select(
-            *left_keys,
-            n.alias("n_overlaps"),
-            (sum_min - sum_max).cast("long").alias("total_overlap"),
-        )
+    return agg.where(n > 0).select(
+        *left_keys,
+        n.alias("n_overlaps"),
+        (sum_min - sum_max).cast("long").alias("total_overlap"),
     )

@@ -13,6 +13,10 @@ from pyspark.sql import functions as F  # noqa: F401
 from ibc_spark.ext import dedup, multimodal, similarity, text  # noqa: F401
 from ibc_spark.io_.sources import read_table  # noqa: F401
 from ibc_spark.registry_core import query  # noqa: F401
+# registers bm25_keyword_search, whose ORACLES entry _hybrid_rrf_oracle()
+# composes at decoration time — without this, importing this family module
+# standalone dies with KeyError (review r8)
+from ibc_spark import registry_ext_text as _dep_registry_ext_text  # noqa: F401
 from ibc_spark.registry_ext_base import (  # noqa: F401
     _AUG_SQL,
     _FOLD_SUM_D,

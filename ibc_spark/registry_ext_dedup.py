@@ -72,8 +72,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# floor at 1 (not 0) to mirror Spark's shingles() degenerate-doc artifact
+# exactly as _SHINGLES does: a <2-token doc still emits one (short) window
+# on BOTH engines, so such docs cannot split the pair sets (review r8)
 _SHINGLES2 = (
-    "list_distinct(list_transform(range(1, greatest(len(toks)-1,0)+1),"
+    "list_distinct(list_transform(range(1, greatest(len(toks)-1,1)+1),"
     " i -> array_to_string(list_slice(toks, i, i+1), ' ')))"
 )
 
@@ -97,8 +100,11 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked DIRECTED 2-gram containment pairs (block = source, τ=0.15):
     |A∩B|/|A| — the asymmetric near-subset detector that Jaccard cannot
     express (a short doc fully embedded in a long one has Jaccard ≈ 0 but
-    containment 1). Inverted-index count join; the |B| ≥ τ·|A| prune is a
-    codegen predicate before the count shuffle."""
+    containment 1). UNDIRECTED inverted-index count join (one shuffled
+    row per shared shingle); both directed containments explode from the
+    single per-pair count after aggregation and filter per direction
+    (see ``ngram_containment_pairs`` for why the per-direction length
+    prune is deliberately NOT applied)."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.ngram_containment_pairs(
         d, id_col="doc_id", text_col="text", block_col="source", n=2, threshold=0.15
