@@ -105,6 +105,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "embedding_random_projection",
     "text_token_entropy",
     "sketch_kmv_rollup_merge",
+    "sample_hard_negatives",
 }
 
 

@@ -680,3 +680,57 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", F.posexplode("pv").alias("j", "comp_raw")
     ).select("vec_id", F.col("j").cast("int").alias("j"), F.round("comp_raw", 6).alias("comp"))
+
+
+@query(
+    "sample_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neg_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neg_id, {_cos_sql('qv', 'cv')} AS cos
+      FROM c JOIN q ON query_id <> neg_id
+    ),
+    banded AS (
+      SELECT query_id, neg_id, cos FROM scored
+      WHERE cos >= 0.25 AND cos < 0.95
+    )
+    SELECT query_id, neg_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neg_id) AS INT) AS rank,
+           round(cos, 4) AS cos_sim
+    FROM banded
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neg_id) <= 5
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive/retrieval training data: per
+    query, the top-5 most-similar vectors INSIDE the band
+    0.25 ≤ cos < 0.95 — similar enough to be informative negatives,
+    capped below the near-duplicate threshold so no positive leaks into
+    the negative set (the standard dense-retrieval curriculum, cf. ANCE/
+    DPR hard-negative sampling). Machinery is the proven
+    ``similarity.topk_bruteforce`` scoring shape with the band filter
+    pushed BEFORE the per-query top-k window, so WindowGroupLimit bounds
+    state to k rows per query over only in-band candidates; at 100 TB the
+    scoring side swaps to the LSH/IVF candidate generation with the same
+    (query_id, neg_id, cos) contract."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    c = e.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("cv"))
+    scored = c.join(q, on=F.col("query_id") != F.col("neg_id")).withColumn(
+        "cos", similarity.cosine_fast(F.col("qv"), F.col("cv"))
+    )
+    banded = scored.where((F.col("cos") >= 0.25) & (F.col("cos") < 0.95))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neg_id"))
+    return (
+        banded.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neg_id", "rank", F.round("cos", 4).alias("cos_sim"))
+    )

@@ -1298,3 +1298,20 @@ def test_token_entropy_bounds_and_extremes(spark, tmp_path):
     assert abs(rows[1]["entropy_norm"] - 1.0) < 1e-5
     assert 0.0 < rows[2]["entropy_norm"] < 1.0
     assert rows[2]["n_distinct"] == 4 and rows[2]["n_tokens"] == 6
+
+
+def test_hard_negatives_band_and_disjoint_from_dups(spark, emb):
+    """Every mined hard negative must sit inside the 0.25 <= cos < 0.95
+    band (so no near-duplicate 'positive' leaks into the negative set),
+    rank within each query must be dense from 1, and results must be
+    disjoint from the >= 0.95 near-dup pairs."""
+    from ibc_spark.registry import QUERIES
+
+    rows = QUERIES["sample_hard_negatives"](spark, SF_ORACLE).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert 0.25 <= r["cos_sim"] < 0.95, r
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
