@@ -106,6 +106,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "text_token_entropy",
     "sketch_kmv_rollup_merge",
     "sample_hard_negatives",
+    "streaming_sketch_kmv",
 }
 
 

@@ -1980,3 +1980,85 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.k").alias("best_orderkey"),
         F.col("m.p").cast("double").alias("best_price"),
     )
+
+
+def _streaming_kmv_oracle() -> str:
+    from ibc_spark.registry_ext_sketch import _KMV_K
+
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uh
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    kmv AS (
+      SELECT event_type, uh,
+             row_number() OVER (PARTITION BY event_type ORDER BY uh) AS rn
+      FROM (SELECT DISTINCT event_type, uh FROM h)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_in_state,
+           round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                      ELSE {_KMV_K - 1} * pow(2.0, 60)
+                           / CAST(max(CASE WHEN rn = {_KMV_K} THEN uh END)
+                                  AS DOUBLE) END, 4) AS approx_users
+    FROM kmv WHERE rn <= {_KMV_K} GROUP BY event_type
+    """
+
+
+@query("streaming_sketch_kmv", oracle=_streaming_kmv_oracle())
+def streaming_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING SKETCH — the `applyInPandasWithState`
+    face of the portable KMV family, and the streaming shape the built-in
+    windowed aggs cannot express (a streaming COUNT DISTINCT holds every
+    id in state; the sketch holds exactly k longs per key forever):
+    per event_type, state = the k smallest distinct 60-bit md5 user
+    hashes, updated by set-union + re-take-k per micro-batch. The merge
+    is order- and batch-split-insensitive, so the final state equals the
+    batch-computed global k-min EXACTLY and the batch KMV SQL is the
+    oracle for a real streaming run (availableNow over the backlog,
+    update mode, in-memory sink; last emission per key selected by the
+    (n_in_state, approx_users) sort key, which is monotone across
+    batches by construction). Estimate rounding happens in F.round —
+    the engines' shared HALF_UP — never Python's banker's round."""
+    from ibc_spark.streaming.sources import read_events_stream
+    from ibc_spark.streaming.stateful import kmv_state_update, kmv_stream_schemas
+    from ibc_spark.registry_ext_sketch import _KMV_K
+
+    state_schema, out_schema = kmv_stream_schemas()
+    ev = read_events_stream(spark, sf_dir)
+    h = ev.where(F.col("user_id").isNotNull()).select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("uh"),
+    ).where(F.col("uh").isNotNull())
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    upd = h.groupBy("event_type").applyInPandasWithState(
+        kmv_state_update(_KMV_K),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = _run_stream_to_memory(
+        spark,
+        lambda name: upd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True),
+        "streaming_sketch_kmv",
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_in_state").desc(), F.col("approx_users").desc()
+    )
+    return (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_in_state",
+            F.round("approx_users", 4).alias("approx_users"),
+        )
+    )

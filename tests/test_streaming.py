@@ -265,3 +265,71 @@ def test_running_user_peaks_transform_with_state(spark, events_stream, tmp_path)
     for uid, (n, m) in expected.items():
         assert got[uid][0] == n
         assert got[uid][1] == pytest.approx(m, abs=1e-9)
+
+
+def test_streaming_kmv_batch_split_insensitive(spark, tmp_path):
+    """The KMV state merge (set union + re-take k) must make the final
+    estimate independent of micro-batch boundaries: replaying the same
+    events as 3 single-file batches must equal the one-batch run and the
+    batch-computed global k-min exactly."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.registry import QUERIES
+    from ibc_spark.registry_ext_sketch import _KMV_K
+    from ibc_spark.registry_extras import _run_stream_to_memory
+    from ibc_spark.streaming.sources import read_events_stream
+    from ibc_spark.streaming.stateful import kmv_state_update, kmv_stream_schemas
+    from tests.conftest import SF_ORACLE
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    read_table(spark, str(SF_ORACLE), "events").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "events.parquet"))
+
+    single = {
+        r["event_type"]: (r["n_in_state"], r["approx_users"])
+        for r in QUERIES["streaming_sketch_kmv"](spark, sf).collect()
+    }
+
+    state_schema, out_schema = kmv_stream_schemas()
+    ev = read_events_stream(spark, sf, max_files_per_trigger=1)
+    h = ev.where(F.col("user_id").isNotNull()).select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("uh"),
+    ).where(F.col("uh").isNotNull())
+    upd = h.groupBy("event_type").applyInPandasWithState(
+        kmv_state_update(_KMV_K),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = _run_stream_to_memory(
+        spark,
+        lambda name: upd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True),
+        "streaming_sketch_kmv_split",
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_in_state").desc(), F.col("approx_users").desc()
+    )
+    multi = {
+        r["event_type"]: (r["n_in_state"], r["approx_users"])
+        for r in tbl.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type", "n_in_state", F.round("approx_users", 4).alias("approx_users")
+        )
+        .collect()
+    }
+    assert multi == single
