@@ -219,3 +219,130 @@ def test_two_level_fold_property(spark, vals):
             acc += v
         expect += acc
     assert got == expect or (got != got and expect != expect)
+
+
+# -- round-8 operator properties --------------------------------------------
+
+doc_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]),
+    min_size=2,
+    max_size=25,
+)
+
+
+def ref_containment(a: str, b: str, n: int = 2) -> float:
+    sa, sb = set(ref_shingles(a, n)), set(ref_shingles(b, n))
+    return len(sa & sb) / len(sa) if sa else 0.0
+
+
+@SLOW
+@given(st.lists(doc_words, min_size=2, max_size=6))
+def test_containment_pairs_match_reference(spark, docs_words):
+    """ngram_containment_pairs == the set-arithmetic reference on random
+    small corpora, for EVERY emitted direction; and containment ≥ jaccard
+    for the same ordered pair (|A∩B|/|A| ≥ |A∩B|/|A∪B|)."""
+    from ibc_spark.ext.dedup import ngram_containment_pairs
+
+    texts = [" ".join(w) for w in docs_words]
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)], ["doc_id", "text", "source"]
+    )
+    got = {
+        (r["inner_id"], r["outer_id"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, id_col="doc_id", text_col="text", block_col="source",
+            n=2, threshold=0.3,
+        ).collect()
+    }
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            if i == j:
+                continue
+            want = ref_containment(a, b)
+            if want >= 0.3:
+                assert (i, j) in got and abs(got[(i, j)] - want) < 1e-9
+            else:
+                assert (i, j) not in got
+    for (i, j), c in got.items():
+        sa = set(ref_shingles(texts[i], 2))
+        sb = set(ref_shingles(texts[j], 2))
+        jac = len(sa & sb) / len(sa | sb)
+        assert c >= jac - 1e-12
+
+
+@SLOW
+@given(st.lists(doc_words, min_size=1, max_size=5), st.integers(3, 6))
+def test_duplicate_spans_reference(spark, docs_words, window):
+    """duplicate_spans == a direct python sweep: spans are exactly the
+    merged ranges of duplicated stride-1 windows, never overlap within a
+    doc, and always fit inside the doc's token range."""
+    from ibc_spark.ext.dedup import duplicate_spans
+
+    texts = [" ".join(w) for w in docs_words]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = duplicate_spans(
+        df, id_col="doc_id", text_col="text", window=window
+    ).collect()
+
+    # python reference
+    from collections import Counter
+
+    occs = []  # (doc, start(1-based), passage)
+    for d, t in enumerate(texts):
+        toks = t.lower().split()
+        for i in range(len(toks) - window + 1):
+            occs.append((d, i + 1, " ".join(toks[i : i + window])))
+    counts = Counter(p for _, _, p in occs)
+    dup_starts: dict[int, list[int]] = {}
+    for d, s, p in occs:
+        if counts[p] > 1:
+            dup_starts.setdefault(d, []).append(s)
+    want = {}
+    for d, starts in dup_starts.items():
+        spans = []
+        for s in sorted(starts):
+            e = s + window - 1
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e), spans[-1][2] + 1)
+            else:
+                spans.append((s, e, 1))
+        want[d] = [(a, b) for a, b, _ in spans]
+    got: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+        ntoks = len(texts[r["doc_id"]].split())
+        assert 1 <= r["span_start"] <= r["span_end"] <= ntoks
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
+    for d in got:
+        got[d].sort()
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.integers(0, 400), min_size=1, max_size=60),
+       st.integers(2, 4))
+def test_kmv_merge_associative_reference(spark, ids, n_parts):
+    """The KMV k-min merge is associative and split-insensitive: merging
+    per-part k-min sets over ANY partition of the ids equals the global
+    k-min (the invariant sketch_kmv_rollup_merge's oracle attests on real
+    data, here over adversarial splits)."""
+    import hashlib
+
+    k = 8
+    hs = sorted(
+        {int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in ids}
+    )
+    global_kmin = hs[:k]
+    parts: list[list[int]] = [[] for _ in range(n_parts)]
+    for idx, i in enumerate(sorted(set(ids))):
+        parts[idx % n_parts].append(i)
+    merged = sorted(
+        {
+            h
+            for p in parts
+            for h in sorted(
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in p
+            )[:k]
+        }
+    )[:k]
+    assert merged == global_kmin
