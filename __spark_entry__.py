@@ -107,6 +107,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "sketch_kmv_rollup_merge",
     "sample_hard_negatives",
     "streaming_sketch_kmv",
+    "profile_cross_source_overlap",
 }
 
 

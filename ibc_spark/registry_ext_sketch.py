@@ -588,3 +588,126 @@ def sketch_kmv_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "profile_cross_source_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT source, unnest({_SHINGLES}) AS g
+      FROM (SELECT source, {_TOKS} AS toks FROM documents)
+    ),
+    h AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS uh
+      FROM sh
+    ),
+    kmin AS (
+      SELECT source, uh
+      FROM h
+      QUALIFY row_number() OVER (PARTITION BY source ORDER BY uh) <= {_KMV_K}
+    ),
+    sk AS (
+      SELECT source, list(uh ORDER BY uh) AS arr, count(*) AS nk
+      FROM kmin GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.arr AS arr_a, a.nk AS nk_a, b.arr AS arr_b, b.nk AS nk_b,
+             list_slice(list_sort(list_distinct(list_concat(a.arr, b.arr))),
+                        1, {_KMV_K}) AS arr_u
+      FROM sk a JOIN sk b ON a.source < b.source
+    ),
+    est AS (
+      SELECT source_a, source_b,
+             CASE WHEN nk_a < {_KMV_K} THEN CAST(nk_a AS DOUBLE)
+                  ELSE {_KMV_K - 1} * pow(2.0, 60) / CAST(arr_a[{_KMV_K}] AS DOUBLE)
+             END AS ea,
+             CASE WHEN nk_b < {_KMV_K} THEN CAST(nk_b AS DOUBLE)
+                  ELSE {_KMV_K - 1} * pow(2.0, 60) / CAST(arr_b[{_KMV_K}] AS DOUBLE)
+             END AS eb,
+             CASE WHEN len(arr_u) < {_KMV_K} THEN CAST(len(arr_u) AS DOUBLE)
+                  ELSE {_KMV_K - 1} * pow(2.0, 60) / CAST(arr_u[{_KMV_K}] AS DOUBLE)
+             END AS eu
+      FROM pairs
+    )
+    SELECT source_a, source_b,
+           round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+           round(eu, 4) AS est_union,
+           round(ea + eb - eu, 4) AS est_intersection,
+           round((ea + eb - eu) / eu, 4) AS jaccard_est
+    FROM est
+    """,
+)
+def profile_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE content-overlap matrix — the mirror-domain detector a
+    crawl-curation pipeline runs before fixing source mixing weights:
+    one O(k) KMV sketch of each source's 3-gram shingle set, then ALL
+    source-pair overlaps (union by k-min merge, intersection by
+    inclusion–exclusion, Jaccard estimate) computed purely from the
+    sketches — the corpus is scanned ONCE regardless of the number of
+    pairs, which is the entire reason sketches exist at 100 TB (an exact
+    pairwise shingle join would re-shuffle the corpus per pair). The
+    pair join is #sources × #sources over O(k)-array rows — a bounded
+    dimension frame, not data scale. All md5/sort/double arithmetic —
+    the full matrix replays bit-for-bit in DuckDB."""
+    d = read_table(spark, sf_dir, "documents")
+    from ibc_spark.ext.dedup import shingles, tokens
+
+    h = (
+        d.select(
+            "source", F.explode(shingles(tokens(F.col("text")), 3)).alias("g")
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("uh"),
+        )
+        .where(F.col("uh").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("uh")
+    kmin = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _KMV_K)
+    sk = kmin.groupBy("source").agg(
+        F.sort_array(F.collect_list("uh")).alias("arr"),
+        F.count(F.lit(1)).alias("nk"),
+    )
+    a = sk.select(
+        F.col("source").alias("source_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("nk").alias("nk_a"),
+    )
+    b = sk.select(
+        F.col("source").alias("source_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("nk").alias("nk_b"),
+    )
+    pairs = a.join(b, on=F.col("source_a") < F.col("source_b")).withColumn(
+        "arr_u",
+        F.slice(
+            F.array_sort(F.array_distinct(F.concat("arr_a", "arr_b"))),
+            1,
+            _KMV_K,
+        ),
+    )
+
+    def est(arr, nk):
+        return F.when(nk < _KMV_K, nk.cast("double")).otherwise(
+            F.lit(float(_KMV_K - 1))
+            * F.lit(2.0**60)
+            / F.element_at(arr, _KMV_K).cast("double")
+        )
+
+    ea = est(F.col("arr_a"), F.col("nk_a"))
+    eb = est(F.col("arr_b"), F.col("nk_b"))
+    eu = est(F.col("arr_u"), F.size("arr_u"))
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.round(ea, 4).alias("est_a"),
+        F.round(eb, 4).alias("est_b"),
+        F.round(eu, 4).alias("est_union"),
+        F.round(ea + eb - eu, 4).alias("est_intersection"),
+        F.round((ea + eb - eu) / eu, 4).alias("jaccard_est"),
+    )

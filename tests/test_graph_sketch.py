@@ -357,3 +357,38 @@ def test_kmv_rollup_merge_is_lossless(spark):
         ex = exact[r["event_type"]]
         # KMV rse ~ 1/sqrt(k-2) with k=64 → ~12.7%; allow 3 sigma
         assert abs(r["approx_merged"] - ex) <= max(3 * ex / (62 ** 0.5), 5), (r, ex)
+
+
+def test_cross_source_overlap_matrix_properties(spark):
+    """All 190 source pairs present; estimates positive; the KMV union
+    estimate is sane (union >= max side within sketch error); and for a
+    spot-checked pair the Jaccard estimate lands within the 3-sigma KMV
+    band of the exact shingle Jaccard."""
+    from tests.conftest import SF_ORACLE
+    from ibc_spark.ext.dedup import shingles, tokens
+    from ibc_spark.io_.sources import read_table
+    from ibc_spark.registry import QUERIES
+
+    rows = QUERIES["profile_cross_source_overlap"](spark, str(SF_ORACLE)).collect()
+    n_sources = 20
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r["est_a"] > 0 and r["est_b"] > 0 and r["est_union"] > 0
+        # union can undershoot max(a,b) only by sketch error (~13% rse)
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) * 0.55
+        assert r["jaccard_est"] <= 1.2
+
+    d = read_table(spark, str(SF_ORACLE), "documents")
+    base = d.where(F.col("source").isin("src0", "src1")).select(
+        "source", F.explode(shingles(tokens(F.col("text")), 3)).alias("g")
+    ).distinct()
+    sets = {
+        s: {r["g"] for r in base.where(F.col("source") == s).collect()}
+        for s in ("src0", "src1")
+    }
+    exact_j = len(sets["src0"] & sets["src1"]) / len(sets["src0"] | sets["src1"])
+    got = next(
+        r for r in rows if r["source_a"] == "src0" and r["source_b"] == "src1"
+    )
+    # inclusion-exclusion compounds the per-sketch rse; allow a wide band
+    assert abs(got["jaccard_est"] - exact_j) < 0.45
