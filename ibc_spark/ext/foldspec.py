@@ -117,3 +117,45 @@ def _km_assign_sql(cents: str, out: str, src: str = "emb") -> str:
         FROM d_{out}
       ) WHERE rn = 1
     )"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — THE one definition of the 60-bit md5
+# value hash and the (k-1)/u_(k) estimator, in all three dialects (Spark
+# Column / DuckDB SQL / plain Python). Review r8: the spellings had grown
+# to ~9 sites across the sketch entries, the streaming updater, and the
+# cross-source matrix; any estimator tweak must now touch exactly these.
+# ---------------------------------------------------------------------------
+
+
+def kmv_hash(v: F.Column) -> F.Column:
+    """60-bit uniform value hash: first 15 md5 hex chars as a long.
+    NULL in → NULL out (callers drop NULLs on BOTH engines — Spark sorts
+    NULLS FIRST, DuckDB NULLS LAST, and a NULL must not hold a k-min
+    slot)."""
+    return F.conv(F.substring(F.md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_hash_sql(expr: str) -> str:
+    """The identical hash in DuckDB SQL."""
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+def kmv_estimate(nk: F.Column, kth: F.Column, k: int) -> F.Column:
+    """(k-1)/u_(k) scaled to the 60-bit hash space; exact count below k."""
+    return F.when(nk < k, nk.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(2.0**60) / kth.cast("double")
+    )
+
+
+def kmv_estimate_sql(cnt: str, kth: str, k: int) -> str:
+    """The identical estimator in DuckDB SQL."""
+    return (
+        f"CASE WHEN {cnt} < {k} THEN CAST({cnt} AS DOUBLE) "
+        f"ELSE {k - 1} * pow(2.0, 60) / CAST({kth} AS DOUBLE) END"
+    )
+
+
+def kmv_estimate_py(n: int, kth: int, k: int) -> float:
+    """The identical estimator in plain Python (streaming state updater)."""
+    return float(n) if n < k else (k - 1) * 2.0**60 / float(kth)

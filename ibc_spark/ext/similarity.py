@@ -40,9 +40,13 @@ def topk_bruteforce(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query (self-matches excluded).
-    Deterministic ordering: (cosine desc, neighbor id asc)."""
+    Deterministic ordering: (cosine desc, neighbor id asc). ``band``
+    restricts candidates to lo ≤ cos < hi BEFORE the per-query top-k
+    window (hard-negative mining's shape — WindowGroupLimit then bounds
+    state over in-band candidates only)."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -53,6 +57,9 @@ def topk_bruteforce(
         c.join(q, on=F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine_fast(F.col("q_vec"), F.col("c_vec")))
     )
+    if band is not None:
+        lo, hi = band
+        scored = scored.where((F.col("cos") >= lo) & (F.col("cos") < hi))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -718,19 +718,16 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring side swaps to the LSH/IVF candidate generation with the same
     (query_id, neg_id, cos) contract."""
     e = read_table(spark, sf_dir, "embeddings")
-    q = F.broadcast(
-        e.where(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-        )
-    )
-    c = e.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("cv"))
-    scored = c.join(q, on=F.col("query_id") != F.col("neg_id")).withColumn(
-        "cos", similarity.cosine_fast(F.col("qv"), F.col("cv"))
-    )
-    banded = scored.where((F.col("cos") >= 0.25) & (F.col("cos") < 0.95))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neg_id"))
-    return (
-        banded.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 5)
-        .select("query_id", "neg_id", "rank", F.round("cos", 4).alias("cos_sim"))
+    return similarity.topk_bruteforce(
+        e,
+        e.where(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        band=(0.25, 0.95),
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"),
+        "rank",
+        "cos_sim",
     )

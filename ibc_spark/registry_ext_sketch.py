@@ -12,6 +12,10 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from ibc_spark.ext import dedup, multimodal, similarity, text  # noqa: F401
 from ibc_spark.io_.sources import read_table  # noqa: F401
+from ibc_spark.ext.foldspec import (
+    kmv_estimate,
+    kmv_hash,
+)
 from ibc_spark.registry_core import query  # noqa: F401
 from ibc_spark.registry_ext_base import (  # noqa: F401
     _AUG_SQL,
@@ -121,9 +125,7 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.select(
         "event_type",
         "value",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("uh"),
+        kmv_hash(F.col("user_id")).alias("uh"),
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
         .cast("long")
         .alias("sh"),
@@ -145,9 +147,7 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         F.round(
-            F.when(F.col("nk") < _KMV_K, F.col("nk").cast("double")).otherwise(
-                F.lit(float(_KMV_K - 1)) * F.lit(2.0**60) / F.col("uhk").cast("double")
-            ),
+            kmv_estimate(F.col("nk"), F.col("uhk"), _KMV_K),
             4,
         ).alias("approx_users"),
     )
@@ -249,9 +249,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ADVICE r7; mirrors approx_sketch_stats).
     h = ev.where(F.col("user_id").isNotNull()).select(
         "event_type",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("uh"),
+        kmv_hash(F.col("user_id")).alias("uh"),
     )
 
     def kmv_est(df, alias):
@@ -264,13 +262,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         km = df.select("uh").distinct().orderBy("uh").limit(_KMV_K)
         return km.agg(
             F.round(
-                F.when(
-                    F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)).cast("double")
-                ).otherwise(
-                    F.lit(float(_KMV_K - 1))
-                    * F.lit(2.0**60)
-                    / F.max("uh").cast("double")
-                ),
+                kmv_estimate(F.count(F.lit(1)), F.max("uh"), _KMV_K),
                 4,
             ).alias(alias)
         )
@@ -539,9 +531,7 @@ def sketch_kmv_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.select(
         "event_type",
         F.to_date("ts").alias("day"),
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("uh"),
+        kmv_hash(F.col("user_id")).alias("uh"),
     ).where(F.col("uh").isNotNull())
 
     def kmin(df, keys):
@@ -559,14 +549,7 @@ def sketch_kmv_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn") == _KMV_K, F.col("uh"))).alias("uhk"),
         ).select(
             "event_type",
-            F.round(
-                F.when(F.col("nk") < _KMV_K, F.col("nk").cast("double")).otherwise(
-                    F.lit(float(_KMV_K - 1))
-                    * F.lit(2.0**60)
-                    / F.col("uhk").cast("double")
-                ),
-                4,
-            ).alias(alias),
+            F.round(kmv_estimate(F.col("nk"), F.col("uhk"), _KMV_K), 4).alias(alias),
         )
 
     daily = kmin(h, ["event_type", "day"])
@@ -660,9 +643,7 @@ def profile_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "source",
-            F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("uh"),
+            kmv_hash(F.col("g")).alias("uh"),
         )
         .where(F.col("uh").isNotNull())
         .distinct()
@@ -693,11 +674,7 @@ def profile_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def est(arr, nk):
-        return F.when(nk < _KMV_K, nk.cast("double")).otherwise(
-            F.lit(float(_KMV_K - 1))
-            * F.lit(2.0**60)
-            / F.element_at(arr, _KMV_K).cast("double")
-        )
+        return kmv_estimate(nk, F.element_at(arr, _KMV_K), _KMV_K)
 
     ea = est(F.col("arr_a"), F.col("nk_a"))
     eb = est(F.col("arr_b"), F.col("nk_b"))

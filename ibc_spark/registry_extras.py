@@ -1983,12 +1983,15 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _streaming_kmv_oracle() -> str:
+    from ibc_spark.ext.foldspec import kmv_estimate_sql, kmv_hash_sql
     from ibc_spark.registry_ext_sketch import _KMV_K
 
+    est = kmv_estimate_sql(
+        "count(*)", f"max(CASE WHEN rn = {_KMV_K} THEN uh END)", _KMV_K
+    )
     return f"""
     WITH h AS (
-      SELECT event_type,
-             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uh
+      SELECT event_type, {kmv_hash_sql('user_id')} AS uh
       FROM events WHERE user_id IS NOT NULL
     ),
     kmv AS (
@@ -1998,10 +2001,7 @@ def _streaming_kmv_oracle() -> str:
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_in_state,
-           round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
-                      ELSE {_KMV_K - 1} * pow(2.0, 60)
-                           / CAST(max(CASE WHEN rn = {_KMV_K} THEN uh END)
-                                  AS DOUBLE) END, 4) AS approx_users
+           round({est}, 4) AS approx_users
     FROM kmv WHERE rn <= {_KMV_K} GROUP BY event_type
     """
 
@@ -2027,11 +2027,10 @@ def streaming_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state_schema, out_schema = kmv_stream_schemas()
     ev = read_events_stream(spark, sf_dir)
+    from ibc_spark.ext.foldspec import kmv_hash
+
     h = ev.where(F.col("user_id").isNotNull()).select(
-        "event_type",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("uh"),
+        "event_type", kmv_hash(F.col("user_id")).alias("uh")
     ).where(F.col("uh").isNotNull())
     from pyspark.sql.streaming.state import GroupStateTimeout
 

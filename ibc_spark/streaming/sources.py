@@ -15,6 +15,25 @@ from pyspark.sql import functions as F
 from ibc_spark.io_.sources import read_table
 
 
+def _stream_table(reader, sf_dir: str, table: str) -> DataFrame:
+    """Open ``{sf_dir}/{table}.parquet`` as a file-source stream whether it
+    is a single FILE (the driver testdata layout) or a DIRECTORY of part
+    files (what `df.write.parquet` produces — the layout real pipelines
+    ship). The old unconditional `pathGlobFilter=<table>.parquet` over
+    sf_dir matched leaf file names only, so a directory-layout table
+    streamed ZERO files and a split-batch test passed vacuously (review
+    r8); the single-file layout conversely rejects a direct path
+    ("Option 'basePath' must be a directory"), so each layout needs its
+    own spelling. The directory arm lets ``maxFilesPerTrigger`` genuinely
+    split part files into micro-batches."""
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        return reader.parquet(p)
+    return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+
+
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -38,7 +57,7 @@ def read_events_stream(
     reader = spark.readStream.schema(disk_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    df = _stream_table(reader, sf_dir, "events")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -61,11 +80,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc id) so watermark-bounded operators have an arrival clock — the
     column a real ingest feed carries natively."""
     disk_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    df = (
-        spark.readStream.schema(disk_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    df = _stream_table(spark.readStream.schema(disk_schema), sf_dir, "documents")
     # base offset keeps the synthetic clock clear of epoch 0: Spark's
     # initial watermark is 0 ms, and an event time equal to it is filtered
     # as late data (doc 0 would silently vanish)

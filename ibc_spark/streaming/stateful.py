@@ -160,8 +160,10 @@ def kmv_state_update(k: int):
             cur.update(int(h) for h in pdf["uh"].dropna())
         merged = sorted(cur)[:k]
         state.update((merged,))
+        from ibc_spark.ext.foldspec import kmv_estimate_py
+
         n = len(merged)
-        est = float(n) if n < k else (k - 1) * 2.0**60 / float(merged[-1])
+        est = kmv_estimate_py(n, merged[-1] if merged else 0, k)
         yield pd.DataFrame(
             {
                 "event_type": [key[0]],

@@ -1311,7 +1311,9 @@ def test_hard_negatives_band_and_disjoint_from_dups(spark, emb):
     assert rows
     by_q = {}
     for r in rows:
-        assert 0.25 <= r["cos_sim"] < 0.95, r
+        # cos_sim is round(cos, 4): an in-band cos in [0.94995, 0.95)
+        # legitimately rounds TO 0.95, so the displayed bound is inclusive
+        assert 0.25 <= r["cos_sim"] <= 0.95, r
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)

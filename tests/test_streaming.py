@@ -296,6 +296,9 @@ def test_streaming_kmv_batch_split_insensitive(spark, tmp_path):
         r["event_type"]: (r["n_in_state"], r["approx_users"])
         for r in QUERIES["streaming_sketch_kmv"](spark, sf).collect()
     }
+    # guard against the vacuous-pass failure mode (review r8): the stream
+    # must actually see the directory-layout events table
+    assert single, "stream read zero rows — source path/glob regression"
 
     state_schema, out_schema = kmv_stream_schemas()
     ev = read_events_stream(spark, sf, max_files_per_trigger=1)
@@ -332,4 +335,4 @@ def test_streaming_kmv_batch_split_insensitive(spark, tmp_path):
         )
         .collect()
     }
-    assert multi == single
+    assert multi and multi == single
