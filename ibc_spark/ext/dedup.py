@@ -1202,6 +1202,32 @@ def embedding_neardup_pairs(
     )
 
 
+def adaptive_band_params(
+    n: int, threshold: float, *, bits_per_band: int | None = None
+) -> tuple[int, int]:
+    """Corpus-size-adaptive banding parameters (pure math, unit-tested):
+    r = max(8, ceil(log2(n/2.5))) keeps the expected RANDOM-collision
+    band-bucket size ~2.5 rows at any corpus size (the r8 full-registry
+    scan found fixed r=8 saturating its 256-value signature space), and
+    B = ceil(ln(2e-5)/ln(1-p^r)) with p = 1-acos(threshold)/π keeps the
+    per-pair miss probability AT the threshold ≤2e-5 regardless of r —
+    the standard Indyk–Motwani parameterization. Lands on the classic
+    (8, 32) for n ≤ 640 at threshold 0.9. threshold=1.0 → p=1 → the miss
+    base is clamped (identical vectors collide in every band, any B
+    works). Pass ``bits_per_band`` to derive only B for a fixed r."""
+    import math
+
+    r = (
+        bits_per_band
+        if bits_per_band is not None
+        else max(8, math.ceil(math.log2(max(n, 8) / 2.5)))
+    )
+    p = 1.0 - math.acos(threshold) / math.pi
+    miss = max(1.0 - p**r, 1e-12)
+    bands = max(8, math.ceil(math.log(2e-5) / math.log(miss)))
+    return r, bands
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     *,
@@ -1247,20 +1273,17 @@ def embedding_lsh_pairs(
     is designed for the ≥0.9 regime real embedding dedup (SemDeDup-style)
     runs at; at low thresholds use blocking +
     :func:`embedding_neardup_pairs` instead."""
-    import math
-
     from ibc_spark.ext.similarity import lsh_band_signatures  # circular at module level
 
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    if bits_per_band is None:
-        n = base.count()
-        bits_per_band = max(8, math.ceil(math.log2(max(n, 8) / 2.5)))
-    if bands is None:
-        p = 1.0 - math.acos(threshold) / math.pi
-        # threshold=1.0 → p=1 → log(0): identical vectors collide in every
-        # band, so any B works — clamp the miss base instead of crashing
-        miss = max(1.0 - p**bits_per_band, 1e-12)
-        bands = max(8, math.ceil(math.log(2e-5) / math.log(miss)))
+    if bits_per_band is None or bands is None:
+        d_bits, d_bands = adaptive_band_params(
+            base.count() if bits_per_band is None else 0,
+            threshold,
+            bits_per_band=bits_per_band,
+        )
+        bits_per_band = bits_per_band if bits_per_band is not None else d_bits
+        bands = bands if bands is not None else d_bands
     # both self-join legs consume the banded frame; persist so the
     # signature matmul runs once (narrow rows: id + band key only);
     # tracked for ext.persistreg.release_persisted cleanup

@@ -1317,3 +1317,22 @@ def test_hard_negatives_band_and_disjoint_from_dups(spark, emb):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
+def test_adaptive_band_params_math():
+    """The banding derivation pins: classic (8, 32) at oracle SF, (12, 64)
+    at sf1 scale, monotone non-decreasing growth, and no domain error at
+    threshold 1.0."""
+    from ibc_spark.ext.dedup import adaptive_band_params
+
+    assert adaptive_band_params(605, 0.9) == (8, 32)
+    assert adaptive_band_params(6050, 0.9) == (12, 64)
+    prev_r = prev_b = 0
+    for n in (10, 100, 1000, 10_000, 100_000, 1_000_000):
+        r, b = adaptive_band_params(n, 0.9)
+        assert r >= prev_r and b >= prev_b
+        prev_r, prev_b = r, b
+    r1, b1 = adaptive_band_params(1000, 1.0)
+    assert r1 >= 8 and b1 >= 8
+    # fixed-r mode derives only B
+    assert adaptive_band_params(0, 0.9, bits_per_band=8)[1] == 32
