@@ -108,6 +108,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "sample_hard_negatives",
     "streaming_sketch_kmv",
     "profile_cross_source_overlap",
+    "eval_retrieval_metrics",
 }
 
 

@@ -731,3 +731,70 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         "cos_sim",
     )
+
+
+def _eval_retrieval_oracle() -> str:
+    """Composed from the REGISTERED gold (exact brute force) and system
+    (md5-portable LSH) oracles, so the eval can never drift from the
+    retrieval entries it measures."""
+    from ibc_spark.registry_core import ORACLES
+
+    gold = ORACLES["ann_topk_bruteforce"].strip()
+    sys_ = ORACLES["ann_topk_lsh_portable"].strip()
+    return f"""
+    WITH gold AS (SELECT query_id, neighbor_id FROM ({gold})),
+    sys AS (SELECT query_id, neighbor_id, rank FROM ({sys_})),
+    hits AS (
+      SELECT g.query_id, s.rank
+      FROM gold g JOIN sys s
+        ON g.query_id = s.query_id AND g.neighbor_id = s.neighbor_id
+    ),
+    per_q AS (
+      SELECT query_id,
+             CAST(count(*) AS BIGINT) AS n_hit,
+             min(rank) AS first_rank
+      FROM hits GROUP BY query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM gold)
+    SELECT q.query_id,
+           COALESCE(p.n_hit, 0) AS n_hit,
+           round(COALESCE(p.n_hit, 0) / 5.0, 6) AS recall_at_5,
+           round(COALESCE(1.0 / p.first_rank, 0.0), 6) AS mrr
+    FROM qs q LEFT JOIN per_q p USING (query_id)
+    """
+
+
+@query("eval_retrieval_metrics", oracle=_eval_retrieval_oracle())
+def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE RETRIEVAL EVAL — the measurement operator a training-data
+    pipeline runs before swapping an ANN index into production: per
+    query, recall@5 and MRR of the md5-portable LSH retrieval
+    (`ann_topk_lsh_portable`) against the exact brute-force gold
+    (`ann_topk_bruteforce`). Both sides are CALLS to the registered
+    entries and the oracle composes their registered SQL, so eval and
+    system cannot drift apart (the `corpus_pipeline_funnel` composition
+    pattern). Both arms end in bounded per-query top-k, so the eval join
+    touches O(queries·k) rows regardless of corpus size — at 100 TB this
+    runs on a held-out query sample against the production index with
+    the same plan."""
+    from ibc_spark.registry_core import QUERIES
+
+    gold = QUERIES["ann_topk_bruteforce"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    sysr = QUERIES["ann_topk_lsh_portable"](spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    hits = gold.join(sysr, on=["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.min("rank").alias("first_rank"),
+    )
+    qs = gold.select("query_id").distinct()
+    return qs.join(hits, on="query_id", how="left").select(
+        "query_id",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(F.coalesce("n_hit", F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        F.round(F.coalesce(1.0 / F.col("first_rank"), F.lit(0.0)), 6).alias("mrr"),
+    )

@@ -70,6 +70,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "search_hybrid_rrf": "inherits the bm25 arm's 1-row corpus-stats broadcast and the dense arm's 1-row query-vector broadcast (both standalone-allowlisted); fusion join is two ≤20-row top-k frames",
     "sample_hard_negatives": "bounded query-set broadcast with non-equi self-exclusion — the same shape as ann_topk_bruteforce; band filter precedes the per-query top-k",
     "profile_cross_source_overlap": "#sources x #sources sketch-pair join over O(k)-array rows — a bounded dimension frame (20 rows/side), the corpus itself is scanned once",
+    "eval_retrieval_metrics": "inherits the gold arm's bounded query-set broadcast (ann_topk_bruteforce, standalone-allowlisted); the eval join itself is O(queries*k) rows",
 }
 
 # Row-at-a-time Python allowlist: the engine-wide rule is Arrow-batched or

@@ -1336,3 +1336,22 @@ def test_adaptive_band_params_math():
     assert r1 >= 8 and b1 >= 8
     # fixed-r mode derives only B
     assert adaptive_band_params(0, 0.9, bits_per_band=8)[1] == 32
+
+
+def test_eval_retrieval_metrics_consistency(spark):
+    """recall@5 = n_hit/5 exactly, mrr = 1/first system rank of a gold
+    neighbor, one row per gold query, and the portable-LSH system must
+    clear the same recall floor its recall pytest pins (>= 0.3 overall)."""
+    from ibc_spark.registry import QUERIES
+
+    rows = QUERIES["eval_retrieval_metrics"](spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    total_hits = 0
+    for r in rows:
+        assert 0 <= r["n_hit"] <= 5
+        assert abs(r["recall_at_5"] - r["n_hit"] / 5.0) < 1e-9
+        assert (r["mrr"] == 0.0) == (r["n_hit"] == 0)
+        if r["mrr"] > 0:
+            assert 1 / 5 - 1e-9 <= r["mrr"] <= 1.0
+        total_hits += r["n_hit"]
+    assert total_hits / 50.0 >= 0.3
