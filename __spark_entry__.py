@@ -109,6 +109,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "streaming_sketch_kmv",
     "profile_cross_source_overlap",
     "eval_retrieval_metrics",
+    "mix_dedup_aware_weights",
 }
 
 

@@ -688,3 +688,88 @@ def profile_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ea + eb - eu, 4).alias("est_intersection"),
         F.round((ea + eb - eu) / eu, 4).alias("jaccard_est"),
     )
+
+
+def _mix_dedup_aware_oracle() -> str:
+    """Composed from the REGISTERED overlap-matrix oracle so the weights
+    can never drift from the matrix they are derived from."""
+    from ibc_spark.registry_core import ORACLES
+
+    m = ORACLES["profile_cross_source_overlap"].strip()
+    return f"""
+    WITH m AS ({m}),
+    per_source AS (
+      SELECT source, max(est) AS est_distinct, max(j) AS max_overlap
+      FROM (
+        SELECT source_a AS source, est_a AS est, jaccard_est AS j FROM m
+        UNION ALL
+        SELECT source_b, est_b, jaccard_est FROM m
+      )
+      GROUP BY source
+    ),
+    raw AS (
+      SELECT source, est_distinct, max_overlap,
+             CAST(round(est_distinct
+                        * greatest(1.0 - max_overlap, 0.0), 4)
+                  AS DECIMAL(20,4)) AS w_raw
+      FROM per_source
+    ),
+    tot AS (SELECT sum(w_raw) AS t FROM raw)
+    SELECT source, est_distinct, round(max_overlap, 4) AS max_overlap,
+           round(CAST(w_raw AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mix_weight
+    FROM raw, tot
+    """
+
+
+@query("mix_dedup_aware_weights", oracle=_mix_dedup_aware_oracle())
+def mix_dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AWARE source mixing weights — the actionable output of the
+    overlap matrix: weight ∝ estimated distinct content × (1 − worst
+    pairwise overlap), so a mirrored domain pair cannot double-bill its
+    shared content into the training mix (the step between
+    `profile_cross_source_overlap` and `mix_temperature_weights` /
+    `quota_per_source` in a curation run). The matrix entry is CALLED
+    directly and the oracle composes its registered SQL, so weights and
+    matrix cannot drift. Normalization sums the 4-dp-rounded raw weights
+    as DECIMAL(20,4) — exact and shuffle-order-free — then divides once;
+    the 1-row total is a scalar broadcast (allowlisted shape)."""
+    from ibc_spark.registry_core import QUERIES
+
+    m = QUERIES["profile_cross_source_overlap"](spark, sf_dir)
+    per_source = (
+        m.select(
+            F.col("source_a").alias("source"),
+            F.col("est_a").alias("est"),
+            F.col("jaccard_est").alias("j"),
+        )
+        .unionByName(
+            m.select(
+                F.col("source_b").alias("source"),
+                F.col("est_b").alias("est"),
+                F.col("jaccard_est").alias("j"),
+            )
+        )
+        .groupBy("source")
+        .agg(F.max("est").alias("est_distinct"), F.max("j").alias("max_overlap"))
+    )
+    raw = per_source.select(
+        "source",
+        "est_distinct",
+        "max_overlap",
+        F.round(
+            F.col("est_distinct")
+            * F.greatest(1.0 - F.col("max_overlap"), F.lit(0.0)),
+            4,
+        )
+        .cast("decimal(20,4)")
+        .alias("w_raw"),
+    )
+    tot = raw.agg(F.sum("w_raw").alias("t"))
+    return raw.join(F.broadcast(tot)).select(
+        "source",
+        "est_distinct",
+        F.round("max_overlap", 4).alias("max_overlap"),
+        F.round(
+            F.col("w_raw").cast("double") / F.col("t").cast("double"), 6
+        ).alias("mix_weight"),
+    )

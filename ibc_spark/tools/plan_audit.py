@@ -71,6 +71,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "sample_hard_negatives": "bounded query-set broadcast with non-equi self-exclusion — the same shape as ann_topk_bruteforce; band filter precedes the per-query top-k",
     "profile_cross_source_overlap": "#sources x #sources sketch-pair join over O(k)-array rows — a bounded dimension frame (20 rows/side), the corpus itself is scanned once",
     "eval_retrieval_metrics": "inherits the gold arm's bounded query-set broadcast (ann_topk_bruteforce, standalone-allowlisted); the eval join itself is O(queries*k) rows",
+    "mix_dedup_aware_weights": "inherits the overlap matrix's bounded source-pair join + a 1-row weight-total broadcast",
 }
 
 # Row-at-a-time Python allowlist: the engine-wide rule is Arrow-batched or

@@ -392,3 +392,25 @@ def test_cross_source_overlap_matrix_properties(spark):
     )
     # inclusion-exclusion compounds the per-sketch rse; allow a wide band
     assert abs(got["jaccard_est"] - exact_j) < 0.45
+
+
+def test_mix_dedup_aware_weights_sum_and_penalty(spark):
+    """Weights are a probability vector (sum 1 within rounding), one row
+    per source, and a source's weight never exceeds what its distinct
+    estimate alone would give (the overlap penalty only shrinks)."""
+    from tests.conftest import SF_ORACLE
+    from ibc_spark.registry import QUERIES
+
+    rows = QUERIES["mix_dedup_aware_weights"](spark, str(SF_ORACLE)).collect()
+    assert len(rows) == 20
+    total_w = sum(r["mix_weight"] for r in rows)
+    assert abs(total_w - 1.0) < 1e-3
+    tot_est = sum(r["est_distinct"] for r in rows)
+    for r in rows:
+        assert 0.0 <= r["mix_weight"] <= 1.0
+        assert 0.0 <= r["max_overlap"] <= 1.2
+        naive = r["est_distinct"] / tot_est
+        # penalty can only shrink RELATIVE weight up to renormalization:
+        # bound loosely (renormalization can lift unpenalized sources)
+        if r["max_overlap"] >= 0.5:
+            assert r["mix_weight"] <= naive + 1e-9
