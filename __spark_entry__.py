@@ -110,6 +110,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "profile_cross_source_overlap",
     "eval_retrieval_metrics",
     "mix_dedup_aware_weights",
+    # round-8 late additions (second session), parity-proven locally
+    "dedup_spans_rewrite",
+    "dedup_boilerplate_ccnet",
 }
 
 

@@ -268,6 +268,166 @@ def duplicate_spans(
     )
 
 
+def spans_rewrite(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """APPLY substring dedup — rewrite each document with its non-canonical
+    duplicated spans removed (the step Lee et al. 2022 run after finding
+    duplicated substrings; :func:`duplicate_spans` only *reports* spans).
+
+    Semantics: every stride-1 ``window``-token passage occurring more than
+    once in the corpus keeps its CANONICAL occurrence (min (doc_id,
+    start_tok) — the deterministic keep-first rule the exact-dedup family
+    uses) and cuts all others; per document the cut windows gap-merge into
+    maximal disjoint ranges, and the cleaned text is the remaining tokens
+    re-joined in original order (whitespace-normalized — cleaned output is
+    defined over the token stream, not raw bytes).
+
+    Plan shape (three linear shuffles, nothing pairwise):
+    passage-key shuffle for (count, canonical rank) → doc_id shuffle for
+    the sweep gap-merge → doc_id join attaching the per-doc span array
+    (disjoint merged ranges, bounded by the doc's own token count — the
+    same O(doc) group class as per-doc tokenization) back onto the corpus;
+    the token filter against that array is a codegen projection. At 100 TB
+    the passage string in the first shuffle key becomes xxhash64(passage),
+    exactly as in :func:`duplicate_spans`."""
+    windows_np = _window_passages(window, stride=1)
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    occ = base.select(
+        "doc_id", F.explode(windows_np(F.col("toks"))).alias("w")
+    ).select("doc_id", F.col("w.start_tok").alias("start_tok"), F.col("w.passage").alias("passage"))
+    grp = Window.partitionBy("passage")
+    cuts = (
+        occ.withColumn("n_occ", F.count(F.lit(1)).over(grp))
+        .withColumn(
+            "rk", F.row_number().over(grp.orderBy("doc_id", "start_tok"))
+        )
+        .where((F.col("n_occ") > 1) & (F.col("rk") > 1))
+        .select("doc_id", "start_tok")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("start_tok")
+    prev_end = F.max(F.col("start_tok") + window - 1).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        cuts.withColumn(
+            "opens",
+            F.when(prev_end.isNull() | (F.col("start_tok") > prev_end + 1), 1).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("opens").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("start_tok").alias("s"),
+            (F.max("start_tok") + window - 1).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("cut_spans"))
+    )
+    pos_structs = F.transform(
+        F.col("toks"), lambda t, i: F.struct((i + 1).alias("pos"), t.alias("tok"))
+    )
+    no_spans = F.array().cast("array<struct<s:int,e:int>>")
+    kept = F.filter(
+        pos_structs,
+        lambda st: ~F.exists(
+            F.coalesce(F.col("cut_spans"), no_spans),
+            lambda sp: (st["pos"] >= sp["s"]) & (st["pos"] <= sp["e"]),
+        ),
+    )
+    return (
+        base.join(spans, on="doc_id", how="left")
+        .withColumn("kept_arr", kept)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size("kept_arr")).cast("long").alias("cut_tokens"),
+            F.size("kept_arr").cast("long").alias("kept_tokens"),
+            F.array_join(
+                F.transform("kept_arr", lambda st: st["tok"]), " "
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+def boilerplate_passages(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style boilerplate detection (Wenzek et al. 2020 dedup stage,
+    re-keyed to fixed token n-grams because the corpus has no line
+    structure): an n-gram is BOILERPLATE within a ``group_col`` slice
+    (source/domain — the mirror-site signal) when it appears in at least
+    ``min_docs`` DISTINCT documents of that slice. Per document, report
+    how much of it is boilerplate — the signal CCNet thresholds to drop
+    navigation chrome, cookie banners and footers before training.
+
+    Plan shape: stride-1 n-gram explode (distinct per doc — presence, not
+    multiplicity, is the document-frequency notion) → ONE shuffle on
+    (group, passage) for the distinct-doc count → per-doc re-aggregation.
+    Both aggregations are hash-partial; nothing pairwise, no windows."""
+    windows_np = _window_passages(n, stride=1)
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    occ = base.select(
+        "doc_id",
+        "grp",
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(windows_np(F.col("toks")), lambda w: w["passage"])
+            )
+        ).alias("passage"),
+    )
+    df_counts = (
+        occ.where(F.col("passage").isNotNull())
+        .groupBy("grp", "passage")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+    )
+    per_doc = (
+        occ.join(df_counts, on=["grp", "passage"], how="left")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.count(F.col("passage")).alias("n_passages"),
+            F.sum(
+                F.when(F.col("doc_freq") >= min_docs, 1).otherwise(0)
+            ).alias("n_boilerplate"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("grp").alias("source"),
+        F.col("n_passages").cast("long").alias("n_passages"),
+        F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+        F.round(
+            F.when(F.col("n_passages") > 0, F.col("n_boilerplate"))
+            .otherwise(0)
+            .cast("double")
+            / F.greatest(F.col("n_passages"), F.lit(1)),
+            6,
+        ).alias("boilerplate_ratio"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,

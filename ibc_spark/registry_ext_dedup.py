@@ -872,3 +872,132 @@ def dedup_passage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         passages, id_col="pid", text_col="passage", k=64, bands=16, n=2, threshold=0.8
     )
+
+@query(
+    "dedup_spans_rewrite",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, CAST(u.i AS INT) AS start_tok,
+             array_to_string(list_slice(toks, u.i, u.i + 9), ' ') AS passage
+      FROM t, unnest(CASE WHEN len(toks) >= 10
+                          THEN range(1, len(toks) - 8, 1) ELSE [] END) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, start_tok,
+             COUNT(*) OVER (PARTITION BY passage) AS n_occ,
+             ROW_NUMBER() OVER (PARTITION BY passage
+                                ORDER BY doc_id, start_tok) AS rk
+      FROM occ
+    ),
+    cuts AS (SELECT doc_id, start_tok FROM marked WHERE n_occ > 1 AND rk > 1),
+    sw AS (
+      SELECT doc_id, start_tok,
+             CASE WHEN max(start_tok + 9) OVER (PARTITION BY doc_id
+                    ORDER BY start_tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR start_tok > max(start_tok + 9) OVER (PARTITION BY doc_id
+                    ORDER BY start_tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS opens
+      FROM cuts
+    ),
+    sp AS (
+      SELECT doc_id, start_tok,
+             sum(opens) OVER (PARTITION BY doc_id ORDER BY start_tok
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM sw
+    ),
+    spans AS (
+      SELECT doc_id, min(start_tok) AS s, max(start_tok) + 9 AS e
+      FROM sp GROUP BY doc_id, span_id
+    ),
+    tokpos AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos, toks[u.i] AS tok
+      FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tokpos tp
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.e)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS kept_n,
+             string_agg(tok, ' ' ORDER BY pos) AS txt
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(agg.kept_n, 0) AS BIGINT) AS cut_tokens,
+           CAST(coalesce(agg.kept_n, 0) AS BIGINT) AS kept_tokens,
+           coalesce(agg.txt, '') AS cleaned_text
+    FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+    """,
+)
+def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY substring dedup — every document rewritten with its
+    non-canonical duplicated spans cut (Lee et al. 2022's actual output;
+    ``dedup_duplicate_spans`` reports the spans, this entry emits the
+    cleaned corpus). Canonical occurrence of each duplicated 10-gram = min
+    (doc_id, start_tok); per-doc cut windows gap-merge into maximal
+    ranges; cleaned text is the surviving tokens in original order."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.spans_rewrite(d, id_col="doc_id", text_col="text", window=10)
+
+
+@query(
+    "dedup_boilerplate_ccnet",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    d AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(list_slice(toks, u.i, u.i + 4), ' ') AS passage
+      FROM t, unnest(CASE WHEN len(toks) >= 5
+                          THEN range(1, len(toks) - 3, 1) ELSE [] END) AS u(i)
+    ),
+    dfq AS (
+      SELECT source, passage, count(DISTINCT doc_id) AS doc_freq
+      FROM d GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT d.doc_id,
+             count(*) AS n_passages,
+             sum(CASE WHEN dfq.doc_freq >= 2 THEN 1 ELSE 0 END) AS n_boilerplate
+      FROM d JOIN dfq ON d.source = dfq.source AND d.passage = dfq.passage
+      GROUP BY 1
+    )
+    SELECT t.doc_id, t.source,
+           CAST(coalesce(per.n_passages, 0) AS BIGINT) AS n_passages,
+           CAST(coalesce(per.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+           CAST(floor(coalesce(per.n_boilerplate, 0) * 1000000.0
+                / greatest(coalesce(per.n_passages, 0), 1)) AS BIGINT)
+             AS boilerplate_ppm
+    FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+    """,
+)
+def dedup_boilerplate_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate share per document (Wenzek et al. 2020,
+    re-keyed to stride-1 5-grams — the corpus has no line structure): a
+    5-gram is boilerplate within a SOURCE when ≥2 distinct docs of that
+    source contain it (mirror/template chrome); per doc, the distinct
+    5-grams and how many are boilerplate. boilerplate_ppm is exact integer
+    arithmetic (floor of parts-per-million) — no float rounding to diverge
+    between engines. One (source, passage) shuffle + one per-doc shuffle;
+    nothing pairwise."""
+    d = read_table(spark, sf_dir, "documents")
+    per = dedup.boilerplate_passages(
+        d, id_col="doc_id", text_col="text", group_col="source", n=5, min_docs=2
+    )
+    return per.select(
+        "doc_id",
+        "source",
+        "n_passages",
+        "n_boilerplate",
+        F.floor(
+            F.col("n_boilerplate") * 1000000.0
+            / F.greatest(F.col("n_passages"), F.lit(1))
+        )
+        .cast("long")
+        .alias("boilerplate_ppm"),
+    )

@@ -1355,3 +1355,73 @@ def test_eval_retrieval_metrics_consistency(spark):
             assert 1 / 5 - 1e-9 <= r["mrr"] <= 1.0
         total_hits += r["n_hit"]
     assert total_hits / 50.0 >= 0.3
+
+
+def test_spans_rewrite_cuts_noncanonical_only(spark):
+    """Two docs share a 15-token passage: the canonical occurrence (lower
+    doc_id) survives, the other doc loses exactly those tokens; a
+    unique-text doc round-trips whitespace-normalized."""
+    from ibc_spark.ext.dedup import spans_rewrite
+
+    shared = " ".join(f"s{i}" for i in range(15))
+    a = "ua1 ua2 ua3 " + shared + " ua4 ua5"
+    b = "ub1 " + shared + " ub2 ub3 ub4 ub5 ub6 ub7"
+    c = " ".join(f"c{i}" for i in range(30))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in spans_rewrite(df, id_col="doc_id", text_col="text", window=10).collect()
+    }
+    # doc 1 is canonical for every duplicated window: nothing cut
+    assert rows[1]["cut_tokens"] == 0
+    assert rows[1]["cleaned_text"] == a
+    # doc 2 loses exactly the 15 shared tokens (positions 2..16)
+    assert rows[2]["cut_tokens"] == 15
+    assert rows[2]["kept_tokens"] == rows[2]["n_tokens"] - 15
+    assert rows[2]["cleaned_text"] == "ub1 ub2 ub3 ub4 ub5 ub6 ub7"
+    # unique doc: untouched
+    assert rows[3]["cut_tokens"] == 0 and rows[3]["cleaned_text"] == c
+
+
+def test_spans_rewrite_within_doc_repeat(spark):
+    """A passage repeated INSIDE one document keeps only its first
+    occurrence — the second range is cut."""
+    from ibc_spark.ext.dedup import spans_rewrite
+
+    block = " ".join(f"w{i}" for i in range(10))
+    text = block + " mid1 mid2 " + block
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    (r,) = spans_rewrite(df, id_col="doc_id", text_col="text", window=10).collect()
+    assert r["n_tokens"] == 22
+    assert r["cut_tokens"] == 10
+    assert r["cleaned_text"] == block + " mid1 mid2"
+
+
+def test_boilerplate_passages_per_source_df(spark):
+    """The DF threshold is PER SOURCE: a 5-gram shared by two docs of
+    source A is boilerplate there, but the same 5-gram alone in source B
+    is not."""
+    from ibc_spark.ext.dedup import boilerplate_passages
+
+    chrome = "cookie banner accept all terms"
+    rows = [
+        (1, chrome + " alpha beta gamma delta epsilon", "A"),
+        (2, chrome + " zeta eta theta iota kappa", "A"),
+        (3, chrome + " unique lambda mu nu xi", "B"),
+        (4, "totally different text with no shared grams here", "B"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_passages(
+            df, id_col="doc_id", text_col="text", group_col="source", n=5, min_docs=2
+        ).collect()
+    }
+    # source A: exactly the one shared 5-gram ("cookie banner accept all
+    # terms") is boilerplate in both docs
+    assert out[1]["n_boilerplate"] == 1 and out[2]["n_boilerplate"] == 1
+    assert out[1]["n_passages"] == 6  # 10 tokens -> 6 stride-1 5-grams
+    # source B: same chrome appears in only ONE doc of B -> not boilerplate
+    assert out[3]["n_boilerplate"] == 0
+    assert out[4]["n_boilerplate"] == 0
+    assert all(0.0 <= r["boilerplate_ratio"] <= 1.0 for r in out.values())
