@@ -113,6 +113,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # round-8 late additions (second session), parity-proven locally
     "dedup_spans_rewrite",
     "dedup_boilerplate_ccnet",
+    "bucketed_join_colocate",
 }
 
 

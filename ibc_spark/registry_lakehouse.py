@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ibc_spark.ext import layout
 from ibc_spark.io_.sources import read_table
-from ibc_spark.registry_core import query
+from ibc_spark.registry_core import dec, query
 
 # ---------------------------------------------------------------------------
 # Z-order layout (data clustering for multi-dimensional pruning)
@@ -1128,4 +1128,66 @@ def scan_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
         (F.max("value") < F.lit(_PRUNE_PREDICATE_LO)).alias("skippable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (persisted physical design: zero-shuffle joins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bucketed_join_colocate",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def bucketed_join_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through a BUCKETED co-located join:
+    customer and orders are materialized as warehouse tables hash-bucketed
+    (and bucket-sorted) on the join key, so the SortMergeJoin consumes
+    both scans' HashPartitioning directly — ZERO Exchange under the join
+    (plan-asserted in tests/test_plans.py). The only shuffle left in the
+    query is the tiny post-join segment aggregation.
+
+    This is the persisted twin of the broadcast/salting strategies the
+    other join entries use: at 100 TB, a fact table joined on the same
+    key every day should pay its shuffle ONCE, at layout time —
+    bucketBy(8, key) here; thousands of buckets in production, sized so
+    one bucket's rows fit an executor. The merge hint pins the join
+    strategy so the demonstration never silently degrades to a broadcast
+    (customer is small at test SF; at production SF it would not be).
+    """
+    import re as _re
+
+    tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1].lower())
+    cust_t, ord_t = f"colo_customer_{tag}", f"colo_orders_{tag}"
+    layout.ensure_bucketed_table(
+        spark,
+        read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        cust_t,
+        "c_custkey",
+        buckets=8,
+    )
+    layout.ensure_bucketed_table(
+        spark,
+        read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        ord_t,
+        "o_custkey",
+        buckets=8,
+    )
+    c = spark.table(cust_t)
+    o = spark.table(ord_t)
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 12, 2)).cast("double").alias("revenue"),
+        )
     )

@@ -511,3 +511,21 @@ def test_fuzzy_resolve_is_equi_join_not_bnlj(spark):
         + n_nodes(plan, "BroadcastHashJoin")
         >= 1
     ), plan
+
+
+def test_bucketed_join_runs_with_zero_join_shuffle(spark):
+    """bucketed_join_colocate: both scans are bucketed on the join key, so
+    the SortMergeJoin consumes their HashPartitioning directly — the ONLY
+    Exchange in the plan is the tiny post-join segment aggregation, never
+    one keyed on the join key."""
+    df = QUERIES["bucketed_join_colocate"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "SortMergeJoin") == 1
+    assert plan.count("Bucketed: true") == 2
+    # no exchange repartitions on the join key
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^),#]+)", plan):
+        assert not m.group(1).startswith(("o_custkey", "c_custkey")), plan
+    # exactly one exchange total (the c_mktsegment aggregation)
+    assert n_nodes(plan, "Exchange") == 1
