@@ -114,6 +114,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "dedup_spans_rewrite",
     "dedup_boilerplate_ccnet",
     "bucketed_join_colocate",
+    "sample_diverse_per_cluster",
 }
 
 

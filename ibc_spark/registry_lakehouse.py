@@ -1191,3 +1191,67 @@ def bucketed_join_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("o_totalprice", 12, 2)).cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-cluster prototype selection (diversity-preserving coreset sampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_diverse_per_cluster",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    {_km_assign_sql("c0", "a1")},
+    p1 AS (
+      SELECT cid, i AS pos, vec_id // {_FOLD_B} AS bkt,
+             {_FOLD_PARTIAL.format(val="v[i]")} AS psum, count(*) AS pn
+      FROM a1, generate_series(1, {_KM_DIM}) t(i)
+      GROUP BY cid, pos, bkt
+    ),
+    m1 AS (
+      SELECT cid, pos,
+             {_FOLD_BUCKETS.format(val="psum")} / CAST(sum(pn) AS BIGINT) AS mu
+      FROM p1 GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(mu ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+    {_km_assign_sql("c1", "a2")}
+    SELECT cid, rk, vec_id, round(dist, 6) AS dist2
+    FROM (
+      SELECT cid, vec_id, dist,
+             row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rk
+      FROM a2
+    ) WHERE rk <= 5
+    """,
+)
+def sample_diverse_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype selection (coreset sampling) for training-data curation:
+    cluster the embeddings (the shared two-Lloyd-iteration trainer), then
+    keep the 5 MOST CENTRAL vectors of each cluster — the herding-style
+    'one representative per region' sample that preserves corpus diversity
+    at a fixed budget, the selection-side complement of SemDeDup's
+    within-cluster pruning (Abbas et al. 2023 §3 use the same cluster
+    geometry).
+
+    Scale shape: assignment is a broadcast of O(k·dim) centroids + one
+    argmin window per vec_id; the per-cluster top-5 is a rank-then-filter
+    that compiles to WindowGroupLimit (plan-pinned) — map-side state is 5
+    rows per cluster, never the cluster's membership. Distances come from
+    the deterministic index-order fold, so the oracle's ordering (ties to
+    vec_id) replays bit-for-bit."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a2 = km_assign_2iter(emb)
+    w = Window.partitionBy("cid").orderBy("dist", "vec_id")
+    return (
+        a2.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("cid", "rk", "vec_id", F.round("dist", 6).alias("dist2"))
+    )

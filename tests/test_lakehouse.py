@@ -308,3 +308,46 @@ def test_scan_pruning_stats_skippable_consistent(spark):
     for r in rows:
         assert r.min_v <= r.max_v
         assert r.skippable == (r.max_v < 450.0)
+
+
+def test_diverse_sample_picks_most_central(spark):
+    """Prototype selection on a planted two-cluster frame: the per-cluster
+    top-k by centroid distance must be exactly the points nearest each
+    cluster's true center, ranks contiguous, distances monotone."""
+    from pyspark.sql import functions as F
+
+    from ibc_spark.registry import QUERIES  # noqa: F401  (import parity)
+    from ibc_spark.registry_lakehouse import km_assign_2iter
+
+    # two tight blobs on a 2-d line, ids interleaved so init picks one of each
+    pts = []
+    for i in range(40):
+        center = 0.0 if i % 2 == 0 else 100.0
+        pts.append((i, [center + (i % 7) * 0.5, center - (i % 5) * 0.25]))
+    emb = spark.createDataFrame(pts, ["vec_id", "v"]).select(
+        "vec_id", F.transform("v", lambda x: x.cast("double")).alias("v")
+    )
+    from pyspark.sql import Window
+
+    a2 = km_assign_2iter(emb, k=2)
+    w = Window.partitionBy("cid").orderBy("dist", "vec_id")
+    top = (
+        a2.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .collect()
+    )
+    by_cid = {}
+    for r in top:
+        by_cid.setdefault(r["cid"], []).append(r)
+    assert len(by_cid) == 2
+    full = a2.collect()
+    for cid, rows in by_cid.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r["dist"] for r in rows]
+        assert dists == sorted(dists)
+        # every selected distance <= every unselected distance in the cluster
+        chosen = {r["vec_id"] for r in rows}
+        rest = [r["dist"] for r in full if r["cid"] == cid and r["vec_id"] not in chosen]
+        if rest:
+            assert max(dists) <= min(rest)

@@ -439,6 +439,7 @@ def test_topk_entries_get_window_group_limit(spark):
         "knn_graph_topk",
         "approx_sketch_stats",
         "sketch_kmv_rollup_merge",  # daily + merged + direct k-min ranks
+        "sample_diverse_per_cluster",  # per-cluster top-5 prototypes
     ):
         plan = plan_of(QUERIES[name](spark, SF_SMOKE))
         assert "WindowGroupLimit" in plan, (name, plan)
