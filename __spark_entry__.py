@@ -115,6 +115,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "dedup_boilerplate_ccnet",
     "bucketed_join_colocate",
     "sample_diverse_per_cluster",
+    "shuffle_epoch_order",
 }
 
 

@@ -676,3 +676,46 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "shuffle_epoch_order",
+    oracle="""
+    WITH rep AS (
+      SELECT doc_id, u.epoch FROM documents, unnest([0, 1]) AS u(epoch)
+    ),
+    keyed AS (
+      SELECT doc_id, epoch,
+             ((doc_id * 4 + epoch) % 2147483648 + 2147483648) % 2147483648
+               * 2654435761 % 4294967296 AS skey
+      FROM rep
+    )
+    SELECT row_number() OVER (ORDER BY skey, doc_id, epoch) AS train_pos,
+           doc_id, CAST(epoch AS INT) AS epoch, skey
+    FROM keyed
+    """,
+)
+def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GLOBAL training order: 2 epochs of the corpus, each (doc,
+    epoch) replica placed by a deterministic pseudo-random key
+    (hash_u32(doc_id·4 + epoch) — epoch-dependent, so the two passes see
+    different permutations), then ranked into a contiguous train_pos.
+
+    This is the 'global shuffle' every epoch-based trainer needs at
+    100 TB, with BOTH scale traps solved: the permutation is a stateless
+    arithmetic hash (no rand(), reproducible across engines and reruns),
+    and the global rank is the two-phase range-partitioned
+    ``assign_contiguous_ids`` — per-partition counts → offsets — NEVER a
+    single-task ``row_number() OVER (ORDER BY ...)`` (that window is the
+    oracle's luxury at sf0.01, not the engine's plan)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rep = datapipe.mix_epochs(d, stratum="source", epochs={}, default_epochs=2)
+    keyed = rep.select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        datapipe.hash_u32(F.col("doc_id") * 4 + F.col("epoch")).alias("skey"),
+    )
+    ranked = datapipe.assign_contiguous_ids(
+        keyed, order_by=["skey", "doc_id", "epoch"], id_name="train_pos"
+    )
+    return ranked.select("train_pos", "doc_id", "epoch", "skey")

@@ -1425,3 +1425,24 @@ def test_boilerplate_passages_per_source_df(spark):
     assert out[3]["n_boilerplate"] == 0
     assert out[4]["n_boilerplate"] == 0
     assert all(0.0 <= r["boilerplate_ratio"] <= 1.0 for r in out.values())
+
+
+def test_shuffle_epoch_order_is_contiguous_permutation(spark):
+    """train_pos is exactly 1..2n; every doc appears once per epoch; and
+    the two epochs' relative orders differ (the hash key is
+    epoch-dependent, so the second pass is a different permutation)."""
+    from ibc_spark.ext.persistreg import release_persisted
+    from ibc_spark.registry import QUERIES
+
+    rows = QUERIES["shuffle_epoch_order"](spark, "/root/testdata/sf0.001").collect()
+    release_persisted()
+    n_docs = len({r["doc_id"] for r in rows})
+    assert len(rows) == 2 * n_docs
+    assert sorted(r["train_pos"] for r in rows) == list(range(1, 2 * n_docs + 1))
+    per_epoch = {0: {}, 1: {}}
+    for r in rows:
+        per_epoch[r["epoch"]][r["doc_id"]] = r["train_pos"]
+    assert set(per_epoch[0]) == set(per_epoch[1])
+    order0 = sorted(per_epoch[0], key=per_epoch[0].get)
+    order1 = sorted(per_epoch[1], key=per_epoch[1].get)
+    assert order0 != order1
