@@ -116,6 +116,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "bucketed_join_colocate",
     "sample_diverse_per_cluster",
     "shuffle_epoch_order",
+    "streaming_dedup_watermarked",
 }
 
 

@@ -917,6 +917,45 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_dedup_watermarked",
+    oracle="SELECT DISTINCT sha256(text) AS sha FROM documents",
+)
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-state twin of ``streaming_dedup_exact``:
+    ``dropDuplicatesWithinWatermark`` over the ingest clock, so each
+    content address holds state only until the watermark passes its event
+    time + 10 min — after that the key is evicted. ``dropDuplicates``
+    state grows with every distinct document FOREVER (fine for an ingest
+    boundary replaying a bounded backlog, fatal for a perpetual feed);
+    this is the form that runs indefinitely at 100 TB, sized by the
+    re-delivery horizon (how late a duplicate can arrive) instead of
+    corpus cardinality.
+
+    Same two-feed union fixture (every document arrives twice, equal
+    event times): duplicates land within the watermark window and are
+    absorbed, so the availableNow emission equals the batch DISTINCT —
+    the oracle. Only the address is emitted (the winning physical row is
+    a state-store race, the address set is not)."""
+    from ibc_spark.streaming.sources import read_documents_stream
+
+    def feed():
+        return read_documents_stream(spark, sf_dir).select(
+            F.sha2(F.col("text"), 256).alias("sha"), "ingest_ts"
+        )
+
+    both = feed().unionByName(feed()).withWatermark("ingest_ts", "10 minutes")
+    deduped = both.dropDuplicatesWithinWatermark(["sha"]).select("sha")
+    return _run_stream_to_memory(
+        spark,
+        lambda name: deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True),
+        "streaming_dedup_watermarked",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Lexicon-based scoring (SURVEY §7.7's "sentiment-style scoring via
 # broadcast lexicon join")

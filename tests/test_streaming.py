@@ -336,3 +336,58 @@ def test_streaming_kmv_batch_split_insensitive(spark, tmp_path):
         .collect()
     }
     assert multi and multi == single
+
+
+def test_watermarked_dedup_absorbs_cross_batch_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must absorb a re-delivery arriving in
+    a LATER micro-batch while its key is still inside the watermark
+    horizon: 10 docs in batch 1, the same 10 docs (+5 new) re-delivered
+    5 min later in batch 2 under a 10-min watermark -> exactly 15
+    emissions, never 25."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src, exist_ok=True)
+    base = 1_700_000_000
+    batch1 = [(i, f"text {i}", base + i) for i in range(10)]
+    batch2 = [(i, f"text {i}", base + 300 + i) for i in range(10)] + [
+        (i, f"text {i}", base + 300 + i) for i in range(10, 15)
+    ]
+    schema_in = "doc_id long, text string, ts_sec long"
+    spark.createDataFrame(batch1, schema_in).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f1")
+    spark.createDataFrame(batch2, schema_in).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f2")
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("ts_sec", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+        .withColumn("ingest_ts", F.timestamp_seconds(F.col("ts_sec")))
+        .select(F.sha2(F.col("text"), 256).alias("sha"), "ingest_ts")
+        .withWatermark("ingest_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["sha"])
+        .select("sha")
+    )
+    name = f"wm_dedup_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(spark, stream, name, "append", tmp_path)
+    out = spark.table(name).collect()
+    assert len(out) == 15
+    assert len({r["sha"] for r in out}) == 15
