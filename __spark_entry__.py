@@ -117,6 +117,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "sample_diverse_per_cluster",
     "shuffle_epoch_order",
     "streaming_dedup_watermarked",
+    "quality_classifier_score",
 }
 
 

@@ -155,3 +155,32 @@ def normalize(c: Column | str) -> Column:
     out = F.regexp_replace(out, r"[^a-z0-9\s]", " ")
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)
+
+
+#: Fixed logistic-regression weights for the quality classifier — the
+#: shape of a fastText/CCNet-style learned quality filter, with published
+#: (deterministic) coefficients so inference is reproducible everywhere.
+#: Order matters: the logit is evaluated as the literal left-to-right
+#: chain below in BOTH engines, so the doubles agree bit-for-bit.
+QUALITY_LR = {
+    "intercept": -1.2,
+    "stopword_ratio": 12.0,
+    "avg_token_len": 0.2,
+    "n_tokens": -0.004,
+}
+
+
+def quality_logit(c: Column | str) -> Column:
+    """Linear quality-classifier inference over :func:`quality_metrics`
+    features: ``logit = b + w1·stopword_ratio + w2·avg_token_len +
+    w3·n_tokens``. Pure per-row projection — the 100 TB 'apply the learned
+    quality filter' step is a broadcast of O(weights) constants into
+    whole-stage codegen, zero shuffle, no model server in the loop."""
+    m = quality_metrics(c)
+    w = QUALITY_LR
+    return (
+        F.lit(w["intercept"])
+        + F.lit(w["stopword_ratio"]) * m["stopword_ratio"]
+        + F.lit(w["avg_token_len"]) * m["avg_token_len"]
+        + F.lit(w["n_tokens"]) * m["n_tokens"].cast("double")
+    )

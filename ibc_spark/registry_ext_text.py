@@ -711,3 +711,51 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("entropy_norm"),
         )
     )
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(toks, t -> length(t))),
+                    (acc,x) -> acc + x) AS DOUBLE)
+               / greatest(len(toks), 1) AS avg_token_len,
+             CAST(len(list_filter(toks,
+                    t -> list_contains(['the','of','and','to','in','is','a'], t))) AS DOUBLE)
+               / greatest(len(toks), 1) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           round(CAST(-1.2 AS DOUBLE)
+                 + CAST(12.0 AS DOUBLE) * stopword_ratio
+                 + CAST(0.2 AS DOUBLE) * avg_token_len
+                 + CAST(-0.004 AS DOUBLE) * CAST(n_tokens AS DOUBLE), 6) AS logit,
+           (CAST(-1.2 AS DOUBLE)
+                 + CAST(12.0 AS DOUBLE) * stopword_ratio
+                 + CAST(0.2 AS DOUBLE) * avg_token_len
+                 + CAST(-0.004 AS DOUBLE) * CAST(n_tokens AS DOUBLE)) > 0 AS keep
+    FROM f
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED-quality-filter inference (the fastText/logreg gate of
+    GPT-3/CCNet-style pipelines, here with fixed published weights):
+    logit over the portable quality features, keep = logit > 0. The
+    whole model is O(weights) literals folded into codegen — the scale
+    story of classifier-based filtering is that inference is a free
+    projection on the scan, not a service call. The keep flag compares
+    the UNROUNDED logit, whose doubles agree bit-for-bit because both
+    engines evaluate the identical left-to-right chain over
+    IEEE-identical features (the same features `text_quality_metrics`
+    hash-matches raw)."""
+    d = read_table(spark, sf_dir, "documents")
+    z = text.quality_logit("text")
+    return d.select(
+        "doc_id",
+        F.round(z, 6).alias("logit"),
+        (z > 0).alias("keep"),
+    )

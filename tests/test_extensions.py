@@ -1446,3 +1446,22 @@ def test_shuffle_epoch_order_is_contiguous_permutation(spark):
     order0 = sorted(per_epoch[0], key=per_epoch[0].get)
     order1 = sorted(per_epoch[1], key=per_epoch[1].get)
     assert order0 != order1
+
+
+def test_quality_logit_monotone_in_stopwords(spark):
+    """The classifier must score a fluent (stopword-rich) doc above the
+    same-shape word soup, and the keep flag must be logit > 0."""
+    from ibc_spark.ext.text import quality_logit
+
+    fluent = "the cat is on the mat and the dog is in the house"
+    soup = "xqz vbn mlk jhg fds apo iuy tre wqa zxc cvb nmq"
+    df = spark.createDataFrame([(1, fluent), (2, soup)], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            quality_logit("text").alias("z"),
+        ).collect()
+    }
+    assert rows[1]["z"] > rows[2]["z"]
+    assert rows[1]["z"] > 0  # 8/13 stopwords dominates every other term
