@@ -1164,7 +1164,13 @@ def bucketed_join_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import re as _re
 
-    tag = _re.sub(r"[^a-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1].lower())
+    import hashlib as _hashlib
+
+    # basename for readability + a short full-path digest so two sf dirs
+    # sharing a basename (e.g. testdata/sf1 vs .scale/sf1) can never
+    # silently reuse each other's bucketed copy within one session
+    base = _re.sub(r"[^a-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1].lower())
+    tag = f"{base}_{_hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:6]}"
     cust_t, ord_t = f"colo_customer_{tag}", f"colo_orders_{tag}"
     layout.ensure_bucketed_table(
         spark,
