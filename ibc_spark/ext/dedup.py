@@ -184,6 +184,28 @@ def passage_exact_dups(
     )
 
 
+def _gap_merge_span_ids(cut_windows: DataFrame, window: int) -> DataFrame:
+    """THE one sweep gap-merge over (doc_id, start_tok) duplicated-window
+    frames, shared by :func:`duplicate_spans` and :func:`spans_rewrite` so
+    the merge condition can never desync between report and apply (review,
+    this session): a window OPENS a new span iff its start exceeds the
+    running max end of all earlier windows + 1; span_id = running sum of
+    open flags. One doc_id shuffle; group state is O(that doc's windows)."""
+    w_doc = Window.partitionBy("doc_id").orderBy("start_tok")
+    prev_end = F.max(F.col("start_tok") + window - 1).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return cut_windows.withColumn(
+        "opens",
+        F.when(prev_end.isNull() | (F.col("start_tok") > prev_end + 1), 1).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("opens").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     *,
@@ -233,21 +255,7 @@ def duplicate_spans(
         .where(F.col("n_occ") > 1)
         .select("doc_id", "start_tok")
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("start_tok")
-    prev_end = F.max(F.col("start_tok") + window - 1).over(
-        w_doc.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = dup.withColumn(
-        "opens",
-        F.when(
-            prev_end.isNull() | (F.col("start_tok") > prev_end + 1), 1
-        ).otherwise(0),
-    ).withColumn(
-        "span_id",
-        F.sum("opens").over(
-            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    flagged = _gap_merge_span_ids(dup, window)
     return (
         flagged.groupBy("doc_id", "span_id")
         .agg(
@@ -284,21 +292,34 @@ def spans_rewrite(
     start_tok) — the deterministic keep-first rule the exact-dedup family
     uses) and cuts all others; per document the cut windows gap-merge into
     maximal disjoint ranges, and the cleaned text is the remaining tokens
-    re-joined in original order (whitespace-normalized — cleaned output is
-    defined over the token stream, not raw bytes).
+    re-joined in original order — CASE-PRESERVED (matching runs on the
+    lowercased tokens like every dedup key here, but the rewrite emits the
+    document's own token spellings; only whitespace runs are normalized,
+    since the output is defined over the token stream, not raw bytes).
+    Lowercasing never touches whitespace, so the two splits' positions
+    align exactly.
 
     Plan shape (three linear shuffles, nothing pairwise):
     passage-key shuffle for (count, canonical rank) → doc_id shuffle for
-    the sweep gap-merge → doc_id join attaching the per-doc span array
-    (disjoint merged ranges, bounded by the doc's own token count — the
-    same O(doc) group class as per-doc tokenization) back onto the corpus;
-    the token filter against that array is a codegen projection. At 100 TB
+    the sweep gap-merge (the shared :func:`_gap_merge_span_ids`) → doc_id
+    join attaching the per-doc span array (disjoint merged ranges, bounded
+    by the doc's own token count — the same O(doc) group class as per-doc
+    tokenization) back onto the corpus; the token filter against that
+    array is a codegen projection. The base (scan + both token splits) is
+    persisted — it feeds the occurrence leg AND the final join. At 100 TB
     the passage string in the first shuffle key becomes xxhash64(passage),
     exactly as in :func:`duplicate_spans`."""
     windows_np = _window_passages(window, stride=1)
 
-    base = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    raw_toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    base = persist_tracked(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col)).alias("toks"),
+            raw_toks.alias("raw_toks"),
+        )
     )
     occ = base.select(
         "doc_id", F.explode(windows_np(F.col("toks"))).alias("w")
@@ -312,21 +333,8 @@ def spans_rewrite(
         .where((F.col("n_occ") > 1) & (F.col("rk") > 1))
         .select("doc_id", "start_tok")
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("start_tok")
-    prev_end = F.max(F.col("start_tok") + window - 1).over(
-        w_doc.rowsBetween(Window.unboundedPreceding, -1)
-    )
     spans = (
-        cuts.withColumn(
-            "opens",
-            F.when(prev_end.isNull() | (F.col("start_tok") > prev_end + 1), 1).otherwise(0),
-        )
-        .withColumn(
-            "span_id",
-            F.sum("opens").over(
-                w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
+        _gap_merge_span_ids(cuts, window)
         .groupBy("doc_id", "span_id")
         .agg(
             F.min("start_tok").alias("s"),
@@ -336,7 +344,7 @@ def spans_rewrite(
         .agg(F.collect_list(F.struct("s", "e")).alias("cut_spans"))
     )
     pos_structs = F.transform(
-        F.col("toks"), lambda t, i: F.struct((i + 1).alias("pos"), t.alias("tok"))
+        F.col("raw_toks"), lambda t, i: F.struct((i + 1).alias("pos"), t.alias("tok"))
     )
     no_spans = F.array().cast("array<struct<s:int,e:int>>")
     kept = F.filter(
@@ -381,7 +389,10 @@ def boilerplate_passages(
     Plan shape: stride-1 n-gram explode (distinct per doc — presence, not
     multiplicity, is the document-frequency notion) → ONE shuffle on
     (group, passage) for the distinct-doc count → per-doc re-aggregation.
-    Both aggregations are hash-partial; nothing pairwise, no windows."""
+    Both aggregations are hash-partial; nothing pairwise, no windows. The
+    exploded occurrence frame is persisted — it feeds both the DF count
+    and the probe side of the join (the Arrow window kernel is the
+    expensive part; without the persist it runs twice)."""
     windows_np = _window_passages(n, stride=1)
 
     base = df.select(
@@ -389,14 +400,16 @@ def boilerplate_passages(
         F.col(group_col).alias("grp"),
         tokens(F.col(text_col)).alias("toks"),
     )
-    occ = base.select(
-        "doc_id",
-        "grp",
-        F.explode_outer(
-            F.array_distinct(
-                F.transform(windows_np(F.col("toks")), lambda w: w["passage"])
-            )
-        ).alias("passage"),
+    occ = persist_tracked(
+        base.select(
+            "doc_id",
+            "grp",
+            F.explode_outer(
+                F.array_distinct(
+                    F.transform(windows_np(F.col("toks")), lambda w: w["passage"])
+                )
+            ).alias("passage"),
+        )
     )
     df_counts = (
         occ.where(F.col("passage").isNotNull())

@@ -106,9 +106,11 @@ def ensure_bucketed_table(
     # Drop both the catalog entry and the stale directory.
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     import shutil
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # unquote: the warehouse URI percent-encodes path characters (spaces in
+    # tmp dirs), and rmtree on the encoded spelling would silently miss
+    wh = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
     shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
     (
         df.write.format("parquet")

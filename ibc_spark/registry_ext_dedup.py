@@ -876,7 +876,10 @@ def dedup_passage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_spans_rewrite",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks,
+                      list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                        AS rawtoks
+               FROM documents),
     occ AS (
       SELECT doc_id, CAST(u.i AS INT) AS start_tok,
              array_to_string(list_slice(toks, u.i, u.i + 9), ' ') AS passage
@@ -913,7 +916,7 @@ def dedup_passage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sp GROUP BY doc_id, span_id
     ),
     tokpos AS (
-      SELECT doc_id, CAST(u.i AS INT) AS pos, toks[u.i] AS tok
+      SELECT doc_id, CAST(u.i AS INT) AS pos, rawtoks[u.i] AS tok
       FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
     ),
     kept AS (

@@ -1434,7 +1434,9 @@ def test_shuffle_epoch_order_is_contiguous_permutation(spark):
     from ibc_spark.ext.persistreg import release_persisted
     from ibc_spark.registry import QUERIES
 
-    rows = QUERIES["shuffle_epoch_order"](spark, "/root/testdata/sf0.001").collect()
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["shuffle_epoch_order"](spark, SF_SMOKE).collect()
     release_persisted()
     n_docs = len({r["doc_id"] for r in rows})
     assert len(rows) == 2 * n_docs
@@ -1465,3 +1467,29 @@ def test_quality_logit_monotone_in_stopwords(spark):
     }
     assert rows[1]["z"] > rows[2]["z"]
     assert rows[1]["z"] > 0  # 8/13 stopwords dominates every other term
+
+
+def test_spans_rewrite_preserves_case(spark):
+    """Matching runs on lowercased tokens, but the rewrite must emit the
+    document's own spellings: a mixed-case unique doc round-trips with its
+    casing intact, and a case-variant duplicate is still CUT (lowercased
+    matching) while the canonical doc keeps its original casing."""
+    from ibc_spark.ext.dedup import spans_rewrite
+    from ibc_spark.ext.persistreg import release_persisted
+
+    shared_lower = " ".join(f"s{i}" for i in range(10))
+    shared_upper = " ".join(f"S{i}" for i in range(10))
+    a = "Alpha Beta " + shared_upper  # canonical (doc 1): keeps its casing
+    b = "gamma " + shared_lower + " Delta Epsilon End1 End2 End3"
+    c = "Unique Mixed CASE text that Repeats nothing At All here now"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in spans_rewrite(df, id_col="doc_id", text_col="text", window=10).collect()
+    }
+    release_persisted()
+    assert rows[3]["cleaned_text"] == c  # casing preserved verbatim
+    assert rows[1]["cut_tokens"] == 0
+    assert rows[1]["cleaned_text"] == a  # canonical keeps ITS casing
+    assert rows[2]["cut_tokens"] == 10  # case-variant dup still matched
+    assert rows[2]["cleaned_text"] == "gamma Delta Epsilon End1 End2 End3"
