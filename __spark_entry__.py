@@ -83,11 +83,11 @@ _FORCE_RECHECK: set[str] = {
 # re-attestation backlog. They are fully hash-checked by the STRICTER local
 # parity suite every pytest run (tests/test_oracle_parity.py).
 #
-# Round-8 window arithmetic (registry closes at 189 entries): the 8
-# round-7 deferrals graduate to the never-green bucket (16 entries total:
-# those 8 + the 8 standing rows-only entries) + 3 force-recheck
-# (approx_sketch_stats, interval_overlap_sessions — itself in the r3
-# drain pool, so it double-counts one drain slot — and
+# Round-8 window arithmetic (registry closes at 202 entries, 20 of them
+# deferred below): the 8 round-7 deferrals graduate to the never-green
+# bucket (16 entries total: those 8 + the 8 standing rows-only entries)
+# + 3 force-recheck (approx_sketch_stats, interval_overlap_sessions —
+# itself in the r3 drain pool, so it double-counts one drain slot — and
 # dedup_embedding_lsh) = 19 slots, leaving 31 for the oldest-green
 # drain — still enough to retire the ENTIRE 27-entry r3-stale backlog
 # (VERDICT r7 #1/#2: TPC-H q2–q22 block + 7 text/pipe entries) with ~5
@@ -118,6 +118,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "shuffle_epoch_order",
     "streaming_dedup_watermarked",
     "quality_classifier_score",
+    "multimodal_image_roundtrip_png",
 }
 
 
