@@ -346,3 +346,92 @@ def test_kmv_merge_associative_reference(spark, ids, n_parts):
         }
     )[:k]
     assert merged == global_kmin
+
+
+@SLOW
+@given(st.lists(doc_words, min_size=1, max_size=5), st.integers(3, 6))
+def test_spans_rewrite_reference(spark, docs_words, window):
+    """spans_rewrite == a direct python apply: per doc, cut tokens are
+    exactly those covered by merged non-canonical duplicated windows
+    (canonical = min (doc, start) corpus-wide); cleaned text is the
+    surviving tokens in order; n = cut + kept always."""
+    from ibc_spark.ext.dedup import spans_rewrite
+    from ibc_spark.ext.persistreg import release_persisted
+
+    texts = [" ".join(w) for w in docs_words]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in spans_rewrite(
+            df, id_col="doc_id", text_col="text", window=window
+        ).collect()
+    }
+    release_persisted()
+
+    # python reference
+    occs: dict[str, list[tuple[int, int]]] = {}
+    for d, t in enumerate(texts):
+        toks = t.lower().split()
+        for i in range(len(toks) - window + 1):
+            occs.setdefault(" ".join(toks[i : i + window]), []).append((d, i + 1))
+    cut_positions: dict[int, set[int]] = {}
+    for occ_list in occs.values():
+        if len(occ_list) > 1:
+            for d, s in sorted(occ_list)[1:]:  # all but the canonical
+                cut_positions.setdefault(d, set()).update(range(s, s + window))
+    for d, t in enumerate(texts):
+        toks = t.split()
+        cut = cut_positions.get(d, set())
+        want_clean = " ".join(
+            tok for i, tok in enumerate(toks, start=1) if i not in cut
+        )
+        r = rows[d]
+        assert r["n_tokens"] == len(toks)
+        assert r["cut_tokens"] == len(cut)
+        assert r["kept_tokens"] == len(toks) - len(cut)
+        assert r["cleaned_text"] == want_clean
+
+
+@SLOW
+@given(
+    st.lists(st.tuples(doc_words, st.sampled_from(["s0", "s1"])), min_size=1, max_size=6),
+    st.integers(2, 4),
+)
+def test_boilerplate_passages_reference(spark, docs, n):
+    """boilerplate_passages == the brute-force per-source document-frequency
+    count on random corpora; 0 <= n_boilerplate <= n_passages always."""
+    from ibc_spark.ext.dedup import boilerplate_passages
+    from ibc_spark.ext.persistreg import release_persisted
+
+    rows_in = [(i, " ".join(w), src) for i, (w, src) in enumerate(docs)]
+    df = spark.createDataFrame(rows_in, ["doc_id", "text", "source"])
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_passages(
+            df, id_col="doc_id", text_col="text", group_col="source",
+            n=n, min_docs=2,
+        ).collect()
+    }
+    release_persisted()
+
+    def grams(t: str) -> set[str]:
+        toks = t.lower().split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    by_src: dict[str, dict[str, int]] = {}
+    for i, t, src in rows_in:
+        for g in grams(t):
+            by_src.setdefault(src, {}).setdefault(g, 0)
+        # document frequency: count distinct docs containing g
+    for i, t, src in rows_in:
+        for g in grams(t):
+            by_src[src][g] += 1
+    for i, t, src in rows_in:
+        gs = grams(t)
+        want_boiler = sum(1 for g in gs if by_src[src][g] >= 2)
+        r = got[i]
+        assert r["n_passages"] == len(gs)
+        assert r["n_boilerplate"] == want_boiler
+        assert 0 <= r["n_boilerplate"] <= r["n_passages"]
