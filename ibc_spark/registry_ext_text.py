@@ -759,3 +759,62 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("logit"),
         (z > 0).alias("keep"),
     )
+
+
+_FH_DIM = 8  # feature-hashing buckets (thousands in production; 8 keeps the
+#              oracle surface one column per bucket)
+_FH_COLS = ", ".join(
+    f"CAST(coalesce(sum(CASE WHEN bucket = {k} THEN sign END), 0) AS BIGINT) AS h{k}"
+    for k in range(_FH_DIM)
+)
+
+
+@query(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h1
+      FROM tok
+    ),
+    sgn AS (
+      SELECT doc_id, h1 % {_FH_DIM} AS bucket,
+             CASE WHEN (h1 >> 3) & 1 = 0 THEN 1 ELSE -1 END AS sign
+      FROM h
+    )
+    SELECT doc_id, {_FH_COLS}
+    FROM sgn GROUP BY doc_id
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK (Weinberger et al. 2009): each token maps to one
+    of ``_FH_DIM`` signed buckets by a stateless hash — the fixed-width,
+    vocabulary-free featurizer that feeds linear models at any corpus
+    size with NO vocabulary build, no broadcast, no second pass. bucket =
+    h % dim; sign = parity of the next hash bits (the signed variant that
+    makes collisions cancel in expectation). One explode + one per-doc
+    aggregation (map-side combinable); the md5 60-bit hash is the
+    foldspec-portable spelling, so DuckDB replays every feature exactly.
+    Docs with zero tokens do not occur in the corpus (n_chars >= 10)."""
+    from ibc_spark.ext.foldspec import md5_double_hash
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(text.tokens("text")).alias("term"))
+    h1, _ = md5_double_hash(F.col("term"))
+    sgn = tok.select(
+        "doc_id",
+        F.pmod(h1, F.lit(_FH_DIM)).alias("bucket"),
+        F.when(
+            F.shiftright(h1, 3).bitwiseAND(F.lit(1)) == 0, 1
+        ).otherwise(-1).alias("sign"),
+    )
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("bucket") == k, F.col("sign"))), F.lit(0)
+        )
+        .cast("long")
+        .alias(f"h{k}")
+        for k in range(_FH_DIM)
+    ]
+    return sgn.groupBy("doc_id").agg(*aggs)

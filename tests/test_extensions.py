@@ -1576,3 +1576,28 @@ def test_spans_rewrite_preserves_case(spark):
     assert rows[1]["cleaned_text"] == a  # canonical keeps ITS casing
     assert rows[2]["cut_tokens"] == 10  # case-variant dup still matched
     assert rows[2]["cleaned_text"] == "gamma Delta Epsilon End1 End2 End3"
+
+
+def test_feature_hashing_reference(spark):
+    """Feature-hashing vectors equal a direct hashlib reference: per doc,
+    bucket = first-60-md5-bits % 8, sign = bit 3 parity, summed."""
+    import hashlib
+
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = {r["doc_id"]: r for r in QUERIES["text_feature_hashing"](spark, SF_SMOKE).collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    texts = con.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet' LIMIT 20"
+    ).fetchall()
+    for doc_id, text_ in texts:
+        vec = [0] * 8
+        for term in [t for t in text_.lower().split() if t]:
+            h1 = int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
+            vec[h1 % 8] += 1 if ((h1 >> 3) & 1) == 0 else -1
+        got = [rows[doc_id][f"h{k}"] for k in range(8)]
+        assert got == vec, (doc_id, got, vec)
