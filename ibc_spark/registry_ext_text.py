@@ -818,3 +818,44 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(_FH_DIM)
     ]
     return sgn.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "vocab_bpe_pair_counts",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(term)),
+                    i -> substr(term, CAST(i AS INT), 2))) AS pair
+      FROM tok WHERE length(term) >= 2
+    )
+    SELECT pair, count(*) AS n_pairs
+    FROM pairs GROUP BY pair
+    ORDER BY n_pairs DESC, pair LIMIT 20
+    """,
+)
+def vocab_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE round of BPE tokenizer training (Sennrich et al. 2016): count
+    every adjacent symbol pair across the corpus (with multiplicity — the
+    quantity BPE maximizes) and emit the top-20 merge candidates. The
+    highest-count pair is the merge a trainer would apply; iterating
+    re-runs this count over re-segmented text. Plan: narrow
+    tokenize/pair explode (zero shuffle) → ONE map-side-combinable count
+    → TakeOrderedAndProject for the bounded candidate list. At 100 TB
+    this is exactly how corpus-scale BPE training distributes: the pair
+    histogram is the only shuffled state, O(|symbol pairs|) ≪ corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(text.tokens("text")).alias("term")).where(
+        F.length("term") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("pair"))
+        .limit(20)
+    )

@@ -1601,3 +1601,33 @@ def test_feature_hashing_reference(spark):
             vec[h1 % 8] += 1 if ((h1 >> 3) & 1) == 0 else -1
         got = [rows[doc_id][f"h{k}"] for k in range(8)]
         assert got == vec, (doc_id, got, vec)
+
+
+def test_bpe_pair_counts_reference(spark):
+    """BPE pair counts equal the direct python count (with multiplicity),
+    and the plan compiles to TakeOrderedAndProject (bounded candidate
+    list, no global sort)."""
+    from collections import Counter
+
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    df = QUERIES["vocab_bpe_pair_counts"](spark, SF_SMOKE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    got = [(r["pair"], r["n_pairs"]) for r in df.collect()]
+
+    import duckdb
+
+    con = duckdb.connect()
+    texts = con.sql(f"SELECT text FROM '{SF_SMOKE}/documents.parquet'").fetchall()
+    ref = Counter()
+    for (t,) in texts:
+        for term in [x for x in t.lower().split() if x]:
+            for i in range(len(term) - 1):
+                ref[term[i : i + 2]] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
