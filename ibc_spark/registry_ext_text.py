@@ -859,3 +859,90 @@ def vocab_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pairs").desc(), F.col("pair"))
         .limit(20)
     )
+
+
+@query(
+    "drift_quality_psi",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+    f AS (
+      SELECT doc_id, source,
+             len(toks) AS n_tokens,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(toks, t -> length(t))),
+                    (acc,x) -> acc + x) AS DOUBLE)
+               / greatest(len(toks), 1) AS avg_token_len,
+             CAST(len(list_filter(toks,
+                    t -> list_contains(['the','of','and','to','in','is','a'], t))) AS DOUBLE)
+               / greatest(len(toks), 1) AS stopword_ratio
+      FROM t
+    ),
+    z AS (
+      SELECT doc_id, source,
+             CAST(greatest(least(floor((CAST(-1.2 AS DOUBLE)
+                 + CAST(12.0 AS DOUBLE) * stopword_ratio
+                 + CAST(0.2 AS DOUBLE) * avg_token_len
+                 + CAST(-0.004 AS DOUBLE) * CAST(n_tokens AS DOUBLE)) * 4.0), 7), -8)
+               AS BIGINT) AS bin
+      FROM f
+    ),
+    sb AS (SELECT source, bin, count(*) AS c_sb FROM z GROUP BY 1, 2),
+    s AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1),
+    b AS (SELECT bin, CAST(sum(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_b) AS BIGINT) AS n FROM b),
+    terms AS (
+      SELECT sb.source, sb.bin,
+             (CAST(c_sb AS DOUBLE) / n_s - CAST(c_b AS DOUBLE) / n)
+               * ln((CAST(c_sb AS DOUBLE) / n_s) / (CAST(c_b AS DOUBLE) / n))
+               AS term
+      FROM sb JOIN s ON sb.source = s.source
+              JOIN b ON sb.bin = b.bin
+              CROSS JOIN tot
+    )
+    SELECT terms.source, s.n_s AS n_docs,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(term ORDER BY bin)), (a, x) -> a + x), 6) AS psi
+    FROM terms JOIN s ON terms.source = s.source
+    GROUP BY terms.source, s.n_s
+    """,
+)
+def drift_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data DRIFT MONITOR: per-source Population Stability Index
+    of the quality-classifier score distribution vs the whole corpus —
+    the standard 'did this source's quality profile shift away from the
+    mix' alarm (PSI > 0.2 is the classic re-examine threshold). Scores
+    bin at width 0.25 clamped to [-2, 2) (integer bin ids — no float
+    drift in the keys); PSI is defined over bins the source occupies
+    (p > 0, and q > 0 follows since the corpus contains the source).
+
+    Scale shape: one (source, bin) count shuffle over ≤ sources×32
+    groups, tiny equi-joins on the aggregate frames, a 1-row corpus
+    total broadcast, and a ≤32-term deterministic bin-ordered fold per
+    source (the O(dim)-class whole-group fold the foldspec exempts), so
+    Spark and DuckDB sum the identical IEEE doubles in the identical
+    order."""
+    from ibc_spark.ext.foldspec import _ordered_fold
+
+    d = read_table(spark, sf_dir, "documents")
+    z = text.quality_logit("text")
+    binned = d.select(
+        "source",
+        F.greatest(
+            F.least(F.floor(z * 4.0), F.lit(7)), F.lit(-8)
+        ).cast("long").alias("bin"),
+    )
+    sb = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c_sb"))
+    s = sb.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
+    b = sb.groupBy("bin").agg(F.sum("c_sb").alias("c_b"))
+    tot = b.agg(F.sum("c_b").alias("n"))
+    p = F.col("c_sb").cast("double") / F.col("n_s")
+    q = F.col("c_b").cast("double") / F.col("n")
+    terms = (
+        sb.join(s, "source")
+        .join(F.broadcast(b), "bin")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "n_s", "bin", ((p - q) * F.log(p / q)).alias("term"))
+    )
+    return terms.groupBy("source", F.col("n_s").alias("n_docs")).agg(
+        F.round(_ordered_fold(F.col("bin"), F.col("term")), 6).alias("psi")
+    )

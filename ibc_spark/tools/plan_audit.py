@@ -54,6 +54,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "zorder_layout_events": "1-row min/max quantization-bounds broadcast",
     "kmeans_embeddings_2iter": "O(k*dim) centroid frame broadcast per assignment pass",
     "sample_diverse_per_cluster": "same O(k*dim) centroid broadcast as kmeans_embeddings_2iter (shared km_assign helper)",
+    "drift_quality_psi": "1-row corpus-total broadcast into the PSI term projection",
     "ann_topk_ivf_portable": "O(k*dim) centroid frame broadcast for query-probe ranking (shared km_train/km_assign machinery); candidate join is hash equi on cell",
     "graph_pagerank_trade": "1-row node-count + 1-row dangling-mass broadcasts per iteration",
     "graph_pagerank_shuffled": "1-row node-count + 1-row dangling-mass broadcasts per iteration (the RANK joins are hinted shuffle-hash — asserted in test_plans)",

@@ -1631,3 +1631,47 @@ def test_bpe_pair_counts_reference(spark):
                 ref[term[i : i + 2]] += 1
     want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == want
+
+
+def test_psi_zero_for_identical_distribution(spark):
+    """PSI must be ~0 when a source's quality distribution matches the
+    corpus (two sources, identical text multisets), and positive when one
+    source is shifted."""
+    from ibc_spark.ext.foldspec import _ordered_fold  # noqa: F401 (import parity)
+    from ibc_spark.ext.text import quality_logit
+    from pyspark.sql import functions as F
+
+    fluent = "the cat is on the mat and the dog is in the house"
+    soup = "xqz vbn mlk jhg fds apo iuy tre wqa zxc cvb nmq"
+    rows = []
+    # sources A and B carry the SAME mix -> PSI(A) == PSI(B) == 0
+    for i in range(10):
+        rows.append((i, fluent if i % 2 == 0 else soup, "A"))
+        rows.append((100 + i, fluent if i % 2 == 0 else soup, "B"))
+    # source C is all-soup -> shifted vs the corpus
+    for i in range(10):
+        rows.append((200 + i, soup, "C"))
+    d = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    z = quality_logit("text")
+    binned = d.select(
+        "source",
+        F.greatest(F.least(F.floor(z * 4.0), F.lit(7)), F.lit(-8)).cast("long").alias("bin"),
+    )
+    sb = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c_sb"))
+    s = sb.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
+    b = sb.groupBy("bin").agg(F.sum("c_sb").alias("c_b"))
+    tot = b.agg(F.sum("c_b").alias("n"))
+    p = F.col("c_sb").cast("double") / F.col("n_s")
+    q = F.col("c_b").cast("double") / F.col("n")
+    psi = {
+        r["source"]: r["psi"]
+        for r in (
+            sb.join(s, "source").join(F.broadcast(b), "bin").crossJoin(F.broadcast(tot))
+            .select("source", ((p - q) * F.log(p / q)).alias("term"), "bin")
+            .groupBy("source")
+            .agg(F.sum("term").alias("psi"))
+        ).collect()
+    }
+    # A and B mirror the corpus only approximately (C skews it); but A==B exactly
+    assert abs(psi["A"] - psi["B"]) < 1e-12
+    assert psi["C"] > psi["A"] > 0  # C is the outlier; A/B mildly off due to C
