@@ -83,7 +83,7 @@ _FORCE_RECHECK: set[str] = {
 # re-attestation backlog. They are fully hash-checked by the STRICTER local
 # parity suite every pytest run (tests/test_oracle_parity.py).
 #
-# Round-8 window arithmetic (registry closes at 205 entries, 23 of them
+# Round-8 window arithmetic (registry closes at 206 entries, 24 of them
 # deferred below): the 8 round-7 deferrals graduate to the never-green
 # bucket (16 entries total: those 8 + the 8 standing rows-only entries)
 # + 3 force-recheck (approx_sketch_stats, interval_overlap_sessions —
@@ -122,6 +122,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "text_feature_hashing",
     "vocab_bpe_pair_counts",
     "drift_quality_psi",
+    "sample_contrastive_triplets",
 }
 
 

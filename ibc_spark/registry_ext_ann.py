@@ -798,3 +798,66 @@ def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("n_hit", F.lit(0)) / 5.0, 6).alias("recall_at_5"),
         F.round(F.coalesce(1.0 / F.col("first_rank"), F.lit(0.0)), 6).alias("mrr"),
     )
+
+
+def _triplets_oracle() -> str:
+    """Composed from the REGISTERED gold top-k and hard-negative oracles
+    (the eval_retrieval_metrics composition pattern), so the triplet set
+    can never drift from the entries that define positives and
+    negatives."""
+    from ibc_spark.registry_core import ORACLES
+
+    gold = ORACLES["ann_topk_bruteforce"].strip()
+    negs = ORACLES["sample_hard_negatives"].strip()
+    return f"""
+    WITH pos AS (
+      SELECT query_id, neighbor_id AS pos_id, cos_sim AS pos_cos
+      FROM ({gold}) WHERE rank = 1
+    ),
+    neg AS (SELECT query_id, neg_id, cos_sim AS neg_cos FROM ({negs}))
+    SELECT p.query_id, p.pos_id, n.neg_id, p.pos_cos, n.neg_cos,
+           round(p.pos_cos - n.neg_cos, 4) AS margin
+    FROM pos p JOIN neg n ON p.query_id = n.query_id
+    WHERE n.neg_id <> p.pos_id
+    """
+
+
+@query("sample_contrastive_triplets", oracle=_triplets_oracle())
+def sample_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE TRAINING TRIPLETS (query, positive, hard negative) —
+    the assembled training example a dense-retriever fine-tune consumes
+    (DPR/ANCE shape): positive = the exact top-1 neighbor
+    (`ann_topk_bruteforce` rank 1), negatives = the banded top-5
+    (`sample_hard_negatives`), margin = pos_cos − neg_cos (the quantity
+    a triplet loss drives up). Both arms are CALLS to the registered
+    entries and the oracle composes their registered SQL, so triplets,
+    eval, and mining can never drift apart. The positive is EXCLUDED from
+    the negative set (the top-1 can land inside the negative band when
+    its cosine is below the near-dup cap — caught by the invariant
+    test). Each arm ends in bounded
+    per-query top-k, so the assembly join touches O(queries·k) rows at
+    any corpus size."""
+    from ibc_spark.registry_core import QUERIES
+
+    pos = (
+        QUERIES["ann_topk_bruteforce"](spark, sf_dir)
+        .where(F.col("rank") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("cos_sim").alias("pos_cos"),
+        )
+    )
+    neg = QUERIES["sample_hard_negatives"](spark, sf_dir).select(
+        "query_id", "neg_id", F.col("cos_sim").alias("neg_cos")
+    )
+    return pos.join(neg, on="query_id").where(
+        F.col("neg_id") != F.col("pos_id")
+    ).select(
+        "query_id",
+        "pos_id",
+        "neg_id",
+        "pos_cos",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 4).alias("margin"),
+    )

@@ -1675,3 +1675,24 @@ def test_psi_zero_for_identical_distribution(spark):
     # A and B mirror the corpus only approximately (C skews it); but A==B exactly
     assert abs(psi["A"] - psi["B"]) < 1e-12
     assert psi["C"] > psi["A"] > 0  # C is the outlier; A/B mildly off due to C
+
+
+def test_contrastive_triplets_invariants(spark):
+    """Every triplet's positive is the query's exact top-1 (strictly more
+    similar than any emitted negative → margin > 0), negatives never
+    equal the positive or the query, and each query contributes ≤5
+    triplets."""
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    rows = QUERIES["sample_contrastive_triplets"](spark, SF_ORACLE).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["neg_id"] != r["pos_id"]
+        assert r["neg_id"] != r["query_id"]
+        assert r["margin"] >= 0  # positive is rank-1 (ties round to 0)
+        assert abs(r["margin"] - round(r["pos_cos"] - r["neg_cos"], 4)) < 1e-9
+    assert all(len(v) <= 5 for v in per_q.values())
