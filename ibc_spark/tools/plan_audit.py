@@ -55,6 +55,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "kmeans_embeddings_2iter": "O(k*dim) centroid frame broadcast per assignment pass",
     "sample_diverse_per_cluster": "same O(k*dim) centroid broadcast as kmeans_embeddings_2iter (shared km_assign helper)",
     "drift_quality_psi": "1-row corpus-total broadcast into the PSI term projection",
+    "sample_contrastive_triplets": "inherits the gold/negative arms' bounded query-set broadcasts (ann_topk_bruteforce and sample_hard_negatives, both standalone-allowlisted); the assembly join is O(queries*k) rows",
     "ann_topk_ivf_portable": "O(k*dim) centroid frame broadcast for query-probe ranking (shared km_train/km_assign machinery); candidate join is hash equi on cell",
     "graph_pagerank_trade": "1-row node-count + 1-row dangling-mass broadcasts per iteration",
     "graph_pagerank_shuffled": "1-row node-count + 1-row dangling-mass broadcasts per iteration (the RANK joins are hinted shuffle-hash — asserted in test_plans)",
