@@ -124,12 +124,13 @@ def _decode_bmp(payload: bytes):
 def decode_image(payload: bytes):
     """Decode a media payload into an (H, W, 3) uint8 numpy array.
 
-    REAL pure-numpy decoders for the uncompressed container formats (PPM
-    P6 and 24-bit BMP) — no imaging library needed; the
-    ``NotImplementedError`` seam now covers only COMPRESSED codecs
-    (JPEG/PNG/WebP/...), where Pillow/torchvision would plug in. This is
-    the honest split: byte-layout parsing is pure numpy; entropy-coded
-    decompression is not worth reimplementing."""
+    REAL pure-numpy decoders for PPM (P6), uncompressed 24-bit BMP, and —
+    via stdlib zlib — 8-bit non-interlaced PNG (gray/RGB/RGBA, all five
+    scanline filters). The ``NotImplementedError`` seam covers only
+    codecs whose entropy coding is not in the stdlib (JPEG/WebP/...),
+    where Pillow/torchvision would plug in: byte-layout parsing and
+    DEFLATE are free; DCT/arithmetic coding is not worth
+    reimplementing."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -162,13 +163,18 @@ def encode_png(arr, *, filter_mode: str = "mixed") -> bytes:
     """Encode an (H, W, 3) uint8 array as a REAL standards-conforming PNG
     (8-bit truecolor, non-interlaced) using only stdlib zlib — no imaging
     library. ``filter_mode``: ``"none"`` writes every scanline with filter
-    0; ``"mixed"`` cycles row filters 0→4 (None/Sub/Up/Average/Paeth), so
-    a decode of the output exercises EVERY unfilter branch."""
+    0; ``"mixed"`` cycles row filters 1→4 (Sub/Up/Average/Paeth — the
+    non-trivial branches; filter 0 is the ``"none"`` mode), so a decode of
+    the output exercises every non-trivial unfilter branch EVEN on 4-row
+    images (a 0-4 cycle never reached Paeth below 5 rows — review, this
+    session). Unknown modes raise."""
     import struct
     import zlib
 
     import numpy as np
 
+    if filter_mode not in ("none", "mixed"):
+        raise ValueError(f"unknown filter_mode {filter_mode!r}")
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("expected (H, W, 3) uint8 array")
@@ -177,7 +183,7 @@ def encode_png(arr, *, filter_mode: str = "mixed") -> bytes:
     rows = a.reshape(h, w * bpp).astype(np.int32)
     out = bytearray()
     for y in range(h):
-        f = (y % 5) if filter_mode == "mixed" else 0
+        f = (y % 4) + 1 if filter_mode == "mixed" else 0
         cur = rows[y]
         prior = rows[y - 1] if y else np.zeros(w * bpp, dtype=np.int32)
         left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])

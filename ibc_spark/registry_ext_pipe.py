@@ -491,9 +491,12 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_image_roundtrip_stats",
-    oracle=f"""
+# The 4x4-quantized-image roundtrip oracle: per embedding, the channel
+# means of the quantized pixels, computed from the RAW NUMBERS — the
+# oracle never sees an image, so a hash match proves the codec loop is
+# the identity. SHARED by the PPM and PNG roundtrip entries (review,
+# this session: the two copies had to be kept in sync by hand).
+_ROUNDTRIP_ORACLE = f"""
     WITH px AS (
       SELECT vec_id,
              list_transform(embedding[1:48],
@@ -505,22 +508,17 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 2])")} / 16.0, 6) AS mean_g,
            round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 3])")} / 16.0, 6) AS mean_b
     FROM px
-    """,
-)
-def multimodal_image_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE-CHECKED real-codec round trip: each embedding's first 48
-    values quantize to a 4×4 RGB image, ENCODE to a real PPM(P6) payload,
-    DECODE back through `ext.multimodal.decode_image`, and reduce to
-    per-channel means — while the DuckDB oracle computes the same means
-    directly from the raw numbers, never seeing an image. A hash match
-    therefore proves the encode→decode loop is the identity on every row
-    (the strongest check a binary codec path can get from a SQL oracle).
-    Arrow-batched mapInPandas; pixel ints are exact in doubles, so the
-    mean is an exact rational before the defensive round."""
+    """
+
+
+def _image_roundtrip(spark: SparkSession, sf_dir: str, encoder) -> DataFrame:
+    """Shared encode→decode→channel-means pipeline over the 4×4 quantized
+    embedding images; ``encoder`` maps an (H, W, 3) uint8 array to the
+    codec payload under test."""
     import numpy as np
     import pandas as pd
 
-    from ibc_spark.ext.multimodal import decode_image, encode_ppm
+    from ibc_spark.ext.multimodal import decode_image
 
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     schema = (
@@ -535,7 +533,7 @@ def multimodal_image_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFr
                 vals = np.asarray(emb[:48], dtype=np.float64)
                 px = np.floor(np.clip(vals, -1.0, 1.0) * 127.0 + 128.0).astype(np.uint8)
                 img = px.reshape(4, 4, 3)
-                decoded = decode_image(encode_ppm(img))
+                decoded = decode_image(encoder(img))
                 m = decoded.reshape(-1, 3).astype(np.float64).mean(axis=0)
                 out.append(
                     (int(vec_id), 4, 4, round(m[0], 6), round(m[1], 6), round(m[2], 6))
@@ -545,6 +543,22 @@ def multimodal_image_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFr
             )
 
     return e.mapInPandas(_roundtrip, schema)
+
+
+@query("multimodal_image_roundtrip_stats", oracle=_ROUNDTRIP_ORACLE)
+def multimodal_image_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED real-codec round trip: each embedding's first 48
+    values quantize to a 4×4 RGB image, ENCODE to a real PPM(P6) payload,
+    DECODE back through `ext.multimodal.decode_image`, and reduce to
+    per-channel means — while the DuckDB oracle computes the same means
+    directly from the raw numbers, never seeing an image. A hash match
+    therefore proves the encode→decode loop is the identity on every row
+    (the strongest check a binary codec path can get from a SQL oracle).
+    Arrow-batched mapInPandas; pixel ints are exact in doubles, so the
+    mean is an exact rational before the defensive round."""
+    from ibc_spark.ext.multimodal import encode_ppm
+
+    return _image_roundtrip(spark, sf_dir, encode_ppm)
 
 
 @query(
@@ -721,59 +735,22 @@ def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("train_pos", "doc_id", "epoch", "skey")
 
 
-@query(
-    "multimodal_image_roundtrip_png",
-    oracle=f"""
-    WITH px AS (
-      SELECT vec_id,
-             list_transform(embedding[1:48],
-               x -> floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127.0 + 128.0)) AS p
-      FROM embeddings
-    )
-    SELECT vec_id, 4 AS width, 4 AS height,
-           round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 1])")} / 16.0, 6) AS mean_r,
-           round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 2])")} / 16.0, 6) AS mean_g,
-           round({_FOLD_SUM_D.format("list_transform(range(0, 16), k -> p[3*k + 3])")} / 16.0, 6) AS mean_b
-    FROM px
-    """,
-)
+@query("multimodal_image_roundtrip_png", oracle=_ROUNDTRIP_ORACLE)
 def multimodal_image_roundtrip_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PNG sibling of ``multimodal_image_roundtrip_stats``: the same
-    4×4 quantized image per embedding, but encoded to a REAL
-    standards-conforming PNG (stdlib-zlib DEFLATE, ``filter_mode="mixed"``
-    — scanline filters cycle None/Sub/Up/Average/Paeth, so every unfilter
-    branch of the pure-numpy PNG decoder executes on every image) and
-    decoded back before the channel means. The oracle computes the means
-    from the raw numbers and never sees an image, so a hash match proves
-    the full zlib+filter codec loop is the identity on every row —
-    closing the PNG half of the round-7 'entropy-coded formats' seam with
-    zero new dependencies (zlib is stdlib). JPEG/WebP (non-stdlib
-    entropy coding) remain the documented seam."""
-    import numpy as np
-    import pandas as pd
+    """The PNG sibling of ``multimodal_image_roundtrip_stats`` (same
+    shared oracle and pipeline — only the codec differs): each 4×4
+    quantized image is encoded to a REAL standards-conforming PNG
+    (stdlib-zlib DEFLATE, ``filter_mode="mixed"`` — the four rows carry
+    scanline filters Sub/Up/Average/Paeth, so every NON-TRIVIAL unfilter
+    branch of the pure-numpy PNG decoder executes on every image; the
+    trivial filter-0 path is covered by the "none"-mode pytest) and
+    decoded back before the channel means. A hash match proves the full
+    zlib+filter codec loop is the identity on every row — closing the
+    PNG half of the round-7 'entropy-coded formats' seam with zero new
+    dependencies. JPEG/WebP (non-stdlib entropy coding) remain the
+    documented seam."""
+    from ibc_spark.ext.multimodal import encode_png
 
-    from ibc_spark.ext.multimodal import decode_image, encode_png
-
-    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    schema = (
-        "vec_id long, width int, height int, "
-        "mean_r double, mean_g double, mean_b double"
+    return _image_roundtrip(
+        spark, sf_dir, lambda img: encode_png(img, filter_mode="mixed")
     )
-
-    def _roundtrip(batches):
-        for pdf in batches:
-            out = []
-            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
-                vals = np.asarray(emb[:48], dtype=np.float64)
-                px = np.floor(np.clip(vals, -1.0, 1.0) * 127.0 + 128.0).astype(np.uint8)
-                img = px.reshape(4, 4, 3)
-                decoded = decode_image(encode_png(img, filter_mode="mixed"))
-                m = decoded.reshape(-1, 3).astype(np.float64).mean(axis=0)
-                out.append(
-                    (int(vec_id), 4, 4, round(m[0], 6), round(m[1], 6), round(m[2], 6))
-                )
-            yield pd.DataFrame(
-                out, columns=["vec_id", "width", "height", "mean_r", "mean_g", "mean_b"]
-            )
-
-    return e.mapInPandas(_roundtrip, schema)

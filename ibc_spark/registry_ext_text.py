@@ -713,12 +713,18 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "quality_classifier_score",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+# THE one SQL spelling of the quality-feature CTE and the classifier
+# logit. Weights interpolate from ``ext.text.QUALITY_LR``, so the Spark
+# Column form, this oracle, and the PSI drift oracle can never disagree
+# about the model (review, this session: the weights had grown three
+# hand-written copies).
+
+
+def _quality_f_cte(extra_cols: str = "") -> str:
+    return f"""
+    t AS (SELECT doc_id, {extra_cols} text, {_TOKS} AS toks FROM documents),
     f AS (
-      SELECT doc_id,
+      SELECT doc_id, {extra_cols}
              len(toks) AS n_tokens,
              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                     list_transform(toks, t -> length(t))),
@@ -728,16 +734,26 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     t -> list_contains(['the','of','and','to','in','is','a'], t))) AS DOUBLE)
                / greatest(len(toks), 1) AS stopword_ratio
       FROM t
+    )"""
+
+
+def _quality_logit_sql() -> str:
+    w = text.QUALITY_LR
+    return (
+        f"(CAST({w['intercept']} AS DOUBLE)"
+        f" + CAST({w['stopword_ratio']} AS DOUBLE) * stopword_ratio"
+        f" + CAST({w['avg_token_len']} AS DOUBLE) * avg_token_len"
+        f" + CAST({w['n_tokens']} AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
     )
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH {_quality_f_cte()}
     SELECT doc_id,
-           round(CAST(-1.2 AS DOUBLE)
-                 + CAST(12.0 AS DOUBLE) * stopword_ratio
-                 + CAST(0.2 AS DOUBLE) * avg_token_len
-                 + CAST(-0.004 AS DOUBLE) * CAST(n_tokens AS DOUBLE), 6) AS logit,
-           (CAST(-1.2 AS DOUBLE)
-                 + CAST(12.0 AS DOUBLE) * stopword_ratio
-                 + CAST(0.2 AS DOUBLE) * avg_token_len
-                 + CAST(-0.004 AS DOUBLE) * CAST(n_tokens AS DOUBLE)) > 0 AS keep
+           round({_quality_logit_sql()}, 6) AS logit,
+           {_quality_logit_sql()} > 0 AS keep
     FROM f
     """,
 )
@@ -774,8 +790,7 @@ _FH_COLS = ", ".join(
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
     h AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h1
+      SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h1, CAST(('0x' || substr(md5(term), 16, 15)) AS BIGINT) * 2 + 1 AS h2
       FROM tok
     ),
     sgn AS (
@@ -861,28 +876,45 @@ def vocab_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_psi_frame(d: DataFrame) -> DataFrame:
+    """Frame-level core of ``drift_quality_psi`` (callable on any
+    (source, text) frame — the registry entry binds it to the corpus, the
+    unit test to a planted one, so the TESTED code path IS the entry's):
+    bin each doc's quality logit at width 0.25 clamped to [-2, 2), count
+    per (source, bin), and fold the PSI terms in bin order."""
+    from ibc_spark.ext.foldspec import _ordered_fold
+
+    z = text.quality_logit("text")
+    binned = d.select(
+        "source",
+        F.greatest(
+            F.least(F.floor(z * 4.0), F.lit(7)), F.lit(-8)
+        ).cast("long").alias("bin"),
+    )
+    sb = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c_sb"))
+    src = sb.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
+    b = sb.groupBy("bin").agg(F.sum("c_sb").alias("c_b"))
+    tot = b.agg(F.sum("c_b").alias("n"))
+    p = F.col("c_sb").cast("double") / F.col("n_s")
+    q = F.col("c_b").cast("double") / F.col("n")
+    terms = (
+        sb.join(src, "source")
+        .join(F.broadcast(b), "bin")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "n_s", "bin", ((p - q) * F.log(p / q)).alias("term"))
+    )
+    return terms.groupBy("source", F.col("n_s").alias("n_docs")).agg(
+        F.round(_ordered_fold(F.col("bin"), F.col("term")), 6).alias("psi")
+    )
+
+
 @query(
     "drift_quality_psi",
     oracle=f"""
-    WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
-    f AS (
-      SELECT doc_id, source,
-             len(toks) AS n_tokens,
-             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform(toks, t -> length(t))),
-                    (acc,x) -> acc + x) AS DOUBLE)
-               / greatest(len(toks), 1) AS avg_token_len,
-             CAST(len(list_filter(toks,
-                    t -> list_contains(['the','of','and','to','in','is','a'], t))) AS DOUBLE)
-               / greatest(len(toks), 1) AS stopword_ratio
-      FROM t
-    ),
+    WITH {_quality_f_cte(extra_cols="source,")},
     z AS (
       SELECT doc_id, source,
-             CAST(greatest(least(floor((CAST(-1.2 AS DOUBLE)
-                 + CAST(12.0 AS DOUBLE) * stopword_ratio
-                 + CAST(0.2 AS DOUBLE) * avg_token_len
-                 + CAST(-0.004 AS DOUBLE) * CAST(n_tokens AS DOUBLE)) * 4.0), 7), -8)
+             CAST(greatest(least(floor({_quality_logit_sql()} * 4.0), 7), -8)
                AS BIGINT) AS bin
       FROM f
     ),
@@ -914,6 +946,8 @@ def drift_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin at width 0.25 clamped to [-2, 2) (integer bin ids — no float
     drift in the keys); PSI is defined over bins the source occupies
     (p > 0, and q > 0 follows since the corpus contains the source).
+    Features, weights, and binning share ONE definition with
+    ``quality_classifier_score`` on both engines.
 
     Scale shape: one (source, bin) count shuffle over ≤ sources×32
     groups, tiny equi-joins on the aggregate frames, a 1-row corpus
@@ -921,28 +955,4 @@ def drift_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     source (the O(dim)-class whole-group fold the foldspec exempts), so
     Spark and DuckDB sum the identical IEEE doubles in the identical
     order."""
-    from ibc_spark.ext.foldspec import _ordered_fold
-
-    d = read_table(spark, sf_dir, "documents")
-    z = text.quality_logit("text")
-    binned = d.select(
-        "source",
-        F.greatest(
-            F.least(F.floor(z * 4.0), F.lit(7)), F.lit(-8)
-        ).cast("long").alias("bin"),
-    )
-    sb = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c_sb"))
-    s = sb.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
-    b = sb.groupBy("bin").agg(F.sum("c_sb").alias("c_b"))
-    tot = b.agg(F.sum("c_b").alias("n"))
-    p = F.col("c_sb").cast("double") / F.col("n_s")
-    q = F.col("c_b").cast("double") / F.col("n")
-    terms = (
-        sb.join(s, "source")
-        .join(F.broadcast(b), "bin")
-        .crossJoin(F.broadcast(tot))
-        .select("source", "n_s", "bin", ((p - q) * F.log(p / q)).alias("term"))
-    )
-    return terms.groupBy("source", F.col("n_s").alias("n_docs")).agg(
-        F.round(_ordered_fold(F.col("bin"), F.col("term")), 6).alias("psi")
-    )
+    return quality_psi_frame(read_table(spark, sf_dir, "documents"))

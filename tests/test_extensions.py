@@ -234,9 +234,10 @@ def test_multimodal_decode_stub_is_loud():
 
 
 def test_png_roundtrip_all_filters_and_color_types():
-    """encode_png('mixed') cycles all five scanline filters; decode must
-    be the exact identity. Grayscale and RGBA PNGs built by hand decode
-    to replicated-channel / alpha-dropped RGB."""
+    """encode_png('mixed') cycles the four non-trivial scanline filters
+    (filter 0 is the 'none' mode); decode must be the exact identity for
+    both modes. Grayscale and RGBA PNGs built by hand decode to
+    replicated-channel / alpha-dropped RGB, and unknown modes raise."""
     import struct
     import zlib
 
@@ -256,6 +257,8 @@ def test_png_roundtrip_all_filters_and_color_types():
     a[2:4, 1:4] = 128  # flat patch exercises zero-delta filters
     for mode in ("none", "mixed"):
         assert (decode_image(encode_png(a, filter_mode=mode)) == a).all()
+    with pytest.raises(ValueError):
+        encode_png(a, filter_mode="mix")
 
     def raw_idat(rows):
         out = bytearray()
@@ -1601,6 +1604,60 @@ def test_feature_hashing_reference(spark):
             vec[h1 % 8] += 1 if ((h1 >> 3) & 1) == 0 else -1
         got = [rows[doc_id][f"h{k}"] for k in range(8)]
         assert got == vec, (doc_id, got, vec)
+
+
+def test_bpe_pair_counts_reference(spark):
+    """BPE pair counts equal the direct python count (with multiplicity),
+    and the plan compiles to TakeOrderedAndProject (bounded candidate
+    list, no global sort)."""
+    from collections import Counter
+
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    df = QUERIES["vocab_bpe_pair_counts"](spark, SF_SMOKE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    got = [(r["pair"], r["n_pairs"]) for r in df.collect()]
+
+    import duckdb
+
+    con = duckdb.connect()
+    texts = con.sql(f"SELECT text FROM '{SF_SMOKE}/documents.parquet'").fetchall()
+    ref = Counter()
+    for (t,) in texts:
+        for term in [x for x in t.lower().split() if x]:
+            for i in range(len(term) - 1):
+                ref[term[i : i + 2]] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+
+
+def test_psi_zero_for_identical_distribution(spark):
+    """The ENTRY's own core (quality_psi_frame): two sources carrying the
+    same quality mix must score identical PSI; an all-low-quality source
+    must score strictly higher, and every PSI is >= 0."""
+    from ibc_spark.registry_ext_text import quality_psi_frame
+
+    fluent = "the cat is on the mat and the dog is in the house"
+    soup = "xqz vbn mlk jhg fds apo iuy tre wqa zxc cvb nmq"
+    rows = []
+    # sources A and B carry the SAME mix -> PSI(A) == PSI(B)
+    for i in range(10):
+        rows.append((i, fluent if i % 2 == 0 else soup, "A"))
+        rows.append((100 + i, fluent if i % 2 == 0 else soup, "B"))
+    # source C is all-soup -> shifted vs the corpus
+    for i in range(10):
+        rows.append((200 + i, soup, "C"))
+    d = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    psi = {r["source"]: r["psi"] for r in quality_psi_frame(d).collect()}
+    n = {r["source"]: r["n_docs"] for r in quality_psi_frame(d).collect()}
+    assert n == {"A": 10, "B": 10, "C": 10}
+    assert abs(psi["A"] - psi["B"]) < 1e-12
+    assert psi["C"] > psi["A"] > 0  # C is the outlier; A/B mildly off due to C
 
 
 def test_bpe_pair_counts_reference(spark):
