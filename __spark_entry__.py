@@ -52,30 +52,17 @@ def _last_green_round() -> dict[str, int]:
 
 # Entries whose SEMANTICS (or candidate/pruning path — the round-5 lesson)
 # changed after their last green driver row — they jump the rotation queue.
-# Clear once the next CORRECTNESS snapshot carries them. Round-7 set
-# (kmeans_embeddings_2iter, embedding_power_iteration_pc1, dedup_semdedup,
-# dedup_simhash, approx_sketch_stats) cleared: all five green in
-# CORRECTNESS_r07.json.
-_FORCE_RECHECK: set[str] = {
-    # round 8: KMV entries drop NULL hashes on both engines and the
-    # setops global k-min respelled orderBy().limit(k) →
-    # TakeOrderedAndProject (ADVICE r7) — approx_sketch_stats is green r7
-    # but its oracle/plan changed; sketch_kmv_setops is still never-green
-    # so it re-attests from bucket 1 anyway
-    "approx_sketch_stats",
-    # round 8: execution path rewritten from the grid pair join to the
-    # sweep-line prefix-sum plan (the r8 scale sweep measured the pair
-    # plan quadratic, 2 s → 228 s at sf1); same semantics, same oracle —
-    # candidate-path changes jump the queue (the round-5 lesson). Also in
-    # the r3-stale drain window, so this costs no extra slot.
-    "interval_overlap_sessions",
-    # round 8: LSH band parameters became corpus-size-adaptive (the
-    # full-registry scale scan found the fixed 8-bit band space
-    # saturating at sf1). At driver SF the derived (r=8, B=32) is
-    # IDENTICAL to the old constants, but candidate-path code changed —
-    # jump the queue per the round-5 lesson.
-    "dedup_embedding_lsh",
-}
+# Clear once the next CORRECTNESS snapshot carries them. Round-8 set
+# (approx_sketch_stats, interval_overlap_sessions, dedup_embedding_lsh)
+# cleared: all three hash-green in CORRECTNESS_r08.json.
+#
+# Round 9: the 8 formerly rows-only probabilistic entries
+# (dedup_minhash_lsh, ann_topk_lsh, ann_topk_ivf, knn_graph_lsh,
+# sketch_{hll,kll,theta}_*, text_compression_ratio) were reshaped to
+# deterministic invariant-attestation surfaces WITH oracles (VERDICT r8
+# #2 option (a)); they have never had a green row, so they re-attest from
+# bucket 1 without needing a force slot.
+_FORCE_RECHECK: set[str] = set()
 
 
 # Entries ADDED in the current round, deferred to the NEXT round's snapshot
@@ -83,47 +70,12 @@ _FORCE_RECHECK: set[str] = {
 # re-attestation backlog. They are fully hash-checked by the STRICTER local
 # parity suite every pytest run (tests/test_oracle_parity.py).
 #
-# Round-8 window arithmetic (registry closes at 206 entries, 24 of them
-# deferred below): the 8 round-7 deferrals graduate to the never-green
-# bucket (16 entries total: those 8 + the 8 standing rows-only entries)
-# + 3 force-recheck (approx_sketch_stats, interval_overlap_sessions —
-# itself in the r3 drain pool, so it double-counts one drain slot — and
-# dedup_embedding_lsh) = 19 slots, leaving 31 for the oldest-green
-# drain — still enough to retire the ENTIRE 27-entry r3-stale backlog
-# (VERDICT r7 #1/#2: TPC-H q2–q22 block + 7 text/pipe entries) with ~5
-# slots spilling into the r4 pool. The round-8 additions are deferred
-# here so they cannot eat drain slots.
-_DEFER_TO_NEXT_ROUND: set[str] = {
-    # round 8: md5-portable banding face of dedup_minhash_lsh at the
-    # working threshold (VERDICT r7 #3) — parity-proven locally every
-    # pytest run; driver slot next round
-    "dedup_minhash_lsh_portable",
-    # round 8 additions, parity-proven locally; driver slots next round
-    "dedup_ngram_containment",
-    "search_hybrid_rrf",
-    "dedup_duplicate_spans",
-    "embedding_random_projection",
-    "text_token_entropy",
-    "sketch_kmv_rollup_merge",
-    "sample_hard_negatives",
-    "streaming_sketch_kmv",
-    "profile_cross_source_overlap",
-    "eval_retrieval_metrics",
-    "mix_dedup_aware_weights",
-    # round-8 late additions (second session), parity-proven locally
-    "dedup_spans_rewrite",
-    "dedup_boilerplate_ccnet",
-    "bucketed_join_colocate",
-    "sample_diverse_per_cluster",
-    "shuffle_epoch_order",
-    "streaming_dedup_watermarked",
-    "quality_classifier_score",
-    "multimodal_image_roundtrip_png",
-    "text_feature_hashing",
-    "vocab_bpe_pair_counts",
-    "drift_quality_psi",
-    "sample_contrastive_triplets",
-}
+# Round-9 window arithmetic (registry holds at 206 entries): the 24
+# round-8 deferrals graduate to the never-green bucket, joined there by
+# the 8 reshaped invariant-attestation entries (formerly rows-only; see
+# _FORCE_RECHECK note) = 32 never-green slots, leaving 18 for the
+# oldest-green drain (the r4/r5 pool). No round-9 additions → empty.
+_DEFER_TO_NEXT_ROUND: set[str] = set()
 
 
 def _ordered(mapping: dict) -> dict:
