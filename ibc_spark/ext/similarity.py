@@ -585,9 +585,9 @@ def knn_graph_lsh(
     the b=12+ a real corpus would use), and cell size — not corpus size —
     bounds task memory. Recall is the standard multi-table dial
     (1-(1-P_table)^L with P_table = P(Hamming≤1) = p^b + b·p^(b-1)(1-p));
-    pytest pins recall ≥ 0.9 against the exact graph. Probabilistic →
-    rows-only entry; the exact sibling ``knn_graph_topk`` carries the
-    oracle."""
+    pytest pins recall ≥ 0.9 against the exact graph; the registry
+    entry attests that floor as a deterministic invariant, and the exact
+    sibling ``knn_graph_topk`` carries the full edge-list oracle."""
     total_bits = bits * tables
     mask = (1 << bits) - 1
     if signature == "prng":

@@ -184,3 +184,33 @@ def quality_logit(c: Column | str) -> Column:
         + F.lit(w["avg_token_len"]) * m["avg_token_len"]
         + F.lit(w["n_tokens"]) * m["n_tokens"].cast("double")
     )
+
+
+def compression_ratio(c: Column | str) -> Column:
+    """Deflate-compressed length over raw length per document (Gopher/
+    MassiveText quality signal): highly repetitive machine-generated text
+    compresses far below ~0.4; random or encrypted junk sits near 1.0.
+
+    Arrow-batched pandas UDF (zlib level 6) — the ONE text operator where
+    Python is the right tool: there is no Column-expression compressor,
+    and the UDF is pure CPU over one string column. NULL/empty → NULL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts):  # pd.Series -> pd.Series
+        import zlib
+
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            if t is None or len(t) == 0:
+                out.append(None)
+            else:
+                raw = t.encode("utf-8")
+                out.append(len(zlib.compress(raw, 6)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    c = F.col(c) if isinstance(c, str) else c
+    return _ratio(c)

@@ -111,25 +111,109 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # rows-only driver check — waiver documented below
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    pairs AS (
+      SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      FROM base a JOIN base b ON a.doc_id < b.doc_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           CAST(count(*) FILTER (WHERE j >= 0.8) AS BIGINT) AS n_true_pairs_08,
+           true AS precision_ok,
+           true AS raw_verify_ok,
+           true AS recall_08_ok
+    FROM pairs
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) + LSH(8 bands) near-dup pairs, exact-Jaccard verified.
+    """PRODUCTION-FACE ATTESTATION of the xxhash64 MinHash(32)+LSH(8
+    bands) near-dup detector at the WORKING threshold 0.5 (VERDICT r8 #2
+    option (a) — formerly rows-only: at t=0.5 a pair's banding hit
+    probability is 1-(1-0.5^4)^8 ≈ 0.40, so the raw pair LIST is a
+    function of the xxhash64 signatures no SQL engine replays). This
+    entry runs the full production operator (``dedup.minhash_lsh_pairs``,
+    the user API), then reduces it to one deterministic invariant row:
 
-    ORACLE WAIVER: at working threshold 0.5 the output is candidate-
-    generation-dependent — a 0.5-similarity pair's banding hit probability
-    is 1-(1-0.5^4)^8 ≈ 0.40, so the pair set is a function of the xxhash64
-    signatures, which no SQL engine reproduces. Correctness is covered by
-    (a) pytest recall-vs-exact (every exact pair ≥0.8 must be recalled) and
-    precision (every emitted pair's EXACT jaccard ≥ 0.5 — the operator
-    verifies candidates before emitting), (b) the oracle-checked
-    ``dedup_minhash_verified`` entry below, which runs this same operator
-    at a threshold where banding recall is ~1 and the output therefore
-    equals the exact pair set, and (c) ``dedup_minhash_lsh_portable``,
-    which replays this IDENTICAL banding machinery — working threshold
-    included — under a full SQL oracle via md5 hashes."""
+    - ``n_docs`` / ``n_true_pairs_08`` — data-derived; the confidence-
+      threshold exact arm is ``dedup.ngram_jaccard_pairs`` at t=0.8 over
+      a single block (PPJoin prefix filter — ~4% of posting volume at
+      t=0.8, never all-pairs); the oracle recomputes the count with its
+      own O(n²) brute force, a cost only the sf0.01 oracle pays;
+    - ``precision_ok`` — every emitted pair's verified Jaccard ≥ 0.5 (the
+      operator's exact-verification stage actually ran);
+    - ``raw_verify_ok`` — every emitted pair re-verifies ≥ 0.5 on RAW
+      string shingles, O(|output|) work (catches hashed-vs-raw shingle
+      divergence: a hash collision or tokenization drift);
+    - ``recall_08_ok`` — every exact ≥0.8 pair was recalled (the
+      ``test_minhash`` floor; deterministic on fixed data — the t=0.5
+      banding recalls ≥0.8 pairs with per-pair miss probability
+      (1-0.8^4)^8 ≈ 1.5%, and on the fixed snapshots none are missed).
+
+    The full pair-list output stays hash-attested at this same working
+    threshold through ``dedup_minhash_lsh_portable`` (identical banding
+    machinery, md5 hashes) and at the confidence threshold through
+    ``dedup_minhash_verified``. Every attest arm scales linearly with
+    the corpus (t=0.8 prefix join + O(|pairs|) re-verification), so this
+    surface runs unchanged at 100 TB — unlike a t=0.5 exact sweep, which
+    only an audit slice could afford."""
     d = read_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
+    lsh = dedup.minhash_lsh_pairs(
         d, id_col="doc_id", text_col="text", k=32, bands=8, n=3, threshold=0.5
+    )
+    sh = dedup._shingle_frame(d, "doc_id", "text", 3)
+    raw_checked = (
+        lsh.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            on="id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            dedup.jaccard(F.col("sh_a"), F.col("sh_b")).alias("raw_j"),
+        )
+    )
+    exact08 = dedup.ngram_jaccard_pairs(
+        d.withColumn("_all", F.lit(1)),
+        id_col="doc_id",
+        text_col="text",
+        block_col="_all",
+        n=3,
+        threshold=0.8,
+    ).select("id_a", "id_b", F.lit(1).alias("ex"))
+    summary = (
+        raw_checked.withColumn("ls", F.lit(1))
+        .join(exact08, on=["id_a", "id_b"], how="full")
+        .agg(
+            F.coalesce(F.sum("ex"), F.lit(0)).alias("n_true_pairs_08"),
+            F.coalesce(F.min("jaccard") >= 0.5, F.lit(True)).alias("precision_ok"),
+            F.coalesce(F.min("raw_j") >= 0.5, F.lit(True)).alias("raw_verify_ok"),
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("ex").isNotNull() & F.col("ls").isNull(), 1)),
+                    F.lit(0),
+                )
+                == 0
+            ).alias("recall_08_ok"),
+        )
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.crossJoin(summary).select(
+        "n_docs",
+        "n_true_pairs_08",
+        "precision_ok",
+        "raw_verify_ok",
+        "recall_08_ok",
     )
 
 
@@ -184,8 +268,10 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     without one): md5-prefix shingle hashes and md5 band keys replace the
     xxhash64 spellings, so DuckDB replays signatures → band keys →
     candidate self-join → exact-Jaccard verification bit-for-bit,
-    including the ~0.40 banding recall that makes the xxhash64 sibling
-    rows-only. Same r7 pattern as ``ann_topk_lsh_portable`` /
+    including the ~0.40 banding recall that keeps the xxhash64
+    sibling's raw pair list external-replay-proof (that entry now
+    attests itself through oracled invariants). Same r7 pattern as
+    ``ann_topk_lsh_portable`` /
     ``knn_graph_lsh_portable``; same plan shape as the production entry
     (banded equi-join, never all-pairs — the oracle's own band join is
     the same equi-join). The Arrow signature kernel runs UNCHANGED over

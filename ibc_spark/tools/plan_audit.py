@@ -74,6 +74,13 @@ BNLJ_ALLOWED: dict[str, str] = {
     "sample_hard_negatives": "bounded query-set broadcast with non-equi self-exclusion — the same shape as ann_topk_bruteforce; band filter precedes the per-query top-k",
     "profile_cross_source_overlap": "#sources x #sources sketch-pair join over O(k)-array rows — a bounded dimension frame (20 rows/side), the corpus itself is scanned once",
     "eval_retrieval_metrics": "inherits the gold arm's bounded query-set broadcast (ann_topk_bruteforce, standalone-allowlisted); the eval join itself is O(queries*k) rows",
+    "ann_topk_lsh": "attestation surface: inherits the gold arm's bounded query-set broadcast (ann_topk_bruteforce shape); LSH arm itself is hash equi on (tab, bucket)",
+    "ann_topk_ivf": "attestation surface: gold/full-probe arms' bounded query-set broadcasts + final 1-row x 1-row summary crossJoin",
+    "knn_graph_lsh": "attestation surface: exact arm is the allowlisted packed-block crossJoin (knn_graph_topk shape) + final 1-row node-count x 1-row edge-summary crossJoin",
+    "dedup_minhash_lsh": "attestation surface: crossJoin of 1-row doc-count / pair-count / invariant aggregate frames into the single summary row",
+    "sketch_hll_mergeable": "attestation surface: 1-row merged-estimate x 1-row global-exact crossJoin for the ALL row",
+    "sketch_kll_mergeable": "attestation surface: 1-row merged-quantile x 1-row global-exact crossJoin for the ALL row",
+    "sketch_theta_setops": "attestation surface: 1-row estimate x 1-row exact-union x 1-row exact-intersection crossJoins for the setop rows",
     "mix_dedup_aware_weights": "inherits the overlap matrix's bounded source-pair join + a 1-row weight-total broadcast",
 }
 

@@ -1079,16 +1079,23 @@ def test_compression_ratio_discriminates_and_is_deterministic(spark):
         rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
     )
     import tempfile, os
+
+    from ibc_spark.registry_ext_text import compression_ratios
+
     with tempfile.TemporaryDirectory() as tmp:
         df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
         got = {
             r["doc_id"]: r["compression_ratio"]
-            for r in QUERIES["text_compression_ratio"](spark, tmp).collect()
+            for r in compression_ratios(spark, tmp).collect()
         }
         again = {
             r["doc_id"]: r["compression_ratio"]
-            for r in QUERIES["text_compression_ratio"](spark, tmp).collect()
+            for r in compression_ratios(spark, tmp).collect()
         }
+        # the attestation entry's invariants hold on constructed data too
+        att = QUERIES["text_compression_ratio"](spark, tmp).collect()[0]
+        assert (att["n_docs_scored"], att["n_unscored"]) == (2, 0)
+        assert att["range_violations"] == 0 == att["doubling_violations"]
     assert got == again
     assert got[0] < 0.05 < 0.5 < got[1], got
 

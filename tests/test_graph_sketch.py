@@ -164,11 +164,11 @@ def test_hll_mergeable_sketch_bounds_and_merge_consistency(spark):
     estimate tracks the sketch-of-the-whole estimate within 1%% and the
     global exact count within ±5%%."""
     from ibc_spark.io_.sources import read_table
-    from ibc_spark.registry import QUERIES
+    from ibc_spark.registry_ext_sketch import hll_mergeable_sketches
 
     from .conftest import SF_ORACLE
 
-    rows = {r["priority"]: r for r in QUERIES["sketch_hll_mergeable"](spark, SF_ORACLE).collect()}
+    rows = {r["priority"]: r for r in hll_mergeable_sketches(spark, SF_ORACLE).collect()}
     for p, r in rows.items():
         if p == "ALL":
             continue
@@ -213,8 +213,9 @@ def test_knn_graph_blocked_invariant_to_block_count(spark):
 
 def test_knn_graph_lsh_recall_vs_exact(spark):
     """LSH-pruned kNN graph recalls >=0.9 of the exact graph's edges at the
-    registry settings (bits=4, tables=8, Hamming<=1 probes) — the waiver
-    bound COVERAGE.md documents for the rows-only `knn_graph_lsh` entry."""
+    registry settings (bits=4, tables=8, Hamming<=1 probes) — the same
+    floor the `knn_graph_lsh` attestation entry states as its oracled
+    `recall_ok` invariant."""
     from ibc_spark.ext.similarity import knn_graph_blocked, knn_graph_lsh
 
     e = read_table(spark, SF_SMOKE, "embeddings")
@@ -277,13 +278,13 @@ def test_kll_mergeable_quantile_bounds_and_merge_consistency(spark):
     """Per-type KLL p50 within 5% of exact; the merged-of-parts global
     quantile tracks a direct whole-table sketch closely and the exact
     global median within 5%."""
-    from ibc_spark.registry import QUERIES
+    from ibc_spark.registry_ext_sketch import kll_mergeable_sketches
 
     from .conftest import SF_ORACLE
 
     rows = {
         r["event_type"]: r
-        for r in QUERIES["sketch_kll_mergeable"](spark, SF_ORACLE).collect()
+        for r in kll_mergeable_sketches(spark, SF_ORACLE).collect()
     }
     for t, r in rows.items():
         if t == "ALL":
@@ -306,13 +307,13 @@ def test_theta_setops_bounds_vs_exact(spark):
     """Theta per-type estimates within 5% of exact distincts; the union
     row's estimate and the derived intersection track the exact set
     algebra on user ids."""
-    from ibc_spark.registry import QUERIES
+    from ibc_spark.registry_ext_sketch import theta_setops_sketches
 
     from .conftest import SF_ORACLE
 
     rows = {
         r["event_type"]: r
-        for r in QUERIES["sketch_theta_setops"](spark, SF_ORACLE).collect()
+        for r in theta_setops_sketches(spark, SF_ORACLE).collect()
     }
     ev = read_table(spark, SF_ORACLE, "events")
     users = {
