@@ -43,6 +43,24 @@ from ibc_spark.ext.text import tokens
 
 MERSENNE = 2147483647  # 2^31-1
 
+
+def widen_for_compute(df: DataFrame) -> DataFrame:
+    """Widen a SCAN-narrow frame before a compute-heavy per-row kernel.
+
+    Parquet scan parallelism follows input BYTES (maxPartitionBytes), which
+    under-parallelizes CPU-bound projections over small-but-dense inputs:
+    a 6 MB text table reads as 2 splits, so tokenise→shingle→persist and
+    the posting explode that follows run on 2 of 32 cores (measured 6.9 s
+    vs 1.0 s for the same kernel scan-wide at sf1, and ~25 s of the
+    33 s `dedup_ngram_containment` first run). Repartition to the
+    session's default parallelism ONLY when the scan is narrower — on a
+    real 100 TB scan (thousands of input splits) this is a no-op, so the
+    cheap raw-text shuffle is paid exactly when it buys CPU width."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # The previous `bloom_flag_docs` bitset broadcast — unpersisted before
 # each new one so repeated invocations never accumulate broadcasts.
 _BLOOM_BCAST: object | None = None
@@ -315,7 +333,7 @@ def spans_rewrite(
         F.split(F.col(text_col), r"\s+"), lambda x: x != ""
     )
     base = persist_tracked(
-        df.select(
+        widen_for_compute(df).select(
             F.col(id_col).alias("doc_id"),
             tokens(F.col(text_col)).alias("toks"),
             raw_toks.alias("raw_toks"),
@@ -395,7 +413,7 @@ def boilerplate_passages(
     expensive part; without the persist it runs twice)."""
     windows_np = _window_passages(n, stride=1)
 
-    base = df.select(
+    base = widen_for_compute(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("grp"),
         tokens(F.col(text_col)).alias("toks"),
@@ -491,7 +509,7 @@ def ngram_jaccard_pairs(
     AQE skew-split covers those.
     """
     base = persist_tracked(
-        df.select(
+        widen_for_compute(df).select(
             F.col(id_col).alias("doc_id"),
             F.col(block_col).alias("block"),
             shingles(tokens(F.col(text_col)), n).alias("sh"),
@@ -604,7 +622,7 @@ def ngram_containment_pairs(
     (block, shingle) is high-cardinality; skew lands on genuinely common
     shingles only, which AQE skew-split covers."""
     base = persist_tracked(
-        df.select(
+        widen_for_compute(df).select(
             F.col(id_col).alias("doc_id"),
             F.col(block_col).alias("block"),
             shingles(tokens(F.col(text_col)), n).alias("sh"),
@@ -1055,7 +1073,7 @@ def _hashed_shingle_frame(
     Tracked in ``ext.persistreg``; session owners release after
     materializing results."""
     hasher = _hash_shingles_portable if portable else _hash_shingles
-    frame = df.select(
+    frame = widen_for_compute(df).select(
         F.col(id_col).alias("doc_id"),
         hasher(shingles(tokens(F.col(text_col)), n)).alias("hsh"),
     )
