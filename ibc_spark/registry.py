@@ -1926,3 +1926,6 @@ from ibc_spark import registry_lakehouse  # noqa: E402,F401  (registration side 
 # Streaming-under-oracle, frequency sketches (heavy hitters / Count-Min),
 # semi-join reduction, exponential smoothing.
 from ibc_spark import registry_extras  # noqa: E402,F401  (registration side effect)
+
+# Product quantization (split from registry_extras, round 9).
+from ibc_spark import registry_ext_pq  # noqa: E402,F401  (registration side effect)

@@ -1278,491 +1278,6 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Product quantization (PQ) encoding for embedding compression
-# ---------------------------------------------------------------------------
-
-_PQ_SUBSPACES = 8   # 64-dim -> 8 subvectors of 8 dims
-_PQ_SUBDIM = 8
-_PQ_K = 16          # 4-bit codes
-
-_PQ_DIST = (
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
-    " list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2]))),"
-    " (acc, x) -> acc + x)"
-)
-
-
-@query(
-    "embedding_pq_encode",
-    oracle=f"""
-    WITH emb AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    anchors AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rank, v
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_PQ_K})
-    ),
-    grid AS (
-      SELECT e.vec_id, s.s, a.rank,
-             {_PQ_DIST.format(
-                 a=f"list_slice(e.v, s.s*{_PQ_SUBDIM}+1, s.s*{_PQ_SUBDIM}+{_PQ_SUBDIM})",
-                 b=f"list_slice(a.v, s.s*{_PQ_SUBDIM}+1, s.s*{_PQ_SUBDIM}+{_PQ_SUBDIM})",
-             )} AS dist
-      FROM emb e, generate_series(0, {_PQ_SUBSPACES - 1}) s(s), anchors a
-    ),
-    argmin AS (
-      SELECT vec_id, s, rank AS code, dist FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, s
-                                     ORDER BY dist, rank) AS rn
-        FROM grid
-      ) WHERE rn = 1
-    )
-    SELECT vec_id,
-           array_to_string(list(code ORDER BY s), ',') AS codes_csv,
-           CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                         list(dist ORDER BY s)),
-                            (acc, x) -> acc + x) AS DOUBLE) AS quant_err
-    FROM argmin
-    GROUP BY vec_id
-    """,
-)
-def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization (Jegou et al. 2011): each 64-dim embedding is
-    split into 8 subvectors of 8 dims and each subvector encoded as the
-    index of its nearest codebook entry — 8 x 4-bit codes, a 64x memory
-    shrink over float64 (the compression IVF-PQ indexes run on at
-    billion-vector scale; complements the oracled scalar-int8 entry
-    `embedding_quantize_int8`).
-
-    Codebooks here are ANCHOR-based (the 16 lowest-vec_id vectors'
-    subvectors) so the WHOLE operator — subspace split, per-subspace
-    argmin with deterministic tie-break, code assembly, residual
-    quantization error — is exactly SQL-expressible and oracle-checked;
-    a production run would train each subspace codebook with the shared
-    2-iteration Lloyd machinery (`km_assign_2iter` on sliced vectors)
-    exactly as `kmeans_embeddings_2iter` does for full vectors.
-
-    Plan shape: the 16-anchor frame broadcasts as one packed row; the
-    encode is explode(subspace) x explode(anchor) -> per-(vec, subspace)
-    argmin window -> re-assembly, all shuffle-bounded by n x 8 rows of
-    CODES (never vectors). Distances fold in index order and the
-    per-subspace error sum folds in subspace order, so doubles match
-    DuckDB bit-for-bit."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    anchors = (
-        emb.orderBy("vec_id")
-        .limit(_PQ_K)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("rank"),
-            F.col("v").alias("av"),
-        )
-    )
-    subspaces = F.array(*[F.lit(s) for s in range(_PQ_SUBSPACES)])
-    grid = (
-        emb.select("vec_id", "v", F.explode(subspaces).alias("s"))
-        .crossJoin(F.broadcast(anchors))
-        .select(
-            "vec_id",
-            "s",
-            "rank",
-            F.aggregate(
-                F.zip_with(
-                    F.expr(f"slice(v, s*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})"),
-                    F.expr(f"slice(av, s*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})"),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-        )
-    )
-    w = Window.partitionBy("vec_id", "s").orderBy("dist", "rank")
-    am = (
-        grid.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("vec_id", "s", F.col("rank").alias("code"), "dist")
-    )
-    assembled = am.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "code"))), lambda p: p["code"]
-        ).alias("codes"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "dist"))),
-                lambda p: p["dist"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("quant_err"),
-    )
-    # codes serialize to CSV on the query surface: the driver's comparator
-    # canonicalizes scalar cells only (list cells crashed it in r3 — the
-    # same lesson as dedup_simhash's members_csv)
-    return assembled.select("vec_id", _codes_csv(), "quant_err")
-
-
-def _codes_csv() -> F.Column:
-    return F.array_join(
-        F.transform("codes", lambda c: c.cast("string")), ","
-    ).alias("codes_csv")
-
-
-@query(
-    "ann_topk_pq_adc",
-    oracle=f"""
-    WITH emb AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    anchors AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rank, v
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_PQ_K})
-    ),
-    grid AS (
-      SELECT e.vec_id, s.s, a.rank,
-             {_PQ_DIST.format(
-                 a=f"list_slice(e.v, s.s*{_PQ_SUBDIM}+1, s.s*{_PQ_SUBDIM}+{_PQ_SUBDIM})",
-                 b=f"list_slice(a.v, s.s*{_PQ_SUBDIM}+1, s.s*{_PQ_SUBDIM}+{_PQ_SUBDIM})",
-             )} AS dist
-      FROM emb e, generate_series(0, {_PQ_SUBSPACES - 1}) s(s), anchors a
-    ),
-    codes AS (
-      SELECT vec_id, s, rank AS code FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, s
-                                     ORDER BY dist, rank) AS rn
-        FROM grid
-      ) WHERE rn = 1
-    ),
-    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
-    adc_table AS (
-      SELECT s.s, a.rank,
-             {_PQ_DIST.format(
-                 a=f"list_slice(q.qv, s.s*{_PQ_SUBDIM}+1, s.s*{_PQ_SUBDIM}+{_PQ_SUBDIM})",
-                 b=f"list_slice(a.v, s.s*{_PQ_SUBDIM}+1, s.s*{_PQ_SUBDIM}+{_PQ_SUBDIM})",
-             )} AS qdist
-      FROM q, generate_series(0, {_PQ_SUBSPACES - 1}) s(s), anchors a
-    ),
-    adist AS (
-      SELECT c.vec_id,
-             CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                           list(t.qdist ORDER BY c.s)),
-                              (acc, x) -> acc + x) AS DOUBLE) AS approx_dist
-      FROM codes c JOIN adc_table t ON t.s = c.s AND t.rank = c.code
-      WHERE c.vec_id <> 0
-      GROUP BY c.vec_id
-    )
-    SELECT vec_id, round(approx_dist, 6) AS approx_dist_r, rk FROM (
-      SELECT vec_id, approx_dist,
-             row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
-      FROM adist
-    ) WHERE rk <= 10
-    """,
-)
-def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 nearest neighbors by ASYMMETRIC DISTANCE COMPUTATION over
-    the PQ codes from ``embedding_pq_encode``'s codebook: the query
-    builds an 8 x 16 subspace-distance lookup table ONCE, and every
-    database vector's approximate distance is just the sum of 8 table
-    lookups addressed by its codes — no float vectors touched at query
-    time. This is the query path IVF-PQ serves at billion-vector scale:
-    the scan reads 4-bit codes (64x less IO) and does table adds instead
-    of full-dim arithmetic.
-
-    The 128-row ADC table broadcasts; the lookup is a hash equi-join on
-    (subspace, code); per-vector sums fold in subspace order
-    (bit-identical to DuckDB); top-10 compiles to TakeOrderedAndProject.
-    The anchor codebook keeps everything oracle-exact — same contract as
-    ``embedding_pq_encode``; pytest recomputes the whole ADC pipeline in
-    NumPy and pins exact agreement. Retrieval quality caveat, stated
-    plainly: on these STRUCTURELESS random test vectors a 16-entry
-    untrained codebook recalls only ~0.2-0.4 of the true top-10 — PQ
-    compresses variance that random data spreads evenly. Production
-    recall comes from trained per-subspace codebooks (k=256), larger
-    candidate lists, and exact reranking; the oracle-checked mechanics
-    here are identical."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    anchors = (
-        emb.orderBy("vec_id")
-        .limit(_PQ_K)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("rank"),
-            F.col("v").alias("av"),
-        )
-    )
-    subspaces = F.array(*[F.lit(s) for s in range(_PQ_SUBSPACES)])
-
-    def subdist(vec_col: str, anchor_col: str):
-        return F.aggregate(
-            F.zip_with(
-                F.expr(f"slice({vec_col}, s*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})"),
-                F.expr(f"slice({anchor_col}, s*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})"),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    grid = (
-        emb.select("vec_id", "v", F.explode(subspaces).alias("s"))
-        .crossJoin(F.broadcast(anchors))
-        .select("vec_id", "s", "rank", subdist("v", "av").alias("dist"))
-    )
-    w = Window.partitionBy("vec_id", "s").orderBy("dist", "rank")
-    codes = (
-        grid.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("vec_id", "s", F.col("rank").alias("code"))
-    )
-    q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    adc_table = (
-        q.crossJoin(F.broadcast(anchors))
-        .select(F.explode(subspaces).alias("s"), "rank", "qv", "av")
-        .select("s", "rank", subdist("qv", "av").alias("qdist"))
-    )
-    adist = (
-        codes.where(F.col("vec_id") != 0)
-        .join(
-            F.broadcast(adc_table.select("s", F.col("rank").alias("code"), "qdist")),
-            on=["s", "code"],
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "qdist"))),
-                    lambda p: p["qdist"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("approx_dist")
-        )
-    )
-    wk = Window.orderBy("approx_dist", "vec_id")
-    return (
-        adist.withColumn("rk", F.row_number().over(wk))
-        .where(F.col("rk") <= 10)
-        .select("vec_id", F.round("approx_dist", 6).alias("approx_dist_r"), "rk")
-    )
-
-
-def _pq_trained_oracle() -> str:
-    from ibc_spark.ext.foldspec import _FOLD_B
-
-    d1 = _PQ_DIST.format(a="g.sv", b="c.av")
-    return f"""
-    WITH emb AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    smp AS (SELECT * FROM emb WHERE vec_id % 5 = 0),
-    sg AS (
-      SELECT vec_id, s,
-             list_slice(v, s*{_PQ_SUBDIM}+1, s*{_PQ_SUBDIM}+{_PQ_SUBDIM}) AS sv
-      FROM smp, range(0, {_PQ_SUBSPACES}) t(s)
-    ),
-    seed_ranks AS (
-      SELECT vec_id AS cid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-      FROM (SELECT vec_id FROM smp ORDER BY vec_id LIMIT {_PQ_K})
-    ),
-    seeds AS (
-      SELECT g.s, g.vec_id AS cid, g.sv AS av
-      FROM sg g JOIN seed_ranks r ON g.vec_id = r.cid
-    ),
-    d1 AS (
-      SELECT g.vec_id, g.s, g.sv, c.cid, {d1} AS dist
-      FROM sg g JOIN seeds c ON g.s = c.s
-    ),
-    a1 AS (
-      SELECT vec_id, s, sv, cid FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
-        FROM d1
-      ) WHERE rn = 1
-    ),
-    p1 AS (
-      SELECT s, cid, i AS pos, vec_id // {_FOLD_B} AS bkt,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sv[i] ORDER BY vec_id)),
-                         (a, x) -> a + x) AS psum,
-             count(*) AS pn
-      FROM a1, generate_series(1, {_PQ_SUBDIM}) t(i)
-      GROUP BY s, cid, pos, bkt
-    ),
-    m1 AS (
-      SELECT s, cid, pos,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE), list(psum ORDER BY bkt)),
-                         (a, x) -> a + x) / CAST(sum(pn) AS BIGINT) AS mu
-      FROM p1 GROUP BY s, cid, pos
-    ),
-    cents AS (SELECT s, cid, list(mu ORDER BY pos) AS av FROM m1 GROUP BY s, cid),
-    cb AS (SELECT c.s, r.code, c.av FROM cents c JOIN seed_ranks r USING (cid)),
-    fg AS (
-      SELECT vec_id, s,
-             list_slice(v, s*{_PQ_SUBDIM}+1, s*{_PQ_SUBDIM}+{_PQ_SUBDIM}) AS sv
-      FROM emb, range(0, {_PQ_SUBSPACES}) t(s)
-    ),
-    d2 AS (
-      SELECT g.vec_id, g.s, c.code, {d1} AS dist
-      FROM fg g JOIN cb c ON g.s = c.s
-    ),
-    am AS (
-      SELECT vec_id, s, code, dist FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
-        FROM d2
-      ) WHERE rn = 1
-    )
-    SELECT vec_id,
-           array_to_string(list(code ORDER BY s), ',') AS codes_csv,
-           CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY s)),
-                            (acc, x) -> acc + x) AS DOUBLE) AS quant_err
-    FROM am GROUP BY vec_id
-    """
-
-
-@query("embedding_pq_trained", oracle=_pq_trained_oracle())
-def embedding_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization with TRAINED per-subspace codebooks — the
-    production path ``embedding_pq_encode``'s docstring names: each of
-    the 8 subspaces trains a 16-entry Lloyd codebook over its 8-dim
-    subvectors (one update from the deterministic seed, the same math as
-    ``km_train``), and the full corpus then encodes against the trained
-    codebooks; assignment distances ARE the per-subspace quantization
-    errors.
-
-    The PRODUCTION SHAPE is explicit: codebooks train on a deterministic
-    ~20% HASH SAMPLE (vec_id % 5 == 0 — training cost scales with the
-    sample), then the FULL corpus encodes in ONE pass against the 8x16
-    trained centroids stacked into a single broadcast frame — the same
-    single-grid argmin plan as the anchor entry. (A first form trained
-    AND encoded per-subspace over all rows — 8 full Lloyd branches,
-    13.7s at sf0.1; this sample-train/bulk-encode form — all 8 subspace
-    codebooks trained in ONE exploded pass over the sample, encode in
-    one grid — runs 2.8s and is how PQ is actually built at corpus
-    scale.)
-
-    Output matches the anchor entry's shape (vec_id, codes_csv,
-    quant_err) so the two are directly comparable; pytest asserts the
-    trained aggregate error is strictly below the anchor-codebook error
-    (what training buys) and that codes stay in [0, 16). Since round 7
-    this entry carries the FULL nested-Lloyd oracle (the r6 waiver called
-    it impractical SQL; with the shared foldspec fragments it is ~60
-    mechanical lines): DuckDB replays sample selection, seed ranking, the
-    exploded 8-subspace assignment, bucketed two-level centroid means,
-    and the full-corpus encode — codes and errors hash-exact."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    subspaces = F.array(*[F.lit(s) for s in range(_PQ_SUBSPACES)])
-    sample = emb.where(F.col("vec_id") % 5 == 0)
-
-    def sub_grid(df):
-        return df.select(
-            "vec_id", F.explode(subspaces).alias("s"), "v"
-        ).select(
-            "vec_id", "s",
-            F.expr(f"slice(v, s*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})").alias("sv"),
-        )
-
-    # All 8 subspace codebooks train in ONE exploded pass over the sample:
-    # seeds = the sample's _PQ_K lowest vec_ids (their subvectors, per s),
-    # one assignment against the 8x16 seed frame, one (s, cid, pos) mean.
-    seeds = sub_grid(
-        sample.orderBy("vec_id").limit(_PQ_K)
-    ).select(
-        "s", F.col("vec_id").alias("cid"), F.col("sv").alias("av")
-    )
-    ranks = (
-        sample.orderBy("vec_id")
-        .limit(_PQ_K)
-        .select(
-            F.col("vec_id").alias("cid"),
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("code"),
-        )
-    )
-
-    def assign(df, cents):
-        g = df.join(F.broadcast(cents), "s").select(
-            "vec_id", "s", "sv", "cid",
-            F.aggregate(
-                F.zip_with("sv", "av", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-        )
-        w0 = Window.partitionBy("vec_id", "s").orderBy("dist", "cid")
-        return g.withColumn("rn", F.row_number().over(w0)).where("rn = 1")
-
-    a1 = assign(sub_grid(sample), seeds)
-    # Codebook means fold through the same bounded two-level bucket tree as
-    # km_train (fold in vec_id order within width-_FOLD_B buckets, then in
-    # bucket order) — the training sample is a fraction of the corpus, not
-    # a constant, so even sample-side folds must not hold a whole
-    # (s, cid, pos) group in one aggregation buffer.
-    from ibc_spark.ext.foldspec import _FOLD_B, _ordered_fold
-
-    p1 = (
-        a1.select("vec_id", "s", "cid", F.posexplode("sv").alias("pos0", "val"))
-        .groupBy(
-            "s",
-            "cid",
-            (F.col("pos0") + 1).alias("pos"),
-            F.expr(f"vec_id DIV {_FOLD_B}").alias("bkt"),
-        )
-        .agg(
-            _ordered_fold(F.col("vec_id"), F.col("val")).alias("psum"),
-            F.count(F.lit(1)).alias("pn"),
-        )
-    )
-    m1 = p1.groupBy("s", "cid", "pos").agg(
-        (_ordered_fold(F.col("bkt"), F.col("psum")) / F.sum("pn")).alias("mu")
-    )
-    cents = (
-        m1.groupBy("s", "cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda p: p["mu"]
-            ).alias("av")
-        )
-        .join(F.broadcast(ranks), "cid")
-        .select("s", "code", "av")
-    )
-    grid = sub_grid(emb).join(F.broadcast(cents), "s").select(
-        "vec_id",
-        "s",
-        "code",
-        F.aggregate(
-            F.zip_with("sv", "av", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id", "s").orderBy("dist", "code")
-    am = (
-        grid.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("vec_id", "s", "code", "dist")
-    )
-    assembled = am.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "code"))), lambda p: p["code"]
-        ).alias("codes"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "dist"))),
-                lambda p: p["dist"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("quant_err"),
-    )
-    # same scalar-cell surface as the anchor entry (driver comparator)
-    return assembled.select("vec_id", _codes_csv(), "quant_err")
-
-
-# ---------------------------------------------------------------------------
 # Rolling 7-day distinct users (sliding distinct — the op sketches exist for)
 # ---------------------------------------------------------------------------
 

@@ -52,10 +52,17 @@ ENTRIES = [
     "sketch_kmv_rollup_merge",
 ]
 
+def _sf_dir(name: str) -> str:
+    driver = f"/root/testdata/{name}"
+    return driver if os.path.isdir(driver) else os.path.join(HERE, ".scale", name)
+
+
+# override with e.g. IBC_SWEEP_SFS=sf0.1,sf1,sf3,sf10 (sf3/sf10 from
+# gen_scale_sfn.py carry documents/embeddings only — sweep text/ANN
+# entries there, not the TPC-H/events families)
 SFS = [
-    ("sf0.01", "/root/testdata/sf0.01"),
-    ("sf0.1", "/root/testdata/sf0.1"),
-    ("sf1", os.path.join(HERE, ".scale", "sf1")),
+    (name, _sf_dir(name))
+    for name in os.environ.get("IBC_SWEEP_SFS", "sf0.01,sf0.1,sf1").split(",")
 ]
 
 
@@ -91,11 +98,19 @@ def main() -> None:
             print(f"{sf_name} {name}: {med:.2f}s", file=sys.stderr)
         spark.stop()
 
+    sf_value = {"sf0.01": 0.01, "sf0.1": 0.1, "sf1": 1.0, "sf3": 3.0, "sf10": 10.0}
     for name, r in results.items():
         if "sf1" in r and "sf0.1" in r and r["sf0.1"] > 0:
             r["exp_01_to_1"] = round(math.log10(r["sf1"] / r["sf0.1"]), 2)
         if "sf0.1" in r and "sf0.01" in r and r["sf0.01"] > 0:
             r["exp_001_to_01"] = round(math.log10(r["sf0.1"] / r["sf0.01"]), 2)
+        if "sf10" in r and "sf1" in r and r["sf1"] > 0:
+            r["exp_1_to_10"] = round(math.log10(r["sf10"] / r["sf1"]), 2)
+        elif "sf3" in r and "sf1" in r and r["sf1"] > 0:
+            # half-decade fallback, normalized per decade
+            r["exp_1_to_3"] = round(
+                math.log10(r["sf3"] / r["sf1"]) / math.log10(3.0), 2
+            )
     load = [round(x, 2) for x in os.getloadavg()]
     print(json.dumps({"results": results, "runs": runs, "load_avg": load}))
 

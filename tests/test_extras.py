@@ -324,7 +324,7 @@ def test_pq_encode_invariants(spark):
     """Every vector gets 8 codes in [0,16); the anchor vectors themselves
     encode with zero quantization error (their own subvectors are in the
     codebook)."""
-    from ibc_spark.registry_extras import _PQ_K, _PQ_SUBSPACES
+    from ibc_spark.registry_ext_pq import _PQ_K, _PQ_SUBSPACES
 
     rows = QUERIES["embedding_pq_encode"](spark, SF_SMOKE).collect()
     from ibc_spark.io_.sources import read_table
@@ -350,7 +350,7 @@ def test_pq_trained_improves_on_anchor_codebook(spark):
     """Training must buy something: aggregate quantization error with
     Lloyd-trained subspace codebooks strictly below the anchor codebook's;
     codes stay in range; output is deterministic run-over-run."""
-    from ibc_spark.registry_extras import _PQ_K, _PQ_SUBSPACES
+    from ibc_spark.registry_ext_pq import _PQ_K, _PQ_SUBSPACES
 
     trained = QUERIES["embedding_pq_trained"](spark, SF_SMOKE).collect()
     anchor = QUERIES["embedding_pq_encode"](spark, SF_SMOKE).collect()
@@ -375,7 +375,7 @@ def test_adc_topk_matches_numpy_recomputation(spark):
     import numpy as np
 
     from ibc_spark.io_.sources import read_table
-    from ibc_spark.registry_extras import _PQ_K, _PQ_SUBDIM, _PQ_SUBSPACES
+    from ibc_spark.registry_ext_pq import _PQ_K, _PQ_SUBDIM, _PQ_SUBSPACES
 
     got = {
         r.rk: (r.vec_id, r.approx_dist_r)
