@@ -61,9 +61,15 @@ def widen_for_compute(df: DataFrame) -> DataFrame:
         return df.repartition(target)
     return df
 
-# The previous `bloom_flag_docs` bitset broadcast — unpersisted before
-# each new one so repeated invocations never accumulate broadcasts.
-_BLOOM_BCAST: object | None = None
+# Live `bloom_flag_docs` bitset broadcasts, oldest first — bounded so
+# repeated invocations never accumulate executor state, with a small
+# grace window so CONCURRENT queries (a streaming probe next to a batch
+# probe — VERDICT r8) are not evicted mid-flight. Eviction uses
+# unpersist(), not destroy(): the driver copy survives, so a still-
+# running task that lost its executor blocks simply re-fetches.
+_BLOOM_BCASTS: list = []
+_BLOOM_KEEP = 4
+_BLOOM_LOCK = __import__("threading").Lock()
 
 
 def norm_key(c: Column | str, n_tokens: int = 5) -> Column:
@@ -895,20 +901,21 @@ def bloom_flag_docs(
     definition), so the two spellings agree exactly. Returns
     (doc_id, n_shingles, n_flagged, maybe_contaminated) per input row.
 
-    One live broadcast per process: each invocation unpersists the
-    previous bitset broadcast before creating its own, so repeated
-    invocations — the bench runs each entry 3×, tests re-invoke — do not
-    accumulate broadcast variables on the executors (the resource-leak
-    class ADVICE r6 flagged for streaming checkpoints; review r8
-    dropped the identity memo — every caller builds a fresh bits dict,
-    so the cache branch could never hit and only pinned the stale
-    dict)."""
+    Bounded live broadcasts per process: each invocation registers its
+    bitset broadcast in a locked FIFO and unpersists only entries beyond
+    the last _BLOOM_KEEP (4), so repeated invocations — the bench runs
+    each entry 3×, tests re-invoke — do not accumulate broadcast
+    variables on the executors (the resource-leak class ADVICE r6
+    flagged), while concurrent queries in one session (streaming probe
+    next to batch probe — VERDICT r8's race note) keep a grace window
+    and, even if evicted, re-fetch from the driver copy (unpersist, not
+    destroy)."""
     sc = df.sparkSession.sparkContext
-    global _BLOOM_BCAST
-    if _BLOOM_BCAST is not None:
-        _BLOOM_BCAST.unpersist()
     b_bits = sc.broadcast(bits)
-    _BLOOM_BCAST = b_bits
+    with _BLOOM_LOCK:
+        _BLOOM_BCASTS.append(b_bits)
+        while len(_BLOOM_BCASTS) > _BLOOM_KEEP:
+            _BLOOM_BCASTS.pop(0).unpersist()
 
     @pandas_udf("struct<n_shingles:long,n_flagged:long>")
     def _probe(toks_s: pd.Series) -> pd.DataFrame:
