@@ -62,7 +62,13 @@ def _last_green_round() -> dict[str, int]:
 # deterministic invariant-attestation surfaces WITH oracles (VERDICT r8
 # #2 option (a)); they have never had a green row, so they re-attest from
 # bucket 1 without needing a force slot.
-_FORCE_RECHECK: set[str] = set()
+_FORCE_RECHECK: set[str] = {
+    # round 9: k-means blocker k became corpus-size-adaptive (the r9 deep
+    # sweep measured fixed k=16 quadratic at sf10). At driver SF the
+    # derived k is IDENTICAL to the old constant, but candidate-path code
+    # changed — jump the queue per the round-5 lesson.
+    "dedup_semdedup",
+}
 
 
 # Entries ADDED in the current round, deferred to the NEXT round's snapshot

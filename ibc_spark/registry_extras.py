@@ -768,7 +768,21 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one pass — so centroid training state is bounded by the sample,
     independent of corpus size (planted recall is pinned unchanged in
     pytest). The oracle replays sampled training + clustering +
-    within-cluster pairs in DuckDB — exact hash match."""
+    within-cluster pairs in DuckDB — exact hash match.
+
+    CORPUS-ADAPTIVE k (round 9; the ``adaptive_band_params`` pattern):
+    the SemDeDup regime grows k with the corpus so CLUSTER SIZE — and
+    with it the O(sum c_i^2) candidate volume — stays bounded;
+    k = clamp(n/2000, _KM_K=4, 128). At every oracle SF the derived k
+    is IDENTICAL to the oracle's fixed _KM_K (n=500 → 4), so the SQL
+    replay is unchanged; the r9 deep sweep measured the fixed-k form
+    going quadratic a decade past sf1 (4.2 s at sf1 → 99.6 s at sf10,
+    clusters of 12.5k vectors) — adaptive k restores bounded clusters
+    across the measured range. Output is k-invariant on this fixture
+    (planted duplicates are bit-identical vectors → identical
+    assignments at any k; no natural pair reaches the 0.9 threshold).
+    Past the k=128 cap the remaining production lever is GEMM-blocked
+    assignment + hierarchical clustering, per the SemDeDup paper."""
     from ibc_spark.ext.similarity import gemm_threshold_pairs
     from ibc_spark.registry_ext import _planted_embeddings
     from ibc_spark.registry_lakehouse import km_assign_2iter
@@ -776,7 +790,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _planted_embeddings(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    a2 = km_assign_2iter(emb, sample_mod=_SEMDEDUP_SAMPLE_MOD).select(
+    from ibc_spark.ext.foldspec import _KM_K
+
+    k = max(_KM_K, min(128, emb.count() // 2000))
+    a2 = km_assign_2iter(emb, k=k, sample_mod=_SEMDEDUP_SAMPLE_MOD).select(
         "vec_id", "v", "cid"
     )
     pairs = gemm_threshold_pairs(
