@@ -427,6 +427,37 @@ def topk_lsh(
 MAX_BLOCK_ROWS = 65536
 
 
+def adaptive_lsh_bits(n: int, *, tables: int = 8, target_cell: int = 128,
+                      floor: int = 4) -> int:
+    """Corpus-size-adaptive LSH cell width: bits = ceil(log2(n /
+    target_cell)), clamped to [floor, 63 // tables] (the whole signature
+    packs into ONE int64, so bits*tables must stay under 64). At the
+    oracle scale factors (n <= 2048) the derived value EQUALS the
+    historical constant 4, so every oracle replay is unchanged — the
+    ``dedup.adaptive_band_params`` pattern. Past the packing cap, cell
+    sizes grow again with the corpus; the production dial at that point
+    is a wider multi-long signature (b = 12+) with re-tuned tables, per
+    the knn_graph_lsh docstring."""
+    import math
+
+    if n <= target_cell:
+        return floor
+    return max(floor, min(63 // tables, math.ceil(math.log2(n / target_cell))))
+
+
+def adaptive_gemm_blocks(n: int, *, target_block: int = 2500, floor: int = 8) -> int:
+    """Corpus-size-adaptive block count for the exact blocked-GEMM sweeps:
+    keeps per-task score matrices near target_block² (~50 MB of doubles)
+    instead of letting blocks — and with them task memory and allocation
+    churn — grow linearly with the corpus. Flops are unchanged (exact
+    brute force pays O(n²·dim) by contract); only the data movement and
+    task granularity change, and the graph is blocking-invariant
+    (pytest-pinned)."""
+    import math
+
+    return max(floor, math.ceil(n / target_block))
+
+
 def _pack_blocks(df: DataFrame, *, id_col: str, vec_col: str, block: Column) -> DataFrame:
     """(block, ids array<long>, vecs array<array>) — one row per block, built
     with collect_list so each GEMM task gets a whole block as two arrays.
@@ -504,7 +535,7 @@ def knn_graph_blocked(
     id_col: str,
     vec_col: str,
     k: int = 3,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     max_block_rows: int = MAX_BLOCK_ROWS,
 ) -> DataFrame:
     """Exact k-NN graph via BLOCKED GEMM: vectors are hash-assigned to
@@ -524,7 +555,14 @@ def knn_graph_blocked(
     blocks above ``max_block_rows`` fail loudly — see
     :data:`MAX_BLOCK_ROWS`). Beyond GEMM reach, prune candidates first —
     :func:`knn_graph_lsh` is that path — and reuse the same top-k
-    window."""
+    window. ``n_blocks=None`` derives the block count from the corpus
+    size (:func:`adaptive_gemm_blocks` — 8 at the oracle/bench SFs,
+    more beyond so per-task matrices stay ~target_block² instead of
+    growing with the corpus; the r9 deep sweep measured fixed 8-block
+    packing paying 28× time for 9× flops at sf3 from allocation churn
+    alone)."""
+    if n_blocks is None:
+        n_blocks = adaptive_gemm_blocks(df.count())
     packed = _pack_blocks(
         df,
         id_col=id_col,
@@ -558,7 +596,7 @@ def knn_graph_lsh(
     id_col: str,
     vec_col: str,
     k: int = 3,
-    bits: int = 4,
+    bits: int | None = None,
     tables: int = 8,
     dim: int = 64,
     seed: int = 7,
@@ -587,7 +625,15 @@ def knn_graph_lsh(
     (1-(1-P_table)^L with P_table = P(Hamming≤1) = p^b + b·p^(b-1)(1-p));
     pytest pins recall ≥ 0.9 against the exact graph; the registry
     entry attests that floor as a deterministic invariant, and the exact
-    sibling ``knn_graph_topk`` carries the full edge-list oracle."""
+    sibling ``knn_graph_topk`` carries the full edge-list oracle.
+
+    ``bits=None`` derives the cell width from the corpus size
+    (:func:`adaptive_lsh_bits` — equal to the historical 4 at oracle
+    SFs, wider beyond so CELL SIZE stays bounded instead of growing
+    linearly with the corpus; the r9 deep sweep measured fixed 4-bit
+    cells quadratic past sf1)."""
+    if bits is None:
+        bits = adaptive_lsh_bits(df.count(), tables=tables)
     total_bits = bits * tables
     mask = (1 << bits) - 1
     if signature == "prng":
