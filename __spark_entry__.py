@@ -76,12 +76,16 @@ _FORCE_RECHECK: set[str] = {
 # re-attestation backlog. They are fully hash-checked by the STRICTER local
 # parity suite every pytest run (tests/test_oracle_parity.py).
 #
-# Round-9 window arithmetic (registry holds at 206 entries): the 24
-# round-8 deferrals graduate to the never-green bucket, joined there by
-# the 8 reshaped invariant-attestation entries (formerly rows-only; see
-# _FORCE_RECHECK note) = 32 never-green slots, leaving 18 for the
-# oldest-green drain (the r4/r5 pool). No round-9 additions → empty.
-_DEFER_TO_NEXT_ROUND: set[str] = set()
+# Round-9 window arithmetic (registry 206 → 207): the 24 round-8
+# deferrals graduate to the never-green bucket, joined there by the 8
+# reshaped invariant-attestation entries (formerly rows-only; see
+# _FORCE_RECHECK note) = 32 never-green slots + 1 force-recheck,
+# leaving 17 for the oldest-green drain (the r4/r5 pool). The one
+# round-9 addition is deferred below so it cannot eat those slots.
+_DEFER_TO_NEXT_ROUND: set[str] = {
+    # round 9 addition, parity-proven locally; driver slot next round
+    "eval_dedup_metrics",
+}
 
 
 def _ordered(mapping: dict) -> dict:

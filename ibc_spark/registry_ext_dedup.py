@@ -320,6 +320,124 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVAL_DEDUP_MOD = 2
+
+
+@query(
+    "eval_dedup_metrics",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % {_EVAL_DEDUP_MOD} = 0),
+    rawb AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM d)
+    ),
+    base AS (SELECT doc_id, {_MH_HSH} AS hsh FROM rawb),
+    sigs AS (SELECT doc_id, [{_MH_MINS}] AS sig FROM base),
+    bandf AS (
+      SELECT doc_id, CAST(t.i AS INT) AS band_idx,
+             md5(array_to_string(list_slice(sig, t.i*{_MH_RPB}+1, t.i*{_MH_RPB}+{_MH_RPB}), ',')) AS band_hash
+      FROM sigs, range({_MH_BANDS}) t(i)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandf a JOIN bandf b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+    ),
+    sys AS (
+      SELECT id_a, id_b
+      FROM cands JOIN base x ON x.doc_id = id_a JOIN base y ON y.doc_id = id_b
+      WHERE CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.hsh, y.hsh))) >= 0.5
+    ),
+    gold AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rawb a JOIN rawb b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    j AS (
+      SELECT CAST(s.id_a IS NOT NULL AS INT) AS in_sys,
+             CAST(g.id_a IS NOT NULL AS INT) AS in_gold
+      FROM sys s FULL JOIN gold g ON s.id_a = g.id_a AND s.id_b = g.id_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+           CAST(coalesce(sum(in_gold), 0) AS BIGINT) AS n_true_pairs,
+           CAST(coalesce(sum(in_sys), 0) AS BIGINT) AS n_sys_pairs,
+           CAST(coalesce(sum(in_sys * in_gold), 0) AS BIGINT) AS n_hits,
+           round(CASE WHEN coalesce(sum(in_sys), 0) = 0 THEN NULL
+                      ELSE CAST(sum(in_sys * in_gold) AS DOUBLE) / sum(in_sys)
+                 END, 6) AS prec,
+           round(CASE WHEN coalesce(sum(in_gold), 0) = 0 THEN NULL
+                      ELSE CAST(sum(in_sys * in_gold) AS DOUBLE) / sum(in_gold)
+                 END, 6) AS recall
+    FROM j
+    """,
+)
+def eval_dedup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE DEDUP EVAL — the measurement operator a 100 TB dedup
+    pipeline runs before trusting a banding config, completing the eval
+    family next to ``eval_retrieval_metrics``: pair-level PRECISION and
+    RECALL of the md5-portable MinHash+LSH detector at the working
+    threshold 0.5 against the exact ≥0.5 pair set, on a deterministic
+    1-in-2 hash sample of the corpus (``doc_id % 2 == 0`` — the
+    audit-slice shape: the exact gold arm is O(sample²) worst case, so
+    the sample modulus, not the corpus, prices the eval). System arm =
+    ``dedup.minhash_lsh_pairs(portable=True)`` — the exact machinery the
+    ``dedup_minhash_lsh_portable`` entry hash-attests; gold arm =
+    ``dedup.ngram_jaccard_pairs`` (PPJoin) over a single block. Both
+    arms and BOTH metrics replay bit-for-bit in DuckDB (counts are
+    integers; precision/recall are single IEEE divisions of exact
+    integers). Emits one row: (n_docs, n_true_pairs, n_sys_pairs,
+    n_hits, prec, recall) with NULL metrics on empty denominators."""
+    d = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _EVAL_DEDUP_MOD == 0
+    )
+    sysp = dedup.minhash_lsh_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        k=_MH_K,
+        bands=_MH_BANDS,
+        n=3,
+        threshold=0.5,
+        portable=True,
+    ).select("id_a", "id_b", F.lit(1).alias("in_sys"))
+    gold = dedup.ngram_jaccard_pairs(
+        d.withColumn("_all", F.lit(1)),
+        id_col="doc_id",
+        text_col="text",
+        block_col="_all",
+        n=3,
+        threshold=0.5,
+    ).select("id_a", "id_b", F.lit(1).alias("in_gold"))
+    hits = F.coalesce(F.sum(F.col("in_sys") * F.col("in_gold")), F.lit(0))
+    n_sys = F.coalesce(F.sum("in_sys"), F.lit(0))
+    n_gold = F.coalesce(F.sum("in_gold"), F.lit(0))
+    m = sysp.join(gold, on=["id_a", "id_b"], how="full").agg(
+        n_gold.alias("n_true_pairs"),
+        n_sys.alias("n_sys_pairs"),
+        hits.alias("n_hits"),
+        F.round(
+            F.when(n_sys == 0, F.lit(None)).otherwise(
+                hits.cast("double") / n_sys
+            ),
+            6,
+        ).alias("prec"),
+        F.round(
+            F.when(n_gold == 0, F.lit(None)).otherwise(
+                hits.cast("double") / n_gold
+            ),
+            6,
+        ).alias("recall"),
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.crossJoin(m).select(
+        "n_docs", "n_true_pairs", "n_sys_pairs", "n_hits", "prec", "recall"
+    )
+
+
 @query(
     "dedup_incremental_cross",
     oracle=f"""

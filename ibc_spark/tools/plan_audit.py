@@ -81,6 +81,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "sketch_hll_mergeable": "attestation surface: 1-row merged-estimate x 1-row global-exact crossJoin for the ALL row",
     "sketch_kll_mergeable": "attestation surface: 1-row merged-quantile x 1-row global-exact crossJoin for the ALL row",
     "sketch_theta_setops": "attestation surface: 1-row estimate x 1-row exact-union x 1-row exact-intersection crossJoins for the setop rows",
+    "eval_dedup_metrics": "eval surface: 1-row sample-doc-count x 1-row metrics aggregate crossJoin",
     "mix_dedup_aware_weights": "inherits the overlap matrix's bounded source-pair join + a 1-row weight-total broadcast",
 }
 

@@ -1760,3 +1760,22 @@ def test_contrastive_triplets_invariants(spark):
         assert r["margin"] >= 0  # positive is rank-1 (ties round to 0)
         assert abs(r["margin"] - round(r["pos_cos"] - r["neg_cos"], 4)) < 1e-9
     assert all(len(v) <= 5 for v in per_q.values())
+
+
+def test_eval_dedup_metrics_invariants(spark):
+    """Pair-level dedup eval: hits bounded by both arms, metrics are the
+    exact ratios of the counted integers, and the deterministic hash
+    sample makes repeated runs identical."""
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    r1 = QUERIES["eval_dedup_metrics"](spark, SF_ORACLE).collect()[0]
+    r2 = QUERIES["eval_dedup_metrics"](spark, SF_ORACLE).collect()[0]
+    assert r1 == r2
+    assert r1["n_hits"] <= min(r1["n_true_pairs"], r1["n_sys_pairs"])
+    if r1["n_sys_pairs"]:
+        assert abs(r1["prec"] - round(r1["n_hits"] / r1["n_sys_pairs"], 6)) < 1e-12
+    if r1["n_true_pairs"]:
+        assert abs(r1["recall"] - round(r1["n_hits"] / r1["n_true_pairs"], 6)) < 1e-12
+    assert 0 < r1["n_docs"]
