@@ -83,8 +83,9 @@ _FORCE_RECHECK: set[str] = {
 # leaving 17 for the oldest-green drain (the r4/r5 pool). The one
 # round-9 addition is deferred below so it cannot eat those slots.
 _DEFER_TO_NEXT_ROUND: set[str] = {
-    # round 9 addition, parity-proven locally; driver slot next round
+    # round 9 additions, parity-proven locally; driver slots next round
     "eval_dedup_metrics",
+    "curriculum_quality_order",
 }
 
 

@@ -692,6 +692,71 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _curriculum_oracle() -> str:
+    from ibc_spark.registry_ext_text import _quality_f_cte, _quality_logit_sql
+
+    return f"""
+    WITH {_quality_f_cte()},
+    scored AS (
+      SELECT doc_id,
+             CAST(greatest(least(floor({_quality_logit_sql()} * 4.0), 7), -8)
+                  AS INT) AS bucket
+      FROM f
+    ),
+    keyed AS (
+      SELECT doc_id, bucket,
+             (doc_id % 2147483648 + 2147483648) % 2147483648
+               * 2654435761 % 4294967296 AS skey
+      FROM scored
+    )
+    SELECT row_number() OVER (ORDER BY bucket DESC, skey, doc_id) AS train_pos,
+           doc_id, bucket, skey
+    FROM keyed
+    """
+
+
+@query("curriculum_quality_order", oracle=_curriculum_oracle())
+def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM training order: documents ranked easy-first by learned
+    quality (descending quality-logit bucket — the identical clamped
+    floor(z·4) ∈ [-8, 7] bucketing `drift_quality_psi` hash-attests, over
+    the logit `quality_classifier_score` hash-attests), pseudo-randomly
+    shuffled WITHIN each bucket (stateless hash_u32(doc_id) — the proven
+    `shuffle_epoch_order` permutation key), then assigned a contiguous
+    global train_pos.
+
+    This is the quality-curriculum every staged pretrain schedule needs
+    (clean data early, noisy tail late — Bengio et al. curriculum
+    learning applied corpus-side), with the same two scale traps solved
+    as the epoch shuffle: the order key is stateless arithmetic (no
+    rand(), reproducible across engines/reruns/restarts), and the global
+    rank is the two-phase range-partitioned ``assign_contiguous_ids`` —
+    NEVER a single-task global row_number (that window is the oracle's
+    luxury at sf0.01, not the engine's plan). Bucketing by FIXED logit
+    thresholds (not ntile/percent_rank) is deliberate: quantile
+    bucketing needs a global sort or sampled quantiles, while threshold
+    bucketing is a free codegen projection on the scan AND gives stable
+    phase boundaries as the corpus grows."""
+    d = read_table(spark, sf_dir, "documents")
+    z = text.quality_logit("text")
+    scored = d.select(
+        "doc_id",
+        F.greatest(
+            F.least(F.floor(z * 4.0), F.lit(7)), F.lit(-8)
+        ).cast("int").alias("bucket"),
+    )
+    keyed = scored.select(
+        "doc_id",
+        "bucket",
+        (-F.col("bucket")).alias("neg_bucket"),
+        datapipe.hash_u32(F.col("doc_id")).alias("skey"),
+    )
+    ranked = datapipe.assign_contiguous_ids(
+        keyed, order_by=["neg_bucket", "skey", "doc_id"], id_name="train_pos"
+    )
+    return ranked.select("train_pos", "doc_id", "bucket", "skey")
+
+
 @query(
     "shuffle_epoch_order",
     oracle="""

@@ -1779,3 +1779,29 @@ def test_eval_dedup_metrics_invariants(spark):
     if r1["n_true_pairs"]:
         assert abs(r1["recall"] - round(r1["n_hits"] / r1["n_true_pairs"], 6)) < 1e-12
     assert 0 < r1["n_docs"]
+
+
+def test_curriculum_quality_order_invariants(spark):
+    """Easy-first curriculum: train_pos is a contiguous 1..n permutation,
+    bucket is non-increasing along the order, and within a bucket the
+    hash key (not doc_id) drives the order (shuffled, not sorted)."""
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    rows = sorted(
+        QUERIES["curriculum_quality_order"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["train_pos"],
+    )
+    n = len(rows)
+    assert [r["train_pos"] for r in rows] == list(range(1, n + 1))
+    buckets = [r["bucket"] for r in rows]
+    assert buckets == sorted(buckets, reverse=True)
+    # at least one bucket is internally hash-shuffled (doc_id not sorted)
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r["bucket"]].append(r["doc_id"])
+    big = [v for v in by_bucket.values() if len(v) > 3]
+    assert big and any(v != sorted(v) for v in big)
