@@ -31,6 +31,7 @@ the persist each leg re-runs the derivation pipeline.
 
 from __future__ import annotations
 
+import threading
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -69,7 +70,7 @@ def widen_for_compute(df: DataFrame) -> DataFrame:
 # running task that lost its executor blocks simply re-fetches.
 _BLOOM_BCASTS: list = []
 _BLOOM_KEEP = 4
-_BLOOM_LOCK = __import__("threading").Lock()
+_BLOOM_LOCK = threading.Lock()
 
 
 def norm_key(c: Column | str, n_tokens: int = 5) -> Column:
