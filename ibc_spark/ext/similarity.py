@@ -230,7 +230,14 @@ def ivf_centroids(
         .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
         .limit(sample_rows)
     )
-    mat = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float64)
+    vecs = sample.toPandas()[vec_col].to_numpy()
+    if len(vecs) == 0:
+        # empty corpus (first run / fully-filtered upstream): one zero
+        # centroid keeps the quantizer well-formed and the result empty —
+        # the Arrow kernels downstream never execute on an empty frame,
+        # so the placeholder dimension is never multiplied
+        return np.zeros((1, 1), dtype=np.float64)
+    mat = np.stack(vecs).astype(np.float64)
     rng = np.random.default_rng(seed)
     centers = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
     norms = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -1,0 +1,97 @@
+"""Round-9 contracts: corpus-adaptive parameters must equal the oracle's
+historical constants at oracle scale factors, and the attestation
+entries must tolerate degenerate corpora (the first-run / fully-filtered
+case every scheduled pipeline eventually hits)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def test_adaptive_lsh_bits_oracle_sf_contract():
+    """Derived bits == the historical constant 4 at every oracle corpus
+    size (500 docs/embeddings at sf0.01 AND sf0.001, 2000 at sf0.1), so
+    the md5-portable oracle replay is unchanged."""
+    from ibc_spark.ext.similarity import adaptive_lsh_bits
+
+    for n in (1, 10, 500, 2000, 2048):
+        assert adaptive_lsh_bits(n, tables=8) == 4, n
+
+
+@given(n=st.integers(min_value=1, max_value=10**12), tables=st.integers(2, 16))
+@settings(max_examples=200, deadline=None)
+def test_adaptive_lsh_bits_bounds(n, tables):
+    """Always within [4, 63 // tables] (int64 packing) and monotone
+    non-decreasing in n."""
+    from ibc_spark.ext.similarity import adaptive_lsh_bits
+
+    b = adaptive_lsh_bits(n, tables=tables)
+    cap = 63 // tables
+    assert min(4, cap) <= b or b == cap  # floor honored unless cap below it
+    assert b <= max(4, cap)
+    assert adaptive_lsh_bits(n * 2, tables=tables) >= b
+
+
+@given(n=st.integers(min_value=0, max_value=10**10))
+@settings(max_examples=200, deadline=None)
+def test_adaptive_gemm_blocks_bounds(n):
+    """At least the historical 8 blocks; block size never exceeds the
+    2500-row target (for n above the floor regime)."""
+    import math
+
+    from ibc_spark.ext.similarity import adaptive_gemm_blocks
+
+    nb = adaptive_gemm_blocks(n)
+    assert nb >= 8
+    if n > 8 * 2500:
+        assert math.ceil(n / nb) <= 2500
+
+
+def test_semdedup_adaptive_k_oracle_sf_contract():
+    """The SemDeDup clamp reproduces the oracle's fixed _KM_K at the
+    oracle corpus sizes (500 planted embeddings at sf0.01/sf0.001)."""
+    from ibc_spark.ext.foldspec import _KM_K
+
+    for n in (1, 500, 2000, 2 * 2000 * _KM_K // 2):
+        assert max(_KM_K, min(128, n // 2000)) == _KM_K or n >= 2000 * (_KM_K + 1)
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark):
+    """An sf dir whose documents/embeddings tables exist but hold 0 rows."""
+    tmp = tempfile.mkdtemp(prefix="ibc_empty_sf_")
+    docs = spark.createDataFrame(
+        [], "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    emb = spark.createDataFrame(
+        [], "vec_id: long, embedding: array<float>, label: string"
+    )
+    emb.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    return tmp
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "knn_graph_lsh",
+        "text_compression_ratio",
+        "eval_dedup_metrics",
+        "curriculum_quality_order",
+    ],
+)
+def test_attestations_tolerate_empty_corpus(spark, empty_sf, name):
+    """Degenerate-input robustness for the round-9 surfaces: build + run
+    without raising; row count is 0 or a single summary row."""
+    from ibc_spark.registry import QUERIES
+
+    rows = QUERIES[name](spark, empty_sf).collect()
+    assert len(rows) <= 1, (name, rows)
