@@ -426,6 +426,20 @@ def sketch_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kll_quantile_safe(sk_col: str, q: float, n_col: str = "n_events"):
+    """Quantile from a KLL sketch column, EMPTY-safe: a merge over ZERO
+    rows (empty corpus — first run / fully-filtered upstream) yields an
+    empty sketch buffer, and ``kll_sketch_get_quantile_double`` throws
+    KLL_INVALID_INPUT_SKETCH_BUFFER on it instead of returning NULL —
+    so gate on the merged row count. CaseWhen evaluates branches
+    lazily, so the guard never calls the extractor on the empty
+    buffer."""
+    empty = F.col(sk_col).isNull() | (F.coalesce(F.col(n_col), F.lit(0)) == 0)
+    return F.when(empty, F.lit(None).cast("double")).otherwise(
+        F.kll_sketch_get_quantile_double(F.col(sk_col), F.lit(q))
+    )
+
+
 def kll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-output face of the mergeable-KLL quantile rollup: per-type
     (approx_p50, approx_p95, exact_p50, n_events) rows plus an 'ALL' row
@@ -454,15 +468,14 @@ def kll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
     merged = per.agg(
-        F.lit("ALL").alias("event_type"),
-        F.round(
-            F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("sk"), F.lit(0.5)), 6
-        ).alias("approx_p50"),
-        F.round(
-            F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("sk"), F.lit(0.95)), 6
-        ).alias("approx_p95"),
-        F.lit(None).cast("double").alias("exact_p50"),
+        F.kll_merge_agg_double("sk").alias("msk"),
         F.sum("n_events").alias("n_events"),
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        F.round(_kll_quantile_safe("msk", 0.5), 6).alias("approx_p50"),
+        F.round(_kll_quantile_safe("msk", 0.95), 6).alias("approx_p95"),
+        F.lit(None).cast("double").alias("exact_p50"),
+        "n_events",
     )
     return parts.unionByName(merged)
 
@@ -538,13 +551,12 @@ def sketch_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
     )
     merged = per.agg(
-        F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("sk"), F.lit(0.5)).alias(
-            "approx_p50"
-        ),
-        F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("sk"), F.lit(0.95)).alias(
-            "approx_p95"
-        ),
+        F.kll_merge_agg_double("sk").alias("msk"),
         F.sum("n_events").alias("n_events"),
+    ).select(
+        _kll_quantile_safe("msk", 0.5).alias("approx_p50"),
+        _kll_quantile_safe("msk", 0.95).alias("approx_p95"),
+        "n_events",
     )
     globals_ = ev.agg(
         F.expr("percentile(value, 0.5)").cast("double").alias("exact_p50"),

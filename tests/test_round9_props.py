@@ -73,6 +73,18 @@ def empty_sf(spark):
         [], "vec_id: long, embedding: array<float>, label: string"
     )
     emb.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    ev = spark.createDataFrame(
+        [],
+        "event_id: long, ts: timestamp, user_id: long, event_type: string,"
+        " value: double, props: string",
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    o = spark.createDataFrame(
+        [],
+        "o_orderkey: long, o_custkey: long, o_orderstatus: string,"
+        " o_totalprice: double, o_orderdate: date, o_orderpriority: string",
+    )
+    o.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
     return tmp
 
 
@@ -86,6 +98,9 @@ def empty_sf(spark):
         "text_compression_ratio",
         "eval_dedup_metrics",
         "curriculum_quality_order",
+        "sketch_hll_mergeable",
+        "sketch_kll_mergeable",
+        "sketch_theta_setops",
     ],
 )
 def test_attestations_tolerate_empty_corpus(spark, empty_sf, name):
@@ -94,4 +109,5 @@ def test_attestations_tolerate_empty_corpus(spark, empty_sf, name):
     from ibc_spark.registry import QUERIES
 
     rows = QUERIES[name](spark, empty_sf).collect()
-    assert len(rows) <= 1, (name, rows)
+    # 0 rows, a single summary row, or (sketch families) fixed label rows
+    assert len(rows) <= 4, (name, rows)
