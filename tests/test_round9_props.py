@@ -111,3 +111,55 @@ def test_attestations_tolerate_empty_corpus(spark, empty_sf, name):
     rows = QUERIES[name](spark, empty_sf).collect()
     # 0 rows, a single summary row, or (sketch families) fixed label rows
     assert len(rows) <= 4, (name, rows)
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(spark):
+    """An sf dir with exactly ONE row per table — no pairs, no neighbors,
+    single-value percentiles."""
+    tmp = tempfile.mkdtemp(prefix="ibc_tiny_sf_")
+    spark.createDataFrame(
+        [(1, "lonely single document text here", "en", "s0", 32)],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    spark.createDataFrame(
+        [(1, [0.5] * 64, "a")],
+        "vec_id: long, embedding: array<float>, label: string",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    import datetime
+
+    spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 7, "click", 1.5, "{}")],
+        "event_id: long, ts: timestamp, user_id: long, event_type: string,"
+        " value: double, props: string",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    spark.createDataFrame(
+        [(1, 7, "O", 10.0, datetime.date(2024, 1, 1), "1-URGENT")],
+        "o_orderkey: long, o_custkey: long, o_orderstatus: string,"
+        " o_totalprice: double, o_orderdate: date, o_orderpriority: string",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+    return tmp
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "knn_graph_lsh",
+        "text_compression_ratio",
+        "eval_dedup_metrics",
+        "curriculum_quality_order",
+        "sketch_hll_mergeable",
+        "sketch_kll_mergeable",
+        "sketch_theta_setops",
+    ],
+)
+def test_attestations_tolerate_single_row_corpus(spark, tiny_sf, name):
+    """One row per table: no pairs, no non-self neighbors, single-value
+    percentiles — must run without raising."""
+    from ibc_spark.registry import QUERIES
+
+    rows = QUERIES[name](spark, tiny_sf).collect()
+    assert len(rows) <= 4, (name, rows)
