@@ -1345,15 +1345,27 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: post-aggregation HAVING filter on an exact-decimal
-    sum (filter applies AFTER the shuffle — Catalyst cannot push it, which
-    is the point of the shape)."""
+    sum (the filter still applies AFTER the aggregation shuffle —
+    Catalyst cannot push it, which is the point of the shape).
+
+    Plan (round 9): EAGER AGGREGATION BELOW THE JOIN — sum l_quantity per
+    l_orderkey and apply the HAVING cut BEFORE touching orders. The sum
+    is independent of o_custkey (o_orderkey is the orders key, so custkey
+    is functionally dependent on the group), so this is the classic
+    semantics-preserving eager-aggregation rewrite Catalyst does not do
+    itself: the big-big join (60 M lineitem × 15 M orders at sf10, which
+    measured a 1.32 per-decade exponent and 120 s) becomes a map-side-
+    combinable aggregation plus a join against only the FILTERED
+    heavy-order keys — few enough that AQE broadcasts them."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", "o_custkey")
+    heavy = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity", 10, 2)).alias("total_qty_dec"))
         .where(F.col("total_qty_dec") > 150)
+    )
+    return (
+        heavy.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "o_orderkey",
             "o_custkey",

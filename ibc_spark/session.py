@@ -46,6 +46,21 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")  # keep stdout parseable
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # RocksDB state store: streaming state spills to local disk instead
+        # of living on-heap (the default HDFSBackedStateStore held the
+        # ENTIRE sessionization state in memory — a 10M-event availableNow
+        # catch-up batch OOM'd the 8g heap at sf10; RocksDB finishes it in
+        # the same heap). This is the production posture for any stateful
+        # stream at 100 TB: state size is bounded by disk, not executor
+        # memory. Override with SPARK_STATESTORE for A/B runs.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            os.environ.get(
+                "SPARK_STATESTORE",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -102,12 +102,43 @@ def main() -> None:
         ) TO '{os.path.join(dst, "embeddings.parquet")}' (FORMAT PARQUET)
         """
     )
+    # relational / event tables: per-replica disjoint id spaces (the
+    # gen_scale_sf.py transforms, generalized to R replicas) — group
+    # counts scale xR at constant group size, the shape of real growth
+    rel = {
+        "events": """event_id + r.i*1000000000 AS event_id, ts,
+                     user_id + r.i*10000000 AS user_id, event_type, value, props""",
+        "orders": """o_orderkey + r.i*100000000 AS o_orderkey,
+                     o_custkey + r.i*10000000 AS o_custkey,
+                     o_orderstatus, o_totalprice, o_orderdate, o_orderpriority""",
+        "lineitem": """l_orderkey + r.i*100000000 AS l_orderkey,
+                       l_partkey + r.i*10000000 AS l_partkey,
+                       l_suppkey + r.i*1000000 AS l_suppkey,
+                       l_linenumber, l_quantity, l_extendedprice, l_discount,
+                       l_tax, l_returnflag, l_linestatus, l_shipdate""",
+        "customer": """c_custkey + r.i*10000000 AS c_custkey,
+                       c_name || '-r' || r.i AS c_name,
+                       c_nationkey, c_acctbal, c_mktsegment""",
+        "supplier": """s_suppkey + r.i*1000000 AS s_suppkey,
+                       s_name || '-r' || r.i AS s_name,
+                       s_nationkey, s_acctbal""",
+    }
+    for t, select in rel.items():
+        con.execute(
+            f"""
+            COPY (
+              SELECT {select}
+              FROM read_parquet('{SRC}/{t}.parquet') t
+              CROSS JOIN range({reps}) r(i)
+            ) TO '{os.path.join(dst, t + '.parquet')}' (FORMAT PARQUET)
+            """
+        )
     for t in ("nation", "region", "part"):
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
             f"TO '{os.path.join(dst, t + '.parquet')}' (FORMAT PARQUET)"
         )
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events", "orders", "lineitem"):
         n = con.execute(
             f"SELECT count(*) FROM '{os.path.join(dst, t + '.parquet')}'"
         ).fetchone()[0]
