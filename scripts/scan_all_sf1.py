@@ -18,9 +18,15 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
+def _sf_dir(name: str) -> str:
+    driver = f"/root/testdata/{name}"
+    return driver if os.path.isdir(driver) else os.path.join(HERE, ".scale", name)
+
+
+# override with e.g. IBC_SCAN_SFS=sf1,sf10
 SFS = [
-    ("sf0.1", "/root/testdata/sf0.1"),
-    ("sf1", os.path.join(HERE, ".scale", "sf1")),
+    (name, _sf_dir(name))
+    for name in os.environ.get("IBC_SCAN_SFS", "sf0.1,sf1").split(",")
 ]
 
 
@@ -59,12 +65,13 @@ def main() -> None:
             results.setdefault(name, {})[sf_name] = round(dt, 3)
             print(json.dumps({"entry": name, "sf": sf_name, "sec": round(dt, 3)}), flush=True)
         spark.stop()
+    lo, hi = SFS[0][0], SFS[-1][0]
     out = {
         n: {
             **v,
             "ratio": (
-                round(v["sf1"] / v["sf0.1"], 2)
-                if v.get("sf0.1", 0) > 0 and v.get("sf1", 0) > 0
+                round(v[hi] / v[lo], 2)
+                if v.get(lo, 0) > 0 and v.get(hi, 0) > 0
                 else None
             ),
         }
