@@ -63,10 +63,23 @@ def _last_green_round() -> dict[str, int]:
 # #2 option (a)); they have never had a green row, so they re-attest from
 # bucket 1 without needing a force slot.
 _FORCE_RECHECK: set[str] = {
-    # round 9: k-means blocker k became corpus-size-adaptive (the r9 deep
-    # sweep measured fixed k=16 quadratic at sf10). At driver SF the
-    # derived k is IDENTICAL to the old constant, but candidate-path code
-    # changed — jump the queue per the round-5 lesson.
+    # round 10: q18's plan was rewritten in round 9 (eager aggregation
+    # below the join, registry_tpch.py) but its last driver row is r7 —
+    # pre-rewrite. Semantics-preserving and locally hash-exact, but the
+    # round-5 rule is that changed-path entries jump the queue
+    # (VERDICT r9 #2).
+    "q18_large_orders_having",
+    # round 10 plan changes (ADVICE r9 fixes + VERDICT r9 #4), all
+    # output-identical at driver SF and locally hash-exact, but
+    # changed-path per the round-5 rule:
+    # - gold arm gained the adaptive sample modulus (m == 1 at oracle
+    #   SFs) + single shared count; recall_ok/n_* now NULL-safe
+    "knn_graph_lsh",
+    # - recall_ok/k_cap_ok/n_gold now NULL-safe on empty corpora
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    # - adaptive k now derived from a metadata-only raw-table count
+    #   instead of re-running the planted pipeline (same k everywhere)
     "dedup_semdedup",
 }
 
@@ -82,11 +95,12 @@ _FORCE_RECHECK: set[str] = {
 # _FORCE_RECHECK note) = 32 never-green slots + 1 force-recheck,
 # leaving 17 for the oldest-green drain (the r4/r5 pool). The one
 # round-9 addition is deferred below so it cannot eat those slots.
-_DEFER_TO_NEXT_ROUND: set[str] = {
-    # round 9 additions, parity-proven locally; driver slots next round
-    "eval_dedup_metrics",
-    "curriculum_quality_order",
-}
+# Round-10 window arithmetic (registry 208): the 2 round-9 deferrals
+# (eval_dedup_metrics, curriculum_quality_order) graduate to the
+# never-green bucket; 1+ force-recheck slots (q18 + any r10 plan
+# changes); the remaining ~47 slots drain the entire r5 pool (40
+# entries) plus the oldest r6 entries.
+_DEFER_TO_NEXT_ROUND: set[str] = set()
 
 
 def _ordered(mapping: dict) -> dict:

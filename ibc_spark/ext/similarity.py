@@ -447,9 +447,22 @@ def adaptive_lsh_bits(n: int, *, tables: int = 8, target_cell: int = 128,
     the knn_graph_lsh docstring."""
     import math
 
+    cap = 63 // tables  # hard int64-packing invariant: bits * tables < 64
+    floor = min(floor, cap)  # the floor must never override the cap
     if n <= target_cell:
         return floor
-    return max(floor, min(63 // tables, math.ceil(math.log2(n / target_cell))))
+    return max(floor, min(cap, math.ceil(math.log2(n / target_cell))))
+
+
+def adaptive_sample_mod(n: int, *, target: int = 2048) -> int:
+    """Corpus-size-adaptive audit-slice modulus: pick m so a deterministic
+    ``id % m == 0`` sample holds ~``target`` rows. m == 1 at every oracle
+    corpus size (n <= 2048 ⇒ the "sample" is the whole corpus, outputs
+    and oracle SQL unchanged — the ``adaptive_band_params`` pattern);
+    beyond, an O(n²)-by-contract gold arm priced through the sample
+    becomes O(target·n) — the ``eval_dedup_metrics`` audit-slice shape,
+    with the modulus as the documented price dial."""
+    return max(1, n // target)
 
 
 def adaptive_gemm_blocks(n: int, *, target_block: int = 2500, floor: int = 8) -> int:
@@ -543,6 +556,9 @@ def knn_graph_blocked(
     vec_col: str,
     k: int = 3,
     n_blocks: int | None = None,
+    n_rows: int | None = None,
+    queries: DataFrame | None = None,
+    query_n_blocks: int | None = None,
     max_block_rows: int = MAX_BLOCK_ROWS,
 ) -> DataFrame:
     """Exact k-NN graph via BLOCKED GEMM: vectors are hash-assigned to
@@ -567,16 +583,36 @@ def knn_graph_blocked(
     more beyond so per-task matrices stay ~target_block² instead of
     growing with the corpus; the r9 deep sweep measured fixed 8-block
     packing paying 28× time for 9× flops at sf3 from allocation churn
-    alone)."""
+    alone).
+
+    ``queries`` restricts the SRC side to a subset frame (same id/vec
+    columns): each query row gets its exact top-k over the FULL corpus
+    (self excluded by id), at O(|q|·n·dim) flops instead of O(n²·dim) —
+    the audit-slice shape the attestation entries price their gold arms
+    with. The dst side is still the whole ``df``."""
     if n_blocks is None:
-        n_blocks = adaptive_gemm_blocks(df.count())
+        # n_rows lets an entry that invokes several adaptive operators over
+        # the same input count ONCE and share it (ADVICE r9: each derivation
+        # adding its own eager .count() action re-scans the corpus)
+        n_blocks = adaptive_gemm_blocks(df.count() if n_rows is None else n_rows)
     packed = _pack_blocks(
         df,
         id_col=id_col,
         vec_col=vec_col,
         block=F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)),
     )
-    a = packed.select(
+    if queries is None:
+        a_packed = packed
+    else:
+        if query_n_blocks is None:
+            query_n_blocks = adaptive_gemm_blocks(queries.count())
+        a_packed = _pack_blocks(
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            block=F.pmod(F.xxhash64(F.col(id_col)), F.lit(query_n_blocks)),
+        )
+    a = a_packed.select(
         F.col("block").alias("block_a"),
         F.col("ids").alias("ids_a"),
         F.col("vecs").alias("vecs_a"),
@@ -604,6 +640,7 @@ def knn_graph_lsh(
     vec_col: str,
     k: int = 3,
     bits: int | None = None,
+    n_rows: int | None = None,
     tables: int = 8,
     dim: int = 64,
     seed: int = 7,
@@ -640,7 +677,8 @@ def knn_graph_lsh(
     linearly with the corpus; the r9 deep sweep measured fixed 4-bit
     cells quadratic past sf1)."""
     if bits is None:
-        bits = adaptive_lsh_bits(df.count(), tables=tables)
+        # see knn_graph_blocked: n_rows shares one count across operators
+        bits = adaptive_lsh_bits(df.count() if n_rows is None else n_rows, tables=tables)
     total_bits = bits * tables
     mask = (1 << bits) - 1
     if signature == "prng":

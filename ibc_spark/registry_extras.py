@@ -792,7 +792,12 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ibc_spark.ext.foldspec import _KM_K
 
-    k = max(_KM_K, min(128, emb.count() // 2000))
+    # _planted_embeddings is a row-preserving left-join transform of the
+    # embeddings table, so derive k from the RAW table's count — a
+    # metadata-only parquet count — instead of re-running the planted
+    # pipeline just to size k (ADVICE r9)
+    n = read_table(spark, sf_dir, "embeddings").count()
+    k = max(_KM_K, min(128, n // 2000))
     a2 = km_assign_2iter(emb, k=k, sample_mod=_SEMDEDUP_SAMPLE_MOD).select(
         "vec_id", "v", "cid"
     )

@@ -20,6 +20,38 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def empty_sf(spark):
+    """An sf dir whose documents/embeddings/events/orders tables exist but
+    hold 0 rows — the first-run / fully-filtered case every scheduled
+    pipeline eventually hits (shared by the r9/r10 degenerate-input
+    suites)."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ibc_empty_sf_")
+    docs = spark.createDataFrame(
+        [], "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    emb = spark.createDataFrame(
+        [], "vec_id: long, embedding: array<float>, label: string"
+    )
+    emb.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    ev = spark.createDataFrame(
+        [],
+        "event_id: long, ts: timestamp, user_id: long, event_type: string,"
+        " value: double, props: string",
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    o = spark.createDataFrame(
+        [],
+        "o_orderkey: long, o_custkey: long, o_orderstatus: string,"
+        " o_totalprice: double, o_orderdate: date, o_orderpriority: string",
+    )
+    o.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+    return tmp
+
+
+@pytest.fixture(scope="session")
 def duck():
     import duckdb
 

@@ -32,8 +32,9 @@ def test_adaptive_lsh_bits_bounds(n, tables):
 
     b = adaptive_lsh_bits(n, tables=tables)
     cap = 63 // tables
-    assert min(4, cap) <= b or b == cap  # floor honored unless cap below it
-    assert b <= max(4, cap)
+    assert b >= min(4, cap)  # floor honored, itself clamped to the cap
+    assert b <= cap  # HARD invariant: the packed signature fits one int64
+    assert b * tables < 64
     assert adaptive_lsh_bits(n * 2, tables=tables) >= b
 
 
@@ -61,31 +62,8 @@ def test_semdedup_adaptive_k_oracle_sf_contract():
         assert max(_KM_K, min(128, n // 2000)) == _KM_K or n >= 2000 * (_KM_K + 1)
 
 
-@pytest.fixture(scope="module")
-def empty_sf(spark):
-    """An sf dir whose documents/embeddings tables exist but hold 0 rows."""
-    tmp = tempfile.mkdtemp(prefix="ibc_empty_sf_")
-    docs = spark.createDataFrame(
-        [], "doc_id: long, text: string, lang: string, source: string, n_chars: long"
-    )
-    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
-    emb = spark.createDataFrame(
-        [], "vec_id: long, embedding: array<float>, label: string"
-    )
-    emb.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
-    ev = spark.createDataFrame(
-        [],
-        "event_id: long, ts: timestamp, user_id: long, event_type: string,"
-        " value: double, props: string",
-    )
-    ev.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
-    o = spark.createDataFrame(
-        [],
-        "o_orderkey: long, o_custkey: long, o_orderstatus: string,"
-        " o_totalprice: double, o_orderdate: date, o_orderpriority: string",
-    )
-    o.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
-    return tmp
+# empty_sf now lives in conftest.py (session scope) — shared with the
+# round-10 value-asserting degenerate-input suite.
 
 
 @pytest.mark.parametrize(
