@@ -99,135 +99,6 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q1_pricing_summary",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(10,2))
-                         * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
-                    AS DECIMAL(16,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(10,2))
-                              * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
-                         AS DECIMAL(16,4))
-                         * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))
-                    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary: single scan, map-side partial agg
-    into a 6-group aggregate — the canonical whole-stage-codegen pipeline."""
-    li = read_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= "2000-12-01"
-    )
-    one_minus_disc = (F.lit(1) - dec("l_discount", 4, 2)).cast("decimal(4,2)")
-    one_plus_tax = (F.lit(1) + dec("l_tax", 4, 2)).cast("decimal(4,2)")
-    disc_price = (dec("l_extendedprice", 10, 2) * one_minus_disc).cast("decimal(16,4)")
-    charge = (disc_price * one_plus_tax).cast("decimal(18,6)")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity", 10, 2)).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice", 10, 2)).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (
-                F.sum(dec("l_quantity", 10, 2)).cast("double") / F.count(F.lit(1))
-            ).alias("avg_qty"),
-            (
-                F.sum(dec("l_discount", 4, 2)).cast("double") / F.count(F.lit(1))
-            ).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-@query(
-    "q3_shipping_priority",
-    oracle="""
-    SELECT o_orderkey, o_orderdate, o_orderpriority,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
-                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
-               AS revenue
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    WHERE o_orderdate < TIMESTAMP '1996-07-01'
-      AND l_shipdate  > TIMESTAMP '1996-07-01'
-    GROUP BY o_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, o_orderkey
-    LIMIT 10
-    """,
-)
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-shaped top-k: join + group + global top-10.
-
-    The ORDER BY ... LIMIT compiles to Spark's TakeOrderedAndProject — a
-    per-partition top-k then a k-row merge on the driver, NOT a global sort;
-    this is the shape that survives a 100× scale-up.
-    """
-    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1996-07-01")
-    orders = read_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < "1996-07-01"
-    )
-    revenue = dec("l_extendedprice", 10, 2) * (
-        F.lit(1) - dec("l_discount", 4, 2)
-    ).cast("decimal(4,2)")
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-        .limit(10)
-    )
-
-
-@query(
-    "q5_local_supplier_volume",
-    oracle="""
-    SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
-                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
-               AS revenue
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    GROUP BY n_name
-    """,
-)
-def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped local-supplier volume (customer and supplier in the
-    same nation). supplier + nation broadcast; facts shuffle once each."""
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    customer = read_table(spark, sf_dir, "customer")
-    supplier = read_table(spark, sf_dir, "supplier")
-    nation = read_table(spark, sf_dir, "nation")
-    revenue = dec("l_extendedprice", 10, 2) * (
-        F.lit(1) - dec("l_discount", 4, 2)
-    ).cast("decimal(4,2)")
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            F.broadcast(supplier),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
-    )
-
-
 # ---------------------------------------------------------------------------
 # Scalars X1–X6 (SURVEY §2.3)
 # ---------------------------------------------------------------------------
@@ -1307,74 +1178,6 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q13_order_count_distribution",
-    oracle="""
-    SELECT c_count, COUNT(*) AS custdist
-    FROM (
-      SELECT c_custkey, COUNT(o_orderkey) AS c_count
-      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-      GROUP BY c_custkey
-    )
-    GROUP BY c_count
-    """,
-)
-def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: orders-per-customer distribution INCLUDING
-    zero-order customers (left join preserves them; COUNT of the nullable
-    key counts only matches). Two aggregations, the second over a tiny
-    domain."""
-    c = read_table(spark, sf_dir, "customer").select("c_custkey")
-    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-@query(
-    "q18_large_orders_having",
-    oracle="""
-    SELECT o_orderkey, o_custkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS total_qty
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY o_orderkey, o_custkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(10,2))) > 150
-    """,
-)
-def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: post-aggregation HAVING filter on an exact-decimal
-    sum (the filter still applies AFTER the aggregation shuffle —
-    Catalyst cannot push it, which is the point of the shape).
-
-    Plan (round 9): EAGER AGGREGATION BELOW THE JOIN — sum l_quantity per
-    l_orderkey and apply the HAVING cut BEFORE touching orders. The sum
-    is independent of o_custkey (o_orderkey is the orders key, so custkey
-    is functionally dependent on the group), so this is the classic
-    semantics-preserving eager-aggregation rewrite Catalyst does not do
-    itself: the big-big join (60 M lineitem × 15 M orders at sf10, which
-    measured a 1.32 per-decade exponent and 120 s) becomes a map-side-
-    combinable aggregation plus a join against only the FILTERED
-    heavy-order keys — few enough that AQE broadcasts them."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    heavy = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity", 10, 2)).alias("total_qty_dec"))
-        .where(F.col("total_qty_dec") > 150)
-    )
-    return (
-        heavy.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.col("total_qty_dec").cast("double").alias("total_qty"),
-        )
-    )
-
-
-@query(
     "scd2_customer_history",
     oracle=f"""
     WITH cur AS (
@@ -1511,7 +1314,6 @@ def udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 @query(
     "funnel_view_click_purchase",
     oracle="""
@@ -1636,7 +1438,6 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
 
 
-
 @query(
     "anomaly_hourly_event_volume",
     oracle="""
@@ -1700,7 +1501,6 @@ def anomaly_hourly_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 3).alias("zscore"),
         )
     )
-
 
 
 @query(
@@ -1771,7 +1571,6 @@ def grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 @query(
     "forward_fill_sensor_values",
     oracle="""
@@ -1818,7 +1617,6 @@ def forward_fill_sensor_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 @query(
     "histogram_equidepth_deciles",
     oracle="""
@@ -1856,7 +1654,6 @@ def histogram_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
-
 
 
 @query(
