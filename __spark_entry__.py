@@ -81,6 +81,10 @@ _FORCE_RECHECK: set[str] = {
     # - adaptive k now derived from a metadata-only raw-table count
     #   instead of re-running the planted pipeline (same k everywhere)
     "dedup_semdedup",
+    # - within-block exact scoring moved from the pair self-join + Arrow
+    #   per-pair kernel to blocked GEMM (gemm_threshold_pairs; the r9 sf10
+    #   scan measured the old shape at exp 1.60 / 29 min at 200k vectors)
+    "dedup_embedding_cosine",
 }
 
 
@@ -95,12 +99,17 @@ _FORCE_RECHECK: set[str] = {
 # _FORCE_RECHECK note) = 32 never-green slots + 1 force-recheck,
 # leaving 17 for the oldest-green drain (the r4/r5 pool). The one
 # round-9 addition is deferred below so it cannot eat those slots.
-# Round-10 window arithmetic (registry 208): the 2 round-9 deferrals
-# (eval_dedup_metrics, curriculum_quality_order) graduate to the
-# never-green bucket; 1+ force-recheck slots (q18 + any r10 plan
-# changes); the remaining ~47 slots drain the entire r5 pool (40
-# entries) plus the oldest r6 entries.
-_DEFER_TO_NEXT_ROUND: set[str] = set()
+# Round-10 window arithmetic (registry 208 → 210): the 2 round-9
+# deferrals (eval_dedup_metrics, curriculum_quality_order) graduate to
+# the never-green bucket; 6 force-recheck slots (q18 + 5 r10 plan
+# changes); the remaining 42 slots drain the entire r5 pool (40
+# entries) plus the 2 oldest r6 entries. This round's 2 additions are
+# deferred below so they cannot eat those slots.
+_DEFER_TO_NEXT_ROUND: set[str] = {
+    # round 10 additions, parity-proven locally; driver slots next round
+    "decontaminate_semantic",
+    "preference_pairs_quality",
+}
 
 
 def _ordered(mapping: dict) -> dict:

@@ -1378,27 +1378,35 @@ def embedding_neardup_pairs(
     """Blocked embedding near-dup: ordered pairs within a block whose cosine
     ≥ threshold. Same blocking contract as :func:`ngram_jaccard_pairs`.
 
-    Scale shape: the LEFT side is repartitioned so pair generation and
-    scoring spread across the cluster even when the input is a handful of
-    files (a broadcast join would otherwise inherit the left side's — often
-    single — partitioning for the quadratic scoring stage, serializing it);
-    the right side shuffles on the block key. Scoring is one Arrow batch
-    kernel (:func:`cosine_fast`), materialized as a column BEFORE the
-    threshold filter so it is evaluated once."""
-    base = df.select(
-        F.col(id_col).alias("vid"), F.col(block_col).alias("block"), F.col(vec_col).alias("v")
+    Scale shape (round 10 — the blocked-GEMM rewrite): the flops are
+    O(sum b_i²·dim) by contract (exact within-block all-pairs), but the
+    old self-join + per-pair Arrow kernel also MOVED O(sum b_i²·dim)
+    vector bytes through the shuffle — the r9 sf10 scan measured ~29 min
+    at 200k vectors (exp 1.60). Scoring now runs through
+    ``similarity.gemm_threshold_pairs`` (the SemDeDup engine): vectors
+    are packed once per (block, sub-block), each sub-block pair is one
+    BLAS matmul, and only O(n·dim·n_blocks) bytes travel. Sub-block
+    count adapts to the LARGEST block (one cheap count-by-block agg —
+    the bounded-planning move), so task memory is bounded by the ~2500-
+    row target regardless of block growth; ``scoring_partitions`` is
+    retained for API compatibility (parallelism now comes from the
+    #cells × sub-block-pairs task grid)."""
+    del scoring_partitions  # superseded by the GEMM task grid
+    from ibc_spark.ext.similarity import gemm_threshold_pairs
+
+    max_block = (
+        df.groupBy(block_col).count().agg(F.max("count")).first()[0] or 0
     )
-    a = base.select(F.col("vid").alias("id_a"), "block", F.col("v").alias("v_a")).repartition(
-        scoring_partitions, "block", "id_a"
+    n_blocks = max(1, -(-int(max_block) // 2500))
+    pairs = gemm_threshold_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col=block_col,
+        threshold=threshold,
+        n_blocks=n_blocks,
     )
-    b = base.select(F.col("vid").alias("id_b"), "block", F.col("v").alias("v_b"))
-    return (
-        a.join(b, on="block")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_fast(F.col("v_a"), F.col("v_b")))
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
-    )
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
 
 
 def adaptive_band_params(

@@ -515,6 +515,63 @@ def decontaminate_against_holdout(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH emb AS ({_PLANT_SQL}),
+    hits AS (
+      SELECT c.vec_id, COUNT(*) AS n_hits
+      FROM emb c JOIN emb h
+        ON h.vec_id % 97 = 0 AND c.vec_id % 97 <> 0
+       AND {_cos_sql('c.embedding', 'h.embedding')} >= 0.95
+      GROUP BY c.vec_id
+    )
+    SELECT e.vec_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           h.vec_id IS NOT NULL AS contaminated
+    FROM (SELECT vec_id FROM emb WHERE vec_id % 97 <> 0) e
+    LEFT JOIN hits h USING (vec_id)
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-level complement
+    of the 8-gram ``decontaminate_against_holdout``: a corpus document is
+    contaminated when its EMBEDDING sits at cosine ≥ 0.95 to any held-out
+    benchmark embedding (catches paraphrases and translations the exact
+    n-gram probe misses — the Llama/GPT-4-card eval-hygiene step). Every
+    97th vector plays the benchmark; planted successor-dups
+    (``_PLANT_SQL``) make the hit set non-trivial at oracle SF.
+
+    Plan: banded hyperplane LSH + exact cosine verify over the WHOLE
+    table (``dedup.embedding_lsh_pairs`` — adaptive band params, equi-key
+    shuffles, nothing quadratic), keep only pairs that STRADDLE the
+    holdout boundary, count hits per corpus id, left join back onto the
+    corpus ids. Determinism: at 0.95 the banding calculus puts the
+    per-pair miss ≤2e-5 at the threshold and ≤4e-17 for the planted
+    pairs (cos 1.0), and the fixture has no natural pair above ~0.51 —
+    so LSH output equals the exact pair set the O(|holdout|·n) oracle
+    computes (same argument as ``dedup_embedding_lsh``; fixture-coupling
+    documented in COVERAGE.md). At 100 TB the holdout side is a few
+    thousand benchmark rows — production would broadcast its band
+    signatures; the general self-join path here subsumes that shape."""
+    emb = _planted_embeddings(spark, sf_dir)
+    pairs = dedup.embedding_lsh_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.95
+    )
+    a_h = F.col("id_a") % 97 == 0
+    b_h = F.col("id_b") % 97 == 0
+    straddle = pairs.where(a_h != b_h).select(
+        F.when(a_h, F.col("id_b")).otherwise(F.col("id_a")).alias("vec_id")
+    )
+    hits = straddle.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    corpus = emb.where(F.col("vec_id") % 97 != 0).select("vec_id")
+    return corpus.join(hits, on="vec_id", how="left").select(
+        "vec_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.col("n_hits").isNotNull().alias("contaminated"),
+    )
+
+
 _BLOOM_M = 65536
 _BLOOM_K = 4
 # Double-hash bases per shingle — the one shared spelling (foldspec).

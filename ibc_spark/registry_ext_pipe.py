@@ -757,6 +757,65 @@ def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("train_pos", "doc_id", "bucket", "skey")
 
 
+def _preference_oracle() -> str:
+    from ibc_spark.registry_ext_text import _quality_f_cte, _quality_logit_sql
+
+    return f"""
+    WITH {_quality_f_cte()},
+    s AS (SELECT doc_id, doc_id // 4 AS prompt_id, {_quality_logit_sql()} AS z FROM f),
+    r AS (
+      SELECT prompt_id, doc_id, z,
+             row_number() OVER (PARTITION BY prompt_id ORDER BY z DESC, doc_id ASC) AS rb,
+             row_number() OVER (PARTITION BY prompt_id ORDER BY z ASC, doc_id DESC) AS rw
+      FROM s
+    ),
+    c AS (SELECT prompt_id, doc_id AS chosen_id, z AS zc FROM r WHERE rb = 1),
+    w AS (SELECT prompt_id, doc_id AS rejected_id, z AS zr FROM r WHERE rw = 1)
+    SELECT c.prompt_id, chosen_id, rejected_id, round(zc - zr, 6) AS margin
+    FROM c JOIN w USING (prompt_id)
+    WHERE zc - zr > 0
+    """
+
+
+@query("preference_pairs_quality", oracle=_preference_oracle())
+def preference_pairs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR assembly (DPO/RLHF data prep): documents grouped
+    into candidate sets of ≤4 (prompt_id = doc_id div 4 — the fixture's
+    stand-in for responses sharing a prompt), each group reduced to ONE
+    (chosen, rejected) pair by the learned quality logit
+    (``quality_classifier_score``'s bit-exact projection): chosen =
+    argmax, rejected = argmin, ties broken toward the lower / higher
+    doc_id respectively, zero-margin groups dropped (no training
+    signal — this also drops singletons).
+
+    Scale shape: ONE groupBy shuffle with struct-packed argmax/argmin —
+    ``max(struct(z, -doc_id))`` / ``min(struct(z, -doc_id))`` are
+    map-side-combinable partial aggregates, so per-prompt candidate
+    sets never concentrate in a task the way a per-group window would;
+    no join, no window, no second shuffle. The oracle spells the same
+    reduction with two row_number windows — the oracle's luxury at
+    sf0.01, not the engine's plan. Margin compares UNROUNDED logits,
+    bit-identical across engines (the ``quality_classifier_score``
+    precedent)."""
+    d = read_table(spark, sf_dir, "documents")
+    z = text.quality_logit("text")
+    s = d.select(
+        F.expr("doc_id div 4").alias("prompt_id"),
+        "doc_id",
+        z.alias("z"),
+    )
+    agg = s.groupBy("prompt_id").agg(
+        F.max(F.struct(F.col("z"), (-F.col("doc_id")).alias("nid"))).alias("best"),
+        F.min(F.struct(F.col("z"), (-F.col("doc_id")).alias("nid"))).alias("worst"),
+    )
+    return agg.where(F.col("best.z") > F.col("worst.z")).select(
+        "prompt_id",
+        (-F.col("best.nid")).alias("chosen_id"),
+        (-F.col("worst.nid")).alias("rejected_id"),
+        F.round(F.col("best.z") - F.col("worst.z"), 6).alias("margin"),
+    )
+
+
 @query(
     "shuffle_epoch_order",
     oracle="""

@@ -76,7 +76,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "eval_retrieval_metrics": "inherits the gold arm's bounded query-set broadcast (ann_topk_bruteforce, standalone-allowlisted); the eval join itself is O(queries*k) rows",
     "ann_topk_lsh": "attestation surface: inherits the gold arm's bounded query-set broadcast (ann_topk_bruteforce shape); LSH arm itself is hash equi on (tab, bucket)",
     "ann_topk_ivf": "attestation surface: gold/full-probe arms' bounded query-set broadcasts + final 1-row x 1-row summary crossJoin",
-    "knn_graph_lsh": "attestation surface: exact arm is the allowlisted packed-block crossJoin (knn_graph_topk shape) + final 1-row node-count x 1-row edge-summary crossJoin",
+    "knn_graph_lsh": "attestation surface: exact arm is the allowlisted packed-block crossJoin (knn_graph_topk shape; query-sample blocks x corpus blocks past the inert-modulus regime)",
     "dedup_minhash_lsh": "attestation surface: crossJoin of 1-row doc-count / pair-count / invariant aggregate frames into the single summary row",
     "sketch_hll_mergeable": "attestation surface: 1-row merged-estimate x 1-row global-exact crossJoin for the ALL row",
     "sketch_kll_mergeable": "attestation surface: 1-row merged-quantile x 1-row global-exact crossJoin for the ALL row",
