@@ -85,6 +85,13 @@ _FORCE_RECHECK: set[str] = {
     #   per-pair kernel to blocked GEMM (gemm_threshold_pairs; the r9 sf10
     #   scan measured the old shape at exp 1.60 / 29 min at 200k vectors)
     "dedup_embedding_cosine",
+    # - global ntile window replaced by the two-phase range-partitioned
+    #   rank + exact ntile arithmetic (r10 tail sweep: last full-table
+    #   single-task window)
+    "histogram_equidepth_deciles",
+    # - final top-10 respelled orderBy+limit (TakeOrdered) before the
+    #   bounded 10-row rank window (was row_number over global order)
+    "ann_topk_pq_adc",
 }
 
 
@@ -101,10 +108,10 @@ _FORCE_RECHECK: set[str] = {
 # round-9 addition is deferred below so it cannot eat those slots.
 # Round-10 window arithmetic (registry 208 → 210): the 2 round-9
 # deferrals (eval_dedup_metrics, curriculum_quality_order) graduate to
-# the never-green bucket; 6 force-recheck slots (q18 + 5 r10 plan
-# changes); the remaining 42 slots drain the entire r5 pool (40
-# entries) plus the 2 oldest r6 entries. This round's 2 additions are
-# deferred below so they cannot eat those slots.
+# the never-green bucket; 8 force-recheck slots (q18 + 7 r10 plan
+# changes); the remaining 40 slots drain exactly the r5 pool (40
+# entries). This round's 2 additions are deferred below so they cannot
+# eat those slots.
 _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 10 additions, parity-proven locally; driver slots next round
     "decontaminate_semantic",

@@ -1637,16 +1637,39 @@ def histogram_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of `histogram_order_values`' fixed-width bins: every bin
     holds the same row count and the bin EDGES carry the information.
     Total order (value, key tiebreak) makes tile assignment deterministic
-    on both engines. NOTE the single unpartitioned ntile is a global sort
-    — correct for profiling samples; at full 100 TB scale use
-    `approxQuantile`/`approx_sketch_stats` cutpoints instead (documented
-    trade, same as exact vs approx percentiles)."""
-    from pyspark.sql import Window
+    on both engines.
+
+    Plan (round 10 — the r10 tail sweep flagged this entry's
+    single-unpartitioned-ntile as the last full-table one-task window):
+    exact global rank via the two-phase range-partitioned
+    ``assign_contiguous_ids`` (the `shuffle_epoch_order` /
+    `curriculum_quality_order` machinery — per-partition sorts, an
+    aggregate-sized offset window), then ntile's exact assignment
+    arithmetic as a free projection from plan-time constants: with
+    n rows, small = n div 10 and r = n mod 10, ranks up to
+    r·(small+1) land in tile ceil(rank/(small+1)), the rest in
+    r + ceil((rank − r·(small+1))/small) — bit-identical to
+    ntile(10) OVER (ORDER BY ...) for every n (the oracle keeps the
+    window spelling). One metadata-only count buys n."""
+    from ibc_spark.ext import datapipe
 
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    n = o.count()
+    small, r = divmod(n, 10)
+    boundary = r * (small + 1)
+    ranked = datapipe.assign_contiguous_ids(
+        o, order_by=["o_totalprice", "o_orderkey"], id_name="rank"
+    )
+    # small == 0 only when n < 10, where every rank <= boundary = n and
+    # the otherwise-branch (guarded by max(small, 1)) is unreachable
+    tile = F.when(
+        F.col("rank") <= boundary,
+        F.floor((F.col("rank") + small) / (small + 1)),
+    ).otherwise(
+        r + F.floor((F.col("rank") - boundary + max(small, 1) - 1) / max(small, 1))
+    )
     return (
-        o.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", tile.cast("int"))
         .groupBy("decile")
         .agg(
             F.round(F.min("o_totalprice"), 2).alias("lo"),

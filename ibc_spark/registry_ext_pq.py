@@ -279,11 +279,14 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_dist")
         )
     )
+    # top-10 as TakeOrderedAndProject (per-partition heads, driver merge of
+    # 10-row slices), THEN rank the bounded 10-row frame — the r10 tail
+    # sweep flagged the old row_number-over-global-order spelling as a
+    # whole-corpus single-task window
+    top = adist.orderBy("approx_dist", "vec_id").limit(10)
     wk = Window.orderBy("approx_dist", "vec_id")
-    return (
-        adist.withColumn("rk", F.row_number().over(wk))
-        .where(F.col("rk") <= 10)
-        .select("vec_id", F.round("approx_dist", 6).alias("approx_dist_r"), "rk")
+    return top.withColumn("rk", F.row_number().over(wk)).select(
+        "vec_id", F.round("approx_dist", 6).alias("approx_dist_r"), "rk"
     )
 
 
