@@ -101,3 +101,88 @@ def test_attestation_booleans_vacuously_true_on_empty_corpus(
     for col, v in d.items():
         if col not in truthy_cols:
             assert v == 0, (name, col, d)
+
+
+def test_equidepth_tile_arithmetic_matches_ntile(spark):
+    """The plan-time ntile arithmetic (small = n div 10, r = n mod 10,
+    boundary split) must equal F.ntile(10) OVER the same total order for
+    awkward n — including n < 10, n % 10 != 0, and exact multiples."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for n in (1, 7, 10, 23, 100, 101, 109):
+        df = spark.range(n).select(F.col("id").alias("k"))
+        w = Window.orderBy("k")
+        want = {
+            r.k: r.t
+            for r in df.withColumn("t", F.ntile(10).over(w)).collect()
+        }
+        small, rem = divmod(n, 10)
+        boundary = rem * (small + 1)
+        rank = F.row_number().over(w)
+        tile = F.when(
+            rank <= boundary, F.floor((rank + small) / (small + 1))
+        ).otherwise(
+            rem + F.floor((rank - boundary + max(small, 1) - 1) / max(small, 1))
+        )
+        got = {r.k: r.t for r in df.withColumn("t", tile.cast("int")).collect()}
+        assert got == want, (n, got, want)
+
+
+def test_preference_pairs_contract(spark):
+    """Every emitted pair: chosen and rejected share the prompt group,
+    chosen's logit is the group max (ties -> lowest doc_id), rejected's
+    the group min (ties -> highest doc_id), margin > 0 and equal to the
+    logit difference; zero-margin and singleton groups are absent."""
+    from pyspark.sql import functions as F
+
+    from ibc_spark.ext import text
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    d = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", text.quality_logit("text").alias("z"))
+        .collect()
+    )
+    groups: dict[int, list] = {}
+    for r in d:
+        groups.setdefault(r.doc_id // 4, []).append((r.z, r.doc_id))
+    rows = QUERIES["preference_pairs_quality"](spark, SF_ORACLE).collect()
+    expected = {}
+    for pid, members in groups.items():
+        zs = [z for z, _ in members]
+        if len(members) < 2 or max(zs) == min(zs):
+            continue
+        chosen = max(members, key=lambda p: (p[0], -p[1]))
+        rejected = min(members, key=lambda p: (p[0], -p[1]))
+        expected[pid] = (chosen[1], rejected[1], round(chosen[0] - rejected[0], 6))
+    got = {r.prompt_id: (r.chosen_id, r.rejected_id, r.margin) for r in rows}
+    assert got == expected
+    assert all(m > 0 for _, _, m in got.values())
+
+
+def test_decontaminate_semantic_planted_straddles(spark):
+    """Contamination flags must be exactly the planted successor pairs
+    that straddle the vec_id % 97 holdout boundary (the fixture has no
+    natural pair at cosine >= 0.95), and every corpus id must appear."""
+    from pyspark.sql import functions as F
+
+    from ibc_spark.registry import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    n = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
+    expected_hits = set()
+    for i in range(0, n, 10):  # planted pair (i, i+1) when i % 10 == 0
+        if i + 1 >= n:
+            continue
+        a_h, b_h = i % 97 == 0, (i + 1) % 97 == 0
+        if a_h != b_h:
+            expected_hits.add(i + 1 if a_h else i)
+    rows = QUERIES["decontaminate_semantic"](spark, SF_ORACLE).collect()
+    got_hits = {r.vec_id for r in rows if r.contaminated}
+    assert got_hits == expected_hits, (got_hits, expected_hits)
+    assert len(rows) == sum(1 for i in range(n) if i % 97 != 0)
+    assert all((r.n_hits > 0) == r.contaminated for r in rows)
