@@ -12,6 +12,13 @@ these sizes (sub-second queries), so the 0.1 -> 1 decade is the signal.
 
 Run: ``python scripts/scale_sweep.py [entry ...]`` -> JSON on stdout,
 progress on stderr.
+
+STREAMING CAVEAT (r10): sweep streaming entries with ONE SF per process
+(IBC_SWEEP_SFS=sf10 ...). The per-SF session restart (spark.stop() + new
+SparkContext in the same JVM) leaves RocksDB state-store maintenance
+threads pointed at the DEAD StateStoreCoordinator endpoint; a heavy
+streaming catch-up batch in the third session then crawls on ~2 cores
+(observed: sf10 sessionize hung >11 min vs 57 s in a fresh process).
 """
 
 from __future__ import annotations
