@@ -103,6 +103,19 @@ def test_attestation_booleans_vacuously_true_on_empty_corpus(
             assert v == 0, (name, col, d)
 
 
+@pytest.mark.parametrize(
+    "name", ["decontaminate_semantic", "preference_pairs_quality",
+             "dedup_embedding_cosine", "histogram_equidepth_deciles"]
+)
+def test_round10_entries_tolerate_empty_corpus(spark, empty_sf, name):
+    """The r10 additions and rewrites must survive a 0-row corpus (the
+    first-run / fully-filtered case): no crash, 0 rows out (no groups,
+    no pairs, no deciles)."""
+    from ibc_spark.registry import QUERIES
+
+    assert QUERIES[name](spark, empty_sf).collect() == []
+
+
 def test_equidepth_tile_arithmetic_matches_ntile(spark):
     """The plan-time ntile arithmetic (small = n div 10, r = n mod 10,
     boundary split) must equal F.ntile(10) OVER the same total order for
