@@ -927,6 +927,78 @@ def corpus_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_canonical_priority",
+    oracle=f"""
+    WITH RECURSIVE
+    emb AS ({_PLANT_SQL}),
+    pairs AS ({_PLANTED_PAIRS}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
+    ),
+    comp AS (SELECT a AS member_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    scored AS (
+      SELECT c.cluster_id, c.member_id, d.source,
+             CAST(substr(d.source, 4) AS INT) % 5 AS prio
+      FROM comp c JOIN documents d ON d.doc_id = c.member_id
+    )
+    SELECT cluster_id, member_id, source,
+           first_value(member_id) OVER (
+             PARTITION BY cluster_id ORDER BY prio DESC, member_id ASC
+           ) AS canonical_id,
+           member_id = first_value(member_id) OVER (
+             PARTITION BY cluster_id ORDER BY prio DESC, member_id ASC
+           ) AS is_canonical
+    FROM scored
+    """,
+)
+def dedup_canonical_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLICY-driven canonical election: within each near-dup cluster keep
+    the member from the highest-priority SOURCE (the wiki-over-CommonCrawl
+    rule real corpus dedup applies — provenance, not arrival order,
+    decides which copy survives), ties broken toward the lower doc_id.
+    Priority here is a deterministic projection of the fixture's source
+    tag (numeric suffix mod 5); production swaps in a broadcast
+    source→priority map — same plan.
+
+    Plan: the proven non-quadratic cluster machinery
+    (`_planted_lsh_pairs` banded LSH → iterative min-label components),
+    the member→source join, then ONE map-side-combinable
+    ``max(struct(prio, -member_id))`` per cluster (the
+    `argmax_order_per_customer` struct-max idiom — no window over
+    members) re-joined cluster-key-to-cluster-key. The oracle spells the
+    election with first_value windows over the recursive-CTE closure —
+    the oracle's luxury at sf0.01. Compare `corpus_dedup_materialize`,
+    whose canonical is the min member id: same clusters, different
+    policy, both faces oracled."""
+    from ibc_spark.ext.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = dedup_clusters(_planted_lsh_pairs(spark, sf_dir)).select(
+        F.col("kept_id").alias("cluster_id"), "member_id"
+    )
+    prio = F.substring("source", 4, 10).cast("int") % 5
+    scored = clusters.join(
+        docs, clusters["member_id"] == docs["doc_id"]
+    ).select("cluster_id", "member_id", "source", prio.alias("prio"))
+    elect = scored.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("prio"), (-F.col("member_id")).alias("nid"))).alias("w")
+    )
+    return (
+        scored.join(elect, on="cluster_id")
+        .select(
+            "cluster_id",
+            "member_id",
+            "source",
+            (-F.col("w.nid")).alias("canonical_id"),
+            (F.col("member_id") == -F.col("w.nid")).alias("is_canonical"),
+        )
+    )
+
+
+@query(
     "dedup_exact_content_sha",
     oracle="""
     SELECT sha256(text) AS content_sha,

@@ -105,7 +105,8 @@ def test_attestation_booleans_vacuously_true_on_empty_corpus(
 
 @pytest.mark.parametrize(
     "name", ["decontaminate_semantic", "preference_pairs_quality",
-             "dedup_embedding_cosine", "histogram_equidepth_deciles"]
+             "dedup_embedding_cosine", "histogram_equidepth_deciles",
+             "dedup_canonical_priority"]
 )
 def test_round10_entries_tolerate_empty_corpus(spark, empty_sf, name):
     """The r10 additions and rewrites must survive a 0-row corpus (the
