@@ -117,6 +117,8 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "decontaminate_semantic",
     "preference_pairs_quality",
     "dedup_canonical_priority",
+    "multimodal_audio_features",
+    "multimodal_audio_resample",
 }
 
 

@@ -878,3 +878,95 @@ def multimodal_image_roundtrip_png(spark: SparkSession, sf_dir: str) -> DataFram
     return _image_roundtrip(
         spark, sf_dir, lambda img: encode_png(img, filter_mode="mixed")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio modality (round 10): REAL RIFF/WAVE PCM codec round-trips
+# ---------------------------------------------------------------------------
+
+# Shared waveform derivation (audio twin of the image quantization CTE):
+# byte b_i of the UTF-8 text head (1-based i), sample
+# s_i = ((b_i*37 + (i-1)*11) % 256 - 128) * 256 — integer, reproducible in
+# any engine, sign-mixing so peak/zero-crossing stats are non-trivial.
+_AUDIO_SAMPLES_SQL = """
+    t AS (SELECT doc_id, substring(text, 1, 64) AS head FROM documents),
+    s AS (
+      SELECT doc_id, CAST(u.i AS INT) AS i,
+             (((ascii(substring(head, CAST(u.i AS INT), 1)) * 37
+                + (CAST(u.i AS INT) - 1) * 11) % 256) - 128) * 256 AS smp
+      FROM t, unnest(range(1, length(head) + 1)) AS u(i)
+    )
+"""
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH {_AUDIO_SAMPLES_SQL},
+    lagged AS (
+      SELECT doc_id, smp,
+             lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM s
+    )
+    SELECT doc_id,
+           16000 AS sample_rate,
+           COUNT(*) AS n_samples,
+           CAST(COUNT(*) * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(MAX(abs(smp)) AS BIGINT) AS peak_abs,
+           CAST(SUM(abs(smp)) AS BIGINT) AS sum_abs,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * smp < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column pipeline with a REAL codec loop: a deterministic int16
+    waveform per document is encoded to a standards-conforming RIFF/WAVE
+    file (``ext.multimodal.encode_wav``, pure struct), then REALLY parsed
+    back (``decode_audio``: chunk walk, fmt /data, little-endian PCM) and
+    reduced to integer waveform features (duration, peak amplitude, total
+    magnitude, zero-crossing count — the classic VAD/energy screen). A
+    hash match proves the full WAV encode→decode loop is the identity on
+    every row — the audio counterpart of the PPM/PNG image round-trips.
+    Entropy-coded audio (MP3/FLAC/OGG) stays the documented seam
+    (``ext/multimodal.py::decode_audio``). Narrow mapInPandas ×2, no
+    shuffle until the driver's canonical sort."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(multimodal.attach_audio(d))
+
+
+@query(
+    "multimodal_audio_resample",
+    oracle=f"""
+    WITH {_AUDIO_SAMPLES_SQL},
+    kept AS (
+      SELECT doc_id, i, smp,
+             lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM s WHERE (i - 1) % 4 = 0
+    )
+    SELECT doc_id,
+           4000 AS sample_rate,
+           COUNT(*) AS n_samples,
+           CAST(COUNT(*) * 1000 // 4000 AS BIGINT) AS duration_ms,
+           CAST(MAX(abs(smp)) AS BIGINT) AS peak_abs,
+           CAST(SUM(abs(smp)) AS BIGINT) AS sum_abs,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * smp < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM kept
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimating resample over the audio column: REAL WAV decode → keep
+    every 4th frame → REAL re-encode at rate/4 → REAL decode again for
+    features. Two full codec loops per row are hash-checked (the oracle
+    recomputes the decimated stream's features from the waveform
+    derivation), so container round-trip AND decimation indexing are both
+    proven exact. The anti-alias filter a production resampler would add
+    before decimation is the documented seam (pure index selection is the
+    deterministic part; the filter kernel is float DSP that belongs to an
+    audio library). Narrow mapInPandas ×3, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    resampled = multimodal.resample_audio(multimodal.attach_audio(d), factor=4)
+    return multimodal.audio_features(resampled)

@@ -1,0 +1,153 @@
+"""Audio modality contracts (round 10): the RIFF/WAVE PCM codec must be
+an exact identity over arbitrary int16 waveforms (rates, channel counts,
+odd-length chunk alignment), the decimation path must equal index
+selection, malformed/entropy-coded payloads must hit the documented
+seam, and the Spark-side plumbing must emit NULL rows (errors-as-data)
+rather than failing tasks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ibc_spark.ext.multimodal import (
+    attach_audio,
+    audio_features,
+    decode_audio,
+    encode_wav,
+    resample_audio,
+)
+
+
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), max_size=256),
+    rate=st.sampled_from([4000, 8000, 16000, 44100]),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_roundtrip_identity_mono(samples, rate):
+    s = np.asarray(samples, dtype=np.int16)
+    got_rate, ch, out = decode_audio(encode_wav(s, sample_rate=rate))
+    assert got_rate == rate and ch == 1
+    assert np.array_equal(out, s)
+
+
+@given(
+    frames=st.lists(
+        st.tuples(
+            st.integers(min_value=-32768, max_value=32767),
+            st.integers(min_value=-32768, max_value=32767),
+        ),
+        max_size=64,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_identity_stereo(frames):
+    s = np.asarray([v for f in frames for v in f], dtype=np.int16)
+    rate, ch, out = decode_audio(encode_wav(s, sample_rate=8000, channels=2))
+    assert rate == 8000 and ch == 2
+    assert np.array_equal(out, s)
+
+
+def test_wav_chunk_walk_skips_unknown_and_word_aligns():
+    """A LIST chunk with an ODD payload length before fmt /data must be
+    skipped via the RIFF word-alignment rule — real WAV files carry
+    metadata chunks the decoder has to walk over."""
+    import struct
+
+    s = np.array([1, -2, 3], dtype=np.int16)
+    wav = bytearray(encode_wav(s, sample_rate=8000))
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded to 4
+    patched = wav[:12] + extra + wav[12:]
+    patched[4:8] = struct.pack("<I", len(patched) - 8)
+    rate, ch, out = decode_audio(bytes(patched))
+    assert rate == 8000 and ch == 1 and np.array_equal(out, s)
+
+
+def test_wav_empty_samples_roundtrip():
+    rate, ch, out = decode_audio(encode_wav(np.array([], dtype=np.int16)))
+    assert rate == 16000 and ch == 1 and len(out) == 0
+
+
+def test_encode_wav_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        encode_wav(np.zeros((2, 2), dtype=np.int16))
+    with pytest.raises(ValueError):
+        encode_wav(np.array([1, 2, 3], dtype=np.int16), channels=2)
+
+
+def test_decode_audio_seams():
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04" + bytes(64))  # MP3: entropy-coded seam
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFF\x00\x00\x00\x00AVI " + bytes(16))  # not WAVE
+    # float PCM (format code 3) → the codec seam, not a parse error
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200
+    ),
+    factor=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=60, deadline=None)
+def test_decimation_equals_index_selection(samples, factor):
+    """encode → decode → [::factor] → encode → decode == samples[::factor]
+    (the property the multimodal_audio_resample oracle hash-checks
+    corpus-wide)."""
+    s = np.asarray(samples, dtype=np.int16)
+    rate, _ch, dec = decode_audio(encode_wav(s, sample_rate=16000))
+    rate2, _ch2, out = decode_audio(
+        encode_wav(dec[::factor], sample_rate=max(rate // factor, 1))
+    )
+    assert rate2 == max(16000 // factor, 1)
+    assert np.array_equal(out, s[::factor])
+
+
+def test_audio_features_null_row_on_undecodable(spark):
+    """A corrupt payload yields a NULL feature row, never a failed task
+    (engine errors-as-data convention)."""
+    df = spark.createDataFrame(
+        [(1, bytes(encode_wav(np.array([100, -100], dtype=np.int16)))), (2, b"JUNK")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in audio_features(df).collect()}
+    assert rows[1].n_samples == 2 and rows[1].zero_crossings == 1
+    assert rows[2].n_samples is None and rows[2].peak_abs is None
+
+
+def test_attach_audio_waveform_derivation(spark):
+    """The synthetic waveform is the documented byte formula — decoded
+    samples of the attached payload match a NumPy recomputation from the
+    text head."""
+    df = spark.createDataFrame([(7, "abcDEF 123!")], "doc_id long, text string")
+    payload = bytes(attach_audio(df).collect()[0].payload)
+    rate, ch, got = decode_audio(payload)
+    b = np.frombuffer(b"abcDEF 123!", dtype=np.uint8).astype(np.int64)
+    idx = np.arange(len(b))
+    want = ((((b * 37 + idx * 11) % 256) - 128) * 256).astype(np.int16)
+    assert rate == 16000 and ch == 1 and np.array_equal(got, want)
+
+
+def test_resample_audio_rejects_bad_factor_and_nulls_stereo(spark):
+    with pytest.raises(ValueError):
+        resample_audio(spark.range(1).select("id"), factor=0)
+    stereo = bytes(encode_wav(np.array([1, 2, 3, 4], dtype=np.int16), channels=2))
+    df = spark.createDataFrame([(1, stereo)], "doc_id long, payload binary")
+    assert resample_audio(df, factor=2).collect()[0].payload is None
+
+
+def test_audio_entries_on_empty_corpus(spark, empty_sf):
+    """Both registry faces are total on an empty documents table."""
+    from ibc_spark.registry import QUERIES
+
+    for name in ("multimodal_audio_features", "multimodal_audio_resample"):
+        assert QUERIES[name](spark, empty_sf).count() == 0
