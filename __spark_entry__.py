@@ -119,6 +119,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "dedup_canonical_priority",
     "multimodal_audio_features",
     "multimodal_audio_resample",
+    "vocab_bpe_train_merges",
 }
 
 

@@ -1009,3 +1009,178 @@ def drift_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB sum the identical IEEE doubles in the identical
     order."""
     return quality_psi_frame(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge training (round 10)
+# ---------------------------------------------------------------------------
+
+_BPE_STEPS = 3
+
+# Symbol-sequence string representation: every symbol wrapped in its own
+# '|' delimiters ('|h||e||l||l||o|'), so applying merge (l, r) is a plain
+# leftmost-non-overlapping replace of '|l||r|' with '|lr|' — occurrences
+# never share characters, which makes engine replace() exactly the BPE
+# greedy left-to-right merge in Spark, DuckDB, and Python alike. '|' is
+# outside the corpus alphabet; the NOT LIKE guard makes collisions
+# impossible on any corpus.
+_BPE_W0 = """
+      SELECT '|' || array_to_string(list_transform(range(1, length(term) + 1),
+                    i -> substr(term, CAST(i AS INT), 1)), '||') || '|' AS rep,
+             n
+      FROM (SELECT term, COUNT(*) AS n
+            FROM (SELECT unnest({toks}) AS term FROM documents)
+            WHERE term NOT LIKE '%|%' GROUP BY term)
+"""
+
+
+def _bpe_iter_sql(k: int) -> str:
+    """One DuckDB BPE iteration: re-segment w{k-1}, count adjacent symbol
+    pairs with word multiplicity, pick the argmax merge (count DESC, then
+    lexicographic — deterministic), apply it via the delimiter replace."""
+    return f"""
+    p{k} AS (
+      SELECT u.pr.l AS l, u.pr.r AS r, SUM(n) AS pair_n
+      FROM (SELECT string_split(substring(rep, 2, length(rep) - 2), '||') AS syms, n
+            FROM w{k - 1}) t,
+           unnest(list_transform(range(1, len(syms)),
+                  i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS u(pr)
+      GROUP BY 1, 2
+    ),
+    b{k} AS (SELECT l, r, pair_n FROM p{k} ORDER BY pair_n DESC, l, r LIMIT 1),
+    w{k} AS (
+      SELECT replace(rep, '|' || l || '||' || r || '|', '|' || l || r || '|') AS rep, n
+      FROM w{k - 1} CROSS JOIN b{k}
+    )"""
+
+
+_BPE_ORACLE = (
+    "WITH w0 AS ({w0}),".format(w0=_BPE_W0.format(toks=_TOKS))
+    + ",".join(_bpe_iter_sql(k) for k in range(1, _BPE_STEPS + 1))
+    + f""",
+    merges AS (
+      {" UNION ALL ".join(
+          f"SELECT 'merge' AS kind, {k} AS step, l AS sym_a, r AS sym_b, "
+          f"CAST(pair_n AS BIGINT) AS n FROM b{k}"
+          for k in range(1, _BPE_STEPS + 1)
+      )}
+    ),
+    final_syms AS (
+      SELECT 'symbol' AS kind, {_BPE_STEPS} AS step,
+             u.sym AS sym_a, '' AS sym_b, CAST(SUM(n) AS BIGINT) AS n
+      FROM (SELECT string_split(substring(rep, 2, length(rep) - 2), '||') AS syms, n
+            FROM w{_BPE_STEPS}) t,
+           unnest(syms) AS u(sym)
+      GROUP BY 3
+      ORDER BY n DESC, sym_a LIMIT 5
+    )
+    SELECT * FROM merges UNION ALL SELECT * FROM final_syms
+    """
+)
+
+
+@query("vocab_bpe_train_merges", oracle=_BPE_ORACLE)
+def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE tokenizer training (Sennrich et al. 2016) — the
+    convergent loop ``vocab_bpe_pair_counts`` takes one step of: 3 rounds
+    of (count adjacent symbol pairs with word multiplicity → merge the
+    argmax pair → re-segment), then the top-5 resulting symbols. Emits
+    the learned merge table plus final-vocabulary attestation rows.
+
+    Spark-first shape, exactly how corpus-scale BPE trainers distribute:
+    ONE corpus-wide shuffle builds the word histogram; every iteration
+    then runs on the VOCABULARY (|V| ≪ corpus) — pair explode is a
+    narrow map over distinct words, the pair histogram is the only
+    shuffled state (O(|symbol pairs|)), and the selected merge is a
+    1-row broadcast folded back via a delimiter-exact ``replace`` (each
+    symbol carries its own '|' wrappers, so leftmost-non-overlapping
+    replace IS the greedy BPE merge — no Python in the loop, whole-stage
+    codegen end to end). Argmax tie-break (count DESC, pair ASC) makes
+    the training trajectory deterministic across engines."""
+    d = read_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(text.tokens("text")).alias("term"))
+        .where(~F.col("term").contains("|"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = words.select(
+        F.concat(
+            F.lit("|"),
+            F.array_join(
+                F.expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"),
+                "||",
+            ),
+            F.lit("|"),
+        ).alias("rep"),
+        "n",
+    )
+    merge_frames = []
+    for step in range(1, _BPE_STEPS + 1):
+        syms = F.split(F.expr("substring(rep, 2, length(rep) - 2)"), r"\|\|")
+        pairs = (
+            w.withColumn("syms", syms)
+            .select(
+                F.explode(
+                    # sequence() is descending for (0, -1) — single-symbol
+                    # words need the explicit empty branch
+                    F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN"
+                        " transform(sequence(0, size(syms) - 2),"
+                        "           i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+                        " ELSE cast(array() AS array<struct<l: string, r: string>>) END"
+                    )
+                ).alias("pr"),
+                "n",
+            )
+            .select("pr.l", "pr.r", "n")
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("n").alias("pair_n"))
+            .orderBy(F.col("pair_n").desc(), "l", "r")
+            .limit(1)
+        )
+        merge_frames.append(
+            best.select(
+                F.lit("merge").alias("kind"),
+                F.lit(step).alias("step"),
+                F.col("l").alias("sym_a"),
+                F.col("r").alias("sym_b"),
+                F.col("pair_n").cast("long").alias("n"),
+            )
+        )
+        w = (
+            w.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("rep"),
+                    F.concat(F.lit("|"), "l", F.lit("||"), "r", F.lit("|")),
+                    F.concat(F.lit("|"), "l", F.col("r"), F.lit("|")),
+                ).alias("rep"),
+                "n",
+            )
+        )
+    final_syms = (
+        w.select(
+            F.explode(F.split(F.expr("substring(rep, 2, length(rep) - 2)"), r"\|\|")).alias(
+                "sym_a"
+            ),
+            "n",
+        )
+        .groupBy("sym_a")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "sym_a")
+        .limit(5)
+        .select(
+            F.lit("symbol").alias("kind"),
+            F.lit(_BPE_STEPS).alias("step"),
+            "sym_a",
+            F.lit("").alias("sym_b"),
+            "n",
+        )
+    )
+    out = merge_frames[0]
+    for fr in merge_frames[1:]:
+        out = out.unionAll(fr)
+    return out.unionAll(final_syms)

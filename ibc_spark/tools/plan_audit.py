@@ -83,6 +83,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "sketch_theta_setops": "attestation surface: 1-row estimate x 1-row exact-union x 1-row exact-intersection crossJoins for the setop rows",
     "eval_dedup_metrics": "eval surface: 1-row sample-doc-count x 1-row metrics aggregate crossJoin",
     "mix_dedup_aware_weights": "inherits the overlap matrix's bounded source-pair join + a 1-row weight-total broadcast",
+    "vocab_bpe_train_merges": "one 1-row selected-merge broadcast per BPE iteration (3 total), folded into the vocabulary-sized word histogram",
 }
 
 # Row-at-a-time Python allowlist: the engine-wide rule is Arrow-batched or
