@@ -554,12 +554,14 @@ def attach_audio(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", sample_rate: int = 16000
 ) -> DataFrame:
     """Attach a REAL WAV payload per row: a deterministic synthetic int16
-    waveform derived from the UTF-8 bytes of the text head
-    (``s_i = ((b_i*37 + i*11) % 256 - 128) * 256``, i 0-based), encoded
-    through :func:`encode_wav`. Every engine can reproduce the waveform
-    from the text, so downstream REAL decodes are hash-checkable. Runs as
-    an Arrow-batched ``mapInPandas`` (payload synthesis is per-byte work,
-    same slot a binary-file scan occupies at 100 TB)."""
+    waveform derived from the CODEPOINTS of the text head
+    (``s_i = ((cp_i*37 + i*11) % 256 - 128) * 256``, i 0-based — codepoints,
+    not UTF-8 bytes, so SQL ``ascii(substring(head, i, 1))`` reproduces it
+    on any Unicode text), encoded through :func:`encode_wav`. Every engine
+    can reproduce the waveform from the text, so downstream REAL decodes
+    are hash-checkable. Runs as an Arrow-batched ``mapInPandas`` (payload
+    synthesis is per-char work, same slot a binary-file scan occupies at
+    100 TB)."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -585,7 +587,7 @@ def attach_audio(
         for pdf in batches:
             payloads = []
             for head in pdf["head"]:
-                b = np.frombuffer((head or "").encode("utf-8"), dtype=np.uint8).astype(np.int64)
+                b = np.array([ord(c) for c in (head or "")], dtype=np.int64)
                 idx = np.arange(len(b), dtype=np.int64)
                 samples = (((b * 37 + idx * 11) % 256) - 128) * 256
                 payloads.append(encode_wav(samples.astype(np.int16), sample_rate=sample_rate))
@@ -620,8 +622,11 @@ def audio_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
     """REAL decode pipeline over the audio binary column: parse each WAV
     with :func:`decode_audio` and emit integer waveform features
     (duration, peak amplitude, total magnitude, zero-crossing count — the
-    classic VAD/energy screen). Arrow-batched ``mapInPandas``, narrow map,
-    no shuffle; undecodable payloads yield a NULL row (errors-as-data)."""
+    classic VAD/energy screen). Channel-aware: ``n_samples``/``duration_ms``
+    count FRAMES (not interleaved samples) and zero-crossings are counted
+    per channel after de-interleaving, never across L/R boundaries.
+    Arrow-batched ``mapInPandas``, narrow map, no shuffle; undecodable
+    payloads yield a NULL row (errors-as-data)."""
 
     def _feat(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np
@@ -632,17 +637,17 @@ def audio_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 try:
-                    rate, _ch, s = decode_audio(bytes(payload))
-                    s64 = s.astype(np.int64)
-                    absd = np.abs(s64)
-                    zc = int(np.count_nonzero(s64[1:] * s64[:-1] < 0)) if len(s64) > 1 else 0
+                    rate, ch, s = decode_audio(bytes(payload))
+                    planes = s.astype(np.int64).reshape(-1, ch)  # (frames, ch)
+                    absd = np.abs(planes)
+                    zc = int(np.count_nonzero(planes[1:] * planes[:-1] < 0))
                     out.append(
                         (
                             doc_id,
                             rate,
-                            len(s64),
-                            len(s64) * 1000 // rate,
-                            int(absd.max()) if len(s64) else 0,
+                            planes.shape[0],
+                            planes.shape[0] * 1000 // rate,
+                            int(absd.max()) if planes.size else 0,
                             int(absd.sum()),
                             zc,
                         )

@@ -885,9 +885,10 @@ def multimodal_image_roundtrip_png(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 # Shared waveform derivation (audio twin of the image quantization CTE):
-# byte b_i of the UTF-8 text head (1-based i), sample
-# s_i = ((b_i*37 + (i-1)*11) % 256 - 128) * 256 — integer, reproducible in
-# any engine, sign-mixing so peak/zero-crossing stats are non-trivial.
+# codepoint cp_i of the text head (1-based i), sample
+# s_i = ((cp_i*37 + (i-1)*11) % 256 - 128) * 256 — integer, reproducible in
+# any engine (codepoints, not UTF-8 bytes — matches attach_audio on any
+# Unicode text), sign-mixing so peak/zero-crossing stats are non-trivial.
 _AUDIO_SAMPLES_SQL = """
     t AS (SELECT doc_id, substring(text, 1, 64) AS head FROM documents),
     s AS (
@@ -907,17 +908,28 @@ _AUDIO_SAMPLES_SQL = """
       SELECT doc_id, smp,
              lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
       FROM s
+    ),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_samples,
+             CAST(COUNT(*) * 1000 // 16000 AS BIGINT) AS duration_ms,
+             CAST(MAX(abs(smp)) AS BIGINT) AS peak_abs,
+             CAST(SUM(abs(smp)) AS BIGINT) AS sum_abs,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * smp < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM lagged
+      GROUP BY doc_id
     )
-    SELECT doc_id,
+    -- LEFT JOIN from documents: an empty/NULL text head still produces a
+    -- row (the Spark arm encodes an empty waveform and reports zeros)
+    SELECT d.doc_id,
            16000 AS sample_rate,
-           COUNT(*) AS n_samples,
-           CAST(COUNT(*) * 1000 // 16000 AS BIGINT) AS duration_ms,
-           CAST(MAX(abs(smp)) AS BIGINT) AS peak_abs,
-           CAST(SUM(abs(smp)) AS BIGINT) AS sum_abs,
-           CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * smp < 0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-    FROM lagged
-    GROUP BY doc_id
+           COALESCE(a.n_samples, 0) AS n_samples,
+           COALESCE(a.duration_ms, 0) AS duration_ms,
+           COALESCE(a.peak_abs, 0) AS peak_abs,
+           COALESCE(a.sum_abs, 0) AS sum_abs,
+           COALESCE(a.zero_crossings, 0) AS zero_crossings
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,17 +956,26 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, i, smp,
              lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
       FROM s WHERE (i - 1) % 4 = 0
+    ),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_samples,
+             CAST(COUNT(*) * 1000 // 4000 AS BIGINT) AS duration_ms,
+             CAST(MAX(abs(smp)) AS BIGINT) AS peak_abs,
+             CAST(SUM(abs(smp)) AS BIGINT) AS sum_abs,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * smp < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM kept
+      GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT d.doc_id,
            4000 AS sample_rate,
-           COUNT(*) AS n_samples,
-           CAST(COUNT(*) * 1000 // 4000 AS BIGINT) AS duration_ms,
-           CAST(MAX(abs(smp)) AS BIGINT) AS peak_abs,
-           CAST(SUM(abs(smp)) AS BIGINT) AS sum_abs,
-           CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * smp < 0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-    FROM kept
-    GROUP BY doc_id
+           COALESCE(a.n_samples, 0) AS n_samples,
+           COALESCE(a.duration_ms, 0) AS duration_ms,
+           COALESCE(a.peak_abs, 0) AS peak_abs,
+           COALESCE(a.sum_abs, 0) AS sum_abs,
+           COALESCE(a.zero_crossings, 0) AS zero_crossings
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
 def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1049,8 +1049,13 @@ def _bpe_iter_sql(k: int) -> str:
     ),
     b{k} AS (SELECT l, r, pair_n FROM p{k} ORDER BY pair_n DESC, l, r LIMIT 1),
     w{k} AS (
-      SELECT replace(rep, '|' || l || '||' || r || '|', '|' || l || r || '|') AS rep, n
-      FROM w{k - 1} CROSS JOIN b{k}
+      -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus exhausts its
+      -- pairs before step {k}, b{k} is EMPTY and a cross join would wipe
+      -- the histogram (and with it the final-vocabulary rows)
+      SELECT CASE WHEN l IS NULL THEN rep
+                  ELSE replace(rep, '|' || l || '||' || r || '|', '|' || l || r || '|')
+             END AS rep, n
+      FROM w{k - 1} LEFT JOIN b{k} ON TRUE
     )"""
 
 
@@ -1150,16 +1155,21 @@ def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("pair_n").cast("long").alias("n"),
             )
         )
-        w = (
-            w.crossJoin(F.broadcast(best))
-            .select(
+        # left join on TRUE, not crossJoin: an empty best (pairs exhausted
+        # before the last step) must leave the histogram intact, not wipe it
+        w = w.join(F.broadcast(best), F.lit(True), "left").select(
+            F.when(
+                F.col("l").isNull(), F.col("rep")
+            )
+            .otherwise(
                 F.replace(
                     F.col("rep"),
                     F.concat(F.lit("|"), "l", F.lit("||"), "r", F.lit("|")),
                     F.concat(F.lit("|"), "l", F.col("r"), F.lit("|")),
-                ).alias("rep"),
-                "n",
+                )
             )
+            .alias("rep"),
+            "n",
         )
     final_syms = (
         w.select(

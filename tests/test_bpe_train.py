@@ -100,3 +100,40 @@ def test_bpe_entry_on_empty_corpus(spark, empty_sf):
     from ibc_spark.registry import QUERIES
 
     assert QUERIES["vocab_bpe_train_merges"](spark, empty_sf).count() == 0
+
+
+def test_pair_exhaustion_keeps_histogram_and_vocab(spark, duck):
+    """Review fix: when the corpus exhausts its pairs before the last
+    step, the missing argmax must leave the word histogram intact (LEFT
+    JOIN, not CROSS JOIN) — merges stop early but the final-vocabulary
+    rows survive, in BOTH arms."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from ibc_spark.registry import ORACLES, QUERIES
+    from tests.parity import assert_parity
+
+    tmp = tempfile.mkdtemp(prefix="ibc_bpe_exhaust_")
+    spark.createDataFrame(
+        [(1, "ab ab ab", "en", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+    rows = QUERIES["vocab_bpe_train_merges"](spark, tmp).collect()
+    merges = [r for r in rows if r.kind == "merge"]
+    symbols = [r for r in rows if r.kind == "symbol"]
+    assert [(m.sym_a, m.sym_b, m.n) for m in merges] == [("a", "b", 3)]
+    assert [(s.sym_a, s.n) for s in symbols] == [("ab", 3)]
+
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    assert_parity(
+        "vocab_bpe_train_merges",
+        QUERIES["vocab_bpe_train_merges"](spark, tmp),
+        con,
+        ORACLES["vocab_bpe_train_merges"],
+    )

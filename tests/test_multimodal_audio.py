@@ -151,3 +151,51 @@ def test_audio_entries_on_empty_corpus(spark, empty_sf):
 
     for name in ("multimodal_audio_features", "multimodal_audio_resample"):
         assert QUERIES[name](spark, empty_sf).count() == 0
+
+
+def test_audio_features_channel_aware_stereo(spark):
+    """Review fix: duration/n_samples count FRAMES and zero-crossings are
+    per-channel — a stereo file must not double its duration or count
+    sign flips across L/R boundaries."""
+    import numpy as np
+
+    from ibc_spark.ext.multimodal import encode_wav
+
+    # 4 frames stereo at 8000 Hz: L = [+1,-1,+1,-1] (3 crossings),
+    # R = [+5,+5,+5,+5] (0 crossings); interleaved L/R alternation would
+    # wrongly count 7 cross-channel flips.
+    inter = np.array([1, 5, -1, 5, 1, 5, -1, 5], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_wav(inter, sample_rate=8000, channels=2)))],
+        "doc_id long, payload binary",
+    )
+    r = audio_features(df).collect()[0]
+    assert r.n_samples == 4  # frames, not interleaved samples
+    assert r.duration_ms == 4 * 1000 // 8000
+    assert r.zero_crossings == 3
+    assert r.peak_abs == 5 and r.sum_abs == 4 + 20
+
+
+def test_audio_entries_adversarial_corpus_parity(spark, duck):
+    """Review fixes pinned corpus-wide: empty text yields the all-zero row
+    in BOTH arms (LEFT JOIN oracle), and non-ASCII text agrees because the
+    waveform derives from CODEPOINTS, not UTF-8 bytes."""
+    import os
+    import tempfile
+
+    from ibc_spark.registry import ORACLES, QUERIES
+    from tests.parity import assert_parity
+
+    tmp = tempfile.mkdtemp(prefix="ibc_audio_adv_")
+    rows = [(1, "", "en", "s", 0), (2, "héllo wörld é", "fr", "s", 13), (3, "a", "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    for name in ("multimodal_audio_features", "multimodal_audio_resample"):
+        assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
