@@ -1025,7 +1025,8 @@ _BPE_STEPS = 3
 # outside the corpus alphabet; the NOT LIKE guard makes collisions
 # impossible on any corpus.
 _BPE_W0 = """
-      SELECT '|' || array_to_string(list_transform(range(1, length(term) + 1),
+      SELECT term,
+             '|' || array_to_string(list_transform(range(1, length(term) + 1),
                     i -> substr(term, CAST(i AS INT), 1)), '||') || '|' AS rep,
              n
       FROM (SELECT term, COUNT(*) AS n
@@ -1052,16 +1053,23 @@ def _bpe_iter_sql(k: int) -> str:
       -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus exhausts its
       -- pairs before step {k}, b{k} is EMPTY and a cross join would wipe
       -- the histogram (and with it the final-vocabulary rows)
-      SELECT CASE WHEN l IS NULL THEN rep
+      SELECT term,
+             CASE WHEN l IS NULL THEN rep
                   ELSE replace(rep, '|' || l || '||' || r || '|', '|' || l || r || '|')
              END AS rep, n
       FROM w{k - 1} LEFT JOIN b{k} ON TRUE
     )"""
 
 
+# Shared chained-CTE prefix: w0 (char-segmented word histogram, term kept
+# for the apply face) through w{steps} + the per-step argmax b{k}.
+_BPE_TRAIN_CTES = "WITH w0 AS ({w0}),".format(
+    w0=_BPE_W0.format(toks=_TOKS)
+) + ",".join(_bpe_iter_sql(k) for k in range(1, _BPE_STEPS + 1))
+
+
 _BPE_ORACLE = (
-    "WITH w0 AS ({w0}),".format(w0=_BPE_W0.format(toks=_TOKS))
-    + ",".join(_bpe_iter_sql(k) for k in range(1, _BPE_STEPS + 1))
+    _BPE_TRAIN_CTES
     + f""",
     merges AS (
       {" UNION ALL ".join(
@@ -1084,24 +1092,11 @@ _BPE_ORACLE = (
 )
 
 
-@query("vocab_bpe_train_merges", oracle=_BPE_ORACLE)
-def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ITERATIVE BPE tokenizer training (Sennrich et al. 2016) — the
-    convergent loop ``vocab_bpe_pair_counts`` takes one step of: 3 rounds
-    of (count adjacent symbol pairs with word multiplicity → merge the
-    argmax pair → re-segment), then the top-5 resulting symbols. Emits
-    the learned merge table plus final-vocabulary attestation rows.
-
-    Spark-first shape, exactly how corpus-scale BPE trainers distribute:
-    ONE corpus-wide shuffle builds the word histogram; every iteration
-    then runs on the VOCABULARY (|V| ≪ corpus) — pair explode is a
-    narrow map over distinct words, the pair histogram is the only
-    shuffled state (O(|symbol pairs|)), and the selected merge is a
-    1-row broadcast folded back via a delimiter-exact ``replace`` (each
-    symbol carries its own '|' wrappers, so leftmost-non-overlapping
-    replace IS the greedy BPE merge — no Python in the loop, whole-stage
-    codegen end to end). Argmax tie-break (count DESC, pair ASC) makes
-    the training trajectory deterministic across engines."""
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop: returns ``(w, merge_frames)`` where ``w``
+    is the word histogram after ``_BPE_STEPS`` merges — columns
+    ``(term, rep, n)``, ``rep`` the '|'-delimited symbol segmentation —
+    and ``merge_frames`` the per-step 1-row argmax frames."""
     d = read_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(text.tokens("text")).alias("term"))
@@ -1110,6 +1105,7 @@ def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w = words.select(
+        "term",
         F.concat(
             F.lit("|"),
             F.array_join(
@@ -1158,6 +1154,7 @@ def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # left join on TRUE, not crossJoin: an empty best (pairs exhausted
         # before the last step) must leave the histogram intact, not wipe it
         w = w.join(F.broadcast(best), F.lit(True), "left").select(
+            "term",
             F.when(
                 F.col("l").isNull(), F.col("rep")
             )
@@ -1171,6 +1168,28 @@ def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rep"),
             "n",
         )
+    return w, merge_frames
+
+
+@query("vocab_bpe_train_merges", oracle=_BPE_ORACLE)
+def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE tokenizer training (Sennrich et al. 2016) — the
+    convergent loop ``vocab_bpe_pair_counts`` takes one step of: 3 rounds
+    of (count adjacent symbol pairs with word multiplicity → merge the
+    argmax pair → re-segment), then the top-5 resulting symbols. Emits
+    the learned merge table plus final-vocabulary attestation rows.
+
+    Spark-first shape, exactly how corpus-scale BPE trainers distribute:
+    ONE corpus-wide shuffle builds the word histogram; every iteration
+    then runs on the VOCABULARY (|V| ≪ corpus) — pair explode is a
+    narrow map over distinct words, the pair histogram is the only
+    shuffled state (O(|symbol pairs|)), and the selected merge is a
+    1-row broadcast folded back via a delimiter-exact ``replace`` (each
+    symbol carries its own '|' wrappers, so leftmost-non-overlapping
+    replace IS the greedy BPE merge — no Python in the loop, whole-stage
+    codegen end to end). Argmax tie-break (count DESC, pair ASC) makes
+    the training trajectory deterministic across engines."""
+    w, merge_frames = _bpe_train(spark, sf_dir)
     final_syms = (
         w.select(
             F.explode(F.split(F.expr("substring(rep, 2, length(rep) - 2)"), r"\|\|")).alias(
@@ -1194,3 +1213,61 @@ def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in merge_frames[1:]:
         out = out.unionAll(fr)
     return out.unionAll(final_syms)
+
+
+_BPE_APPLY_ORACLE = (
+    _BPE_TRAIN_CTES
+    + f""",
+    seg AS (
+      SELECT term,
+             len(string_split(substring(rep, 2, length(rep) - 2), '||')) AS n_syms
+      FROM w{_BPE_STEPS}
+    ),
+    tok AS (SELECT source, unnest({_TOKS}) AS term FROM documents)
+    SELECT source,
+           COUNT(*) AS n_words,
+           CAST(SUM(length(t.term)) AS BIGINT) AS n_chars,
+           CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(length(t.term)) AS DOUBLE) / SUM(n_syms), 6)
+             AS chars_per_token
+    FROM tok t JOIN seg USING (term)
+    GROUP BY source
+    """
+)
+
+
+@query("vocab_bpe_apply_compression", oracle=_BPE_APPLY_ORACLE)
+def vocab_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the tokenizer loop: segment the whole corpus with
+    the merges learned by ``vocab_bpe_train_merges`` and report per-source
+    token-compression stats (words, chars, post-BPE tokens,
+    chars-per-token — the fertility metric tokenizer evaluations quote).
+
+    Scale shape: training runs on the vocabulary (see ``_bpe_train``);
+    application is ONE equi-join of the exploded corpus against the
+    |V|-sized segmentation table — at 100 TB the segmentation side is
+    broadcast (it is the trained tokenizer, megabytes), so tokenization
+    is a map-side join followed by one partial-agg shuffle on source,
+    exactly how a distributed tokenize-and-count job is laid out."""
+    w, _ = _bpe_train(spark, sf_dir)
+    seg = w.select(
+        "term",
+        F.size(F.split(F.expr("substring(rep, 2, length(rep) - 2)"), r"\|\|")).alias(
+            "n_syms"
+        ),
+    )
+    tok = read_table(spark, sf_dir, "documents").select(
+        "source", F.explode(text.tokens("text")).alias("term")
+    )
+    return (
+        tok.join(seg, "term")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("term")).cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.length("term")).cast("double") / F.sum("n_syms"), 6
+            ).alias("chars_per_token"),
+        )
+    )

@@ -84,6 +84,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "eval_dedup_metrics": "eval surface: 1-row sample-doc-count x 1-row metrics aggregate crossJoin",
     "mix_dedup_aware_weights": "inherits the overlap matrix's bounded source-pair join + a 1-row weight-total broadcast",
     "vocab_bpe_train_merges": "one 1-row selected-merge broadcast per BPE iteration (3 total), folded into the vocabulary-sized word histogram",
+    "vocab_bpe_apply_compression": "inherits the training loop's per-iteration 1-row merge broadcasts (vocab_bpe_train_merges, standalone-allowlisted); the corpus-side apply join is hash equi on term",
 }
 
 # Row-at-a-time Python allowlist: the engine-wide rule is Arrow-batched or

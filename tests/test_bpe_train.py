@@ -137,3 +137,44 @@ def test_pair_exhaustion_keeps_histogram_and_vocab(spark, duck):
         con,
         ORACLES["vocab_bpe_train_merges"],
     )
+
+
+def test_apply_compression_matches_reference(spark):
+    """The apply face must equal the reference trainer's segmentation
+    summed over the corpus with word multiplicity."""
+    import os
+    import tempfile
+
+    from ibc_spark.registry import QUERIES
+
+    corpus = [("sa", "aba ab abab"), ("sb", "ab aba"), ("sb", "abab abab b")]
+    words: dict[str, int] = {}
+    for _, line in corpus:
+        for w in line.split():
+            words[w] = words.get(w, 0) + 1
+    _, segs = _reference_trainer(words, 3)
+
+    want: dict[str, tuple[int, int, int]] = {}
+    for src, line in corpus:
+        nw, nc, nt = want.get(src, (0, 0, 0))
+        for w in line.split():
+            nw, nc, nt = nw + 1, nc + len(w), nt + len(segs[w])
+        want[src] = (nw, nc, nt)
+
+    tmp = tempfile.mkdtemp(prefix="ibc_bpe_apply_")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(corpus)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+    rows = QUERIES["vocab_bpe_apply_compression"](spark, tmp).collect()
+    got = {r.source: (r.n_words, r.n_chars, r.n_bpe_tokens) for r in rows}
+    assert got == want
+    for r in rows:
+        assert abs(r.chars_per_token - r.n_chars / r.n_bpe_tokens) < 1e-6
+
+
+def test_apply_compression_on_empty_corpus(spark, empty_sf):
+    from ibc_spark.registry import QUERIES
+
+    assert QUERIES["vocab_bpe_apply_compression"](spark, empty_sf).count() == 0
