@@ -1092,11 +1092,18 @@ _BPE_ORACLE = (
 )
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str):
+def _bpe_train(spark: SparkSession, sf_dir: str, *, persist_histogram: bool = False):
     """Shared BPE training loop: returns ``(w, merge_frames)`` where ``w``
     is the word histogram after ``_BPE_STEPS`` merges — columns
     ``(term, rep, n)``, ``rep`` the '|'-delimited symbol segmentation —
-    and ``merge_frames`` the per-step 1-row argmax frames."""
+    and ``merge_frames`` the per-step 1-row argmax frames.
+
+    ``persist_histogram`` caches the initial vocabulary-sized histogram
+    (persistreg-tracked). A/B at sf3: the APPLY face halves (18.1 → 9.6 s
+    — its segmentation join re-derives the histogram once per iteration
+    subtree), but the train-only face REGRESSES (4.4 → 7.1 s: its argmax
+    subtrees already share the histogram exchange via ReusedExchange, so
+    the cache only adds a vocabulary-wide serialization) — hence opt-in."""
     d = read_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(text.tokens("text")).alias("term"))
@@ -1116,6 +1123,10 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         ).alias("rep"),
         "n",
     )
+    if persist_histogram:
+        from ibc_spark.ext.persistreg import persist_tracked
+
+        w = persist_tracked(w)
     merge_frames = []
     for step in range(1, _BPE_STEPS + 1):
         syms = F.split(F.expr("substring(rep, 2, length(rep) - 2)"), r"\|\|")
@@ -1249,7 +1260,7 @@ def vocab_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (it is the trained tokenizer, megabytes), so tokenization
     is a map-side join followed by one partial-agg shuffle on source,
     exactly how a distributed tokenize-and-count job is laid out."""
-    w, _ = _bpe_train(spark, sf_dir)
+    w, _ = _bpe_train(spark, sf_dir, persist_histogram=True)
     seg = w.select(
         "term",
         F.size(F.split(F.expr("substring(rep, 2, length(rep) - 2)"), r"\|\|")).alias(
