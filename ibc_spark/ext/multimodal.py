@@ -692,3 +692,59 @@ def resample_audio(df: DataFrame, *, factor: int, payload_col: str = "payload") 
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return df.mapInPandas(_res, schema)
+
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("seg_idx", T.IntegerType()),
+        T.StructField("start_frame", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("seg_peak", T.LongType()),
+    ]
+)
+
+
+def vad_segments(
+    df: DataFrame, *, threshold: int = 8192, payload_col: str = "payload"
+) -> DataFrame:
+    """Energy-based voice-activity segmentation (mono path): REAL WAV
+    decode → maximal runs of ``|sample| >= threshold`` → one row per
+    voiced segment (start frame, length, peak) — a 1:N ``mapInPandas``
+    fan-out, the exact shape a production VAD emits. Pure index
+    arithmetic on the decoded PCM (the spectral/model-based VAD a speech
+    stack adds is the documented seam); segment boundaries are therefore
+    deterministic and oracle-checkable against the relational
+    gaps-and-islands spelling. Undecodable/multichannel payloads emit no
+    segments (errors-as-data: silence, not task failure)."""
+
+    def _segs(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        cols = [f.name for f in VAD_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    _rate, ch, s = decode_audio(bytes(payload))
+                    if ch != 1:
+                        continue
+                    active = np.abs(s.astype(np.int64)) >= threshold
+                except Exception:
+                    continue
+                if not active.any():
+                    continue
+                # run boundaries: starts where active rises, ends where it falls
+                edges = np.flatnonzero(np.diff(active.astype(np.int8)))
+                starts = np.concatenate([[0], edges + 1])[
+                    np.concatenate([[active[0]], active[edges + 1]])
+                ]
+                ends_all = np.concatenate([edges + 1, [len(active)]])
+                ends = ends_all[np.searchsorted(ends_all, starts, side="right")]
+                s64 = np.abs(s.astype(np.int64))
+                for idx, (a, b) in enumerate(zip(starts, ends)):
+                    out.append((doc_id, idx, int(a), int(b - a), int(s64[a:b].max())))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(_segs, VAD_SCHEMA)

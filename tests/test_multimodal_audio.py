@@ -199,3 +199,43 @@ def test_audio_entries_adversarial_corpus_parity(spark, duck):
     )
     for name in ("multimodal_audio_features", "multimodal_audio_resample"):
         assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
+
+
+def test_vad_segments_kernel_matches_reference(spark):
+    """The vectorized run detection must equal a reference per-sample
+    loop on a crafted waveform with edge-touching runs."""
+    import numpy as np
+
+    from ibc_spark.ext.multimodal import encode_wav, vad_segments
+
+    # active at both edges, singleton runs, long middle run
+    s = np.array(
+        [20000, -1, 9000, 9000, -9000, 5, 0, -30000, 100, 8192], dtype=np.int16
+    )
+    df = spark.createDataFrame(
+        [(1, bytes(encode_wav(s)))], "doc_id long, payload binary"
+    )
+    got = sorted(
+        (r.seg_idx, r.start_frame, r.n_frames, r.seg_peak)
+        for r in vad_segments(df).collect()
+    )
+    assert got == [(0, 0, 1, 20000), (1, 2, 3, 9000), (2, 7, 1, 30000), (3, 9, 1, 8192)]
+
+
+def test_vad_segments_silence_and_stereo_emit_nothing(spark):
+    import numpy as np
+
+    from ibc_spark.ext.multimodal import encode_wav, vad_segments
+
+    silent = bytes(encode_wav(np.array([1, -2, 3], dtype=np.int16)))
+    stereo = bytes(encode_wav(np.array([30000, 30000], dtype=np.int16), channels=2))
+    df = spark.createDataFrame(
+        [(1, silent), (2, stereo), (3, b"JUNK")], "doc_id long, payload binary"
+    )
+    assert vad_segments(df).count() == 0
+
+
+def test_vad_entry_on_empty_corpus(spark, empty_sf):
+    from ibc_spark.registry import QUERIES
+
+    assert QUERIES["multimodal_audio_vad_segments"](spark, empty_sf).count() == 0
