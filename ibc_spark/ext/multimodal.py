@@ -517,6 +517,11 @@ def _decode_wav(payload: bytes):
     while pos + 8 <= len(payload):
         ctype = payload[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + ln > len(payload):
+            # a declared chunk extending past the payload end is a
+            # truncated file — error out rather than silently decoding
+            # a prefix as if it were the whole waveform (review, r10)
+            raise ValueError("truncated WAVE chunk")
         chunk = payload[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if ctype == b"fmt ":
@@ -638,6 +643,11 @@ def audio_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 try:
                     rate, ch, s = decode_audio(bytes(payload))
+                    if rate > 0x7FFFFFFF:
+                        # the fmt field is uint32 but the feature column is
+                        # int32 — route the overflow to the NULL row instead
+                        # of failing the whole Arrow batch (review, r10)
+                        raise ValueError("sample_rate exceeds int32")
                     planes = s.astype(np.int64).reshape(-1, ch)  # (frames, ch)
                     absd = np.abs(planes)
                     zc = int(np.count_nonzero(planes[1:] * planes[:-1] < 0))
@@ -730,7 +740,8 @@ def vad_segments(
                     _rate, ch, s = decode_audio(bytes(payload))
                     if ch != 1:
                         continue
-                    active = np.abs(s.astype(np.int64)) >= threshold
+                    s64 = np.abs(s.astype(np.int64))
+                    active = s64 >= threshold
                 except Exception:
                     continue
                 if not active.any():
@@ -742,7 +753,6 @@ def vad_segments(
                 ]
                 ends_all = np.concatenate([edges + 1, [len(active)]])
                 ends = ends_all[np.searchsorted(ends_all, starts, side="right")]
-                s64 = np.abs(s.astype(np.int64))
                 for idx, (a, b) in enumerate(zip(starts, ends)):
                     out.append((doc_id, idx, int(a), int(b - a), int(s64[a:b].max())))
             yield pd.DataFrame(out, columns=cols)

@@ -1238,10 +1238,13 @@ _BPE_APPLY_ORACLE = (
     SELECT source,
            COUNT(*) AS n_words,
            CAST(SUM(length(t.term)) AS BIGINT) AS n_chars,
-           CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
-           round(CAST(SUM(length(t.term)) AS DOUBLE) / SUM(n_syms), 6)
-             AS chars_per_token
-    FROM tok t JOIN seg USING (term)
+           -- LEFT JOIN + char fallback: tokens the histogram excluded
+           -- (delimiter collisions) count at character granularity — the
+           -- BPE OOV convention — instead of vanishing from the stats
+           CAST(SUM(coalesce(n_syms, length(t.term))) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(length(t.term)) AS DOUBLE)
+                 / SUM(coalesce(n_syms, length(t.term))), 6) AS chars_per_token
+    FROM tok t LEFT JOIN seg USING (term)
     GROUP BY source
     """
 )
@@ -1270,15 +1273,19 @@ def vocab_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = read_table(spark, sf_dir, "documents").select(
         "source", F.explode(text.tokens("text")).alias("term")
     )
+    # left join + char fallback: tokens the histogram excluded (delimiter
+    # collisions) count at character granularity — the BPE OOV convention —
+    # instead of vanishing from the per-source stats (review, r10)
+    syms_or_chars = F.coalesce("n_syms", F.length("term"))
     return (
-        tok.join(seg, "term")
+        tok.join(seg, "term", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum(F.length("term")).cast("long").alias("n_chars"),
-            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.sum(syms_or_chars).cast("long").alias("n_bpe_tokens"),
             F.round(
-                F.sum(F.length("term")).cast("double") / F.sum("n_syms"), 6
+                F.sum(F.length("term")).cast("double") / F.sum(syms_or_chars), 6
             ).alias("chars_per_token"),
         )
     )

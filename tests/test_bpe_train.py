@@ -178,3 +178,23 @@ def test_apply_compression_on_empty_corpus(spark, empty_sf):
     from ibc_spark.registry import QUERIES
 
     assert QUERIES["vocab_bpe_apply_compression"](spark, empty_sf).count() == 0
+
+
+def test_apply_counts_unsegmentable_tokens_at_char_granularity(spark):
+    """Review fix: tokens the histogram excluded (delimiter collisions)
+    must count at character granularity — the BPE OOV convention — not
+    vanish from the per-source stats."""
+    import os
+    import tempfile
+
+    from ibc_spark.registry import QUERIES
+
+    tmp = tempfile.mkdtemp(prefix="ibc_bpe_pipe_")
+    spark.createDataFrame(
+        [(1, "ab ab zz|z", "en", "sc", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    r = QUERIES["vocab_bpe_apply_compression"](spark, tmp).collect()[0]
+    # 3 words, 8 chars; 'ab' merges to 1 symbol each, 'zz|z' falls back to
+    # its 4 characters
+    assert (r.n_words, r.n_chars, r.n_bpe_tokens) == (3, 8, 1 + 1 + 4)

@@ -239,3 +239,39 @@ def test_vad_entry_on_empty_corpus(spark, empty_sf):
     from ibc_spark.registry import QUERIES
 
     assert QUERIES["multimodal_audio_vad_segments"](spark, empty_sf).count() == 0
+
+
+def test_truncated_data_chunk_is_an_error_not_a_prefix_decode():
+    """Review fix: a data chunk whose declared length extends past the
+    payload end is a truncated file — must raise, never silently decode
+    the prefix as if complete."""
+    import struct
+
+    import numpy as np
+
+    wav = bytearray(encode_wav(np.array([1, 2, 3, 4, 5], dtype=np.int16)))
+    # inflate the data chunk's declared length past the payload end
+    data_hdr = bytes(wav).index(b"data")
+    wav[data_hdr + 4 : data_hdr + 8] = struct.pack("<I", 1000)
+    with pytest.raises(ValueError):
+        decode_audio(bytes(wav))
+
+
+def test_oversized_sample_rate_yields_null_row_not_task_failure(spark):
+    """Review fix: the fmt rate field is uint32 but the feature column is
+    int32 — a rate >= 2^31 must route to the NULL row, not fail the whole
+    Arrow batch."""
+    import struct
+
+    import numpy as np
+
+    wav = bytearray(encode_wav(np.array([100, -100], dtype=np.int16)))
+    fmt_hdr = bytes(wav).index(b"fmt ")
+    wav[fmt_hdr + 12 : fmt_hdr + 16] = struct.pack("<I", 0x80000000)  # rate field
+    ok = bytes(encode_wav(np.array([7], dtype=np.int16)))
+    df = spark.createDataFrame(
+        [(1, bytes(wav)), (2, ok)], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in audio_features(df).collect()}
+    assert rows[1].sample_rate is None and rows[1].n_samples is None
+    assert rows[2].n_samples == 1  # the good row in the same batch survives
