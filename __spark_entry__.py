@@ -106,12 +106,12 @@ _FORCE_RECHECK: set[str] = {
 # _FORCE_RECHECK note) = 32 never-green slots + 1 force-recheck,
 # leaving 17 for the oldest-green drain (the r4/r5 pool). The one
 # round-9 addition is deferred below so it cannot eat those slots.
-# Round-10 window arithmetic (registry 208 → 216): the 2 round-9
+# Round-10 window arithmetic (registry 208 → 217): the 2 round-9
 # deferrals (eval_dedup_metrics, curriculum_quality_order) graduate to
 # the never-green bucket; 8 force-recheck slots (q18 + 7 r10 plan
 # changes); the remaining 40 slots drain exactly the r5 pool (40
-# entries). This round's 8 additions are deferred below so they cannot
-# eat those slots (next round: 8 graduations + 42 drain slots reach the
+# entries). This round's 9 additions are deferred below so they cannot
+# eat those slots (next round: 9 graduations + 41 drain slots reach the
 # r6 pool).
 _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 10 additions, parity-proven locally; driver slots next round
@@ -123,6 +123,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "vocab_bpe_train_merges",
     "vocab_bpe_apply_compression",
     "multimodal_audio_vad_segments",
+    "streaming_audio_features",
 }
 
 

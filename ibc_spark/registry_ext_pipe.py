@@ -900,9 +900,8 @@ _AUDIO_SAMPLES_SQL = """
 """
 
 
-@query(
-    "multimodal_audio_features",
-    oracle=f"""
+# Shared by the batch entry and its streaming twin (identical output).
+_AUDIO_FEATURES_ORACLE = f"""
     WITH {_AUDIO_SAMPLES_SQL},
     lagged AS (
       SELECT doc_id, smp,
@@ -930,8 +929,10 @@ _AUDIO_SAMPLES_SQL = """
            COALESCE(a.sum_abs, 0) AS sum_abs,
            COALESCE(a.zero_crossings, 0) AS zero_crossings
     FROM documents d LEFT JOIN agg a USING (doc_id)
-    """,
-)
+    """
+
+
+@query("multimodal_audio_features", oracle=_AUDIO_FEATURES_ORACLE)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-column pipeline with a REAL codec loop: a deterministic int16
     waveform per document is encoded to a standards-conforming RIFF/WAVE
@@ -1028,3 +1029,30 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     adds is the documented seam."""
     d = read_table(spark, sf_dir, "documents")
     return multimodal.vad_segments(multimodal.attach_audio(d))
+
+
+@query("streaming_audio_features", oracle=_AUDIO_FEATURES_ORACLE)
+def streaming_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of ``multimodal_audio_features``: the documents
+    feed is consumed by the streaming engine and the full audio pipeline
+    (synthesize → REAL WAV encode → REAL decode → waveform features) runs
+    INSIDE the micro-batch as stateless Arrow-batched ``mapInPandas``
+    stages — the shape a perpetual media-ingest feed takes at 100 TB
+    (decode fleets are narrow per-batch maps; no state store, no
+    watermark, unbounded concurrency). availableNow drains the backlog,
+    and the append-mode emission equals the batch entry's output exactly
+    — the shared oracle hash-proves batch/streaming parity of the whole
+    codec loop."""
+    from ibc_spark.registry_extras import _run_stream_to_memory
+    from ibc_spark.streaming.sources import read_documents_stream
+
+    docs = read_documents_stream(spark, sf_dir)
+    feats = multimodal.audio_features(multimodal.attach_audio(docs))
+    return _run_stream_to_memory(
+        spark,
+        lambda name: feats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True),
+        "streaming_audio_features",
+    )

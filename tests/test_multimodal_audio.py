@@ -275,3 +275,25 @@ def test_oversized_sample_rate_yields_null_row_not_task_failure(spark):
     rows = {r.doc_id: r for r in audio_features(df).collect()}
     assert rows[1].sample_rate is None and rows[1].n_samples is None
     assert rows[2].n_samples == 1  # the good row in the same batch survives
+
+
+def test_streaming_audio_features_matches_batch(spark):
+    """Batch/streaming parity of the full codec loop: the availableNow
+    emission must equal the batch entry row-for-row, and re-invocation
+    must be safe (fresh checkpoint + sink per run)."""
+    from ibc_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.doc_id: tuple(r) for r in QUERIES["multimodal_audio_features"](spark, sf).collect()
+    }
+    for _ in range(2):  # re-invocation safety
+        stream_rows = QUERIES["streaming_audio_features"](spark, sf).collect()
+        got = {r.doc_id: tuple(r) for r in stream_rows}
+        assert got == batch
+
+
+def test_streaming_audio_features_on_empty_corpus(spark, empty_sf):
+    from ibc_spark.registry import QUERIES
+
+    assert QUERIES["streaming_audio_features"](spark, empty_sf).count() == 0
