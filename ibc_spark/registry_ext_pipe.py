@@ -932,6 +932,14 @@ _AUDIO_FEATURES_ORACLE = f"""
     """
 
 
+def _audio_feature_pipeline(docs: DataFrame) -> DataFrame:
+    """The composition both twins run (batch and streaming): synthesize →
+    REAL WAV encode → REAL decode → waveform features. Shared so the
+    batch/streaming parity guarantee is structural, like the shared
+    oracle constant — an edit here changes both faces together."""
+    return multimodal.audio_features(multimodal.attach_audio(docs))
+
+
 @query("multimodal_audio_features", oracle=_AUDIO_FEATURES_ORACLE)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-column pipeline with a REAL codec loop: a deterministic int16
@@ -946,7 +954,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``ext/multimodal.py::decode_audio``). Narrow mapInPandas ×2, no
     shuffle until the driver's canonical sort."""
     d = read_table(spark, sf_dir, "documents")
-    return multimodal.audio_features(multimodal.attach_audio(d))
+    return _audio_feature_pipeline(d)
 
 
 @query(
@@ -1047,7 +1055,7 @@ def streaming_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibc_spark.streaming.sources import read_documents_stream
 
     docs = read_documents_stream(spark, sf_dir)
-    feats = multimodal.audio_features(multimodal.attach_audio(docs))
+    feats = _audio_feature_pipeline(docs)
     return _run_stream_to_memory(
         spark,
         lambda name: feats.writeStream.format("memory")

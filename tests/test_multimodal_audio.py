@@ -283,14 +283,15 @@ def test_streaming_audio_features_matches_batch(spark):
     must be safe (fresh checkpoint + sink per run)."""
     from ibc_spark.registry import QUERIES
 
-    sf = "/root/testdata/sf0.001"
-    batch = {
-        r.doc_id: tuple(r) for r in QUERIES["multimodal_audio_features"](spark, sf).collect()
-    }
+    from .conftest import SF_SMOKE
+
+    batch_rows = QUERIES["multimodal_audio_features"](spark, SF_SMOKE).collect()
+    batch = sorted(tuple(r) for r in batch_rows)
     for _ in range(2):  # re-invocation safety
-        stream_rows = QUERIES["streaming_audio_features"](spark, sf).collect()
-        got = {r.doc_id: tuple(r) for r in stream_rows}
-        assert got == batch
+        stream_rows = QUERIES["streaming_audio_features"](spark, SF_SMOKE).collect()
+        # sorted full-row lists, not a doc_id-keyed dict: duplicate
+        # emissions must fail, not collapse (review, r10)
+        assert sorted(tuple(r) for r in stream_rows) == batch
 
 
 def test_streaming_audio_features_on_empty_corpus(spark, empty_sf):
