@@ -63,35 +63,18 @@ def _last_green_round() -> dict[str, int]:
 # #2 option (a)); they have never had a green row, so they re-attest from
 # bucket 1 without needing a force slot.
 _FORCE_RECHECK: set[str] = {
-    # round 10: q18's plan was rewritten in round 9 (eager aggregation
-    # below the join, registry_tpch.py) but its last driver row is r7 —
-    # pre-rewrite. Semantics-preserving and locally hash-exact, but the
-    # round-5 rule is that changed-path entries jump the queue
-    # (VERDICT r9 #2).
-    "q18_large_orders_having",
-    # round 10 plan changes (ADVICE r9 fixes + VERDICT r9 #4), all
-    # output-identical at driver SF and locally hash-exact, but
-    # changed-path per the round-5 rule:
-    # - gold arm gained the adaptive sample modulus (m == 1 at oracle
-    #   SFs) + single shared count; recall_ok/n_* now NULL-safe
-    "knn_graph_lsh",
-    # - recall_ok/k_cap_ok/n_gold now NULL-safe on empty corpora
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    # - adaptive k now derived from a metadata-only raw-table count
-    #   instead of re-running the planted pipeline (same k everywhere)
-    "dedup_semdedup",
-    # - within-block exact scoring moved from the pair self-join + Arrow
-    #   per-pair kernel to blocked GEMM (gemm_threshold_pairs; the r9 sf10
-    #   scan measured the old shape at exp 1.60 / 29 min at 200k vectors)
-    "dedup_embedding_cosine",
-    # - global ntile window replaced by the two-phase range-partitioned
-    #   rank + exact ntile arithmetic (r10 tail sweep: last full-table
-    #   single-task window)
-    "histogram_equidepth_deciles",
-    # - final top-10 respelled orderBy+limit (TakeOrdered) before the
-    #   bounded 10-row rank window (was row_number over global order)
-    "ann_topk_pq_adc",
+    # Round-10 set (q18_large_orders_having, knn_graph_lsh, ann_topk_lsh,
+    # ann_topk_ivf, dedup_semdedup, dedup_embedding_cosine,
+    # histogram_equidepth_deciles, ann_topk_pq_adc) cleared: all eight
+    # hash-green in CORRECTNESS_r10.json.
+    #
+    # Round 11: none. The audio-path changes this round (float-PCM decode,
+    # anti-aliased FIR resample, odd-chunk/1 Hz-clamp hardening) touch only
+    # entries that are still in the never-green bucket (bucket 1), so they
+    # attest with the new semantics this round without needing force slots.
+    # tests/test_entry_manifest.py now derives this set mechanically: it
+    # flags any entry whose (function code + oracle) hash changed since its
+    # last green driver round and is absent here.
 }
 
 
@@ -113,17 +96,14 @@ _FORCE_RECHECK: set[str] = {
 # entries). This round's 9 additions are deferred below so they cannot
 # eat those slots (next round: 9 graduations + 41 drain slots reach the
 # r6 pool).
+# Round-11 window arithmetic: the 9 round-10 deferrals graduate to the
+# never-green bucket (audio family now carrying the r11 DSP upgrades:
+# float-PCM decode + anti-aliased FIR resample — attested first with the
+# new semantics); 0 force-recheck; the remaining 41 slots drain the whole
+# r6 pool (35 entries) + the 6 oldest r7 entries. Round-11 additions are
+# deferred below.
 _DEFER_TO_NEXT_ROUND: set[str] = {
-    # round 10 additions, parity-proven locally; driver slots next round
-    "decontaminate_semantic",
-    "preference_pairs_quality",
-    "dedup_canonical_priority",
-    "multimodal_audio_features",
-    "multimodal_audio_resample",
-    "vocab_bpe_train_merges",
-    "vocab_bpe_apply_compression",
-    "multimodal_audio_vad_segments",
-    "streaming_audio_features",
+    # round 11 additions, parity-proven locally; driver slots next round
 }
 
 
