@@ -62,20 +62,19 @@ def _last_green_round() -> dict[str, int]:
 # deterministic invariant-attestation surfaces WITH oracles (VERDICT r8
 # #2 option (a)); they have never had a green row, so they re-attest from
 # bucket 1 without needing a force slot.
-_FORCE_RECHECK: set[str] = {
-    # Round-10 set (q18_large_orders_having, knn_graph_lsh, ann_topk_lsh,
-    # ann_topk_ivf, dedup_semdedup, dedup_embedding_cosine,
-    # histogram_equidepth_deciles, ann_topk_pq_adc) cleared: all eight
-    # hash-green in CORRECTNESS_r10.json.
-    #
-    # Round 11: none. The audio-path changes this round (float-PCM decode,
-    # anti-aliased FIR resample, odd-chunk/1 Hz-clamp hardening) touch only
-    # entries that are still in the never-green bucket (bucket 1), so they
-    # attest with the new semantics this round without needing force slots.
-    # tests/test_entry_manifest.py now derives this set mechanically: it
-    # flags any entry whose (function code + oracle) hash changed since its
-    # last green driver round and is absent here.
-}
+# Round-10 force set (q18_large_orders_having, knn_graph_lsh, ann_topk_lsh,
+# ann_topk_ivf, dedup_semdedup, dedup_embedding_cosine,
+# histogram_equidepth_deciles, ann_topk_pq_adc) cleared: all eight
+# hash-green in CORRECTNESS_r10.json.
+#
+# Round 11: none. The audio-path changes this round (float-PCM decode,
+# anti-aliased FIR resample, odd-chunk/1 Hz-clamp hardening) touch only
+# entries that are still in the never-green bucket (bucket 1), so they
+# attest with the new semantics this round without needing force slots.
+# tests/test_entry_manifest.py now derives this set mechanically: it
+# flags any entry whose (function code + oracle) hash changed since its
+# last green driver round and is absent here.
+_FORCE_RECHECK: set[str] = set()
 
 
 # Entries ADDED in the current round, deferred to the NEXT round's snapshot
@@ -104,6 +103,7 @@ _FORCE_RECHECK: set[str] = {
 # deferred below.
 _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 11 additions, parity-proven locally; driver slots next round
+    "multimodal_audio_float_pcm",
 }
 
 

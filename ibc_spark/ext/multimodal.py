@@ -501,11 +501,38 @@ def encode_wav(samples, *, sample_rate: int = 16000, channels: int = 1) -> bytes
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_float(samples, *, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Encode float32 PCM samples as a RIFF/WAVE file with format code 3
+    (IEEE float, 32-bit) — the second real WAVE PCM variant after int16.
+    ``samples`` is a 1-D float32 array of interleaved frames in [-1, 1].
+    The float encode → :func:`_decode_wav` quantize loop is the identity
+    on every k/32768 waveform (k int16), which is exactly what
+    ``multimodal_audio_float_pcm`` hash-checks."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<f4")
+    if a.ndim != 1:
+        raise ValueError("expected a 1-D float32 sample array (interleaved)")
+    if channels < 1 or len(a) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    data = a.tobytes()
+    byte_rate = sample_rate * channels * 4
+    fmt = struct.pack("<HHIIHH", 3, channels, sample_rate, byte_rate, channels * 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _decode_wav(payload: bytes):
     """Parse a RIFF/WAVE container: chunk walk (fmt /data), little-endian
-    header fields, 16-bit integer PCM only. Returns
+    header fields; decodes 16-bit integer PCM (format code 1) and 32-bit
+    IEEE float PCM (format code 3, quantized to int16 by
+    ``clip(rint(x * 32768), -32768, 32767)`` — round-half-even, the exact
+    inverse of the ``k/32768`` float encoding). Returns
     ``(sample_rate, channels, int16 array of interleaved frames)``.
-    Compressed WAVE formats (ADPCM/float/MP3-in-WAV) raise — the same
+    Compressed WAVE formats (ADPCM/MP3-in-WAV) raise — the same
     entropy-coding seam as JPEG on the image side."""
     import struct
 
@@ -531,21 +558,35 @@ def _decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAVE without fmt /data chunks")
     code, channels, rate, _byte_rate, _block, bits = fmt
-    if code != 1 or bits != 16:
-        raise NotImplementedError(
-            "only 16-bit integer PCM WAVE supported; ADPCM/float/MP3-in-WAV "
-            "require an audio library not present in this environment"
-        )
-    n = len(data) // 2
-    return rate, channels, np.frombuffer(data, dtype="<i2", count=n).copy()
+    if channels < 1:
+        raise ValueError("WAVE with zero channels")
+    if code == 1 and bits == 16:
+        if len(data) % (2 * channels):
+            # an odd/ragged data chunk is a truncated final frame — same
+            # policy as the truncated-chunk error above, never a silent
+            # half-sample drop (ADVICE r10)
+            raise ValueError("WAVE data chunk is not a whole number of frames")
+        return rate, channels, np.frombuffer(data, dtype="<i2").copy()
+    if code == 3 and bits == 32:
+        if len(data) % (4 * channels):
+            raise ValueError("WAVE data chunk is not a whole number of frames")
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        q = np.clip(np.rint(f * 32768.0), -32768, 32767).astype(np.int16)
+        return rate, channels, q
+    raise NotImplementedError(
+        "only 16-bit integer and 32-bit IEEE-float PCM WAVE supported; "
+        "ADPCM/MP3-in-WAV require an audio library not present in this "
+        "environment"
+    )
 
 
 def decode_audio(payload: bytes):
     """Decode an audio payload → ``(sample_rate, channels, int16 samples)``.
-    REAL decoder for RIFF/WAVE 16-bit PCM; entropy-coded codecs (MP3/FLAC/
-    OGG/AAC) are the documented ``NotImplementedError`` seam where a real
-    audio library plugs in — container parsing is free, psychoacoustic
-    entropy coding is not worth reimplementing."""
+    REAL decoder for RIFF/WAVE 16-bit integer and 32-bit IEEE-float PCM;
+    entropy-coded codecs (MP3/FLAC/OGG/AAC) are the documented
+    ``NotImplementedError`` seam where a real audio library plugs in —
+    container parsing is free, psychoacoustic entropy coding is not worth
+    reimplementing."""
     if payload[:4] == WAV_SIG:
         return _decode_wav(payload)
     raise NotImplementedError(
@@ -583,7 +624,12 @@ def attach_audio(
             ),
         ]
     )
-    src = docs.select(F.col(id_col).alias("doc_id"), F.substring(F.col(text_col), 1, 64).alias("head"))
+    # cast the id at plan time so a non-long id column fails (or coerces)
+    # here, not inside the Arrow stage at runtime (ADVICE r10)
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.substring(F.col(text_col), 1, 64).alias("head"),
+    )
 
     def _attach(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np
@@ -669,14 +715,72 @@ def audio_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(_feat, AUDIO_FEATURE_SCHEMA)
 
 
-def resample_audio(df: DataFrame, *, factor: int, payload_col: str = "payload") -> DataFrame:
-    """Integer-factor decimation over the audio column: REAL decode → keep
-    every ``factor``-th frame → REAL re-encode at ``rate // factor``
-    (mono-path; the anti-alias filter a production resampler adds is the
-    documented seam — decimation indices and container round-trip are
-    exact and hash-checked). 1:1 ``mapInPandas``, narrow map."""
+# Anti-alias FIR for integer-factor decimation: windowed-sinc low-pass,
+# INTEGER taps (scaled by FIR_SCALE, adjusted so the DC gain is exactly 1)
+# so the filtered waveform is reproducible bit-for-bit in any engine —
+# including the SQL oracle, which replays the same convolution as a
+# bounded-lag self-join. Design: 2*FIR_HALF_WIDTH+1 taps, Hamming window,
+# cutoff 1/(2*factor) (the new Nyquist). For factor 4 this measures
+# -6 dB at the band edge and <= -49 dB across the folded stopband.
+FIR_SCALE = 4096
+FIR_HALF_WIDTH = 15
+
+
+def fir_decimation_taps(factor: int) -> "np.ndarray":  # noqa: F821
+    """Integer windowed-sinc low-pass taps for decimation by ``factor``.
+    Deterministic pure-integer output: round each scaled ideal tap, then
+    absorb the rounding residue into the center tap so ``sum(taps) ==
+    FIR_SCALE`` exactly (unity DC gain)."""
+    import numpy as np
+
     if factor < 1:
         raise ValueError("factor must be >= 1")
+    n = np.arange(-FIR_HALF_WIDTH, FIR_HALF_WIDTH + 1)
+    window = 0.54 + 0.46 * np.cos(np.pi * n / FIR_HALF_WIDTH)
+    cutoff = 1.0 / (2 * factor)
+    ideal = 2 * cutoff * np.sinc(2 * cutoff * n)
+    taps = np.rint(FIR_SCALE * ideal * window).astype(np.int64)
+    taps[FIR_HALF_WIDTH] += FIR_SCALE - taps.sum()
+    return taps
+
+
+def fir_lowpass_int(samples, taps) -> "np.ndarray":  # noqa: F821
+    """Apply an integer FIR (zero-padded edges) to an int16 waveform:
+    ``y[i] = clip(floor(sum_k taps[k] * x[i + k - C] / FIR_SCALE))`` with
+    floor division and int16 clipping — every step integer-exact, so the
+    SQL spelling (bounded-lag self-join + ``floor(SUM(c*smp)/4096.0)``)
+    reproduces it bit-for-bit (sums stay < 2^31, exact in float64)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    if len(x) == 0:
+        return x.astype(np.int16)
+    # taps are symmetric, so 'full' convolution sliced at the center lag
+    # equals the correlation form in the docstring
+    conv = np.convolve(x, np.asarray(taps, dtype=np.int64), mode="full")
+    y = conv[FIR_HALF_WIDTH : FIR_HALF_WIDTH + len(x)]
+    y = np.floor_divide(y, FIR_SCALE)
+    return np.clip(y, -32768, 32767).astype(np.int16)
+
+
+def resample_audio(
+    df: DataFrame, *, factor: int, payload_col: str = "payload", antialias: bool = True
+) -> DataFrame:
+    """Integer-factor resampler over the audio column: REAL decode →
+    anti-alias low-pass (:func:`fir_lowpass_int`, integer windowed-sinc
+    FIR cut at the new Nyquist — no aliased energy folds into the output
+    band) → keep every ``factor``-th frame → REAL re-encode at
+    ``rate // factor``. Mono-path. Because the filter is integer-exact,
+    the full decode→filter→decimate→encode loop is hash-checked against a
+    SQL oracle that replays the convolution as a bounded-lag self-join.
+    ``antialias=False`` gives plain index decimation (the pre-r11
+    behavior, kept for tests/diagnostics). 1:1 ``mapInPandas``, narrow
+    map. A payload whose rate is below ``factor`` (so the target rate
+    would be 0 Hz) is rejected → NULL row, never emitted at a fabricated
+    rate (ADVICE r10)."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    taps = fir_decimation_taps(factor) if antialias and factor > 1 else None
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -694,14 +798,52 @@ def resample_audio(df: DataFrame, *, factor: int, payload_col: str = "payload") 
                     rate, ch, s = decode_audio(bytes(payload))
                     if ch != 1:
                         raise NotImplementedError("decimation path is mono-only")
+                    if rate // factor == 0:
+                        raise ValueError("decimation factor exceeds sample rate")
+                    filtered = fir_lowpass_int(s, taps) if taps is not None else s
                     out.append(
-                        (doc_id, encode_wav(s[::factor], sample_rate=max(rate // factor, 1)))
+                        (doc_id, encode_wav(filtered[::factor], sample_rate=rate // factor))
                     )
                 except Exception:
                     out.append((doc_id, None))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return df.mapInPandas(_res, schema)
+
+
+def transcode_audio_float(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """Transcode int16-PCM WAV payloads to 32-bit IEEE-float PCM WAV
+    (format code 3): REAL decode → ``k / 32768`` float32 (exact in binary
+    floating point for every int16 ``k``) → :func:`encode_wav_float`.
+    Downstream decodes quantize back with ``rint(x * 32768)``, so the
+    int16→float→int16 loop is the identity on the full int16 range — the
+    property ``multimodal_audio_float_pcm`` hash-checks. 1:1
+    ``mapInPandas``, narrow map; undecodable payloads → NULL row."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _trans(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    rate, ch, s = decode_audio(bytes(payload))
+                    f = (s.astype(np.float64) / 32768.0).astype("<f4")
+                    out.append(
+                        (doc_id, encode_wav_float(f, sample_rate=rate, channels=ch))
+                    )
+                except Exception:
+                    out.append((doc_id, None))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(_trans, schema)
 
 
 VAD_SCHEMA = T.StructType(

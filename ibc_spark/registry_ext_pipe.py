@@ -957,14 +957,39 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_feature_pipeline(d)
 
 
+# The resample oracle replays the SAME integer FIR the Arrow kernel runs
+# (ext/multimodal.py::fir_decimation_taps — shared constant, not a copy):
+# a bounded-lag self-join against the taps table IS the convolution, and
+# floor(SUM/4096.0) + int16 clip reproduces fir_lowpass_int bit-for-bit
+# (|acc| < 2^31 keeps the float64 division exact).
+_FIR4_TAPS_SQL = ", ".join(
+    f"({n}, {int(c)})"
+    for n, c in zip(
+        range(-multimodal.FIR_HALF_WIDTH, multimodal.FIR_HALF_WIDTH + 1),
+        multimodal.fir_decimation_taps(4),
+    )
+)
+
+
 @query(
     "multimodal_audio_resample",
     oracle=f"""
     WITH {_AUDIO_SAMPLES_SQL},
-    kept AS (
-      SELECT doc_id, i, smp,
+    taps AS (SELECT * FROM (VALUES {_FIR4_TAPS_SQL}) v(n, c)),
+    filt AS (
+      SELECT a.doc_id, a.i,
+             GREATEST(-32768, LEAST(32767,
+                 CAST(floor(SUM(k.c * b.smp) / 4096.0) AS BIGINT))) AS smp
+      FROM s a
+      JOIN taps k ON TRUE
+      JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + k.n
+      WHERE (a.i - 1) % 4 = 0
+      GROUP BY a.doc_id, a.i
+    ),
+    lagged AS (
+      SELECT doc_id, smp,
              lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-      FROM s WHERE (i - 1) % 4 = 0
+      FROM filt
     ),
     agg AS (
       SELECT doc_id,
@@ -974,7 +999,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(abs(smp)) AS BIGINT) AS sum_abs,
              CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * smp < 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-      FROM kept
+      FROM lagged
       GROUP BY doc_id
     )
     SELECT d.doc_id,
@@ -988,18 +1013,39 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decimating resample over the audio column: REAL WAV decode → keep
-    every 4th frame → REAL re-encode at rate/4 → REAL decode again for
-    features. Two full codec loops per row are hash-checked (the oracle
-    recomputes the decimated stream's features from the waveform
-    derivation), so container round-trip AND decimation indexing are both
-    proven exact. The anti-alias filter a production resampler would add
-    before decimation is the documented seam (pure index selection is the
-    deterministic part; the filter kernel is float DSP that belongs to an
-    audio library). Narrow mapInPandas ×3, no shuffle."""
+    """ANTI-ALIASED decimating resample over the audio column (r11 — the
+    r10 seam closed): REAL WAV decode → integer windowed-sinc FIR low-pass
+    cut at the new Nyquist (``ext/multimodal.py::fir_lowpass_int``,
+    31 taps, -6 dB band edge, <= -49 dB folded stopband) → keep every 4th
+    frame → REAL re-encode at rate/4 → REAL decode again for features.
+    Because the taps are integers summing to exactly FIR_SCALE, the whole
+    decode→filter→decimate→encode loop is deterministic and the oracle
+    replays the convolution as a bounded-lag self-join — a hash match
+    proves container round-trip, filter arithmetic, AND decimation
+    indexing all at once. Narrow mapInPandas ×3, no shuffle. The
+    remaining audio-DSP seam is rational-rate (L/M polyphase) resampling;
+    integer-factor decimation is the production-common case (48k→16k,
+    16k→8k)."""
     d = read_table(spark, sf_dir, "documents")
     resampled = multimodal.resample_audio(multimodal.attach_audio(d), factor=4)
     return multimodal.audio_features(resampled)
+
+
+@query("multimodal_audio_float_pcm", oracle=_AUDIO_FEATURES_ORACLE)
+def multimodal_audio_float_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-float PCM WAVE codec loop (r11 — the float seam closed):
+    int16 WAV → REAL decode → ``k/32768`` float32 → REAL format-code-3
+    encode (``encode_wav_float``) → REAL float decode with int16
+    quantization (``clip(rint(x*32768))``) → waveform features. Since
+    ``k/32768`` is exact in binary floating point for every int16 ``k``,
+    the int16→float32→int16 loop is the identity and the features equal
+    the plain int16 entry's — the shared oracle hash-proves the entire
+    float codec path (header fields, 4-byte frames, quantizer) against
+    the same declarative spec. Narrow mapInPandas ×3, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(
+        multimodal.transcode_audio_float(multimodal.attach_audio(d))
+    )
 
 
 @query(

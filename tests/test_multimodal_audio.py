@@ -13,11 +13,17 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from ibc_spark.ext.multimodal import (
+    FIR_HALF_WIDTH,
+    FIR_SCALE,
     attach_audio,
     audio_features,
     decode_audio,
     encode_wav,
+    encode_wav_float,
+    fir_decimation_taps,
+    fir_lowpass_int,
     resample_audio,
+    transcode_audio_float,
 )
 
 
@@ -82,10 +88,11 @@ def test_decode_audio_seams():
         decode_audio(b"ID3\x04" + bytes(64))  # MP3: entropy-coded seam
     with pytest.raises(ValueError):
         decode_audio(b"RIFF\x00\x00\x00\x00AVI " + bytes(16))  # not WAVE
-    # float PCM (format code 3) → the codec seam, not a parse error
+    # ADPCM (format code 2) → the codec seam, not a parse error
+    # (float PCM, format code 3, decodes for real since r11)
     import struct
 
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", 0)
     with pytest.raises(NotImplementedError):
@@ -101,8 +108,8 @@ def test_decode_audio_seams():
 @settings(max_examples=60, deadline=None)
 def test_decimation_equals_index_selection(samples, factor):
     """encode → decode → [::factor] → encode → decode == samples[::factor]
-    (the property the multimodal_audio_resample oracle hash-checks
-    corpus-wide)."""
+    (the index-selection half of the resample loop; the FIR half is
+    property-tested separately below)."""
     s = np.asarray(samples, dtype=np.int16)
     rate, _ch, dec = decode_audio(encode_wav(s, sample_rate=16000))
     rate2, _ch2, out = decode_audio(
@@ -110,6 +117,129 @@ def test_decimation_equals_index_selection(samples, factor):
     )
     assert rate2 == max(16000 // factor, 1)
     assert np.array_equal(out, s[::factor])
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=120
+    ),
+    factor=st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_fir_lowpass_matches_bruteforce_reference(samples, factor):
+    """fir_lowpass_int == the literal per-index spec
+    ``clip(floor(sum_n taps[n] * x[i+n] / SCALE))`` with zero padding —
+    the exact arithmetic the multimodal_audio_resample SQL oracle replays
+    as a bounded-lag self-join."""
+    taps = fir_decimation_taps(factor)
+    assert int(taps.sum()) == FIR_SCALE  # unity DC gain, by construction
+    x = np.asarray(samples, dtype=np.int64)
+    ref = []
+    for i in range(len(x)):
+        acc = 0
+        for k, n in enumerate(range(-FIR_HALF_WIDTH, FIR_HALF_WIDTH + 1)):
+            j = i + n
+            if 0 <= j < len(x):
+                acc += int(taps[k]) * int(x[j])
+        ref.append(int(np.clip(acc // FIR_SCALE, -32768, 32767)))
+    got = fir_lowpass_int(x, taps)
+    assert np.array_equal(got.astype(np.int64), np.asarray(ref, dtype=np.int64))
+
+
+def test_fir_dc_and_alias_attenuation():
+    """DSP sanity on the factor-4 taps: a constant (DC) signal passes
+    through exactly; a full-scale alias tone AT the old Nyquist (the
+    worst folding frequency) is attenuated by >= 40 dB."""
+    taps = fir_decimation_taps(4)
+    dc = np.full(256, 12345, dtype=np.int64)
+    out = fir_lowpass_int(dc, taps)
+    assert np.array_equal(out[FIR_HALF_WIDTH:-FIR_HALF_WIDTH], dc[FIR_HALF_WIDTH:-FIR_HALF_WIDTH].astype(np.int16))
+    nyq = (np.where(np.arange(256) % 2 == 0, 30000, -30000)).astype(np.int64)
+    mid = fir_lowpass_int(nyq, taps).astype(np.int64)[FIR_HALF_WIDTH:-FIR_HALF_WIDTH]
+    assert np.abs(mid).max() <= 30000 / 100  # >= 40 dB down
+
+
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), max_size=200),
+    channels=st.sampled_from([1, 2]),
+)
+@settings(max_examples=60, deadline=None)
+def test_float_pcm_roundtrip_identity(samples, channels):
+    """int16 → k/32768 float32 → format-3 encode → decode(quantize) is the
+    identity on the full int16 range (the property
+    multimodal_audio_float_pcm hash-checks corpus-wide)."""
+    s = np.asarray(samples, dtype=np.int16)
+    if len(s) % channels:
+        s = s[: len(s) - len(s) % channels]
+    f = (s.astype(np.float64) / 32768.0).astype("<f4")
+    rate, ch, back = decode_audio(encode_wav_float(f, sample_rate=8000, channels=channels))
+    assert rate == 8000 and ch == channels
+    assert np.array_equal(back, s)
+
+
+def test_float_pcm_quantizer_clips_out_of_range():
+    """Float samples outside [-1, 1] clip to the int16 rails instead of
+    wrapping (the decode contract for hot-mastered float files)."""
+    f = np.array([1.5, -2.0, 0.5, 1.0, -1.0], dtype="<f4")
+    _r, _c, got = decode_audio(encode_wav_float(f, sample_rate=8000))
+    assert got.tolist() == [32767, -32768, 16384, 32767, -32768]
+
+
+def test_odd_data_chunk_is_an_error_not_a_half_sample_drop():
+    """ADVICE r10: a data chunk that is not a whole number of frames is a
+    truncated file — same policy as the truncated-chunk error, never a
+    silent drop of the trailing half-sample."""
+    import struct
+
+    for code, bits, block, data in [
+        (1, 16, 2, b"\x01\x02\x03"),  # int16, odd byte
+        (1, 16, 4, b"\x01\x02"),  # stereo int16, half a frame
+        (3, 32, 4, b"\x01\x02\x03"),  # float32, ragged
+    ]:
+        ch = block // (bits // 8)
+        fmt = struct.pack("<HHIIHH", code, ch, 8000, 8000 * block, block, bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="whole number of frames"):
+            decode_audio(payload)
+
+
+def test_resample_rejects_factor_above_rate(spark):
+    """ADVICE r10: factor > rate would emit a fabricated 1 Hz payload —
+    reject to a NULL row instead."""
+    low = bytes(encode_wav(np.array([1, 2, 3], dtype=np.int16), sample_rate=3))
+    df = spark.createDataFrame([(1, low)], "doc_id long, payload binary")
+    assert resample_audio(df, factor=4, antialias=False).collect()[0].payload is None
+
+
+def test_resample_antialias_spark_matches_kernel(spark):
+    """The Spark resample stage (antialias default) == fir_lowpass_int →
+    [::factor] → encode, computed directly in NumPy."""
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32512, size=97).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_wav(s, sample_rate=16000)))], "doc_id long, payload binary"
+    )
+    payload = bytes(resample_audio(df, factor=4).collect()[0].payload)
+    rate, ch, got = decode_audio(payload)
+    want = fir_lowpass_int(s.astype(np.int64), fir_decimation_taps(4))[::4]
+    assert rate == 4000 and ch == 1 and np.array_equal(got, want)
+
+
+def test_transcode_audio_float_preserves_features(spark):
+    """transcode_audio_float → audio_features == audio_features on the
+    original int16 payload (identity loop), and junk payloads propagate
+    as NULL rows."""
+    s = np.array([1000, -1000, 32512, -32768, 0, 7], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_wav(s, sample_rate=16000))), (2, b"JUNK")],
+        "doc_id long, payload binary",
+    )
+    direct = {r.doc_id: r for r in audio_features(df).collect()}
+    viafloat = {r.doc_id: r for r in audio_features(transcode_audio_float(df)).collect()}
+    assert direct[1] == viafloat[1]
+    assert viafloat[2].n_samples is None
 
 
 def test_audio_features_null_row_on_undecodable(spark):
