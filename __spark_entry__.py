@@ -67,14 +67,21 @@ def _last_green_round() -> dict[str, int]:
 # histogram_equidepth_deciles, ann_topk_pq_adc) cleared: all eight
 # hash-green in CORRECTNESS_r10.json.
 #
-# Round 11: none. The audio-path changes this round (float-PCM decode,
-# anti-aliased FIR resample, odd-chunk/1 Hz-clamp hardening) touch only
-# entries that are still in the never-green bucket (bucket 1), so they
-# attest with the new semantics this round without needing force slots.
-# tests/test_entry_manifest.py now derives this set mechanically: it
-# flags any entry whose (function code + oracle) hash changed since its
-# last green driver round and is absent here.
-_FORCE_RECHECK: set[str] = set()
+# Round 11: derived MECHANICALLY for the first time —
+# tests/test_entry_manifest.py flags any entry whose implementation-
+# closure hash (entry source + oracle + transitive ibc_spark helpers +
+# referenced module files) changed since its last green driver round and
+# is absent here. The r11 audio-path changes (float-PCM decode,
+# anti-aliased FIR resample, vectorized attach/VAD kernels) mostly touch
+# never-green entries (bucket 1, attest new semantics anyway), but the
+# ext/multimodal.py module hash also covers these two green entries; their
+# own code paths are untouched and locally parity-green, yet the
+# conservative round-5 route is to re-attest, not ack — the drain window
+# has spare slots this round.
+_FORCE_RECHECK: set[str] = {
+    "multimodal_features",
+    "multimodal_frame_sample",
+}
 
 
 # Entries ADDED in the current round, deferred to the NEXT round's snapshot
@@ -104,6 +111,7 @@ _FORCE_RECHECK: set[str] = set()
 _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 11 additions, parity-proven locally; driver slots next round
     "multimodal_audio_float_pcm",
+    "multimodal_audio_resample_rational",
 }
 
 

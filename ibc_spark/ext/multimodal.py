@@ -597,7 +597,12 @@ def decode_audio(payload: bytes):
 
 
 def attach_audio(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", sample_rate: int = 16000
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: int = 16000,
+    head_len: int = 64,
 ) -> DataFrame:
     """Attach a REAL WAV payload per row: a deterministic synthetic int16
     waveform derived from the CODEPOINTS of the text head
@@ -605,9 +610,11 @@ def attach_audio(
     not UTF-8 bytes, so SQL ``ascii(substring(head, i, 1))`` reproduces it
     on any Unicode text), encoded through :func:`encode_wav`. Every engine
     can reproduce the waveform from the text, so downstream REAL decodes
-    are hash-checkable. Runs as an Arrow-batched ``mapInPandas`` (payload
-    synthesis is per-char work, same slot a binary-file scan occupies at
-    100 TB)."""
+    are hash-checkable. ``head_len`` bounds the waveform length: registry
+    entries pin the oracle-matched 64; the payload-size sweeps use 16384
+    (a 1 s clip at 16 kHz) so Arrow overhead doesn't mask per-sample
+    cost. Runs as an Arrow-batched ``mapInPandas`` (payload synthesis is
+    per-char work, same slot a binary-file scan occupies at 100 TB)."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -628,7 +635,7 @@ def attach_audio(
     # here, not inside the Arrow stage at runtime (ADVICE r10)
     src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.substring(F.col(text_col), 1, 64).alias("head"),
+        F.substring(F.col(text_col), 1, head_len).alias("head"),
     )
 
     def _attach(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -638,7 +645,12 @@ def attach_audio(
         for pdf in batches:
             payloads = []
             for head in pdf["head"]:
-                b = np.array([ord(c) for c in (head or "")], dtype=np.int64)
+                # utf-32-le gives the codepoint array without a per-char
+                # Python loop (ord() over 16 k chars dominated the
+                # realistic-payload sweep)
+                b = np.frombuffer((head or "").encode("utf-32-le"), dtype="<u4").astype(
+                    np.int64
+                )
                 idx = np.arange(len(b), dtype=np.int64)
                 samples = (((b * 37 + idx * 11) % 256) - 128) * 256
                 payloads.append(encode_wav(samples.astype(np.int16), sample_rate=sample_rate))
@@ -811,6 +823,93 @@ def resample_audio(
     return df.mapInPandas(_res, schema)
 
 
+def fir_rational_taps(up: int, down: int) -> "np.ndarray":  # noqa: F821
+    """Integer windowed-sinc taps for rational L/M resampling, designed in
+    the L-times-upsampled domain: cutoff ``1/(2*max(L,M))`` (the tighter
+    of the anti-imaging and anti-aliasing constraints), passband gain L
+    (restores amplitude after zero-stuffing), half-width ``4*max(L,M)``
+    so the transition band stays proportionate. Deterministic pure-integer
+    output; per-phase DC gain is within the window's ripple of unity
+    (exact normalization would retouch one tap per phase — deliberately
+    skipped, determinism is the contract, not 0.1 dB flatness)."""
+    import numpy as np
+
+    if up < 1 or down < 1:
+        raise ValueError("up/down factors must be >= 1")
+    half = 4 * max(up, down)
+    n = np.arange(-half, half + 1)
+    window = 0.54 + 0.46 * np.cos(np.pi * n / half)
+    cutoff = 1.0 / (2 * max(up, down))
+    ideal = up * 2 * cutoff * np.sinc(2 * cutoff * n)
+    return np.rint(FIR_SCALE * ideal * window).astype(np.int64)
+
+
+def resample_rational_kernel(samples, up: int, down: int) -> "np.ndarray":  # noqa: F821
+    """Polyphase-equivalent L/M resample of an int16 waveform, spelled as
+    the literal definition (zero-stuff by L → integer FIR → take every
+    M-th) so the SQL oracle can replay it as a modular-index join:
+    ``y[j] = clip(floor(sum_n c[n] * x[(j*M + n)/L] / SCALE))`` over the
+    ``n`` with ``(j*M + n) % L == 0``, zero-padded at the edges. Output
+    length ``ceil(len * L / M)``. A real polyphase implementation
+    computes the same values phase-by-phase without materializing the
+    zero-stuffed stream; at 16 k samples the dense spelling is already
+    numpy-bound and bit-identical."""
+    import numpy as np
+
+    taps = fir_rational_taps(up, down)
+    half = (len(taps) - 1) // 2
+    x = np.asarray(samples, dtype=np.int64)
+    n_out = -(-len(x) * up // down)  # ceil
+    if len(x) == 0:
+        return x.astype(np.int16)
+    x_up = np.zeros(len(x) * up, dtype=np.int64)
+    x_up[::up] = x
+    conv = np.convolve(x_up, taps, mode="full")[half : half + len(x_up)]
+    y = np.floor_divide(conv, FIR_SCALE)
+    y = np.clip(y, -32768, 32767)[::down]
+    return y[:n_out].astype(np.int16)
+
+
+def resample_audio_rational(
+    df: DataFrame, *, up: int, down: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Rational-rate (L/M) resampler over the audio column — the polyphase
+    seam named in r10 closed with the same integer-exact discipline as
+    the decimator: REAL decode → zero-stuff by L → integer windowed-sinc
+    FIR (anti-image + anti-alias, gain L) → keep every M-th → REAL
+    re-encode at ``rate * L / M``. Mono-path; payloads whose
+    ``rate * L`` is not divisible by M (a non-integral target rate) or
+    below M are rejected → NULL row. 1:1 ``mapInPandas``, narrow map."""
+    if up < 1 or down < 1:
+        raise ValueError("up/down factors must be >= 1")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _res(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    rate, ch, s = decode_audio(bytes(payload))
+                    if ch != 1:
+                        raise NotImplementedError("rational path is mono-only")
+                    if (rate * up) % down or rate * up < down:
+                        raise ValueError("target rate is not a positive integer")
+                    y = resample_rational_kernel(s, up, down)
+                    out.append((doc_id, encode_wav(y, sample_rate=rate * up // down)))
+                except Exception:
+                    out.append((doc_id, None))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(_res, schema)
+
+
 def transcode_audio_float(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
     """Transcode int16-PCM WAV payloads to 32-bit IEEE-float PCM WAV
     (format code 3): REAL decode → ``k / 32768`` float32 (exact in binary
@@ -876,7 +975,11 @@ def vad_segments(
 
         cols = [f.name for f in VAD_SCHEMA.fields]
         for pdf in batches:
-            out = []
+            # per-doc numpy arrays accumulated and concatenated ONCE per
+            # Arrow batch — a per-segment Python append was O(total
+            # segments) interpreter work and dominated the realistic-
+            # payload sweep (a 16 k-sample clip yields thousands of runs)
+            acc: list[tuple] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 try:
                     _rate, ch, s = decode_audio(bytes(payload))
@@ -895,8 +998,27 @@ def vad_segments(
                 ]
                 ends_all = np.concatenate([edges + 1, [len(active)]])
                 ends = ends_all[np.searchsorted(ends_all, starts, side="right")]
-                for idx, (a, b) in enumerate(zip(starts, ends)):
-                    out.append((doc_id, idx, int(a), int(b - a), int(s64[a:b].max())))
-            yield pd.DataFrame(out, columns=cols)
+                # per-segment peak via maximum.reduceat over the active
+                # sample stream (segments are contiguous slices)
+                offsets = np.searchsorted(np.flatnonzero(active), starts)
+                peaks = np.maximum.reduceat(s64[active], offsets)
+                acc.append((doc_id, starts, ends, peaks))
+            if not acc:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            n_per = [len(a[1]) for a in acc]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat([a[0] for a in acc], n_per),
+                    "seg_idx": np.concatenate(
+                        [np.arange(k, dtype=np.int32) for k in n_per]
+                    ),
+                    "start_frame": np.concatenate([a[1] for a in acc]).astype(np.int64),
+                    "n_frames": np.concatenate(
+                        [a[2] - a[1] for a in acc]
+                    ).astype(np.int64),
+                    "seg_peak": np.concatenate([a[3] for a in acc]).astype(np.int64),
+                }
+            )
 
     return df.mapInPandas(_segs, VAD_SCHEMA)

@@ -1092,9 +1092,16 @@ _BPE_ORACLE = (
 )
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str, *, persist_histogram: bool = False):
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    persist_histogram: bool = False,
+    steps: int = _BPE_STEPS,
+    checkpoint_every: int = 8,
+):
     """Shared BPE training loop: returns ``(w, merge_frames)`` where ``w``
-    is the word histogram after ``_BPE_STEPS`` merges — columns
+    is the word histogram after ``steps`` merges — columns
     ``(term, rep, n)``, ``rep`` the '|'-delimited symbol segmentation —
     and ``merge_frames`` the per-step 1-row argmax frames.
 
@@ -1103,7 +1110,18 @@ def _bpe_train(spark: SparkSession, sf_dir: str, *, persist_histogram: bool = Fa
     — its segmentation join re-derives the histogram once per iteration
     subtree), but the train-only face REGRESSES (4.4 → 7.1 s: its argmax
     subtrees already share the histogram exchange via ReusedExchange, so
-    the cache only adds a vocabulary-wide serialization) — hence opt-in."""
+    the cache only adds a vocabulary-wide serialization) — hence opt-in.
+
+    PRODUCTION MERGE COUNTS (r11): each iteration appends explode/agg/
+    join layers to the lineage, so at 100–1000 merges unbounded plan
+    growth makes Catalyst analysis the bottleneck (the classic iterative-
+    algorithm failure, same as uncheckpointed ALS). Every
+    ``checkpoint_every`` iterations the vocabulary-sized histogram is
+    ``localCheckpoint``-ed (eager — truncates lineage AND caps analysis
+    cost at O(checkpoint_every) layers; the materialized state is |V|
+    rows, NOT corpus-sized, so this is cheap by construction). The
+    oracled 3-step faces never reach the first checkpoint, so their
+    plans are byte-identical to r10."""
     d = read_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(text.tokens("text")).alias("term"))
@@ -1128,7 +1146,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, *, persist_histogram: bool = Fa
 
         w = persist_tracked(w)
     merge_frames = []
-    for step in range(1, _BPE_STEPS + 1):
+    for step in range(1, steps + 1):
         syms = F.split(F.expr("substring(rep, 2, length(rep) - 2)"), r"\|\|")
         pairs = (
             w.withColumn("syms", syms)
@@ -1179,6 +1197,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str, *, persist_histogram: bool = Fa
             .alias("rep"),
             "n",
         )
+        if step % checkpoint_every == 0 and step < steps:
+            # truncate lineage on the |V|-row histogram (see docstring)
+            w = w.localCheckpoint(eager=True)
     return w, merge_frames
 
 

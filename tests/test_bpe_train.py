@@ -198,3 +198,23 @@ def test_apply_counts_unsegmentable_tokens_at_char_granularity(spark):
     # 3 words, 8 chars; 'ab' merges to 1 symbol each, 'zz|z' falls back to
     # its 4 characters
     assert (r.n_words, r.n_chars, r.n_bpe_tokens) == (3, 8, 1 + 1 + 4)
+
+
+def test_checkpointed_training_trajectory_is_identical(spark):
+    """r11: lineage checkpointing every N steps (the production-merge-
+    count posture) must not perturb the training trajectory — merges and
+    final histogram equal the checkpoint-free run."""
+    from ibc_spark.registry_ext_text import _bpe_train
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(ck):
+        w, frames = _bpe_train(spark, sf, steps=10, checkpoint_every=ck)
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionAll(fr)
+        merges = [tuple(r) for r in out.collect()]
+        hist = sorted(tuple(r) for r in w.collect())
+        return merges, hist
+
+    assert run(3) == run(10_000)

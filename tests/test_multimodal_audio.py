@@ -428,3 +428,50 @@ def test_streaming_audio_features_on_empty_corpus(spark, empty_sf):
     from ibc_spark.registry import QUERIES
 
     assert QUERIES["streaming_audio_features"](spark, empty_sf).count() == 0
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=90
+    ),
+    lm=st.sampled_from([(3, 4), (2, 3), (3, 2), (1, 4), (4, 1)]),
+)
+@settings(max_examples=50, deadline=None)
+def test_rational_kernel_matches_bruteforce_reference(samples, lm):
+    """resample_rational_kernel == the literal modular-index spec the SQL
+    oracle replays: y[j] = clip(floor(sum over n with (j*M+n)%L==0 of
+    taps[n] * x[(j*M+n)/L] / SCALE)), zero-padded, ceil output length."""
+    from ibc_spark.ext.multimodal import fir_rational_taps, resample_rational_kernel
+
+    up, down = lm
+    taps = fir_rational_taps(up, down)
+    half = (len(taps) - 1) // 2
+    x = [int(v) for v in samples]
+    n_out = -(-len(x) * up // down)
+    ref = []
+    for j in range(n_out):
+        acc = 0
+        for k, n in enumerate(range(-half, half + 1)):
+            u = j * down + n
+            if u >= 0 and u % up == 0 and u // up < len(x):
+                acc += int(taps[k]) * x[u // up]
+        ref.append(int(np.clip(acc // FIR_SCALE, -32768, 32767)))
+    got = resample_rational_kernel(np.asarray(x, dtype=np.int64), up, down)
+    assert got.astype(np.int64).tolist() == ref
+
+
+def test_rational_resample_rejects_nonintegral_rate_and_stereo(spark):
+    from ibc_spark.ext.multimodal import resample_audio_rational
+
+    # 16000 * 3 % 7 != 0 -> NULL row
+    mono = bytes(encode_wav(np.arange(12, dtype=np.int16), sample_rate=16000))
+    stereo = bytes(encode_wav(np.arange(12, dtype=np.int16), channels=2))
+    df = spark.createDataFrame(
+        [(1, mono), (2, stereo)], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in resample_audio_rational(df, up=3, down=7).collect()}
+    assert rows[1].payload is None and rows[2].payload is None
+    ok = {r.doc_id: r for r in resample_audio_rational(df, up=3, down=4).collect()}
+    assert ok[1].payload is not None and ok[2].payload is None
+    rate, _ch, y = decode_audio(bytes(ok[1].payload))
+    assert rate == 12000 and len(y) == -(-12 * 3 // 4)
