@@ -112,6 +112,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 11 additions, parity-proven locally; driver slots next round
     "multimodal_audio_float_pcm",
     "multimodal_audio_resample_rational",
+    "multimodal_audio_vad_spectral",
 }
 
 

@@ -945,6 +945,117 @@ def transcode_audio_float(df: DataFrame, *, payload_col: str = "payload") -> Dat
     return df.mapInPandas(_trans, schema)
 
 
+# Spectral VAD: single-pass DFT band energy, INTEGER arithmetic end to
+# end so the frame decisions are SQL-replayable. Frame width 32, speech
+# band = bins 1..6 (500–3000 Hz at 16 kHz); coefficient tables are
+# rint(1024·cos/sin) — deterministic in any engine.
+SPECTRAL_FRAME = 32
+SPECTRAL_BINS = tuple(range(1, 7))
+SPECTRAL_COEF_SCALE = 1024
+# voiced iff in-band spectral fraction 2·Eb/(W·Et) >= 3/8, in integer
+# form Eb >= 6·Et for W=32 (calibrated: ~half the synthetic frames pass)
+SPECTRAL_THRESH_MULT = 6
+
+
+def spectral_coef_tables():
+    """(C, D): int64 arrays of shape (|bins|, W) with
+    ``C[k][n] = rint(1024·cos(2π·bin_k·n/W))`` (D with sin) — shared by
+    the Arrow kernel and, serialized to a VALUES list, the SQL oracle."""
+    import numpy as np
+
+    n = np.arange(SPECTRAL_FRAME)
+    c = np.array(
+        [
+            np.rint(SPECTRAL_COEF_SCALE * np.cos(2 * np.pi * k * n / SPECTRAL_FRAME))
+            for k in SPECTRAL_BINS
+        ],
+        dtype=np.int64,
+    )
+    d = np.array(
+        [
+            np.rint(SPECTRAL_COEF_SCALE * np.sin(2 * np.pi * k * n / SPECTRAL_FRAME))
+            for k in SPECTRAL_BINS
+        ],
+        dtype=np.int64,
+    )
+    return c, d
+
+
+SPECTRAL_VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("band_energy", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+        T.StructField("voiced", T.BooleanType()),
+    ]
+)
+
+
+def spectral_vad_frames(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """SPECTRAL voice-activity gate (the r10 'energy-threshold only' seam
+    closed): REAL WAV decode → non-overlapping 32-sample frames (partial
+    tail frame dropped) → per-frame speech-band energy via a 6-bin
+    integer DFT (``a_k = floor(Σ x·c_k / 1024)``, ``E_band = Σ_k a_k² +
+    b_k²``) → voiced iff the in-band spectral fraction clears 3/8
+    (integer form ``E_band >= 6·E_total``). Every step is integer-exact,
+    so frame decisions — not just energies — are hash-checked against the
+    SQL replay of the same dot products. All sums fit int64 by
+    construction (|a_k| ≤ 2^20, E_band ≤ 2^43, E_total ≤ 2^35). A real
+    speech stack swaps in mel filterbanks + a learned model here; the
+    plumbing (frame shape, per-frame fan-out, integer band energies) is
+    the production layout. 1:N ``mapInPandas``, narrow map;
+    undecodable/multichannel payloads emit no frames."""
+    C, D = spectral_coef_tables()
+
+    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        cols = [f.name for f in SPECTRAL_VAD_SCHEMA.fields]
+        for pdf in batches:
+            acc = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    _rate, ch, s = decode_audio(bytes(payload))
+                    if ch != 1:
+                        continue
+                except Exception:
+                    continue
+                nf = len(s) // SPECTRAL_FRAME
+                if nf == 0:
+                    continue
+                fr = (
+                    s[: nf * SPECTRAL_FRAME]
+                    .astype(np.int64)
+                    .reshape(nf, SPECTRAL_FRAME)
+                )
+                a = np.floor_divide(fr @ C.T, SPECTRAL_COEF_SCALE)
+                b = np.floor_divide(fr @ D.T, SPECTRAL_COEF_SCALE)
+                band = (a * a + b * b).sum(axis=1)
+                total = (fr * fr).sum(axis=1)
+                acc.append((doc_id, band, total))
+            if not acc:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            n_per = [len(t[1]) for t in acc]
+            band = np.concatenate([t[1] for t in acc])
+            total = np.concatenate([t[2] for t in acc])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat([t[0] for t in acc], n_per),
+                    "frame_idx": np.concatenate(
+                        [np.arange(k, dtype=np.int32) for k in n_per]
+                    ),
+                    "band_energy": band,
+                    "total_energy": total,
+                    "voiced": band >= SPECTRAL_THRESH_MULT * total,
+                }
+            )
+
+    return df.mapInPandas(_frames, SPECTRAL_VAD_SCHEMA)
+
+
 VAD_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

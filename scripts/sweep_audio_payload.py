@@ -65,6 +65,11 @@ def _pipelines(head_len: int):
         "audio_resample_fir": lambda docs: mm.audio_features(
             mm.resample_audio(mm.attach_audio(docs, head_len=head_len), factor=4)
         ),
+        "audio_resample_rational": lambda docs: mm.audio_features(
+            mm.resample_audio_rational(
+                mm.attach_audio(docs, head_len=head_len), up=3, down=4
+            )
+        ),
         "audio_float_transcode": lambda docs: mm.audio_features(
             mm.transcode_audio_float(mm.attach_audio(docs, head_len=head_len))
         ),
@@ -123,7 +128,9 @@ def main() -> None:
         sf_dir = SF_DIRS[sf_name]
         if not os.path.isdir(sf_dir):
             continue
-        spark = get_spark(f"audio_sweep_stream_{sf_name}")
+        # memory-sink query names must be single-part (no dots)
+        safe = sf_name.replace(".", "")
+        spark = get_spark(f"audio_sweep_stream_{safe}")
         t0 = time.perf_counter()
         docs = read_documents_stream(spark, sf_dir)
         long_docs = docs.select(
@@ -139,7 +146,7 @@ def main() -> None:
             .queryName(name)
             .outputMode("append")
             .trigger(availableNow=True),
-            f"audio_sweep_stream_{sf_name}",
+            f"audio_sweep_stream_{safe}",
         )
         n = out.count()
         med = time.perf_counter() - t0

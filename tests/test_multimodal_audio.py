@@ -475,3 +475,50 @@ def test_rational_resample_rejects_nonintegral_rate_and_stereo(spark):
     assert ok[1].payload is not None and ok[2].payload is None
     rate, _ch, y = decode_audio(bytes(ok[1].payload))
     assert rate == 12000 and len(y) == -(-12 * 3 // 4)
+
+
+def test_spectral_vad_matches_bruteforce_reference(spark):
+    """spectral_vad_frames == the literal per-frame integer-DFT spec the
+    SQL oracle replays (floor-divided bin sums, squared, summed, 3/8
+    in-band decision), partial tail frame dropped."""
+    from ibc_spark.ext.multimodal import (
+        SPECTRAL_COEF_SCALE,
+        SPECTRAL_FRAME,
+        SPECTRAL_THRESH_MULT,
+        spectral_coef_tables,
+        spectral_vad_frames,
+    )
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32512, size=100).astype(np.int16)  # 3 frames + tail
+    df = spark.createDataFrame(
+        [(1, bytes(encode_wav(s))), (2, b"JUNK")], "doc_id long, payload binary"
+    )
+    rows = sorted(spectral_vad_frames(df).collect(), key=lambda r: r.frame_idx)
+    assert [r.doc_id for r in rows] == [1, 1, 1]
+    C, D = spectral_coef_tables()
+    for r in rows:
+        fr = s[r.frame_idx * SPECTRAL_FRAME : (r.frame_idx + 1) * SPECTRAL_FRAME].astype(np.int64)
+        a = np.floor_divide(C @ fr, SPECTRAL_COEF_SCALE)
+        b = np.floor_divide(D @ fr, SPECTRAL_COEF_SCALE)
+        band = int((a * a + b * b).sum())
+        total = int((fr * fr).sum())
+        assert (r.band_energy, r.total_energy) == (band, total)
+        assert r.voiced == (band >= SPECTRAL_THRESH_MULT * total)
+
+
+def test_spectral_vad_discriminates_tones(spark):
+    """A pure in-band tone (2 kHz = bin 4) must be voiced; a pure
+    out-of-band tone (8 kHz = Nyquist alternation) must not."""
+    from ibc_spark.ext.multimodal import spectral_vad_frames
+
+    n = np.arange(64)
+    inband = np.rint(20000 * np.sin(2 * np.pi * 4 * n / 32)).astype(np.int16)
+    outband = np.where(n % 2 == 0, 20000, -20000).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_wav(inband))), (2, bytes(encode_wav(outband)))],
+        "doc_id long, payload binary",
+    )
+    rows = {(r.doc_id, r.frame_idx): r.voiced for r in spectral_vad_frames(df).collect()}
+    assert rows[(1, 0)] and rows[(1, 1)]
+    assert not rows[(2, 0)] and not rows[(2, 1)]
