@@ -1108,9 +1108,9 @@ def multimodal_audio_resample_rational(spark: SparkSession, sf_dir: str) -> Data
 
 # Spectral-VAD coefficient table, serialized from the SAME constant the
 # Arrow kernel uses (ext/multimodal.py::spectral_coef_tables).
+_SPECTRAL_C, _SPECTRAL_D = multimodal.spectral_coef_tables()
 _SPECTRAL_COEFS_SQL = ", ".join(
-    f"({k}, {n}, {int(multimodal.spectral_coef_tables()[0][ki][n])}, "
-    f"{int(multimodal.spectral_coef_tables()[1][ki][n])})"
+    f"({k}, {n}, {int(_SPECTRAL_C[ki][n])}, {int(_SPECTRAL_D[ki][n])})"
     for ki, k in enumerate(multimodal.SPECTRAL_BINS)
     for n in range(multimodal.SPECTRAL_FRAME)
 )
