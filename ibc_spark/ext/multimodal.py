@@ -571,6 +571,10 @@ def _decode_wav(payload: bytes):
         if len(data) % (4 * channels):
             raise ValueError("WAVE data chunk is not a whole number of frames")
         f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        if not np.isfinite(f).all():
+            # NaN/Inf samples would quantize to platform-dependent values —
+            # corrupt float payloads take the errors-as-data seam instead
+            raise ValueError("non-finite float PCM sample")
         q = np.clip(np.rint(f * 32768.0), -32768, 32767).astype(np.int16)
         return rate, channels, q
     raise NotImplementedError(

@@ -522,3 +522,24 @@ def test_spectral_vad_discriminates_tones(spark):
     rows = {(r.doc_id, r.frame_idx): r.voiced for r in spectral_vad_frames(df).collect()}
     assert rows[(1, 0)] and rows[(1, 1)]
     assert not rows[(2, 0)] and not rows[(2, 1)]
+
+
+def test_float_pcm_nonfinite_samples_error():
+    """NaN/Inf float samples would quantize platform-dependently — they
+    take the errors-as-data seam (ValueError -> NULL row) instead."""
+    for bad in (np.nan, np.inf, -np.inf):
+        f = np.array([0.5, bad], dtype="<f4")
+        with pytest.raises(ValueError, match="non-finite"):
+            decode_audio(encode_wav_float(f, sample_rate=8000))
+
+
+def test_new_audio_entries_on_empty_corpus(spark, empty_sf):
+    """r11 registry faces are total on an empty documents table."""
+    from ibc_spark.registry import QUERIES
+
+    for name in (
+        "multimodal_audio_float_pcm",
+        "multimodal_audio_resample_rational",
+        "multimodal_audio_vad_spectral",
+    ):
+        assert QUERIES[name](spark, empty_sf).count() == 0
