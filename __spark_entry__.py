@@ -113,6 +113,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "multimodal_audio_float_pcm",
     "multimodal_audio_resample_rational",
     "multimodal_audio_vad_spectral",
+    "suffix_array_rank",
+    "suffix_lrs",
+    "dedup_duplicate_spans_sa",
 }
 
 

@@ -1,0 +1,648 @@
+"""Distributed suffix array + LCP over the corpus token stream — the EXACT
+substring-dedup machinery of Lee et al. 2022 ("Deduplicating Training Data
+Makes Language Models Better"), whose suffix-array step the windowed
+:mod:`ibc_spark.ext.dedup` family approximates with stride-1 n-grams.
+
+Construction is Manber–Myers prefix doubling re-expressed as DataFrame
+rounds (the same algorithm Flick & Aluru distribute over MPI sorts in
+"Parallel distributed memory construction of suffix and LCP arrays",
+SC'15 — a sort-based doubling pass per rank table is THE known shape for
+distributed SA at scale), with three structural accelerations that all
+fall out of one invariant — a per-document UNIQUE sentinel token closes
+every document, so no suffix comparison can depend on content past a
+document boundary (two suffixes must differ at or before the earlier
+sentinel, because each sentinel occurs exactly once in the corpus):
+
+1. **no global position rank**: stream position is the plain arithmetic
+   ``gpos = doc_id * W + pos`` (W = longest doc + 2, from one upfront
+   aggregate). Cross-document "adjacency" is never consulted — a
+   doubling pair (rank[p], rank[p+h]) only decides order for suffixes
+   still TIED on their first h tokens, and a tie can never span a
+   sentinel — so gpos needs to be contiguous only within a document.
+2. **h=32 seed**: the first rank table orders positions by their 32-token
+   prefix ARRAY (element-wise array<string> ordering is Spark-native and
+   exactly sequence order — no separator-encoding hazard), replacing the
+   first five doubling rounds with one two-phase rank. The 32-token key
+   inflation per row is the same trade the windowed dedup family makes.
+3. **static round count**: maxLCP ≤ longest document, so ranks at prefix
+   length h > that bound are provably all distinct — rounds are fixed by
+   the upfront aggregate, with no per-round termination action; short-doc
+   corpora (the LLM-pipeline norm) converge in 2–3 rounds REGARDLESS of
+   corpus size.
+
+LCP of SA-adjacent suffixes = binary decomposition over the retained rank
+tables (acc += h when rank_h[a+acc] == rank_h[b+acc]; two int64 hash
+equi-joins per level) plus a final <32 remainder read directly off the
+two prefix arrays with one codegen ``aggregate`` — zero Python anywhere.
+
+Every shuffle is on an int64 key or a bounded-width pair; per-round state
+is one (gpos, rank) frame — the corpus-linear footprint distributed SA
+construction costs everywhere. At 100 TB each two-phase rank is a
+range-partitioned sort of n rows (the dominant cost, exactly as in the
+MPI formulation); round count stays bounded by the longest DOCUMENT, not
+the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ibc_spark.ext.dedup import _gap_merge_span_ids
+from ibc_spark.ext.persistreg import persist_tracked
+from ibc_spark.ext.text import tokens
+
+__all__ = [
+    "build_suffix_array",
+    "suffix_array_ranks",
+    "adjacent_lcp",
+    "longest_repeated_substrings",
+    "sa_duplicate_spans",
+]
+
+# Seed prefix width: the initial rank table orders suffixes by their
+# first _SEED tokens, replacing log2(_SEED) doubling rounds. 32 keeps the
+# per-position key a few hundred bytes while letting typical short-doc
+# corpora finish in 0–3 doubling rounds.
+_SEED = 32
+
+
+def _consistent_rank(
+    df: DataFrame, cols: list[str], out: str, partitions: int = 32
+) -> DataFrame:
+    """Order-consistent, equality-preserving global DENSE rank on ``cols``
+    with ONE wide shuffle (the doubling loop runs this 3+ times per build,
+    so the constant matters): range-repartition on the keys, dense-rank
+    within each partition, then stitch partitions in the ≤``partitions``-row
+    stats frame — offset_p = cumulative distinct-key count of earlier
+    partitions, minus one per boundary where a key straddles it (the range
+    partitioner may split a tie run; the straddled key would be counted in
+    both partitions, and subtracting each continuation boundary restores a
+    single global rank for it, including keys spanning 3+ partitions: each
+    extra partition adds exactly one continuation boundary). Equal keys
+    share a rank, distinct keys keep their order; when all keys are
+    distinct the result is exactly the 1..n row number — what the final
+    doubling table needs to BE the suffix-array rank."""
+    keys = [F.col(c) for c in cols]
+    ranged = persist_tracked(
+        df.repartitionByRange(partitions, *keys).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    stats = (
+        ranged.groupBy("__pid")
+        .agg(
+            F.countDistinct(*keys).alias("__nd"),
+            F.min(F.struct(*keys)).alias("__firstk"),
+            F.max(F.struct(*keys)).alias("__lastk"),
+        )
+        .withColumn(
+            "__straddle",
+            F.when(
+                F.col("__firstk").eqNullSafe(
+                    F.lag("__lastk").over(Window.orderBy("__pid"))
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__nd").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            - F.sum("__straddle").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    local = F.dense_rank().over(Window.partitionBy("__pid").orderBy(*keys))
+    return (
+        ranged.join(F.broadcast(stats), on="__pid")
+        .withColumn(out, (F.col("__offset") + local).cast("long"))
+        .drop("__pid", "__offset")
+    )
+
+
+def _token_stream(
+    df: DataFrame, *, id_col: str, text_col: str, width: int, pk_len: int = _SEED
+) -> DataFrame:
+    """(doc_id, pos, key, pk, gpos): one row per token plus one per-doc
+    sentinel. Real tokens are namespaced ``'T' || token`` and the sentinel
+    is ``'S' || doc_id`` — 'S' < 'T' byte-wise, so sentinels sort as a
+    contiguous low block and, being corpus-unique, cap every suffix
+    comparison at its document boundary (no token can collide with a
+    sentinel, whatever the corpus alphabet). ``pos`` is the 1-based
+    in-document position (sentinel at n_toks+1, matching the dedup
+    family's 1-based ``start_tok``); ``pk`` is the suffix's first
+    ``_SEED`` keys as an array; ``gpos = doc_id * width + pos`` (injective
+    and doc-contiguous — all that prefix doubling with unique sentinels
+    ever needs; at int64 this caps doc_id · width below 2^63, i.e. ~9e12
+    max-1M-token docs — not the binding constraint at 100 TB)."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.concat(
+            F.transform(tokens(F.col(text_col)), lambda t: F.concat(F.lit("T"), t)),
+            F.array(F.concat(F.lit("S"), F.col(id_col).cast("string"))),
+        ).alias("arr"),
+    )
+    exploded = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.col("arr"),
+                lambda x, i: F.struct(
+                    x.alias("key"), F.slice(F.col("arr"), i + 1, pk_len).alias("pk")
+                ),
+            )
+        ).alias("pos0", "w"),
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("w.key").alias("key"),
+        F.col("w.pk").alias("pk"),
+        (F.col("doc_id") * width + F.col("pos0") + 1).alias("gpos"),
+    )
+
+
+# Fast-path ceiling: when the longest document (= the max-LCP bound) is
+# below this, the whole suffix array is ONE range-partitioned sort on the
+# full in-document suffix key, and adjacent LCPs fall out of the same
+# window pass — no doubling rounds at all. Above it, the per-position key
+# inflation (O(doc_len) per position, ≤ _FAST_CAP) would outgrow the cost
+# of doubling, so the general seeded path takes over.
+_FAST_CAP = 128
+
+
+def _sizes(df: DataFrame, text_col: str) -> tuple[int, int, int, bool]:
+    """One upfront aggregate → (bound, n_pos, parts, flat_ok): maxLCP
+    bound = longest doc's token count (an LCP can never cross a sentinel),
+    total stream positions, the exchange width for the rank shuffles
+    (~10k positions per partition — fat suffix-key rows sort CPU-bound,
+    so they want real parallelism — floored at 4 so a 27k-position oracle
+    corpus skips 32-task stage latency, capped by the session's shuffle
+    parallelism so a cluster-scale corpus fills whatever the session is
+    tuned to), and whether the corpus is free of
+    sub-0x20 control characters — when it is (the overwhelmingly common
+    case), the space-joined key STRING is order-equivalent to the token
+    sequence (the separator sorts strictly below every token byte, tokens
+    cannot contain it, and a joined prefix ends in the separator exactly
+    when the sequence is a proper prefix), so sorts run on binary string
+    comparisons instead of Spark's interpreted array comparator."""
+    sizes = df.agg(
+        F.max(F.size(tokens(F.col(text_col)))).alias("m"),
+        F.sum(F.size(tokens(F.col(text_col))) + 1).alias("n"),
+        F.max(
+            F.col(text_col).rlike("[\\x00-\\x08\\x0e-\\x1f]")
+        ).alias("ctl"),
+    ).first()
+    bound = sizes["m"] or 0
+    n_pos = sizes["n"] or 0
+    parts = int(
+        min(
+            max(n_pos // 10_000 + 1, 4),
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
+    )
+    return bound, n_pos, parts, not bool(sizes["ctl"])
+
+
+def _sort_key(flat_ok: bool):
+    """The suffix-order sort key over the ``pk`` array: the space-joined
+    string on control-char-free corpora (binary memcmp), the array itself
+    otherwise (exact for any alphabet, interpreted comparator)."""
+    return F.array_join(F.col("pk"), " ") if flat_ok else F.col("pk")
+
+
+def _suffix_stream_flat(
+    df: DataFrame, *, id_col: str, text_col: str, width: int
+) -> DataFrame:
+    """(doc_id, pos, key, gpos, sk) with the ENTIRE suffix as one string
+    ``sk`` — the flat fast-path stream. Each document joins its namespaced
+    keys once ('T'||token …, terminal 'S'||doc_id, space-separated); a
+    linear per-doc offset scan (aggregate accumulator) marks where every
+    suffix starts, and ``sk`` is a single substring per position — no
+    per-position token arrays, so the exchange carries ~the document's
+    own bytes once per suffix instead of array headers. On a
+    control-char-free corpus the string order IS the token-sequence order
+    (separator 0x20 sorts below every token byte and can't occur inside a
+    token), which is exactly the ``flat_ok`` dispatch condition."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.concat(
+            F.transform(tokens(F.col(text_col)), lambda t: F.concat(F.lit("T"), t)),
+            F.array(F.concat(F.lit("S"), F.col(id_col).cast("string"))),
+        ).alias("arr"),
+    ).select(
+        "doc_id",
+        F.array_join(F.col("arr"), " ").alias("full"),
+        F.slice(
+            F.aggregate(
+                F.col("arr"),
+                F.array(F.lit(1).cast("int")),
+                lambda acc, x: F.concat(
+                    acc, F.array(F.element_at(acc, -1) + F.length(x) + 1)
+                ),
+            ),
+            1,
+            F.size(F.col("arr")),
+        ).alias("offs"),
+    )
+    return base.select(
+        "doc_id",
+        F.posexplode(F.col("offs")).alias("pos0", "off"),
+        "full",
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.substring(F.col("full"), F.col("off"), F.length("full")).alias("sk"),
+        (F.col("doc_id") * width + F.col("pos0") + 1).alias("gpos"),
+    ).withColumn("key", F.substring(F.col("sk"), 1, 1))
+
+
+def _str_lcp_tokens(a, b):  # Column, Column -> Column (long)
+    """Token-level LCP of two space-joined suffix strings, computed as
+    the character-level common prefix (8-char memcmp chunks via one
+    codegen aggregate, then a ≤8-char tail walk) and then counting the
+    separators inside it — exact under the flat_ok contract: tokens
+    cannot contain the separator, the separator sorts below every token
+    byte, and unique sentinels mean no two suffix strings are equal or
+    prefix-trapped past their ends."""
+    maxn = F.least(F.length(a), F.length(b))
+    nch = F.greatest(F.ceil(maxn / 8).cast("int"), F.lit(1))
+    chunks = F.aggregate(
+        F.sequence(F.lit(0), nch - 1),
+        F.struct(F.lit(0).cast("long").alias("cp"), F.lit(True).alias("go")),
+        lambda acc, i: F.struct(
+            F.when(
+                acc["go"]
+                & (
+                    F.substring(a, i * 8 + 1, 8) == F.substring(b, i * 8 + 1, 8)
+                ),
+                acc["cp"] + 8,
+            )
+            .otherwise(acc["cp"])
+            .alias("cp"),
+            (
+                acc["go"]
+                & (F.substring(a, i * 8 + 1, 8) == F.substring(b, i * 8 + 1, 8))
+            ).alias("go"),
+        ),
+        lambda acc: acc["cp"],
+    )
+    tail = F.aggregate(
+        F.sequence(F.lit(1), F.lit(8)),
+        F.struct(chunks.alias("cp"), F.lit(True).alias("go")),
+        lambda acc, _i: F.struct(
+            F.when(
+                acc["go"]
+                & (
+                    F.substring(a, (acc["cp"] + 1).cast("int"), 1)
+                    == F.substring(b, (acc["cp"] + 1).cast("int"), 1)
+                )
+                & (F.substring(a, (acc["cp"] + 1).cast("int"), 1) != F.lit("")),
+                acc["cp"] + 1,
+            )
+            .otherwise(acc["cp"])
+            .alias("cp"),
+            (
+                acc["go"]
+                & (
+                    F.substring(a, (acc["cp"] + 1).cast("int"), 1)
+                    == F.substring(b, (acc["cp"] + 1).cast("int"), 1)
+                )
+                & (F.substring(a, (acc["cp"] + 1).cast("int"), 1) != F.lit(""))
+            ).alias("go"),
+        ),
+        lambda acc: acc["cp"],
+    )
+    prefix = F.substring(a, 1, tail.cast("int"))
+    return (F.length(prefix) - F.length(F.translate(prefix, " ", ""))).cast("long")
+
+
+def _sa_fast(positions: DataFrame, parts: int) -> tuple[DataFrame, DataFrame]:
+    """Single-sort suffix array for short-doc flat_ok corpora (``sk``
+    holds the ENTIRE suffix string and all suffix strings are distinct):
+    ONE range shuffle on the suffix string, then per partition a window
+    pass yields the local row number (global rank = tiny-frame offset +
+    local, the two-phase pattern), the SA-adjacent neighbor (``lag``),
+    and its LCP (chunked-memcmp common prefix → separator count). The
+    ≤parts-1 cross-partition adjacencies stitch in the per-partition
+    stats frame — lag over (first, last) rows carries both the gpos pair
+    and the boundary LCP. Returns (ranked(gpos, sa_rank), adj(ga, gb,
+    lcp)); identical contracts to the general doubling path."""
+    ranged = persist_tracked(
+        positions.select("gpos", "sk")
+        .repartitionByRange(parts, F.col("sk"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    wpid = Window.orderBy("__pid")
+    stats = (
+        ranged.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("sk", "gpos")).alias("__first"),
+            F.max(F.struct("sk", "gpos")).alias("__last"),
+        )
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(wpid.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("__prev_last", F.lag("__last").over(wpid))
+    )
+    boundary = stats.where(F.col("__prev_last").isNotNull()).select(
+        F.col("__prev_last.gpos").alias("ga"),
+        F.col("__first.gpos").alias("gb"),
+        _str_lcp_tokens(F.col("__prev_last.sk"), F.col("__first.sk")).alias("lcp"),
+    )
+    w = Window.partitionBy("__pid").orderBy("sk")
+    rows = (
+        ranged.join(F.broadcast(stats.select("__pid", "__offset")), "__pid")
+        .withColumn(
+            "sa_rank", (F.col("__offset") + F.row_number().over(w)).cast("long")
+        )
+        .withColumn("__ga", F.lag("gpos").over(w))
+        .withColumn("__lcp", _str_lcp_tokens(F.lag("sk").over(w), F.col("sk")))
+    )
+    # Both outputs are 2–3 int64 columns; persisting them (lazily) means
+    # an entry that reads adj twice (the spans per-position max unions the
+    # ga and gb legs) runs the fat sort+window pass exactly once, and an
+    # entry that never touches one of them pays nothing for its persist.
+    ranked = persist_tracked(rows.select("gpos", "sa_rank"))
+    adj = persist_tracked(
+        rows.where(F.col("__ga").isNotNull())
+        .select(
+            F.col("__ga").alias("ga"),
+            F.col("gpos").alias("gb"),
+            F.col("__lcp").cast("long").alias("lcp"),
+        )
+        .unionByName(boundary)
+    )
+    return ranked, adj
+
+
+def _sa_core(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Dispatch: (positions, ranked(gpos, sa_rank), adj(ga, gb, lcp)).
+    Short-doc control-char-free corpora (the LLM-pipeline norm — both
+    provable from the one upfront aggregate) take the single-sort flat
+    fast path; long-doc or exotic-alphabet corpora take seeded prefix
+    doubling + the rank-table LCP walk, which is exact for any content.
+    Outputs are contract-identical, pinned by the brute-force tests on
+    both paths."""
+    bound, _n_pos, parts, flat_ok = _sizes(df, text_col)
+    if flat_ok and bound < _FAST_CAP:
+        positions = persist_tracked(
+            _suffix_stream_flat(
+                df, id_col=id_col, text_col=text_col, width=bound + 2
+            )
+        )
+        ranked, adj = _sa_fast(positions, parts)
+        return positions, ranked, adj
+    positions, tables = build_suffix_array(df, id_col=id_col, text_col=text_col)
+    ranked = tables[-1][1].select("gpos", F.col("r").cast("long").alias("sa_rank"))
+    return positions, ranked, adjacent_lcp(positions, tables)
+
+
+def build_suffix_array(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+    """Run seeded prefix doubling; return ``(positions, tables)``.
+
+    ``positions``: (doc_id, pos, key, pk, gpos) — the sentinel-augmented
+    stream. ``tables``: [(h, DataFrame(gpos, r))] where ``r`` ranks every
+    suffix by its first ``h`` tokens, h ∈ {_SEED, 2·_SEED, …}; the LAST
+    table's ranks are all distinct and therefore ARE the suffix-array
+    ranks (h exceeds the max-LCP bound). Each round is a LAZY tracked
+    persist (2–3 rounds total — shallow enough that eager lineage
+    truncation would only add full passes; every table is re-read by the
+    next round AND the LCP walk, so the cache always pays)."""
+    bound, _n_pos, parts, flat_ok = _sizes(df, text_col)
+    positions = persist_tracked(
+        _token_stream(df, id_col=id_col, text_col=text_col, width=bound + 2)
+    )
+
+    cur = persist_tracked(
+        _consistent_rank(
+            positions.select("gpos", _sort_key(flat_ok).alias("__sk")),
+            ["__sk"],
+            "r",
+            partitions=parts,
+        ).select("gpos", "r")
+    )
+    h = _SEED
+    tables: list[tuple[int, DataFrame]] = [(h, cur)]
+    while h <= bound:
+        shifted = cur.select(
+            (F.col("gpos") - F.lit(h)).alias("gpos"), F.col("r").alias("r2")
+        )
+        paired = cur.join(shifted, "gpos", "left").withColumn(
+            "r2", F.coalesce("r2", F.lit(-1))
+        )
+        cur = persist_tracked(
+            _consistent_rank(paired, ["r", "r2"], "rn", partitions=parts).select(
+                "gpos", F.col("rn").alias("r")
+            )
+        )
+        h *= 2
+        tables.append((h, cur))
+    return positions, tables
+
+
+def suffix_array_ranks(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, sa_rank) for every REAL token position: the global
+    lexicographic rank of the suffix starting there (sentinel suffixes
+    hold the lowest ranks, so real ranks carry a fixed n_docs offset —
+    kept as-is so the rank is a plain permutation slice both engines
+    reproduce)."""
+    positions, ranked, _adj = _sa_core(df, id_col=id_col, text_col=text_col)
+    return (
+        positions.join(ranked, "gpos")
+        .where(F.col("key").startswith("T"))
+        .select("doc_id", "pos", "sa_rank")
+    )
+
+
+def _prefix_match_len(a, b):  # Column, Column -> Column
+    """Length of the common prefix of two bounded key arrays: one
+    codegen ``aggregate`` over ``zip_with`` equality with a (count, live)
+    accumulator. Unequal lengths pad with NULL (<=> NULL is false, which
+    stops the count — correct, and the both-NULL tail can never be
+    reached live because two suffixes always mismatch at or before the
+    earlier unique sentinel)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.eqNullSafe(y)),
+        F.struct(F.lit(0).cast("long").alias("n"), F.lit(True).alias("go")),
+        lambda acc, m: F.struct(
+            F.when(acc["go"] & m, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+            (acc["go"] & m).alias("go"),
+        ),
+        lambda acc: acc["n"],
+    )
+
+
+def adjacent_lcp(
+    positions: DataFrame, tables: list[tuple[int, DataFrame]]
+) -> DataFrame:
+    """(ga, gb, lcp): for each SA-adjacent suffix pair (rank r at gpos
+    ``ga``, rank r+1 at ``gb``), the exact longest-common-prefix length.
+    Binary decomposition over the retained rank tables — acc += h when
+    rank_h[a+acc] == rank_h[b+acc], two int64 hash joins per level, final
+    table skipped (its equality can never fire) — leaves a remainder
+    < _SEED, read directly off the two positions' prefix-key arrays with
+    one codegen aggregate. No Python, no windows, no quadratic term."""
+    sa = tables[-1][1]
+    adj = sa.select(F.col("r").alias("rr"), F.col("gpos").alias("ga")).join(
+        sa.select((F.col("r") - 1).alias("rr"), F.col("gpos").alias("gb")), "rr"
+    )
+    cur = adj.withColumn("lcp", F.lit(0).cast("long"))
+    for h, tbl in reversed(tables[:-1]):
+        ra = tbl.select(F.col("gpos").alias("__ja"), F.col("r").alias("__ra"))
+        rb = tbl.select(F.col("gpos").alias("__jb"), F.col("r").alias("__rb"))
+        cur = (
+            cur.withColumn("__ka", F.col("ga") + F.col("lcp"))
+            .withColumn("__kb", F.col("gb") + F.col("lcp"))
+            .join(ra, F.col("__ka") == F.col("__ja"), "left")
+            .join(rb, F.col("__kb") == F.col("__jb"), "left")
+        )
+        hit = (
+            F.col("__ra").isNotNull()
+            & F.col("__rb").isNotNull()
+            & (F.col("__ra") == F.col("__rb"))
+        )
+        cur = cur.withColumn(
+            "lcp", F.when(hit, F.col("lcp") + h).otherwise(F.col("lcp"))
+        ).drop("__ka", "__kb", "__ja", "__jb", "__ra", "__rb")
+    pka = positions.select(F.col("gpos").alias("__ja"), F.col("pk").alias("__pa"))
+    pkb = positions.select(F.col("gpos").alias("__jb"), F.col("pk").alias("__pb"))
+    cur = (
+        cur.withColumn("__ka", F.col("ga") + F.col("lcp"))
+        .withColumn("__kb", F.col("gb") + F.col("lcp"))
+        .join(pka, F.col("__ka") == F.col("__ja"), "left")
+        .join(pkb, F.col("__kb") == F.col("__jb"), "left")
+        .withColumn(
+            "lcp",
+            F.col("lcp")
+            + F.coalesce(
+                _prefix_match_len(F.col("__pa"), F.col("__pb")), F.lit(0)
+            ),
+        )
+    )
+    return cur.select("ga", "gb", "lcp")
+
+
+def longest_repeated_substrings(
+    df: DataFrame, *, id_col: str, text_col: str, top_n: int = 20
+) -> DataFrame:
+    """Top-``top_n`` longest repeated token substrings in the corpus —
+    EXACT, any length, any offset (the question the fixed-window family
+    cannot answer without knowing the length up front). A substring
+    repeats iff some SA-adjacent pair shares it as a prefix, so the
+    global answer is a max over the n-1 adjacent LCPs. Output: one row
+    per adjacent pair with lcp ≥ 1, the two occurrence coordinates, and
+    the matched passage (reconstructed from the earlier suffix's own
+    document — an LCP can never cross a document boundary thanks to the
+    unique sentinels), ordered by (lcp desc, coordinates) and limited —
+    a total order, so the cut is deterministic on both engines."""
+    positions, _ranked, adj = _sa_core(df, id_col=id_col, text_col=text_col)
+    # gpos = doc_id·W + pos is MONOTONE in (doc_id, pos), so the output
+    # contract's tiebreak order (doc_id, pos, nbr_doc_id, nbr_pos) equals
+    # (ga, gb) — the top-n cut runs BEFORE any join, on the 3-int adj
+    # frame (TakeOrdered), and the coordinate/passage joins touch only
+    # ``top_n`` rows.
+    lcps = (
+        adj.where(F.col("lcp") >= 1)
+        .orderBy(F.col("lcp").desc(), F.col("ga"), F.col("gb"))
+        .limit(top_n)
+    )
+    pa = positions.select(F.col("gpos").alias("ga"), F.col("doc_id"), F.col("pos"))
+    pb = positions.select(
+        F.col("gpos").alias("gb"),
+        F.col("doc_id").alias("nbr_doc_id"),
+        F.col("pos").alias("nbr_pos"),
+    )
+    toks_by_doc = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    return (
+        lcps.join(pa, "ga")
+        .join(pb, "gb")
+        .join(toks_by_doc, "doc_id")
+        .select(
+            F.col("lcp").cast("long").alias("lcp_len"),
+            "doc_id",
+            "pos",
+            "nbr_doc_id",
+            "nbr_pos",
+            F.array_join(
+                F.slice(F.col("toks"), F.col("pos"), F.col("lcp")), " "
+            ).alias("passage"),
+        )
+        .orderBy(
+            F.col("lcp_len").desc(),
+            F.col("doc_id"),
+            F.col("pos"),
+            F.col("nbr_doc_id"),
+            F.col("nbr_pos"),
+        )
+        .limit(top_n)
+    )
+
+
+def sa_duplicate_spans(
+    df: DataFrame, *, id_col: str, text_col: str, window: int = 10
+) -> DataFrame:
+    """Maximal duplicated token spans computed THROUGH THE SUFFIX ARRAY —
+    the literal Lee et al. pipeline — with output defined to be identical
+    to :func:`ibc_spark.ext.dedup.duplicate_spans`: position p starts a
+    duplicated ``window``-gram iff its suffix shares ≥ ``window`` tokens
+    with an SA neighbor (suffixes sharing a prefix are contiguous in SA
+    order, so the max of the two adjacent LCPs decides), and the flagged
+    positions gap-merge into spans via the SAME shared sweep. Two
+    independent algorithms, one output contract — the equality is the
+    attestation."""
+    positions, _ranked, adj = _sa_core(df, id_col=id_col, text_col=text_col)
+    # Only the ≥window test matters, so filter the 3-int adj frame FIRST
+    # (duplicated-window positions are a sliver of the corpus), then
+    # dedup the two legs — no corpus-wide max aggregation.
+    hits = adj.where(F.col("lcp") >= window)
+    dup_gpos = (
+        hits.select(F.col("ga").alias("gpos"))
+        .unionByName(hits.select(F.col("gb").alias("gpos")))
+        .distinct()
+    )
+    dup = (
+        positions.join(dup_gpos, "gpos")
+        .where(F.col("key").startswith("T"))
+        .select("doc_id", F.col("pos").cast("int").alias("start_tok"))
+    )
+    flagged = _gap_merge_span_ids(dup, window)
+    return (
+        flagged.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("start_tok").alias("span_start"),
+            (F.max("start_tok") + window - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_id").cast("int").alias("span_id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias(
+                "span_tokens"
+            ),
+            "n_windows",
+        )
+    )

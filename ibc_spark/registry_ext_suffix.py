@@ -1,0 +1,161 @@
+"""Suffix-array registry entries (round 11): the EXACT substring-dedup
+machinery of Lee et al. 2022 that the windowed dedup family approximates
+— distributed Manber–Myers prefix doubling (:mod:`ibc_spark.ext.suffix`),
+rank-table LCP, exact longest-repeated-substring, and the SA-derived
+duplicate-span attestation whose output contract is bit-identical to
+``dedup_duplicate_spans``.
+
+DuckDB replays the suffix order directly (sort the sentinel-terminated
+suffix token lists — unique per-document sentinels cap every comparison
+at the document boundary, so materializing the in-document slice is the
+WHOLE suffix for ordering purposes) and the LCP as the minimum mismatch
+index over an exploded position range; the Spark side never materializes
+a suffix, only (position, rank) frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ibc_spark.ext import suffix
+from ibc_spark.io_.sources import read_table
+from ibc_spark.registry_core import query
+from ibc_spark.registry_ext_base import _TOKS
+
+# Shared oracle fragments: the sentinel-terminated suffix keys and their
+# global lexicographic rank. list ORDER BY in DuckDB is element-wise
+# VARCHAR comparison = Spark's string ordering (both binary UTF-8); the
+# 'T'-token / 'S'-sentinel namespacing is the same on both engines, so
+# no corpus token can ever collide with (or sort astride) a sentinel.
+_SU = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    su AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos, len(toks) AS n_toks,
+             list_append(
+               list_transform(list_slice(toks, u.i, len(toks)), x -> 'T' || x),
+               'S' || CAST(doc_id AS VARCHAR)) AS sk
+      FROM t, unnest(range(1, len(toks) + 2)) AS u(i)
+    )
+"""
+
+
+@query(
+    "suffix_array_rank",
+    oracle=f"""
+    WITH {_SU},
+    ord AS (SELECT doc_id, pos, n_toks,
+                   row_number() OVER (ORDER BY sk) AS sa_rank
+            FROM su)
+    SELECT doc_id, pos, CAST(sa_rank AS BIGINT) AS sa_rank
+    FROM ord WHERE pos <= n_toks
+    """,
+)
+def suffix_array_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus suffix array: the exact global lexicographic rank of the
+    suffix starting at every token position (Manber–Myers prefix doubling
+    as DataFrame rounds — two-phase global rank per round, round count
+    bounded by the longest DOCUMENT thanks to unique sentinels, not by
+    corpus size). The full (doc, pos) → rank permutation is the output,
+    so a single hash match proves the entire construction: every round's
+    pair ranking, the sentinel ordering, and the two-phase rank offsets."""
+    d = read_table(spark, sf_dir, "documents")
+    return suffix.suffix_array_ranks(d, id_col="doc_id", text_col="text")
+
+
+@query(
+    "suffix_lrs",
+    oracle=f"""
+    WITH {_SU},
+    ord AS (SELECT doc_id, pos, sk,
+                   row_number() OVER (ORDER BY sk) AS r
+            FROM su),
+    adj AS (
+      SELECT a.r AS r, a.doc_id AS doc_id, a.pos AS pos, a.sk AS ska,
+             b.doc_id AS nbr_doc_id, b.pos AS nbr_pos, b.sk AS skb
+      FROM ord a JOIN ord b ON b.r = a.r + 1
+    ),
+    mm AS (
+      SELECT adj.r AS r, min(v.j) - 1 AS lcp
+      FROM adj, unnest(range(1, least(len(ska), len(skb)) + 1)) AS v(j)
+      WHERE ska[v.j] IS DISTINCT FROM skb[v.j]
+      GROUP BY adj.r
+    )
+    SELECT CAST(m.lcp AS BIGINT) AS lcp_len, a.doc_id AS doc_id,
+           a.pos AS pos, a.nbr_doc_id AS nbr_doc_id, a.nbr_pos AS nbr_pos,
+           array_to_string(
+             list_slice(t2.toks, a.pos, a.pos + CAST(m.lcp AS INT) - 1),
+             ' ') AS passage
+    FROM mm m JOIN adj a USING (r) JOIN t t2 ON t2.doc_id = a.doc_id
+    WHERE m.lcp >= 1
+    ORDER BY lcp_len DESC, doc_id, pos, nbr_doc_id, nbr_pos
+    LIMIT 20
+    """,
+)
+def suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 longest repeated token substrings — exact, any length, any
+    offset (fixed-window dedup needs the length a priori; the suffix
+    array answers the open question). Spark derives each SA-adjacent
+    pair's LCP from the retained doubling rank tables (two int64 hash
+    joins per level, zero Python); the oracle recomputes it as the
+    minimum mismatch index over the materialized suffix keys. A unique
+    sentinel argument guarantees every LCP stays inside one document, so
+    the passage reconstructs from the earlier occurrence's own tokens."""
+    d = read_table(spark, sf_dir, "documents")
+    return suffix.longest_repeated_substrings(
+        d, id_col="doc_id", text_col="text", top_n=20
+    )
+
+
+@query(
+    "dedup_duplicate_spans_sa",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, CAST(u.i AS INT) AS start_tok,
+             array_to_string(list_slice(toks, u.i, u.i + 9), ' ') AS passage
+      FROM t, unnest(CASE WHEN len(toks) >= 10
+                          THEN range(1, len(toks) - 8) ELSE [] END) AS u(i)
+    ),
+    dup AS (
+      SELECT doc_id, start_tok
+      FROM occ
+      QUALIFY COUNT(*) OVER (PARTITION BY passage) > 1
+    ),
+    flagged AS (
+      SELECT doc_id, start_tok,
+             CASE WHEN max(start_tok + 9) OVER (
+                      PARTITION BY doc_id ORDER BY start_tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR start_tok > max(start_tok + 9) OVER (
+                      PARTITION BY doc_id ORDER BY start_tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS opens
+      FROM dup
+    ),
+    spans AS (
+      SELECT doc_id, start_tok,
+             sum(opens) OVER (PARTITION BY doc_id ORDER BY start_tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id, CAST(span_id AS INT) AS span_id,
+           min(start_tok) AS span_start,
+           max(start_tok) + 9 AS span_end,
+           CAST(max(start_tok) + 9 - min(start_tok) + 1 AS BIGINT)
+             AS span_tokens,
+           count(*) AS n_windows
+    FROM spans GROUP BY doc_id, span_id
+    """,
+)
+def dedup_duplicate_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate spans THROUGH the suffix array (window=10) — the literal
+    Lee et al. 2022 pipeline: position p starts a duplicated 10-gram iff
+    max(LCP with its two SA neighbors) ≥ 10, then the shared gap-merge
+    sweep. The oracle is the WINDOWED formulation (the existing
+    ``dedup_duplicate_spans`` contract, verbatim): two independent
+    algorithms — SA+LCP here, stride-1 window counting there — required
+    to agree row-for-row, which retires the 'windowed approximates the
+    suffix array' caveat by proving the equivalence on every driver run."""
+    d = read_table(spark, sf_dir, "documents")
+    return suffix.sa_duplicate_spans(d, id_col="doc_id", text_col="text", window=10)
