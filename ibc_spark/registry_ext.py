@@ -11,6 +11,7 @@ names, oracles, and behavior unchanged:
 - ``registry_ext_pipe``   — corpus assembly (splits/packing/mixing) + multimodal
 - ``registry_ext_rel``    — relational/profiling/data-quality entries
 - ``registry_ext_suffix`` — distributed suffix array / LCP / exact LRS
+- ``registry_ext_codec``  — Rice/fixed-predictor lossless audio codec
 
 Importing this module registers every family's entries (the same
 side-effect contract ``ibc_spark.registry`` has always relied on), and the
@@ -46,6 +47,7 @@ from ibc_spark import registry_ext_ann  # noqa: E402,F401
 from ibc_spark import registry_ext_pipe  # noqa: E402,F401
 from ibc_spark import registry_ext_rel  # noqa: E402,F401
 from ibc_spark import registry_ext_suffix  # noqa: E402,F401
+from ibc_spark import registry_ext_codec  # noqa: E402,F401
 
 # Legacy re-exports (registry_extras + tests import these from here).
 from ibc_spark.registry_ext_dedup import _BLOOM_K, _BLOOM_M  # noqa: F401
