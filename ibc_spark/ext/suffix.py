@@ -180,8 +180,9 @@ def _token_stream(
 _FAST_CAP = 128
 
 
-def _sizes(df: DataFrame, text_col: str) -> tuple[int, int, int, bool]:
-    """One upfront aggregate → (bound, n_pos, parts, flat_ok): maxLCP
+def _sizes(df: DataFrame, text_col: str) -> tuple[int, int, int, bool, int]:
+    """One upfront aggregate → (bound, n_pos, parts, flat_ok, max_chars):
+    maxLCP
     bound = longest doc's token count (an LCP can never cross a sentinel),
     total stream positions, the exchange width for the rank shuffles
     (~10k positions per partition — fat suffix-key rows sort CPU-bound,
@@ -194,23 +195,28 @@ def _sizes(df: DataFrame, text_col: str) -> tuple[int, int, int, bool]:
     sequence (the separator sorts strictly below every token byte, tokens
     cannot contain it, and a joined prefix ends in the separator exactly
     when the sequence is a proper prefix), so sorts run on binary string
-    comparisons instead of Spark's interpreted array comparator."""
+    comparisons instead of Spark's interpreted array comparator.
+    ``max_chars`` bounds any suffix string's length (text chars + one
+    'T' namespace byte per token + the sentinel), sizing the LCP binary
+    decomposition."""
     sizes = df.agg(
         F.max(F.size(tokens(F.col(text_col)))).alias("m"),
         F.sum(F.size(tokens(F.col(text_col))) + 1).alias("n"),
         F.max(
             F.col(text_col).rlike("[\\x00-\\x08\\x0e-\\x1f]")
         ).alias("ctl"),
+        F.max(F.length(F.col(text_col))).alias("chars"),
     ).first()
     bound = sizes["m"] or 0
     n_pos = sizes["n"] or 0
+    max_chars = 2 * int(sizes["chars"] or 0) + 32
     parts = int(
         min(
             max(n_pos // 10_000 + 1, 4),
             int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         )
     )
-    return bound, n_pos, parts, not bool(sizes["ctl"])
+    return bound, n_pos, parts, not bool(sizes["ctl"]), max_chars
 
 
 def _sort_key(flat_ok: bool):
@@ -266,67 +272,34 @@ def _suffix_stream_flat(
     ).withColumn("key", F.substring(F.col("sk"), 1, 1))
 
 
-def _str_lcp_tokens(a, b):  # Column, Column -> Column (long)
-    """Token-level LCP of two space-joined suffix strings, computed as
-    the character-level common prefix (8-char memcmp chunks via one
-    codegen aggregate, then a ≤8-char tail walk) and then counting the
-    separators inside it — exact under the flat_ok contract: tokens
-    cannot contain the separator, the separator sorts below every token
-    byte, and unique sentinels mean no two suffix strings are equal or
-    prefix-trapped past their ends."""
-    maxn = F.least(F.length(a), F.length(b))
-    nch = F.greatest(F.ceil(maxn / 8).cast("int"), F.lit(1))
-    chunks = F.aggregate(
-        F.sequence(F.lit(0), nch - 1),
-        F.struct(F.lit(0).cast("long").alias("cp"), F.lit(True).alias("go")),
-        lambda acc, i: F.struct(
-            F.when(
-                acc["go"]
-                & (
-                    F.substring(a, i * 8 + 1, 8) == F.substring(b, i * 8 + 1, 8)
-                ),
-                acc["cp"] + 8,
-            )
-            .otherwise(acc["cp"])
-            .alias("cp"),
-            (
-                acc["go"]
-                & (F.substring(a, i * 8 + 1, 8) == F.substring(b, i * 8 + 1, 8))
-            ).alias("go"),
-        ),
-        lambda acc: acc["cp"],
+def _str_lcp_tokens(a, b, max_chars: int):  # Columns + bound -> Column (long)
+    """Token-level LCP of two space-joined suffix strings: the
+    character-level common prefix by BINARY DECOMPOSITION — one aggregate
+    over the descending powers of two covering ``max_chars``, each step a
+    single native substring memcmp (`cp += s` iff the next ``s`` chars
+    match) — then counting the separators inside it. ~log2(max_chars)
+    memcmps per pair instead of a per-chunk scan. Exact under the flat_ok
+    contract: a clamped comparison can only report equality when both
+    remainders truly match, and "equal through both ends" would mean two
+    identical suffix strings, which unique sentinels rule out — so the
+    walk can never overshoot either string."""
+    m = max(max_chars, 1).bit_length()
+    steps = F.array(*[F.lit(1 << j) for j in range(m - 1, -1, -1)])
+    cp = F.aggregate(
+        steps,
+        F.lit(0).cast("int"),
+        lambda acc, s: F.when(
+            F.substring(a, acc + 1, s) == F.substring(b, acc + 1, s),
+            acc + s.cast("int"),
+        ).otherwise(acc),
     )
-    tail = F.aggregate(
-        F.sequence(F.lit(1), F.lit(8)),
-        F.struct(chunks.alias("cp"), F.lit(True).alias("go")),
-        lambda acc, _i: F.struct(
-            F.when(
-                acc["go"]
-                & (
-                    F.substring(a, (acc["cp"] + 1).cast("int"), 1)
-                    == F.substring(b, (acc["cp"] + 1).cast("int"), 1)
-                )
-                & (F.substring(a, (acc["cp"] + 1).cast("int"), 1) != F.lit("")),
-                acc["cp"] + 1,
-            )
-            .otherwise(acc["cp"])
-            .alias("cp"),
-            (
-                acc["go"]
-                & (
-                    F.substring(a, (acc["cp"] + 1).cast("int"), 1)
-                    == F.substring(b, (acc["cp"] + 1).cast("int"), 1)
-                )
-                & (F.substring(a, (acc["cp"] + 1).cast("int"), 1) != F.lit(""))
-            ).alias("go"),
-        ),
-        lambda acc: acc["cp"],
-    )
-    prefix = F.substring(a, 1, tail.cast("int"))
+    prefix = F.substring(a, 1, cp)
     return (F.length(prefix) - F.length(F.translate(prefix, " ", ""))).cast("long")
 
 
-def _sa_fast(positions: DataFrame, parts: int) -> tuple[DataFrame, DataFrame]:
+def _sa_fast(
+    positions: DataFrame, parts: int, max_chars: int
+) -> tuple[DataFrame, DataFrame]:
     """Single-sort suffix array for short-doc flat_ok corpora (``sk``
     holds the ENTIRE suffix string and all suffix strings are distinct):
     ONE range shuffle on the suffix string, then per partition a window
@@ -362,7 +335,9 @@ def _sa_fast(positions: DataFrame, parts: int) -> tuple[DataFrame, DataFrame]:
     boundary = stats.where(F.col("__prev_last").isNotNull()).select(
         F.col("__prev_last.gpos").alias("ga"),
         F.col("__first.gpos").alias("gb"),
-        _str_lcp_tokens(F.col("__prev_last.sk"), F.col("__first.sk")).alias("lcp"),
+        _str_lcp_tokens(
+            F.col("__prev_last.sk"), F.col("__first.sk"), max_chars
+        ).alias("lcp"),
     )
     w = Window.partitionBy("__pid").orderBy("sk")
     rows = (
@@ -371,7 +346,9 @@ def _sa_fast(positions: DataFrame, parts: int) -> tuple[DataFrame, DataFrame]:
             "sa_rank", (F.col("__offset") + F.row_number().over(w)).cast("long")
         )
         .withColumn("__ga", F.lag("gpos").over(w))
-        .withColumn("__lcp", _str_lcp_tokens(F.lag("sk").over(w), F.col("sk")))
+        .withColumn(
+            "__lcp", _str_lcp_tokens(F.lag("sk").over(w), F.col("sk"), max_chars)
+        )
     )
     # Both outputs are 2–3 int64 columns; persisting them (lazily) means
     # an entry that reads adj twice (the spans per-position max unions the
@@ -400,14 +377,14 @@ def _sa_core(
     doubling + the rank-table LCP walk, which is exact for any content.
     Outputs are contract-identical, pinned by the brute-force tests on
     both paths."""
-    bound, _n_pos, parts, flat_ok = _sizes(df, text_col)
+    bound, _n_pos, parts, flat_ok, max_chars = _sizes(df, text_col)
     if flat_ok and bound < _FAST_CAP:
         positions = persist_tracked(
             _suffix_stream_flat(
                 df, id_col=id_col, text_col=text_col, width=bound + 2
             )
         )
-        ranked, adj = _sa_fast(positions, parts)
+        ranked, adj = _sa_fast(positions, parts, max_chars)
         return positions, ranked, adj
     positions, tables = build_suffix_array(df, id_col=id_col, text_col=text_col)
     ranked = tables[-1][1].select("gpos", F.col("r").cast("long").alias("sa_rank"))
@@ -423,36 +400,42 @@ def build_suffix_array(
     stream. ``tables``: [(h, DataFrame(gpos, r))] where ``r`` ranks every
     suffix by its first ``h`` tokens, h ∈ {_SEED, 2·_SEED, …}; the LAST
     table's ranks are all distinct and therefore ARE the suffix-array
-    ranks (h exceeds the max-LCP bound). Each round is a LAZY tracked
-    persist (2–3 rounds total — shallow enough that eager lineage
-    truncation would only add full passes; every table is re-read by the
-    next round AND the LCP walk, so the cache always pays)."""
-    bound, _n_pos, parts, flat_ok = _sizes(df, text_col)
+    ranks (h exceeds the max-LCP bound). Each round ends in an EAGER
+    localCheckpoint — a round references its predecessor four times
+    (self-join + the rank's internal reuse), so lazy caching leaves an
+    analysis tree that grows ~4x per round; the checkpoint keeps plan
+    size constant per round at the cost of one corpus-linear pass."""
+    bound, _n_pos, parts, flat_ok, _max_chars = _sizes(df, text_col)
     positions = persist_tracked(
         _token_stream(df, id_col=id_col, text_col=text_col, width=bound + 2)
     )
 
-    cur = persist_tracked(
-        _consistent_rank(
-            positions.select("gpos", _sort_key(flat_ok).alias("__sk")),
-            ["__sk"],
-            "r",
-            partitions=parts,
-        ).select("gpos", "r")
-    )
+    cur = _consistent_rank(
+        positions.select("gpos", _sort_key(flat_ok).alias("__sk")),
+        ["__sk"],
+        "r",
+        partitions=parts,
+    ).select("gpos", "r").localCheckpoint()
     h = _SEED
     tables: list[tuple[int, DataFrame]] = [(h, cur)]
     while h <= bound:
         shifted = cur.select(
             (F.col("gpos") - F.lit(h)).alias("gpos"), F.col("r").alias("r2")
         )
-        paired = cur.join(shifted, "gpos", "left").withColumn(
+        # n-row ⨝ n-row at every scale: never let a size misestimate pick
+        # a broadcast (observed: AQE broadcast the 2.7M-row sf1 rank table
+        # and exhausted the driver) — shuffle hash is the only right plan
+        paired = cur.join(shifted.hint("shuffle_hash"), "gpos", "left").withColumn(
             "r2", F.coalesce("r2", F.lit(-1))
         )
-        cur = persist_tracked(
-            _consistent_rank(paired, ["r", "r2"], "rn", partitions=parts).select(
-                "gpos", F.col("rn").alias("r")
-            )
+        # LINEAGE CUT per round: each round references cur 4x (self-join +
+        # ranged reuse inside the rank), so without an eager cut the tree
+        # grows ~4x per round and analysis explodes combinatorially. The
+        # frame is 2 int64s per position — checkpointing is corpus-linear.
+        cur = (
+            _consistent_rank(paired, ["r", "r2"], "rn", partitions=parts)
+            .select("gpos", F.col("rn").alias("r"))
+            .localCheckpoint()
         )
         h *= 2
         tables.append((h, cur))
@@ -502,8 +485,13 @@ def adjacent_lcp(
     < _SEED, read directly off the two positions' prefix-key arrays with
     one codegen aggregate. No Python, no windows, no quadratic term."""
     sa = tables[-1][1]
+    # every join below is n-row ⨝ n-row — hint shuffle hash so no stats
+    # misestimate ever broadcasts a corpus-sized rank table (the sf1 OOM)
     adj = sa.select(F.col("r").alias("rr"), F.col("gpos").alias("ga")).join(
-        sa.select((F.col("r") - 1).alias("rr"), F.col("gpos").alias("gb")), "rr"
+        sa.select((F.col("r") - 1).alias("rr"), F.col("gpos").alias("gb")).hint(
+            "shuffle_hash"
+        ),
+        "rr",
     )
     cur = adj.withColumn("lcp", F.lit(0).cast("long"))
     for h, tbl in reversed(tables[:-1]):
@@ -512,8 +500,8 @@ def adjacent_lcp(
         cur = (
             cur.withColumn("__ka", F.col("ga") + F.col("lcp"))
             .withColumn("__kb", F.col("gb") + F.col("lcp"))
-            .join(ra, F.col("__ka") == F.col("__ja"), "left")
-            .join(rb, F.col("__kb") == F.col("__jb"), "left")
+            .join(ra.hint("shuffle_hash"), F.col("__ka") == F.col("__ja"), "left")
+            .join(rb.hint("shuffle_hash"), F.col("__kb") == F.col("__jb"), "left")
         )
         hit = (
             F.col("__ra").isNotNull()
@@ -528,8 +516,8 @@ def adjacent_lcp(
     cur = (
         cur.withColumn("__ka", F.col("ga") + F.col("lcp"))
         .withColumn("__kb", F.col("gb") + F.col("lcp"))
-        .join(pka, F.col("__ka") == F.col("__ja"), "left")
-        .join(pkb, F.col("__kb") == F.col("__jb"), "left")
+        .join(pka.hint("shuffle_hash"), F.col("__ka") == F.col("__ja"), "left")
+        .join(pkb.hint("shuffle_hash"), F.col("__kb") == F.col("__jb"), "left")
         .withColumn(
             "lcp",
             F.col("lcp")
