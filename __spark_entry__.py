@@ -116,6 +116,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "suffix_array_rank",
     "suffix_lrs",
     "dedup_duplicate_spans_sa",
+    "suffix_lcp_histogram",
     "multimodal_audio_rice_codec",
 }
 

@@ -57,6 +57,7 @@ __all__ = [
     "suffix_array_ranks",
     "adjacent_lcp",
     "longest_repeated_substrings",
+    "lcp_histogram",
     "sa_duplicate_spans",
 ]
 
@@ -585,6 +586,21 @@ def longest_repeated_substrings(
             F.col("nbr_pos"),
         )
         .limit(top_n)
+    )
+
+
+def lcp_histogram(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """The corpus DUPLICATION SPECTRUM: for every adjacent-LCP value, how
+    many suffix-array-adjacent pairs share exactly that many tokens — the
+    one-scan profile that says how much substring-level duplication a
+    dedup pass would find at ANY window length (the count of duplicated
+    L-gram start positions is the tail mass ≥ L), before committing to a
+    threshold. Output is bounded by the longest document (≤ maxLCP + 1
+    rows), so the aggregate is a broadcast-sized groupBy over the 3-int
+    adj frame."""
+    _positions, _ranked, adj = _sa_core(df, id_col=id_col, text_col=text_col)
+    return adj.groupBy(F.col("lcp").alias("lcp_len")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
     )
 
 

@@ -62,10 +62,9 @@ def suffix_array_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix.suffix_array_ranks(d, id_col="doc_id", text_col="text")
 
 
-@query(
-    "suffix_lrs",
-    oracle=f"""
-    WITH {_SU},
+# SA order + per-adjacent-pair LCP (min mismatch index), shared by the
+# LRS and duplication-spectrum oracles.
+_ADJ_LCP = f"""{_SU},
     ord AS (SELECT doc_id, pos, sk,
                    row_number() OVER (ORDER BY sk) AS r
             FROM su),
@@ -80,6 +79,13 @@ def suffix_array_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE ska[v.j] IS DISTINCT FROM skb[v.j]
       GROUP BY adj.r
     )
+"""
+
+
+@query(
+    "suffix_lrs",
+    oracle=f"""
+    WITH {_ADJ_LCP}
     SELECT CAST(m.lcp AS BIGINT) AS lcp_len, a.doc_id AS doc_id,
            a.pos AS pos, a.nbr_doc_id AS nbr_doc_id, a.nbr_pos AS nbr_pos,
            array_to_string(
@@ -104,6 +110,27 @@ def suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix.longest_repeated_substrings(
         d, id_col="doc_id", text_col="text", top_n=20
     )
+
+
+@query(
+    "suffix_lcp_histogram",
+    oracle=f"""
+    WITH {_ADJ_LCP}
+    SELECT CAST(lcp AS BIGINT) AS lcp_len,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM mm GROUP BY 1
+    """,
+)
+def suffix_lcp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication spectrum: the distribution of adjacent-suffix
+    LCPs. The tail mass ≥ L is exactly the count of duplicated-L-gram
+    start positions, so one scan profiles what substring dedup would cut
+    at EVERY window length before committing to a threshold — the
+    planning question the fixed-window family has to re-scan per
+    candidate L. Output is bounded by the longest document; the final
+    aggregate is broadcast-sized."""
+    d = read_table(spark, sf_dir, "documents")
+    return suffix.lcp_histogram(d, id_col="doc_id", text_col="text")
 
 
 @query(

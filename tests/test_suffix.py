@@ -158,6 +158,33 @@ def test_control_char_corpus_dispatches_to_exact_general_path(spark):
     release_persisted()
 
 
+def test_lcp_histogram_matches_brute_force_and_tail_mass(spark):
+    docs = _mixed_corpus(seed=31, long_docs=False)
+    _rank, adjexp = _brute(docs)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.lcp_len: r.n_pairs
+        for r in sx.lcp_histogram(df, id_col="doc_id", text_col="text").collect()
+    }
+    exp = {}
+    for v in adjexp.values():
+        exp[v] = exp.get(v, 0) + 1
+    assert got == exp
+    # tail mass ≥ L == duplicated-L-gram start positions (the planning use)
+    L = 4
+    dup_positions = {
+        p
+        for (pa, pb), v in adjexp.items()
+        if v >= L
+        for p in (pa, pb)
+    }
+    spans = sx.sa_duplicate_spans(
+        df, id_col="doc_id", text_col="text", window=L
+    ).collect()
+    assert sum(s.n_windows for s in spans) == len(dup_positions)
+    release_persisted()
+
+
 def test_empty_and_degenerate_corpora(spark):
     e = spark.createDataFrame([], "doc_id long, text string")
     assert sx.suffix_array_ranks(e, id_col="doc_id", text_col="text").count() == 0
