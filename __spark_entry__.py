@@ -117,6 +117,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "suffix_lrs",
     "dedup_duplicate_spans_sa",
     "suffix_lcp_histogram",
+    "dedup_spans_rewrite_sa",
     "multimodal_audio_rice_codec",
 }
 

@@ -59,6 +59,7 @@ __all__ = [
     "longest_repeated_substrings",
     "lcp_histogram",
     "sa_duplicate_spans",
+    "sa_spans_rewrite",
 ]
 
 # Seed prefix width: the initial rank table orders suffixes by their
@@ -370,14 +371,14 @@ def _sa_fast(
 
 def _sa_core(
     df: DataFrame, *, id_col: str, text_col: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Dispatch: (positions, ranked(gpos, sa_rank), adj(ga, gb, lcp)).
-    Short-doc control-char-free corpora (the LLM-pipeline norm — both
-    provable from the one upfront aggregate) take the single-sort flat
-    fast path; long-doc or exotic-alphabet corpora take seeded prefix
-    doubling + the rank-table LCP walk, which is exact for any content.
-    Outputs are contract-identical, pinned by the brute-force tests on
-    both paths."""
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Dispatch: (positions, ranked(gpos, sa_rank), adj(ga, gb, lcp),
+    parts). Short-doc control-char-free corpora (the LLM-pipeline norm —
+    both provable from the one upfront aggregate) take the single-sort
+    flat fast path; long-doc or exotic-alphabet corpora take seeded
+    prefix doubling + the rank-table LCP walk, which is exact for any
+    content. Outputs are contract-identical, pinned by the brute-force
+    tests on both paths."""
     bound, _n_pos, parts, flat_ok, max_chars = _sizes(df, text_col)
     if flat_ok and bound < _FAST_CAP:
         positions = persist_tracked(
@@ -386,10 +387,10 @@ def _sa_core(
             )
         )
         ranked, adj = _sa_fast(positions, parts, max_chars)
-        return positions, ranked, adj
+        return positions, ranked, adj, parts
     positions, tables = build_suffix_array(df, id_col=id_col, text_col=text_col)
     ranked = tables[-1][1].select("gpos", F.col("r").cast("long").alias("sa_rank"))
-    return positions, ranked, adjacent_lcp(positions, tables)
+    return positions, ranked, adjacent_lcp(positions, tables), parts
 
 
 def build_suffix_array(
@@ -449,7 +450,7 @@ def suffix_array_ranks(df: DataFrame, *, id_col: str, text_col: str) -> DataFram
     hold the lowest ranks, so real ranks carry a fixed n_docs offset —
     kept as-is so the rank is a plain permutation slice both engines
     reproduce)."""
-    positions, ranked, _adj = _sa_core(df, id_col=id_col, text_col=text_col)
+    positions, ranked, _adj, _parts = _sa_core(df, id_col=id_col, text_col=text_col)
     return (
         positions.join(ranked, "gpos")
         .where(F.col("key").startswith("T"))
@@ -543,7 +544,7 @@ def longest_repeated_substrings(
     document — an LCP can never cross a document boundary thanks to the
     unique sentinels), ordered by (lcp desc, coordinates) and limited —
     a total order, so the cut is deterministic on both engines."""
-    positions, _ranked, adj = _sa_core(df, id_col=id_col, text_col=text_col)
+    positions, _ranked, adj, _parts = _sa_core(df, id_col=id_col, text_col=text_col)
     # gpos = doc_id·W + pos is MONOTONE in (doc_id, pos), so the output
     # contract's tiebreak order (doc_id, pos, nbr_doc_id, nbr_pos) equals
     # (ga, gb) — the top-n cut runs BEFORE any join, on the 3-int adj
@@ -598,7 +599,7 @@ def lcp_histogram(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     threshold. Output is bounded by the longest document (≤ maxLCP + 1
     rows), so the aggregate is a broadcast-sized groupBy over the 3-int
     adj frame."""
-    _positions, _ranked, adj = _sa_core(df, id_col=id_col, text_col=text_col)
+    _positions, _ranked, adj, _parts = _sa_core(df, id_col=id_col, text_col=text_col)
     return adj.groupBy(F.col("lcp").alias("lcp_len")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
@@ -616,7 +617,7 @@ def sa_duplicate_spans(
     positions gap-merge into spans via the SAME shared sweep. Two
     independent algorithms, one output contract — the equality is the
     attestation."""
-    positions, _ranked, adj = _sa_core(df, id_col=id_col, text_col=text_col)
+    positions, _ranked, adj, _parts = _sa_core(df, id_col=id_col, text_col=text_col)
     # Only the ≥window test matters, so filter the 3-int adj frame FIRST
     # (duplicated-window positions are a sliver of the corpus), then
     # dedup the two legs — no corpus-wide max aggregation.
@@ -648,5 +649,120 @@ def sa_duplicate_spans(
                 "span_tokens"
             ),
             "n_windows",
+        )
+    )
+
+
+def sa_spans_rewrite(
+    df: DataFrame, *, id_col: str, text_col: str, window: int = 10
+) -> DataFrame:
+    """APPLY substring dedup THROUGH THE SUFFIX ARRAY — the full Lee et
+    al. 2022 pipeline end-to-end (find AND cut), with output defined to
+    be identical to :func:`ibc_spark.ext.dedup.spans_rewrite`: every
+    duplicated ``window``-gram keeps its canonical occurrence (min
+    (doc_id, start_tok)) and cuts the rest; per-doc cut windows gap-merge
+    and the cleaned text re-joins the surviving tokens, case-preserved.
+
+    SA formulation of the canonical-occurrence step: occurrences of the
+    same ``window``-gram are exactly the maximal RUNS of SA order whose
+    adjacent LCPs stay ≥ ``window`` (equal prefixes are contiguous in
+    suffix order), so group id = running count of lcp-breaks over rank
+    order (two-phase: range-partition on sa_rank, per-partition cumsum +
+    broadcast offsets — break flags are per-row data, so partition
+    stitching is exact with no boundary cases), canonical = min gpos in
+    the run (gpos is monotone in (doc_id, pos)). The apply tail mirrors
+    ``spans_rewrite``'s (same output contract, deliberately not a shared
+    helper: the oracle equality between the two entries IS the guard, and
+    a shared-module edit would manifest-flag the whole windowed family).
+    Two independent algorithms, one cleaned corpus — the attestation."""
+    positions, ranked, adj, parts = _sa_core(df, id_col=id_col, text_col=text_col)
+    ann = ranked.join(
+        adj.select(F.col("gb").alias("gpos"), "lcp").hint("shuffle_hash"),
+        "gpos",
+        "left",
+    ).withColumn(
+        "brk",
+        F.when(F.col("lcp").isNull() | (F.col("lcp") < window), 1).otherwise(0),
+    )
+    ranged = persist_tracked(
+        ann.repartitionByRange(parts, F.col("sa_rank")).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    offs = (
+        ranged.groupBy("__pid")
+        .agg(F.sum("brk").alias("__t"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__t").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    w = Window.partitionBy("__pid").orderBy("sa_rank")
+    grouped = ranged.join(F.broadcast(offs), "__pid").withColumn(
+        "grp",
+        F.col("__off")
+        + F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = grouped.groupBy("grp").agg(
+        F.min("gpos").alias("cano"), F.count(F.lit(1)).alias("nocc")
+    )
+    cut_gpos = (
+        grouped.join(runs.hint("shuffle_hash"), "grp")
+        .where((F.col("nocc") >= 2) & (F.col("gpos") != F.col("cano")))
+        .select("gpos")
+    )
+    cuts = positions.join(cut_gpos, "gpos").select(
+        "doc_id", F.col("pos").cast("int").alias("start_tok")
+    )
+
+    # apply tail — the spans_rewrite output contract, verbatim semantics
+    raw_toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = persist_tracked(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokens(F.col(text_col)).alias("toks"),
+            raw_toks.alias("raw_toks"),
+        )
+    )
+    spans = (
+        _gap_merge_span_ids(cuts, window)
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("start_tok").alias("s"),
+            (F.max("start_tok") + window - 1).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("cut_spans"))
+    )
+    pos_structs = F.transform(
+        F.col("raw_toks"), lambda t, i: F.struct((i + 1).alias("pos"), t.alias("tok"))
+    )
+    no_spans = F.array().cast("array<struct<s:int,e:int>>")
+    kept = F.filter(
+        pos_structs,
+        lambda st: ~F.exists(
+            F.coalesce(F.col("cut_spans"), no_spans),
+            lambda sp: (st["pos"] >= sp["s"]) & (st["pos"] <= sp["e"]),
+        ),
+    )
+    return (
+        base.join(spans, on="doc_id", how="left")
+        .withColumn("kept_arr", kept)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size("kept_arr")).cast("long").alias("cut_tokens"),
+            F.size("kept_arr").cast("long").alias("kept_tokens"),
+            F.array_join(
+                F.transform("kept_arr", lambda st: st["tok"]), " "
+            ).alias("cleaned_text"),
         )
     )

@@ -186,3 +186,83 @@ def dedup_duplicate_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix array' caveat by proving the equivalence on every driver run."""
     d = read_table(spark, sf_dir, "documents")
     return suffix.sa_duplicate_spans(d, id_col="doc_id", text_col="text", window=10)
+
+
+@query(
+    "dedup_spans_rewrite_sa",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks,
+                      list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                        AS rawtoks
+               FROM documents),
+    occ AS (
+      SELECT doc_id, CAST(u.i AS INT) AS start_tok,
+             array_to_string(list_slice(toks, u.i, u.i + 9), ' ') AS passage
+      FROM t, unnest(CASE WHEN len(toks) >= 10
+                          THEN range(1, len(toks) - 8, 1) ELSE [] END) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, start_tok,
+             COUNT(*) OVER (PARTITION BY passage) AS n_occ,
+             ROW_NUMBER() OVER (PARTITION BY passage
+                                ORDER BY doc_id, start_tok) AS rk
+      FROM occ
+    ),
+    cuts AS (SELECT doc_id, start_tok FROM marked WHERE n_occ > 1 AND rk > 1),
+    sw AS (
+      SELECT doc_id, start_tok,
+             CASE WHEN max(start_tok + 9) OVER (PARTITION BY doc_id
+                    ORDER BY start_tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR start_tok > max(start_tok + 9) OVER (PARTITION BY doc_id
+                    ORDER BY start_tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS opens
+      FROM cuts
+    ),
+    sp AS (
+      SELECT doc_id, start_tok,
+             sum(opens) OVER (PARTITION BY doc_id ORDER BY start_tok
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM sw
+    ),
+    spans AS (
+      SELECT doc_id, min(start_tok) AS s, max(start_tok) + 9 AS e
+      FROM sp GROUP BY doc_id, span_id
+    ),
+    tokpos AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos, rawtoks[u.i] AS tok
+      FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tokpos tp
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.e)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS kept_n,
+             string_agg(tok, ' ' ORDER BY pos) AS txt
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(agg.kept_n, 0) AS BIGINT) AS cut_tokens,
+           CAST(coalesce(agg.kept_n, 0) AS BIGINT) AS kept_tokens,
+           coalesce(agg.txt, '') AS cleaned_text
+    FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+    """,
+)
+def dedup_spans_rewrite_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Lee et al. 2022 pipeline through the suffix array — find
+    duplicated substrings AND emit the cleaned corpus: occurrences of the
+    same 10-gram are the maximal SA runs with adjacent LCP ≥ 10, the run's
+    min-(doc, pos) member stays canonical, the rest cut, gap-merged, and
+    the documents rewritten case-preserved. The oracle is the WINDOWED
+    formulation (the ``dedup_spans_rewrite`` contract, verbatim): two
+    independent algorithms required to produce the identical cleaned
+    corpus, row for row — the strongest attestation in the family, since
+    it covers canonical election and the apply step, not just span
+    reporting."""
+    d = read_table(spark, sf_dir, "documents")
+    return suffix.sa_spans_rewrite(d, id_col="doc_id", text_col="text", window=10)

@@ -158,6 +158,45 @@ def test_control_char_corpus_dispatches_to_exact_general_path(spark):
     release_persisted()
 
 
+@pytest.mark.parametrize("cap", [sx._FAST_CAP, 0])
+def test_sa_rewrite_equals_windowed_rewrite(spark, cap):
+    """The end-to-end attestation: the SA pipeline's CLEANED CORPUS
+    (canonical election + cut + rewrite) equals the windowed rewrite's,
+    row for row, case preserved."""
+    random.seed(47)
+    vocab = ["a", "b", "c", "ab", "xy", "zz", "Qq", "ZZ"]
+    docs = []
+    for d in range(12):
+        L = random.choice([0, 1, 5, 40, 90])
+        docs.append((d, " ".join(random.choice(vocab) for _ in range(L))))
+    docs.append((12, docs[3][1]))
+    docs.append((13, docs[3][1] + " Tail " + docs[5][1]))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    old = sx._FAST_CAP
+    sx._FAST_CAP = cap
+    try:
+        a = sorted(
+            map(
+                tuple,
+                sx.sa_spans_rewrite(
+                    df, id_col="doc_id", text_col="text", window=4
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                dedup.spans_rewrite(
+                    df, id_col="doc_id", text_col="text", window=4
+                ).collect(),
+            )
+        )
+        assert a == b and any(r[2] > 0 for r in a), "must actually cut spans"
+    finally:
+        sx._FAST_CAP = old
+        release_persisted()
+
+
 def test_lcp_histogram_matches_brute_force_and_tail_mass(spark):
     docs = _mixed_corpus(seed=31, long_docs=False)
     _rank, adjexp = _brute(docs)
