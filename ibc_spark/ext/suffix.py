@@ -452,7 +452,7 @@ def suffix_array_ranks(df: DataFrame, *, id_col: str, text_col: str) -> DataFram
     reproduce)."""
     positions, ranked, _adj, _parts = _sa_core(df, id_col=id_col, text_col=text_col)
     return (
-        positions.join(ranked, "gpos")
+        positions.join(ranked.hint("shuffle_hash"), "gpos")
         .where(F.col("key").startswith("T"))
         .select("doc_id", "pos", "sa_rank")
     )
@@ -568,7 +568,7 @@ def longest_repeated_substrings(
     return (
         lcps.join(pa, "ga")
         .join(pb, "gb")
-        .join(toks_by_doc, "doc_id")
+        .join(toks_by_doc.hint("shuffle_hash"), "doc_id")
         .select(
             F.col("lcp").cast("long").alias("lcp_len"),
             "doc_id",
@@ -628,7 +628,7 @@ def sa_duplicate_spans(
         .distinct()
     )
     dup = (
-        positions.join(dup_gpos, "gpos")
+        positions.join(dup_gpos.hint("shuffle_hash"), "gpos")
         .where(F.col("key").startswith("T"))
         .select("doc_id", F.col("pos").cast("int").alias("start_tok"))
     )
@@ -719,7 +719,7 @@ def sa_spans_rewrite(
         .where((F.col("nocc") >= 2) & (F.col("gpos") != F.col("cano")))
         .select("gpos")
     )
-    cuts = positions.join(cut_gpos, "gpos").select(
+    cuts = positions.join(cut_gpos.hint("shuffle_hash"), "gpos").select(
         "doc_id", F.col("pos").cast("int").alias("start_tok")
     )
 
@@ -754,7 +754,7 @@ def sa_spans_rewrite(
         ),
     )
     return (
-        base.join(spans, on="doc_id", how="left")
+        base.join(spans.hint("shuffle_hash"), on="doc_id", how="left")
         .withColumn("kept_arr", kept)
         .select(
             "doc_id",
