@@ -300,7 +300,7 @@ def _str_lcp_tokens(a, b, max_chars: int):  # Columns + bound -> Column (long)
 
 
 def _sa_fast(
-    positions: DataFrame, parts: int, max_chars: int
+    stream: DataFrame, parts: int, max_chars: int
 ) -> tuple[DataFrame, DataFrame]:
     """Single-sort suffix array for short-doc flat_ok corpora (``sk``
     holds the ENTIRE suffix string and all suffix strings are distinct):
@@ -312,8 +312,13 @@ def _sa_fast(
     stats frame — lag over (first, last) rows carries both the gpos pair
     and the boundary LCP. Returns (ranked(gpos, sa_rank), adj(ga, gb,
     lcp)); identical contracts to the general doubling path."""
+    # The ONLY cached copy of the fat suffix strings: the un-persisted
+    # stream feeds this exchange (one recompute for the range sampler),
+    # and the positions frame the callers join against is the string-free
+    # lite projection — caching sk twice doubled heap at sf3 and starved
+    # the driver.
     ranged = persist_tracked(
-        positions.select("gpos", "sk")
+        stream.select("gpos", "sk")
         .repartitionByRange(parts, F.col("sk"))
         .withColumn("__pid", F.spark_partition_id())
     )
@@ -381,12 +386,13 @@ def _sa_core(
     tests on both paths."""
     bound, _n_pos, parts, flat_ok, max_chars = _sizes(df, text_col)
     if flat_ok and bound < _FAST_CAP:
-        positions = persist_tracked(
-            _suffix_stream_flat(
-                df, id_col=id_col, text_col=text_col, width=bound + 2
-            )
+        stream = _suffix_stream_flat(
+            df, id_col=id_col, text_col=text_col, width=bound + 2
         )
-        ranked, adj = _sa_fast(positions, parts, max_chars)
+        positions = persist_tracked(
+            stream.select("doc_id", "pos", "key", "gpos")
+        )
+        ranked, adj = _sa_fast(stream, parts, max_chars)
         return positions, ranked, adj, parts
     positions, tables = build_suffix_array(df, id_col=id_col, text_col=text_col)
     ranked = tables[-1][1].select("gpos", F.col("r").cast("long").alias("sa_rank"))
@@ -427,7 +433,7 @@ def build_suffix_array(
         # n-row ⨝ n-row at every scale: never let a size misestimate pick
         # a broadcast (observed: AQE broadcast the 2.7M-row sf1 rank table
         # and exhausted the driver) — shuffle hash is the only right plan
-        paired = cur.join(shifted.hint("shuffle_hash"), "gpos", "left").withColumn(
+        paired = cur.join(shifted.hint("merge"), "gpos", "left").withColumn(
             "r2", F.coalesce("r2", F.lit(-1))
         )
         # LINEAGE CUT per round: each round references cur 4x (self-join +
@@ -452,7 +458,7 @@ def suffix_array_ranks(df: DataFrame, *, id_col: str, text_col: str) -> DataFram
     reproduce)."""
     positions, ranked, _adj, _parts = _sa_core(df, id_col=id_col, text_col=text_col)
     return (
-        positions.join(ranked.hint("shuffle_hash"), "gpos")
+        positions.join(ranked.hint("merge"), "gpos")
         .where(F.col("key").startswith("T"))
         .select("doc_id", "pos", "sa_rank")
     )
@@ -502,8 +508,8 @@ def adjacent_lcp(
         cur = (
             cur.withColumn("__ka", F.col("ga") + F.col("lcp"))
             .withColumn("__kb", F.col("gb") + F.col("lcp"))
-            .join(ra.hint("shuffle_hash"), F.col("__ka") == F.col("__ja"), "left")
-            .join(rb.hint("shuffle_hash"), F.col("__kb") == F.col("__jb"), "left")
+            .join(ra.hint("merge"), F.col("__ka") == F.col("__ja"), "left")
+            .join(rb.hint("merge"), F.col("__kb") == F.col("__jb"), "left")
         )
         hit = (
             F.col("__ra").isNotNull()
@@ -518,8 +524,8 @@ def adjacent_lcp(
     cur = (
         cur.withColumn("__ka", F.col("ga") + F.col("lcp"))
         .withColumn("__kb", F.col("gb") + F.col("lcp"))
-        .join(pka.hint("shuffle_hash"), F.col("__ka") == F.col("__ja"), "left")
-        .join(pkb.hint("shuffle_hash"), F.col("__kb") == F.col("__jb"), "left")
+        .join(pka.hint("merge"), F.col("__ka") == F.col("__ja"), "left")
+        .join(pkb.hint("merge"), F.col("__kb") == F.col("__jb"), "left")
         .withColumn(
             "lcp",
             F.col("lcp")
@@ -568,7 +574,7 @@ def longest_repeated_substrings(
     return (
         lcps.join(pa, "ga")
         .join(pb, "gb")
-        .join(toks_by_doc.hint("shuffle_hash"), "doc_id")
+        .join(toks_by_doc.hint("merge"), "doc_id")
         .select(
             F.col("lcp").cast("long").alias("lcp_len"),
             "doc_id",
@@ -628,7 +634,7 @@ def sa_duplicate_spans(
         .distinct()
     )
     dup = (
-        positions.join(dup_gpos.hint("shuffle_hash"), "gpos")
+        positions.join(dup_gpos.hint("merge"), "gpos")
         .where(F.col("key").startswith("T"))
         .select("doc_id", F.col("pos").cast("int").alias("start_tok"))
     )
@@ -677,7 +683,7 @@ def sa_spans_rewrite(
     Two independent algorithms, one cleaned corpus — the attestation."""
     positions, ranked, adj, parts = _sa_core(df, id_col=id_col, text_col=text_col)
     ann = ranked.join(
-        adj.select(F.col("gb").alias("gpos"), "lcp").hint("shuffle_hash"),
+        adj.select(F.col("gb").alias("gpos"), "lcp").hint("merge"),
         "gpos",
         "left",
     ).withColumn(
@@ -715,11 +721,11 @@ def sa_spans_rewrite(
         F.min("gpos").alias("cano"), F.count(F.lit(1)).alias("nocc")
     )
     cut_gpos = (
-        grouped.join(runs.hint("shuffle_hash"), "grp")
+        grouped.join(runs.hint("merge"), "grp")
         .where((F.col("nocc") >= 2) & (F.col("gpos") != F.col("cano")))
         .select("gpos")
     )
-    cuts = positions.join(cut_gpos.hint("shuffle_hash"), "gpos").select(
+    cuts = positions.join(cut_gpos.hint("merge"), "gpos").select(
         "doc_id", F.col("pos").cast("int").alias("start_tok")
     )
 
@@ -754,7 +760,7 @@ def sa_spans_rewrite(
         ),
     )
     return (
-        base.join(spans.hint("shuffle_hash"), on="doc_id", how="left")
+        base.join(spans.hint("merge"), on="doc_id", how="left")
         .withColumn("kept_arr", kept)
         .select(
             "doc_id",
