@@ -45,6 +45,8 @@ the corpus.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -183,24 +185,24 @@ _FAST_CAP = 128
 
 
 def _sizes(df: DataFrame, text_col: str) -> tuple[int, int, int, bool, int]:
-    """One upfront aggregate → (bound, n_pos, parts, flat_ok, max_chars):
-    maxLCP
-    bound = longest doc's token count (an LCP can never cross a sentinel),
-    total stream positions, the exchange width for the rank shuffles
-    (~10k positions per partition — fat suffix-key rows sort CPU-bound,
-    so they want real parallelism — floored at 4 so a 27k-position oracle
-    corpus skips 32-task stage latency, capped by the session's shuffle
-    parallelism so a cluster-scale corpus fills whatever the session is
-    tuned to), and whether the corpus is free of
-    sub-0x20 control characters — when it is (the overwhelmingly common
-    case), the space-joined key STRING is order-equivalent to the token
-    sequence (the separator sorts strictly below every token byte, tokens
-    cannot contain it, and a joined prefix ends in the separator exactly
-    when the sequence is a proper prefix), so sorts run on binary string
-    comparisons instead of Spark's interpreted array comparator.
-    ``max_chars`` bounds any suffix string's length (text chars + one
-    'T' namespace byte per token + the sentinel), sizing the LCP binary
-    decomposition."""
+    """One upfront aggregate → (bound, n_pos, parts, flat_ok, max_chars).
+
+    ``bound``: the maxLCP bound = longest doc's token count (an LCP can
+    never cross a sentinel). ``n_pos``: total stream positions.
+    ``parts``: exchange width for the rank shuffles — ~10k positions per
+    partition (fat suffix-key rows sort CPU-bound, so they want real
+    parallelism), floored at 4 so a 27k-position oracle corpus skips
+    32-task stage latency, capped by the session's shuffle parallelism so
+    a cluster-scale corpus fills whatever the session is tuned to.
+    ``flat_ok``: the corpus is free of sub-0x20 control characters — when
+    it is (the overwhelmingly common case), the space-joined key STRING
+    is order-equivalent to the token sequence (the separator sorts
+    strictly below every token byte, tokens cannot contain it, and a
+    joined prefix ends in the separator exactly when the sequence is a
+    proper prefix), so sorts run on binary string comparisons instead of
+    Spark's interpreted array comparator. ``max_chars``: bounds any
+    suffix string's length (text chars + one 'T' namespace byte per token
+    + the sentinel), sizing the LCP binary decomposition."""
     sizes = df.agg(
         F.max(F.size(tokens(F.col(text_col)))).alias("m"),
         F.sum(F.size(tokens(F.col(text_col))) + 1).alias("n"),
@@ -219,6 +221,20 @@ def _sizes(df: DataFrame, text_col: str) -> tuple[int, int, int, bool, int]:
         )
     )
     return bound, n_pos, parts, not bool(sizes["ctl"]), max_chars
+
+
+# Above this many stream positions, corpus-class join sides are hinted
+# sort-merge (spillable at any scale; AQE misestimates from parquet stats
+# broadcast an 8M-row token frame at sf3 and shuffle-hash relations blew
+# the unified pool). Below it, AQE's own choices (broadcast/shuffle-hash)
+# are both safe and measurably faster — the threshold comes from the same
+# upfront aggregate as every other adaptive parameter here.
+_MERGE_HINT_MIN_POSITIONS = 2_000_000
+
+
+def _mh(df: DataFrame, big: bool) -> DataFrame:
+    """Sort-merge hint a corpus-class join side on big corpora only."""
+    return df.hint("merge") if big else df
 
 
 def _sort_key(flat_ok: bool):
@@ -374,17 +390,23 @@ def _sa_fast(
     return ranked, adj
 
 
-def _sa_core(
-    df: DataFrame, *, id_col: str, text_col: str
-) -> tuple[DataFrame, DataFrame, DataFrame, int]:
-    """Dispatch: (positions, ranked(gpos, sa_rank), adj(ga, gb, lcp),
-    parts). Short-doc control-char-free corpora (the LLM-pipeline norm —
-    both provable from the one upfront aggregate) take the single-sort
-    flat fast path; long-doc or exotic-alphabet corpora take seeded
-    prefix doubling + the rank-table LCP walk, which is exact for any
-    content. Outputs are contract-identical, pinned by the brute-force
-    tests on both paths."""
-    bound, _n_pos, parts, flat_ok, max_chars = _sizes(df, text_col)
+class _SACore(NamedTuple):
+    positions: DataFrame  # (doc_id, pos, key, gpos) [+ pk on the general path]
+    ranked: DataFrame     # (gpos, sa_rank) — all distinct
+    adj: DataFrame        # (ga, gb, lcp) — every SA-adjacent pair
+    parts: int
+    big: bool             # corpus-class joins should hint sort-merge
+
+
+def _sa_core(df: DataFrame, *, id_col: str, text_col: str) -> _SACore:
+    """Dispatch. Short-doc control-char-free corpora (the LLM-pipeline
+    norm — both provable from the one upfront aggregate) take the
+    single-sort flat fast path; long-doc or exotic-alphabet corpora take
+    seeded prefix doubling + the rank-table LCP walk, which is exact for
+    any content. Outputs are contract-identical, pinned by the
+    brute-force tests on both paths."""
+    bound, n_pos, parts, flat_ok, max_chars = _sizes(df, text_col)
+    big = n_pos > _MERGE_HINT_MIN_POSITIONS
     if flat_ok and bound < _FAST_CAP:
         stream = _suffix_stream_flat(
             df, id_col=id_col, text_col=text_col, width=bound + 2
@@ -393,10 +415,10 @@ def _sa_core(
             stream.select("doc_id", "pos", "key", "gpos")
         )
         ranked, adj = _sa_fast(stream, parts, max_chars)
-        return positions, ranked, adj, parts
+        return _SACore(positions, ranked, adj, parts, big)
     positions, tables = build_suffix_array(df, id_col=id_col, text_col=text_col)
     ranked = tables[-1][1].select("gpos", F.col("r").cast("long").alias("sa_rank"))
-    return positions, ranked, adjacent_lcp(positions, tables), parts
+    return _SACore(positions, ranked, adjacent_lcp(positions, tables), parts, big)
 
 
 def build_suffix_array(
@@ -456,9 +478,9 @@ def suffix_array_ranks(df: DataFrame, *, id_col: str, text_col: str) -> DataFram
     hold the lowest ranks, so real ranks carry a fixed n_docs offset —
     kept as-is so the rank is a plain permutation slice both engines
     reproduce)."""
-    positions, ranked, _adj, _parts = _sa_core(df, id_col=id_col, text_col=text_col)
+    core = _sa_core(df, id_col=id_col, text_col=text_col)
     return (
-        positions.join(ranked.hint("merge"), "gpos")
+        core.positions.join(_mh(core.ranked, core.big), "gpos")
         .where(F.col("key").startswith("T"))
         .select("doc_id", "pos", "sa_rank")
     )
@@ -550,7 +572,8 @@ def longest_repeated_substrings(
     document — an LCP can never cross a document boundary thanks to the
     unique sentinels), ordered by (lcp desc, coordinates) and limited —
     a total order, so the cut is deterministic on both engines."""
-    positions, _ranked, adj, _parts = _sa_core(df, id_col=id_col, text_col=text_col)
+    core = _sa_core(df, id_col=id_col, text_col=text_col)
+    positions, adj = core.positions, core.adj
     # gpos = doc_id·W + pos is MONOTONE in (doc_id, pos), so the output
     # contract's tiebreak order (doc_id, pos, nbr_doc_id, nbr_pos) equals
     # (ga, gb) — the top-n cut runs BEFORE any join, on the 3-int adj
@@ -574,7 +597,7 @@ def longest_repeated_substrings(
     return (
         lcps.join(pa, "ga")
         .join(pb, "gb")
-        .join(toks_by_doc.hint("merge"), "doc_id")
+        .join(_mh(toks_by_doc, core.big), "doc_id")
         .select(
             F.col("lcp").cast("long").alias("lcp_len"),
             "doc_id",
@@ -605,8 +628,8 @@ def lcp_histogram(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     threshold. Output is bounded by the longest document (≤ maxLCP + 1
     rows), so the aggregate is a broadcast-sized groupBy over the 3-int
     adj frame."""
-    _positions, _ranked, adj, _parts = _sa_core(df, id_col=id_col, text_col=text_col)
-    return adj.groupBy(F.col("lcp").alias("lcp_len")).agg(
+    core = _sa_core(df, id_col=id_col, text_col=text_col)
+    return core.adj.groupBy(F.col("lcp").alias("lcp_len")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
 
@@ -623,7 +646,8 @@ def sa_duplicate_spans(
     positions gap-merge into spans via the SAME shared sweep. Two
     independent algorithms, one output contract — the equality is the
     attestation."""
-    positions, _ranked, adj, _parts = _sa_core(df, id_col=id_col, text_col=text_col)
+    core = _sa_core(df, id_col=id_col, text_col=text_col)
+    positions, adj = core.positions, core.adj
     # Only the ≥window test matters, so filter the 3-int adj frame FIRST
     # (duplicated-window positions are a sliver of the corpus), then
     # dedup the two legs — no corpus-wide max aggregation.
@@ -634,7 +658,7 @@ def sa_duplicate_spans(
         .distinct()
     )
     dup = (
-        positions.join(dup_gpos.hint("merge"), "gpos")
+        positions.join(_mh(dup_gpos, core.big), "gpos")
         .where(F.col("key").startswith("T"))
         .select("doc_id", F.col("pos").cast("int").alias("start_tok"))
     )
@@ -681,9 +705,10 @@ def sa_spans_rewrite(
     helper: the oracle equality between the two entries IS the guard, and
     a shared-module edit would manifest-flag the whole windowed family).
     Two independent algorithms, one cleaned corpus — the attestation."""
-    positions, ranked, adj, parts = _sa_core(df, id_col=id_col, text_col=text_col)
-    ann = ranked.join(
-        adj.select(F.col("gb").alias("gpos"), "lcp").hint("merge"),
+    core = _sa_core(df, id_col=id_col, text_col=text_col)
+    positions, parts, big = core.positions, core.parts, core.big
+    ann = core.ranked.join(
+        _mh(core.adj.select(F.col("gb").alias("gpos"), "lcp"), big),
         "gpos",
         "left",
     ).withColumn(
@@ -721,11 +746,11 @@ def sa_spans_rewrite(
         F.min("gpos").alias("cano"), F.count(F.lit(1)).alias("nocc")
     )
     cut_gpos = (
-        grouped.join(runs.hint("merge"), "grp")
+        grouped.join(_mh(runs, big), "grp")
         .where((F.col("nocc") >= 2) & (F.col("gpos") != F.col("cano")))
         .select("gpos")
     )
-    cuts = positions.join(cut_gpos.hint("merge"), "gpos").select(
+    cuts = positions.join(_mh(cut_gpos, big), "gpos").select(
         "doc_id", F.col("pos").cast("int").alias("start_tok")
     )
 
@@ -760,7 +785,7 @@ def sa_spans_rewrite(
         ),
     )
     return (
-        base.join(spans.hint("merge"), on="doc_id", how="left")
+        base.join(_mh(spans, big), on="doc_id", how="left")
         .withColumn("kept_arr", kept)
         .select(
             "doc_id",

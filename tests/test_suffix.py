@@ -75,9 +75,9 @@ def test_sa_and_lcp_match_brute_force(spark, cap, long_docs):
         assert res, "non-empty corpus must produce ranks"
         for r in res:
             assert rank[(r.doc_id, r.pos)] == r.sa_rank, (r, rank[(r.doc_id, r.pos)])
-        pos_, _ranked, adj, _parts = sx._sa_core(df, id_col="doc_id", text_col="text")
-        pl = {r.gpos: (r.doc_id, r.pos) for r in pos_.collect()}
-        got = adj.collect()
+        core = sx._sa_core(df, id_col="doc_id", text_col="text")
+        pl = {r.gpos: (r.doc_id, r.pos) for r in core.positions.collect()}
+        got = core.adj.collect()
         assert len(got) == len(pl) - 1  # every SA-adjacent pair, exactly once
         for r in got:
             assert adjexp[(pl[r.ga], pl[r.gb])] == r.lcp, (pl[r.ga], pl[r.gb], r.lcp)
@@ -151,9 +151,9 @@ def test_control_char_corpus_dispatches_to_exact_general_path(spark):
     res = sx.suffix_array_ranks(df, id_col="doc_id", text_col="text").collect()
     for r in res:
         assert rank[(r.doc_id, r.pos)] == r.sa_rank
-    pos_, _ranked, adj, _parts = sx._sa_core(df, id_col="doc_id", text_col="text")
-    pl = {r.gpos: (r.doc_id, r.pos) for r in pos_.collect()}
-    for r in adj.collect():
+    core = sx._sa_core(df, id_col="doc_id", text_col="text")
+    pl = {r.gpos: (r.doc_id, r.pos) for r in core.positions.collect()}
+    for r in core.adj.collect():
         assert adjexp[(pl[r.ga], pl[r.gb])] == r.lcp
     release_persisted()
 
