@@ -373,20 +373,25 @@ def _sa_fast(
             "__lcp", _str_lcp_tokens(F.lag("sk").over(w), F.col("sk"), max_chars)
         )
     )
-    # Both outputs are 2–3 int64 columns; persisting them (lazily) means
-    # an entry that reads adj twice (the spans per-position max unions the
-    # ga and gb legs) runs the fat sort+window pass exactly once, and an
-    # entry that never touches one of them pays nothing for its persist.
-    ranked = persist_tracked(rows.select("gpos", "sa_rank"))
-    adj = persist_tracked(
-        rows.where(F.col("__ga").isNotNull())
+    # LIFECYCLE: everything downstream ever needs from the fat sorted copy
+    # is 4 int64s per position — extract them in ONE eager pass (the slim
+    # checkpoint), then free the suffix-string cache IMMEDIATELY. Holding
+    # ranged through the downstream gap-merge/join stages is what
+    # exhausted the 8 GB single-JVM heap at sf3 (25M tokens); at cluster
+    # scale the same discipline keeps executor caches waveform-free too.
+    slim = rows.select("gpos", "sa_rank", "__ga", "__lcp").localCheckpoint()
+    adj = (
+        slim.where(F.col("__ga").isNotNull())
         .select(
             F.col("__ga").alias("ga"),
             F.col("gpos").alias("gb"),
             F.col("__lcp").cast("long").alias("lcp"),
         )
         .unionByName(boundary)
+        .localCheckpoint()  # boundary still reads ranged — settle it now
     )
+    ranged.unpersist()
+    ranked = slim.select("gpos", "sa_rank")
     return ranked, adj
 
 
