@@ -78,9 +78,20 @@ def _last_green_round() -> dict[str, int]:
 # own code paths are untouched and locally parity-green, yet the
 # conservative round-5 route is to re-attest, not ack — the drain window
 # has spare slots this round.
+#
+# Round 12: the r11 force pair (multimodal_features, multimodal_frame_sample)
+# cleared — both hash-green in CORRECTNESS_r11.json. This round's set is
+# again manifest-derived: the stereo-DSP upgrade (VERDICT r11 #4) edits
+# ext/multimodal.py, whose module hash covers the green r11 audio entries
+# (multimodal_audio_features / _resample / _vad_segments,
+# streaming_audio_features) and the image pair; entries whose own kernels
+# gained multichannel paths re-attest with the new semantics rather than
+# ack.
 _FORCE_RECHECK: set[str] = {
-    "multimodal_features",
-    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "multimodal_audio_resample",
+    "multimodal_audio_vad_segments",
+    "streaming_audio_features",
 }
 
 
@@ -108,18 +119,13 @@ _FORCE_RECHECK: set[str] = {
 # new semantics); 0 force-recheck; the remaining 41 slots drain the whole
 # r6 pool (35 entries) + the 6 oldest r7 entries. Round-11 additions are
 # deferred below.
-_DEFER_TO_NEXT_ROUND: set[str] = {
-    # round 11 additions, parity-proven locally; driver slots next round
-    "multimodal_audio_float_pcm",
-    "multimodal_audio_resample_rational",
-    "multimodal_audio_vad_spectral",
-    "suffix_array_rank",
-    "suffix_lrs",
-    "dedup_duplicate_spans_sa",
-    "suffix_lcp_histogram",
-    "dedup_spans_rewrite_sa",
-    "multimodal_audio_rice_codec",
-}
+# Round-12 window arithmetic: the 9 round-11 deferrals (5 suffix-array +
+# 4 audio entries — the ONLY registry entries without a driver
+# CORRECTNESS row) graduate to the never-green bucket and attest first;
+# 4 force-recheck slots (stereo-DSP closure changes, see _FORCE_RECHECK);
+# the remaining 37 slots drain the whole r7 pool (32 entries) + the 5
+# oldest r8 entries. Round-12 additions are deferred below.
+_DEFER_TO_NEXT_ROUND: set[str] = set()
 
 
 def _ordered(mapping: dict) -> dict:

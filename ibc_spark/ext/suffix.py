@@ -184,7 +184,9 @@ def _token_stream(
 _FAST_CAP = 128
 
 
-def _sizes(df: DataFrame, text_col: str) -> tuple[int, int, int, bool, int]:
+def _sizes(
+    df: DataFrame, text_col: str, id_col: str | None = None
+) -> tuple[int, int, int, bool, int]:
     """One upfront aggregate → (bound, n_pos, parts, flat_ok, max_chars).
 
     ``bound``: the maxLCP bound = longest doc's token count (an LCP can
@@ -202,24 +204,44 @@ def _sizes(df: DataFrame, text_col: str) -> tuple[int, int, int, bool, int]:
     proper prefix), so sorts run on binary string comparisons instead of
     Spark's interpreted array comparator. ``max_chars``: bounds any
     suffix string's length (text chars + one 'T' namespace byte per token
-    + the sentinel), sizing the LCP binary decomposition."""
-    sizes = df.agg(
+    + the sentinel), sizing the LCP binary decomposition.
+
+    When ``id_col`` is given, the same aggregate also checks that
+    ``max(|doc_id|) · width`` fits int64 — ``gpos = doc_id·width + pos``
+    is injective only without overflow, and sparse/hashed ids (e.g.
+    63-bit content hashes) would wrap SILENTLY into wrong ranks. Fail
+    loudly instead (ADVICE r11)."""
+    aggs = [
         F.max(F.size(tokens(F.col(text_col)))).alias("m"),
         F.sum(F.size(tokens(F.col(text_col))) + 1).alias("n"),
         F.max(
             F.col(text_col).rlike("[\\x00-\\x08\\x0e-\\x1f]")
         ).alias("ctl"),
         F.max(F.length(F.col(text_col))).alias("chars"),
-    ).first()
+    ]
+    if id_col is not None:
+        aggs.append(F.max(F.abs(F.col(id_col).cast("long"))).alias("maxid"))
+    sizes = df.agg(*aggs).first()
     bound = sizes["m"] or 0
     n_pos = sizes["n"] or 0
     max_chars = 2 * int(sizes["chars"] or 0) + 32
-    parts = int(
-        min(
-            max(n_pos // 10_000 + 1, 4),
-            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        )
-    )
+    if id_col is not None:
+        width = bound + 2
+        maxid = int(sizes["maxid"] or 0)
+        if maxid >= (2**63 - 1) // max(width, 1):
+            raise ValueError(
+                f"suffix array: max |{id_col}| = {maxid} with stream width "
+                f"{width} overflows the int64 global position "
+                f"gpos = doc_id*width + pos; re-key the corpus to dense ids "
+                f"(e.g. zipWithIndex / row_number) below {(2**63 - 1) // width}"
+            )
+    # conf may be "auto" on AQE-coalesce builds — fall back to the
+    # cluster's default parallelism as the cap (ADVICE r11)
+    try:
+        cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        cap = df.sparkSession.sparkContext.defaultParallelism
+    parts = int(min(max(n_pos // 10_000 + 1, 4), cap))
     return bound, n_pos, parts, not bool(sizes["ctl"]), max_chars
 
 
@@ -410,7 +432,8 @@ def _sa_core(df: DataFrame, *, id_col: str, text_col: str) -> _SACore:
     seeded prefix doubling + the rank-table LCP walk, which is exact for
     any content. Outputs are contract-identical, pinned by the
     brute-force tests on both paths."""
-    bound, n_pos, parts, flat_ok, max_chars = _sizes(df, text_col)
+    sizes = _sizes(df, text_col, id_col)
+    bound, n_pos, parts, flat_ok, max_chars = sizes
     big = n_pos > _MERGE_HINT_MIN_POSITIONS
     if flat_ok and bound < _FAST_CAP:
         stream = _suffix_stream_flat(
@@ -421,15 +444,25 @@ def _sa_core(df: DataFrame, *, id_col: str, text_col: str) -> _SACore:
         )
         ranked, adj = _sa_fast(stream, parts, max_chars)
         return _SACore(positions, ranked, adj, parts, big)
-    positions, tables = build_suffix_array(df, id_col=id_col, text_col=text_col)
+    positions, tables = build_suffix_array(
+        df, id_col=id_col, text_col=text_col, sizes=sizes
+    )
     ranked = tables[-1][1].select("gpos", F.col("r").cast("long").alias("sa_rank"))
     return _SACore(positions, ranked, adjacent_lcp(positions, tables), parts, big)
 
 
 def build_suffix_array(
-    df: DataFrame, *, id_col: str, text_col: str
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    sizes: tuple[int, int, int, bool, int] | None = None,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
     """Run seeded prefix doubling; return ``(positions, tables)``.
+
+    ``sizes``: the precomputed :func:`_sizes` tuple — pass it when the
+    caller (``_sa_core``) already ran the upfront aggregate, so the
+    corpus isn't tokenized and sized twice per build (ADVICE r11).
 
     ``positions``: (doc_id, pos, key, pk, gpos) — the sentinel-augmented
     stream. ``tables``: [(h, DataFrame(gpos, r))] where ``r`` ranks every
@@ -440,7 +473,9 @@ def build_suffix_array(
     (self-join + the rank's internal reuse), so lazy caching leaves an
     analysis tree that grows ~4x per round; the checkpoint keeps plan
     size constant per round at the cost of one corpus-linear pass."""
-    bound, _n_pos, parts, flat_ok, _max_chars = _sizes(df, text_col)
+    bound, _n_pos, parts, flat_ok, _max_chars = sizes or _sizes(
+        df, text_col, id_col
+    )
     positions = persist_tracked(
         _token_stream(df, id_col=id_col, text_col=text_col, width=bound + 2)
     )

@@ -79,6 +79,13 @@ from ibc_spark.registry_ext_pipe import _AUDIO_SAMPLES_SQL
            k,
            CASE WHEN raw_bytes > 0
                 THEN rice_bytes * 1000 // raw_bytes END AS ratio_permille,
+           -- attestation invariant (ADVICE r11): the Spark arm COMPUTES
+           -- roundtrip_ok by decoding its own bitstream sample-for-sample
+           -- (a false value breaks the hash); the oracle can assert TRUE
+           -- because this entry always feeds attach_audio-synthesized
+           -- WAVs, every one of which decodes. A corpus with undecodable
+           -- payloads would mismatch by construction — Spark emits an
+           -- all-NULL row for those — which is the desired loud failure.
            TRUE AS roundtrip_ok
     FROM sized
     """,

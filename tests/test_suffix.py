@@ -224,6 +224,22 @@ def test_lcp_histogram_matches_brute_force_and_tail_mass(spark):
     release_persisted()
 
 
+def test_hashed_doc_ids_fail_loudly_not_silently(spark):
+    """gpos = doc_id*width + pos is injective only while doc_id·width
+    fits int64; sparse/hashed ids (e.g. 63-bit content hashes) must raise
+    with a re-key hint instead of wrapping into wrong ranks (ADVICE r11).
+    Dense ids at the same corpus shape stay fine."""
+    docs = [(2**62, "a b c a b c"), (7, "a b c d")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overflows the int64"):
+        sx.suffix_array_ranks(df, id_col="doc_id", text_col="text").collect()
+    dense = spark.createDataFrame(
+        [(0, docs[0][1]), (1, docs[1][1])], ["doc_id", "text"]
+    )
+    assert sx.suffix_array_ranks(dense, id_col="doc_id", text_col="text").count() == 10
+    release_persisted()
+
+
 def test_empty_and_degenerate_corpora(spark):
     e = spark.createDataFrame([], "doc_id long, text string")
     assert sx.suffix_array_ranks(e, id_col="doc_id", text_col="text").count() == 0
