@@ -84,14 +84,17 @@ def _last_green_round() -> dict[str, int]:
 # again manifest-derived: the stereo-DSP upgrade (VERDICT r11 #4) edits
 # ext/multimodal.py, whose module hash covers the green r11 audio entries
 # (multimodal_audio_features / _resample / _vad_segments,
-# streaming_audio_features) and the image pair; entries whose own kernels
-# gained multichannel paths re-attest with the new semantics rather than
-# ack.
+# streaming_audio_features) and the image pair (multimodal_features /
+# _frame_sample, module-hash collateral only — their image kernels are
+# untouched and locally parity-green, but with spare drain slots the
+# conservative round-5 route is to re-attest, not ack, same call as r11).
 _FORCE_RECHECK: set[str] = {
     "multimodal_audio_features",
     "multimodal_audio_resample",
     "multimodal_audio_vad_segments",
     "streaming_audio_features",
+    "multimodal_features",
+    "multimodal_frame_sample",
 }
 
 
@@ -122,10 +125,17 @@ _FORCE_RECHECK: set[str] = {
 # Round-12 window arithmetic: the 9 round-11 deferrals (5 suffix-array +
 # 4 audio entries — the ONLY registry entries without a driver
 # CORRECTNESS row) graduate to the never-green bucket and attest first;
-# 4 force-recheck slots (stereo-DSP closure changes, see _FORCE_RECHECK);
-# the remaining 37 slots drain the whole r7 pool (32 entries) + the 5
-# oldest r8 entries. Round-12 additions are deferred below.
-_DEFER_TO_NEXT_ROUND: set[str] = set()
+# 6 force-recheck slots (stereo-DSP closure changes + the image pair's
+# module-hash collateral, see _FORCE_RECHECK); the remaining 35 slots
+# drain the whole r7 pool (32 entries) + the 3 oldest r8 entries.
+# Round-12 additions are deferred below.
+_DEFER_TO_NEXT_ROUND: set[str] = {
+    # round 12 additions (stereo DSP family), parity-proven locally;
+    # driver slots next round
+    "multimodal_audio_stereo_resample",
+    "multimodal_audio_stereo_resample_rational",
+    "multimodal_audio_stereo_vad_spectral",
+}
 
 
 def _ordered(mapping: dict) -> dict:

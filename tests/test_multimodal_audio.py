@@ -267,12 +267,35 @@ def test_attach_audio_waveform_derivation(spark):
     assert rate == 16000 and ch == 1 and np.array_equal(got, want)
 
 
-def test_resample_audio_rejects_bad_factor_and_nulls_stereo(spark):
+def test_resample_audio_rejects_bad_factor(spark):
     with pytest.raises(ValueError):
         resample_audio(spark.range(1).select("id"), factor=0)
-    stereo = bytes(encode_wav(np.array([1, 2, 3, 4], dtype=np.int16), channels=2))
-    df = spark.createDataFrame([(1, stereo)], "doc_id long, payload binary")
-    assert resample_audio(df, factor=2).collect()[0].payload is None
+
+
+def test_resample_audio_stereo_filters_per_channel(spark):
+    """r12: stereo decimation deinterleaves, runs the SAME integer FIR on
+    each channel independently (never across L/R), drops whole FRAMES,
+    and reinterleaves — per-channel output equals the mono kernel run on
+    that channel alone."""
+    from ibc_spark.ext.multimodal import fir_decimation_taps, fir_lowpass_int
+
+    rng = np.random.default_rng(23)
+    left = rng.integers(-32768, 32512, size=97).astype(np.int16)
+    right = rng.integers(-32768, 32512, size=97).astype(np.int16)
+    inter = np.stack([left, right], axis=1).reshape(-1)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_wav(inter, sample_rate=16000, channels=2)))],
+        "doc_id long, payload binary",
+    )
+    payload = bytes(resample_audio(df, factor=4).collect()[0].payload)
+    rate, ch, got = decode_audio(payload)
+    taps = fir_decimation_taps(4)
+    want_l = fir_lowpass_int(left.astype(np.int64), taps)[::4]
+    want_r = fir_lowpass_int(right.astype(np.int64), taps)[::4]
+    planes = got.reshape(-1, 2)
+    assert rate == 4000 and ch == 2
+    assert np.array_equal(planes[:, 0], want_l)
+    assert np.array_equal(planes[:, 1], want_r)
 
 
 def test_audio_entries_on_empty_corpus(spark, empty_sf):
@@ -460,10 +483,10 @@ def test_rational_kernel_matches_bruteforce_reference(samples, lm):
     assert got.astype(np.int64).tolist() == ref
 
 
-def test_rational_resample_rejects_nonintegral_rate_and_stereo(spark):
+def test_rational_resample_rejects_nonintegral_rate(spark):
     from ibc_spark.ext.multimodal import resample_audio_rational
 
-    # 16000 * 3 % 7 != 0 -> NULL row
+    # 16000 * 3 % 7 != 0 -> NULL row (mono and stereo alike)
     mono = bytes(encode_wav(np.arange(12, dtype=np.int16), sample_rate=16000))
     stereo = bytes(encode_wav(np.arange(12, dtype=np.int16), channels=2))
     df = spark.createDataFrame(
@@ -472,9 +495,35 @@ def test_rational_resample_rejects_nonintegral_rate_and_stereo(spark):
     rows = {r.doc_id: r for r in resample_audio_rational(df, up=3, down=7).collect()}
     assert rows[1].payload is None and rows[2].payload is None
     ok = {r.doc_id: r for r in resample_audio_rational(df, up=3, down=4).collect()}
-    assert ok[1].payload is not None and ok[2].payload is None
     rate, _ch, y = decode_audio(bytes(ok[1].payload))
     assert rate == 12000 and len(y) == -(-12 * 3 // 4)
+
+
+def test_rational_resample_stereo_per_channel(spark):
+    """r12: stereo L/M resample == the mono kernel applied to each
+    deinterleaved channel, reinterleaved (identical ceil length per
+    channel)."""
+    from ibc_spark.ext.multimodal import (
+        resample_audio_rational,
+        resample_rational_kernel,
+    )
+
+    rng = np.random.default_rng(29)
+    left = rng.integers(-32768, 32512, size=41).astype(np.int16)
+    right = rng.integers(-32768, 32512, size=41).astype(np.int16)
+    inter = np.stack([left, right], axis=1).reshape(-1)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_wav(inter, sample_rate=16000, channels=2)))],
+        "doc_id long, payload binary",
+    )
+    payload = bytes(resample_audio_rational(df, up=3, down=4).collect()[0].payload)
+    rate, ch, got = decode_audio(payload)
+    want_l = resample_rational_kernel(left.astype(np.int64), 3, 4)
+    want_r = resample_rational_kernel(right.astype(np.int64), 3, 4)
+    planes = got.reshape(-1, 2)
+    assert rate == 12000 and ch == 2
+    assert np.array_equal(planes[:, 0], want_l)
+    assert np.array_equal(planes[:, 1], want_r)
 
 
 def test_spectral_vad_matches_bruteforce_reference(spark):
@@ -524,6 +573,97 @@ def test_spectral_vad_discriminates_tones(spark):
     assert not rows[(2, 0)] and not rows[(2, 1)]
 
 
+def test_spectral_vad_stereo_per_channel(spark):
+    """r12: stereo spectral VAD deinterleaves and scores each channel
+    independently — rows carry an explicit channel index and equal the
+    mono computation on that channel alone; an interleaved framing would
+    mix L/R energy and fail."""
+    from ibc_spark.ext.multimodal import (
+        SPECTRAL_COEF_SCALE,
+        SPECTRAL_FRAME,
+        SPECTRAL_THRESH_MULT,
+        spectral_coef_tables,
+        spectral_vad_frames,
+    )
+
+    rng = np.random.default_rng(31)
+    left = rng.integers(-32768, 32512, size=70).astype(np.int16)  # 2 frames + tail
+    right = rng.integers(-32768, 32512, size=70).astype(np.int16)
+    inter = np.stack([left, right], axis=1).reshape(-1)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_wav(inter, channels=2)))], "doc_id long, payload binary"
+    )
+    rows = {(r.channel, r.frame_idx): r for r in spectral_vad_frames(df).collect()}
+    assert set(rows) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    C, D = spectral_coef_tables()
+    for c, chan in enumerate((left, right)):
+        for f in range(2):
+            fr = chan[f * SPECTRAL_FRAME : (f + 1) * SPECTRAL_FRAME].astype(np.int64)
+            a = np.floor_divide(C @ fr, SPECTRAL_COEF_SCALE)
+            b = np.floor_divide(D @ fr, SPECTRAL_COEF_SCALE)
+            band = int((a * a + b * b).sum())
+            total = int((fr * fr).sum())
+            r = rows[(c, f)]
+            assert (r.band_energy, r.total_energy) == (band, total)
+            assert r.voiced == (band >= SPECTRAL_THRESH_MULT * total)
+
+
+def test_attach_audio_stereo_derivation_and_mono_bit_unchanged(spark):
+    """r12: channels=2 interleaves the documented per-channel formula
+    (channel c adds c*53 to the mix); channels=1 stays BIT-IDENTICAL to
+    the pre-r12 payload (the c*53 term vanishes at c=0) — the contract
+    that keeps every green mono audio entry's hash stable."""
+    df = spark.createDataFrame([(7, "abcDEF 123!")], "doc_id long, text string")
+    mono = bytes(attach_audio(df).collect()[0].payload)
+    b = np.frombuffer(b"abcDEF 123!", dtype=np.uint8).astype(np.int64)
+    idx = np.arange(len(b))
+    want_mono = ((((b * 37 + idx * 11) % 256) - 128) * 256).astype(np.int16)
+    assert mono == bytes(encode_wav(want_mono, sample_rate=16000))
+    stereo = bytes(attach_audio(df, channels=2).collect()[0].payload)
+    rate, ch, got = decode_audio(stereo)
+    planes = got.reshape(-1, 2)
+    want_r = ((((b * 37 + idx * 11 + 53) % 256) - 128) * 256).astype(np.int16)
+    assert rate == 16000 and ch == 2
+    assert np.array_equal(planes[:, 0], want_mono)
+    assert np.array_equal(planes[:, 1], want_r)
+    with pytest.raises(ValueError):
+        attach_audio(df, channels=0)
+
+
+@given(
+    frames=st.lists(
+        st.tuples(
+            st.integers(min_value=-32768, max_value=32767),
+            st.integers(min_value=-32768, max_value=32767),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    factor=st.sampled_from([1, 2, 4]),
+)
+@settings(max_examples=15, deadline=None)
+def test_stereo_resample_roundtrip_hypothesis(spark, frames, factor):
+    """Property: for ANY stereo waveform, the Spark stereo decimation
+    equals the mono kernel per deinterleaved channel — encode → resample
+    → decode round-trips through the real container both ways. (The
+    ``spark`` fixture is session-scoped, which hypothesis permits.)"""
+    arr = np.array(frames, dtype=np.int16).reshape(-1, 2)
+    inter = arr.reshape(-1)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_wav(inter, sample_rate=16000, channels=2)))],
+        "doc_id long, payload binary",
+    )
+    payload = bytes(resample_audio(df, factor=factor).collect()[0].payload)
+    rate, ch, got = decode_audio(payload)
+    taps = fir_decimation_taps(factor) if factor > 1 else None
+    planes = got.reshape(-1, 2)
+    for c in range(2):
+        x = arr[:, c].astype(np.int64)
+        want = (fir_lowpass_int(x, taps) if taps is not None else arr[:, c])[::factor]
+        assert np.array_equal(planes[:, c], want)
+    assert rate == 16000 // factor and ch == 2
+
+
 def test_float_pcm_nonfinite_samples_error():
     """NaN/Inf float samples would quantize platform-dependently — they
     take the errors-as-data seam (ValueError -> NULL row) instead."""
@@ -541,5 +681,37 @@ def test_new_audio_entries_on_empty_corpus(spark, empty_sf):
         "multimodal_audio_float_pcm",
         "multimodal_audio_resample_rational",
         "multimodal_audio_vad_spectral",
+        "multimodal_audio_stereo_resample",
+        "multimodal_audio_stereo_resample_rational",
+        "multimodal_audio_stereo_vad_spectral",
     ):
         assert QUERIES[name](spark, empty_sf).count() == 0
+
+
+def test_stereo_audio_entries_adversarial_corpus_parity(spark, duck):
+    """r12 stereo entries on the adversarial corpus (empty text → all-zero
+    feature row via the LEFT JOIN oracle; non-ASCII text → codepoint
+    derivation agrees on both channels)."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from ibc_spark.registry import ORACLES, QUERIES
+    from tests.parity import assert_parity
+
+    tmp = tempfile.mkdtemp(prefix="ibc_audio_stereo_adv_")
+    rows = [(1, "", "en", "s", 0), (2, "héllo wörld é", "fr", "s", 13), (3, "a", "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "multimodal_audio_stereo_resample",
+        "multimodal_audio_stereo_resample_rational",
+        "multimodal_audio_stereo_vad_spectral",
+    ):
+        assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
