@@ -133,11 +133,14 @@ _FORCE_RECHECK: set[str] = {
 # the remaining 34 slots drain the whole r7 pool (32 entries) + the 2
 # oldest r8 entries. Round-12 additions are deferred below.
 _DEFER_TO_NEXT_ROUND: set[str] = {
-    # round 12 additions (stereo DSP family), parity-proven locally;
-    # driver slots next round
+    # round 12 additions (stereo DSP family + 8/24-bit PCM codec loops),
+    # parity-proven locally; driver slots next round
     "multimodal_audio_stereo_resample",
     "multimodal_audio_stereo_resample_rational",
     "multimodal_audio_stereo_vad_spectral",
+    "multimodal_audio_stereo_vad_segments",
+    "multimodal_audio_pcm24",
+    "multimodal_audio_pcm8",
 }
 
 

@@ -100,7 +100,7 @@ def main() -> None:
     restart_every = max(1, int(os.environ.get("BENCH_RESTART_EVERY", "25")))
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
-    from ibc_spark.ext.persistreg import release_persisted
+    from ibc_spark.ext.persistreg import release_checkpoints, release_persisted
 
     for qi, name in enumerate(names):
         if qi and qi % restart_every == 0:
@@ -117,6 +117,10 @@ def main() -> None:
                 # run (and the reported median) is a true cold timing, not a
                 # warm-cache echo of run 1
                 release_persisted()
+                # free local-checkpoint blocks too (suffix rounds):
+                # invisible to DataFrame unpersist, they OOMed the
+                # 8g heap by the third back-to-back sf3 entry (r12)
+                release_checkpoints(spark)
                 spark.catalog.clearCache()
             samples.sort()
             timings[name] = round(samples[len(samples) // 2], 4)

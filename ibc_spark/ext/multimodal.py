@@ -525,15 +525,70 @@ def encode_wav_float(samples, *, sample_rate: int = 16000, channels: int = 1) ->
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_pcm8(samples, *, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Encode int16 PCM as 8-bit UNSIGNED PCM WAVE (format code 1, 8-bit —
+    the WAVE spec's one unsigned variant, 128-biased): ``u8 = (s >> 8) +
+    128`` with ARITHMETIC shift, so the quantizer is ``floor(s/256)`` —
+    exactly SQL-replayable. Decoding inverts to ``(u8-128) << 8 =
+    floor(s/256)·256``; on attach_audio waveforms (every sample a
+    multiple of 256 by construction) the int16→8-bit→int16 loop is the
+    identity, which is what the registry entry hash-checks — the lossy
+    quantizer itself is pinned by hypothesis over arbitrary waveforms."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim != 1:
+        raise ValueError("expected a 1-D int16 sample array (interleaved)")
+    if channels < 1 or len(a) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    data = ((a.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * channels, channels, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_pcm24(samples, *, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Encode int16 PCM as 24-bit signed little-endian PCM WAVE (format
+    code 1, 24-bit, 3 bytes/sample packed): ``v24 = s << 8``. The decoder
+    takes ``v24 >> 8`` back, so the int16→24-bit→int16 loop is LOSSLESS on
+    the whole int16 range — the 24-bit counterpart of the float-PCM
+    identity attestation."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim != 1:
+        raise ValueError("expected a 1-D int16 sample array (interleaved)")
+    if channels < 1 or len(a) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    vv = ((a.astype(np.int32) << 8) & 0xFFFFFF).astype(np.uint32)
+    b = np.empty((len(a), 3), dtype=np.uint8)
+    b[:, 0] = vv & 0xFF
+    b[:, 1] = (vv >> 8) & 0xFF
+    b[:, 2] = (vv >> 16) & 0xFF
+    data = b.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 3, channels * 3, 24
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _decode_wav(payload: bytes):
     """Parse a RIFF/WAVE container: chunk walk (fmt /data), little-endian
-    header fields; decodes 16-bit integer PCM (format code 1) and 32-bit
-    IEEE float PCM (format code 3, quantized to int16 by
-    ``clip(rint(x * 32768), -32768, 32767)`` — round-half-even, the exact
-    inverse of the ``k/32768`` float encoding). Returns
-    ``(sample_rate, channels, int16 array of interleaved frames)``.
-    Compressed WAVE formats (ADPCM/MP3-in-WAV) raise — the same
-    entropy-coding seam as JPEG on the image side."""
+    header fields; decodes 8-bit unsigned, 16-bit and 24-bit signed
+    integer PCM (format code 1) and 32-bit IEEE float PCM (format code 3,
+    quantized to int16 by ``clip(rint(x * 32768), -32768, 32767)`` —
+    round-half-even, the exact inverse of the ``k/32768`` float encoding;
+    8/24-bit land in the int16 domain via ``(u8-128)<<8`` / arithmetic
+    ``>> 8``). Returns ``(sample_rate, channels, int16 array of
+    interleaved frames)``. Compressed WAVE formats (ADPCM/MP3-in-WAV)
+    raise — the same entropy-coding seam as JPEG on the image side."""
     import struct
 
     import numpy as np
@@ -577,10 +632,28 @@ def _decode_wav(payload: bytes):
             raise ValueError("non-finite float PCM sample")
         q = np.clip(np.rint(f * 32768.0), -32768, 32767).astype(np.int16)
         return rate, channels, q
+    if code == 1 and bits == 8:
+        # 8-bit PCM is UNSIGNED with a 128 bias (the WAVE spec's one
+        # asymmetry); int16 value = (u8 - 128) << 8
+        if len(data) % channels:
+            raise ValueError("WAVE data chunk is not a whole number of frames")
+        u = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+        return rate, channels, ((u - 128) << 8).astype(np.int16)
+    if code == 1 and bits == 24:
+        # 24-bit little-endian signed, packed 3 bytes/sample; decode to
+        # the int16 pipeline domain by ARITHMETIC >> 8 (floor — the SQL
+        # replay is floor(x/256)). Lossless against encode_wav_pcm24's
+        # s<<8 payloads by construction.
+        if len(data) % (3 * channels):
+            raise ValueError("WAVE data chunk is not a whole number of frames")
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend
+        return rate, channels, (v >> 8).astype(np.int16)
     raise NotImplementedError(
-        "only 16-bit integer and 32-bit IEEE-float PCM WAVE supported; "
-        "ADPCM/MP3-in-WAV require an audio library not present in this "
-        "environment"
+        "only 8/16/24-bit integer and 32-bit IEEE-float PCM WAVE "
+        "supported; ADPCM/MP3-in-WAV require an audio library not present "
+        "in this environment"
     )
 
 
@@ -970,6 +1043,42 @@ def resample_audio_rational(
     return df.mapInPandas(_res, schema)
 
 
+def transcode_audio_pcm(
+    df: DataFrame, *, bits: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Transcode WAV payloads to 8-bit unsigned or 24-bit signed PCM WAVE
+    (format code 1): REAL decode → :func:`encode_wav_pcm8` /
+    :func:`encode_wav_pcm24`. 24-bit is lossless on the whole int16 range
+    (``s<<8`` then ``>>8``); 8-bit quantizes by ``floor(s/256)`` — on
+    attach_audio waveforms (multiples of 256) that loop is the identity
+    too, which is what the registry entries hash-check. 1:1
+    ``mapInPandas``, narrow map; undecodable payloads → NULL row."""
+    if bits not in (8, 24):
+        raise ValueError("bits must be 8 or 24")
+    enc = encode_wav_pcm8 if bits == 8 else encode_wav_pcm24
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _trans(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    rate, ch, s = decode_audio(bytes(payload))
+                    out.append((doc_id, enc(s, sample_rate=rate, channels=ch)))
+                except Exception:
+                    out.append((doc_id, None))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(_trans, schema)
+
+
 def transcode_audio_float(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
     """Transcode int16-PCM WAV payloads to 32-bit IEEE-float PCM WAV
     (format code 3): REAL decode → ``k / 32768`` float32 (exact in binary
@@ -1124,6 +1233,7 @@ def spectral_vad_frames(df: DataFrame, *, payload_col: str = "payload") -> DataF
 VAD_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
         T.StructField("seg_idx", T.IntegerType()),
         T.StructField("start_frame", T.LongType()),
         T.StructField("n_frames", T.LongType()),
@@ -1135,15 +1245,18 @@ VAD_SCHEMA = T.StructType(
 def vad_segments(
     df: DataFrame, *, threshold: int = 8192, payload_col: str = "payload"
 ) -> DataFrame:
-    """Energy-based voice-activity segmentation (mono path): REAL WAV
-    decode → maximal runs of ``|sample| >= threshold`` → one row per
-    voiced segment (start frame, length, peak) — a 1:N ``mapInPandas``
-    fan-out, the exact shape a production VAD emits. Pure index
-    arithmetic on the decoded PCM (the spectral/model-based VAD a speech
-    stack adds is the documented seam); segment boundaries are therefore
-    deterministic and oracle-checkable against the relational
-    gaps-and-islands spelling. Undecodable/multichannel payloads emit no
-    segments (errors-as-data: silence, not task failure)."""
+    """Energy-based voice-activity segmentation: REAL WAV decode →
+    maximal runs of ``|sample| >= threshold`` → one row per voiced
+    segment (start frame, length, peak) — a 1:N ``mapInPandas`` fan-out,
+    the exact shape a production VAD emits. Channel-aware (r12, matching
+    the spectral gate): frames deinterleave and each channel segments
+    INDEPENDENTLY, rows carrying an explicit ``channel`` index (0 for
+    mono; ``seg_idx`` restarts per channel). Pure index arithmetic on the
+    decoded PCM (the spectral/model-based VAD a speech stack adds is the
+    documented seam); segment boundaries are therefore deterministic and
+    oracle-checkable against the relational gaps-and-islands spelling
+    with one extra channel key. Undecodable payloads emit no segments
+    (errors-as-data: silence, not task failure)."""
 
     def _segs(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np
@@ -1151,49 +1264,54 @@ def vad_segments(
 
         cols = [f.name for f in VAD_SCHEMA.fields]
         for pdf in batches:
-            # per-doc numpy arrays accumulated and concatenated ONCE per
-            # Arrow batch — a per-segment Python append was O(total
-            # segments) interpreter work and dominated the realistic-
-            # payload sweep (a 16 k-sample clip yields thousands of runs)
+            # per-(doc,channel) numpy arrays accumulated and concatenated
+            # ONCE per Arrow batch — a per-segment Python append was
+            # O(total segments) interpreter work and dominated the
+            # realistic-payload sweep (a 16 k-sample clip yields
+            # thousands of runs)
             acc: list[tuple] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 try:
                     _rate, ch, s = decode_audio(bytes(payload))
-                    if ch != 1:
-                        continue
-                    s64 = np.abs(s.astype(np.int64))
-                    active = s64 >= threshold
+                    planes = np.abs(s.astype(np.int64)).reshape(-1, ch)
                 except Exception:
                     continue
-                if not active.any():
-                    continue
-                # run boundaries: starts where active rises, ends where it falls
-                edges = np.flatnonzero(np.diff(active.astype(np.int8)))
-                starts = np.concatenate([[0], edges + 1])[
-                    np.concatenate([[active[0]], active[edges + 1]])
-                ]
-                ends_all = np.concatenate([edges + 1, [len(active)]])
-                ends = ends_all[np.searchsorted(ends_all, starts, side="right")]
-                # per-segment peak via maximum.reduceat over the active
-                # sample stream (segments are contiguous slices)
-                offsets = np.searchsorted(np.flatnonzero(active), starts)
-                peaks = np.maximum.reduceat(s64[active], offsets)
-                acc.append((doc_id, starts, ends, peaks))
+                for c in range(ch):
+                    s64 = planes[:, c]
+                    active = s64 >= threshold
+                    if not active.any():
+                        continue
+                    # run boundaries: starts where active rises, ends
+                    # where it falls
+                    edges = np.flatnonzero(np.diff(active.astype(np.int8)))
+                    starts = np.concatenate([[0], edges + 1])[
+                        np.concatenate([[active[0]], active[edges + 1]])
+                    ]
+                    ends_all = np.concatenate([edges + 1, [len(active)]])
+                    ends = ends_all[np.searchsorted(ends_all, starts, side="right")]
+                    # per-segment peak via maximum.reduceat over the
+                    # active sample stream (segments are contiguous)
+                    offsets = np.searchsorted(np.flatnonzero(active), starts)
+                    peaks = np.maximum.reduceat(s64[active], offsets)
+                    acc.append((doc_id, c, starts, ends, peaks))
             if not acc:
                 yield pd.DataFrame({c: [] for c in cols})
                 continue
-            n_per = [len(a[1]) for a in acc]
+            n_per = [len(a[2]) for a in acc]
             yield pd.DataFrame(
                 {
                     "doc_id": np.repeat([a[0] for a in acc], n_per),
+                    "channel": np.repeat(
+                        np.array([a[1] for a in acc], dtype=np.int32), n_per
+                    ),
                     "seg_idx": np.concatenate(
                         [np.arange(k, dtype=np.int32) for k in n_per]
                     ),
-                    "start_frame": np.concatenate([a[1] for a in acc]).astype(np.int64),
+                    "start_frame": np.concatenate([a[2] for a in acc]).astype(np.int64),
                     "n_frames": np.concatenate(
-                        [a[2] - a[1] for a in acc]
+                        [a[3] - a[2] for a in acc]
                     ).astype(np.int64),
-                    "seg_peak": np.concatenate([a[3] for a in acc]).astype(np.int64),
+                    "seg_peak": np.concatenate([a[4] for a in acc]).astype(np.int64),
                 }
             )
 

@@ -17,7 +17,7 @@ life of the session (and skew any warm-cache timing).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
@@ -45,4 +45,37 @@ def release_persisted(blocking: bool = True) -> int:
         except Exception:  # session already stopped — nothing to release
             pass
     _TRACKED.clear()
+    return n
+
+
+def release_checkpoints(spark: SparkSession | None = None, blocking: bool = True) -> int:
+    """Unpersist EVERY persistent RDD still registered with the
+    SparkContext — this is what frees ``localCheckpoint`` blocks, which
+    :func:`release_persisted` cannot see (a checkpointed DataFrame's
+    storage belongs to its internal RDD, not to the DataFrame cache).
+
+    SESSION-OWNER ONLY, between workloads (bench/sweep harnesses,
+    pipeline mains): a released local checkpoint has no lineage to
+    recompute from, so any still-live DataFrame built on one dies on its
+    next action. Found the hard way (r12): the suffix-array family
+    leaves ~2 slim int64 checkpoint frames per build; back-to-back
+    entries in one sweep session accumulated them until the third sf3
+    entry OOMed an 8 GB heap mid-``localCheckpoint`` — exactly the
+    0-byte-sweep failure mode of r11. Returns the number of RDDs swept."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        return 0
+    try:
+        # py4j converts the Java map to a dict-like view; snapshot it
+        # before unpersisting mutates the underlying registry
+        rdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    except Exception:  # context already stopped
+        return 0
+    n = 0
+    for jrdd in rdds:
+        try:
+            jrdd.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
     return n

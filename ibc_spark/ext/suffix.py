@@ -241,7 +241,17 @@ def _sizes(
         cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         cap = df.sparkSession.sparkContext.defaultParallelism
-    parts = int(min(max(n_pos // 10_000 + 1, 4), cap))
+    # ~10k positions/partition (fat suffix keys sort CPU-bound), floored
+    # at 4; the session cap governs UNTIL it would put >100k positions in
+    # one task — per-partition sort size must stay bounded as the corpus
+    # grows or the range sort hits a spill cliff (r12 sf3 A/B: 512
+    # partitions beat the 32-partition session cap by 10–20% on the two
+    # heaviest entries; exponents 1→3 dropped to ~n·log n). Task count
+    # then grows linearly with the corpus — the price of an exact global
+    # sort; a cluster-tuned session cap still wins whenever it is higher.
+    parts = int(
+        min(max(n_pos // 10_000 + 1, 4), max(cap, n_pos // 100_000 + 1))
+    )
     return bound, n_pos, parts, not bool(sizes["ctl"]), max_chars
 
 

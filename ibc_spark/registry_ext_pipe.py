@@ -1362,6 +1362,40 @@ def multimodal_audio_float_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_audio_pcm24", oracle=_AUDIO_FEATURES_ORACLE)
+def multimodal_audio_pcm24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit PCM WAVE codec loop (r12): int16 WAV → REAL decode →
+    ``s << 8`` packed as 3-byte little-endian signed samples
+    (``encode_wav_pcm24``, format code 1 / 24-bit) → REAL 24-bit decode
+    with sign extension and arithmetic ``>> 8`` → waveform features. The
+    loop is LOSSLESS on the whole int16 range, so the shared features
+    oracle hash-proves the 24-bit container path (3-byte frame packing,
+    sign extension, block alignment) exactly like the float-PCM twin.
+    Narrow mapInPandas ×3, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(
+        multimodal.transcode_audio_pcm(multimodal.attach_audio(d), bits=24)
+    )
+
+
+@query("multimodal_audio_pcm8", oracle=_AUDIO_FEATURES_ORACLE)
+def multimodal_audio_pcm8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit unsigned PCM WAVE codec loop (r12): int16 WAV → REAL decode →
+    ``(s >> 8) + 128`` unsigned bytes (``encode_wav_pcm8`` — the WAVE
+    spec's one UNSIGNED variant, 128-biased) → REAL 8-bit decode via
+    ``(u8 - 128) << 8`` → waveform features. The quantizer is
+    ``floor(s/256)·256``; attach_audio synthesizes every sample as a
+    multiple of 256, so on THIS corpus the loop is the identity and the
+    shared features oracle hash-proves the 8-bit container path
+    (bias, 1-byte frames) — the lossy quantizer itself is pinned by
+    hypothesis over arbitrary waveforms in pytest. Narrow mapInPandas
+    ×3, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(
+        multimodal.transcode_audio_pcm(multimodal.attach_audio(d), bits=8)
+    )
+
+
 @query(
     "multimodal_audio_vad_segments",
     oracle=f"""
@@ -1377,7 +1411,10 @@ def multimodal_audio_float_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(MAX(a) AS BIGINT) AS seg_peak
       FROM act GROUP BY doc_id, grp
     )
+    -- channel is a constant 0 here (mono corpus); the stereo twin below
+    -- exercises the per-channel path
     SELECT doc_id,
+           CAST(0 AS INT) AS channel,
            CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1
                 AS INT) AS seg_idx,
            start_frame, n_frames, seg_peak
@@ -1392,11 +1429,49 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     Arrow kernel (:func:`multimodal.vad_segments`) is hash-attested
     against the relational gaps-and-islands spelling (island id =
     position − row_number over active samples), so the index arithmetic
-    is proven equivalent to the declarative spec corpus-wide. Narrow
-    mapInPandas ×2, no shuffle; the spectral/model VAD a speech stack
-    adds is the documented seam."""
+    is proven equivalent to the declarative spec corpus-wide. Channel-
+    aware since r12 (explicit channel column, 0 on this mono corpus).
+    Narrow mapInPandas ×2, no shuffle; the spectral/model VAD a speech
+    stack adds is the documented seam."""
     d = read_table(spark, sf_dir, "documents")
     return multimodal.vad_segments(multimodal.attach_audio(d))
+
+
+@query(
+    "multimodal_audio_stereo_vad_segments",
+    oracle=f"""
+    WITH {_AUDIO_SAMPLES_STEREO_SQL},
+    act AS (
+      SELECT doc_id, c, i, abs(smp) AS a,
+             i - row_number() OVER (PARTITION BY doc_id, c ORDER BY i) AS grp
+      FROM s WHERE abs(smp) >= 8192
+    ),
+    segs AS (
+      SELECT doc_id, c, CAST(MIN(i) - 1 AS BIGINT) AS start_frame,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(MAX(a) AS BIGINT) AS seg_peak
+      FROM act GROUP BY doc_id, c, grp
+    )
+    SELECT doc_id,
+           CAST(c AS INT) AS channel,
+           CAST(row_number() OVER (PARTITION BY doc_id, c ORDER BY start_frame) - 1
+                AS INT) AS seg_idx,
+           start_frame, n_frames, seg_peak
+    FROM segs
+    """,
+)
+def multimodal_audio_stereo_vad_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STEREO energy-VAD segmentation (r12): channels deinterleave and
+    each segments independently — the gaps-and-islands oracle gains
+    exactly one channel key in its partition clauses, and seg_idx
+    restarts per channel. Channel 1's waveform differs by construction,
+    so its runs differ: a kernel that thresholded the interleaved stream
+    would merge/split segments across L/R and hash-mismatch. Narrow
+    mapInPandas ×2, 1:N fan-out, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.vad_segments(multimodal.attach_audio(d, channels=2))
 
 
 @query("streaming_audio_features", oracle=_AUDIO_FEATURES_ORACLE)

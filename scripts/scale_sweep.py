@@ -76,7 +76,7 @@ SFS = [
 def main() -> None:
     names = sys.argv[1:] or ENTRIES
     runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
-    from ibc_spark.ext.persistreg import release_persisted
+    from ibc_spark.ext.persistreg import release_checkpoints, release_persisted
     from ibc_spark.io_.sources import read_table
     from ibc_spark.registry import QUERIES
     from ibc_spark.session import get_spark
@@ -98,6 +98,10 @@ def main() -> None:
                 ).save()
                 samples.append(time.perf_counter() - t0)
                 release_persisted()
+                # free local-checkpoint blocks too (suffix rounds):
+                # invisible to DataFrame unpersist, they OOMed the
+                # 8g heap by the third back-to-back sf3 entry (r12)
+                release_checkpoints(spark)
                 spark.catalog.clearCache()
             samples.sort()
             med = samples[len(samples) // 2]

@@ -905,6 +905,29 @@ def test_persist_registry_tracks_and_releases(spark, docs):
     assert all(not df.is_cached for df in cached)
 
 
+def test_release_checkpoints_frees_localcheckpoint_blocks(spark):
+    """r12 (the sf3 sweep OOM): localCheckpoint blocks belong to the
+    internal RDD, invisible to DataFrame.unpersist / release_persisted —
+    release_checkpoints sweeps the context's persistent RDDs so
+    back-to-back suffix-array builds in one harness session cannot
+    accumulate heap. Session-owner-only: a released checkpoint cannot
+    recompute."""
+    from ibc_spark.ext.persistreg import release_checkpoints, release_persisted
+
+    release_persisted()
+    release_checkpoints(spark)
+
+    def n_persistent() -> int:
+        return len(list(spark.sparkContext._jsc.getPersistentRDDs().values()))
+
+    base = n_persistent()
+    ck = spark.range(1000).localCheckpoint()
+    assert ck.count() == 1000
+    assert n_persistent() > base, "localCheckpoint must register a persistent RDD"
+    assert release_checkpoints(spark) >= 1
+    assert n_persistent() == 0
+
+
 def test_assign_shards_balanced_and_stable(spark):
     from ibc_spark.ext.datapipe import assign_shards
     from ibc_spark.io_.sources import read_table

@@ -375,17 +375,28 @@ def test_vad_segments_kernel_matches_reference(spark):
     assert got == [(0, 0, 1, 20000), (1, 2, 3, 9000), (2, 7, 1, 30000), (3, 9, 1, 8192)]
 
 
-def test_vad_segments_silence_and_stereo_emit_nothing(spark):
+def test_vad_segments_silence_and_junk_emit_nothing_stereo_per_channel(spark):
     import numpy as np
 
     from ibc_spark.ext.multimodal import encode_wav, vad_segments
 
     silent = bytes(encode_wav(np.array([1, -2, 3], dtype=np.int16)))
-    stereo = bytes(encode_wav(np.array([30000, 30000], dtype=np.int16), channels=2))
+    # L = [30000, 0, 30000] (two singleton runs), R = [0, 30000, 0] (one)
+    stereo = bytes(
+        encode_wav(
+            np.array([30000, 0, 0, 30000, 30000, 0], dtype=np.int16), channels=2
+        )
+    )
     df = spark.createDataFrame(
         [(1, silent), (2, stereo), (3, b"JUNK")], "doc_id long, payload binary"
     )
-    assert vad_segments(df).count() == 0
+    got = sorted(
+        (r.channel, r.seg_idx, r.start_frame, r.n_frames, r.seg_peak)
+        for r in vad_segments(df).collect()
+    )
+    # r12: stereo segments per channel — an interleaved threshold would
+    # have merged L's frame-0 run with R's frame-1 run
+    assert got == [(0, 0, 0, 1, 30000), (0, 1, 2, 1, 30000), (1, 0, 1, 1, 30000)]
 
 
 def test_vad_entry_on_empty_corpus(spark, empty_sf):
@@ -664,6 +675,60 @@ def test_stereo_resample_roundtrip_hypothesis(spark, frames, factor):
     assert rate == 16000 // factor and ch == 2
 
 
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), max_size=200),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_pcm24_roundtrip_is_lossless(samples, rate):
+    """int16 → 24-bit (s<<8, 3-byte LE signed) → int16 (>>8) is the
+    identity on the whole range — sign extension included."""
+    from ibc_spark.ext.multimodal import encode_wav_pcm24
+
+    s = np.asarray(samples, dtype=np.int16)
+    got_rate, ch, out = decode_audio(encode_wav_pcm24(s, sample_rate=rate))
+    assert got_rate == rate and ch == 1
+    assert np.array_equal(out, s)
+
+
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), max_size=200),
+)
+@settings(max_examples=60, deadline=None)
+def test_pcm8_roundtrip_is_floor_quantizer(samples):
+    """int16 → 8-bit unsigned (128-biased) → int16 equals
+    ``floor(s/256)*256`` elementwise — arithmetic-shift floor semantics,
+    including negatives (-1 → -256, not 0)."""
+    from ibc_spark.ext.multimodal import encode_wav_pcm8
+
+    s = np.asarray(samples, dtype=np.int16)
+    _r, _c, out = decode_audio(encode_wav_pcm8(s))
+    want = ((s.astype(np.int32) >> 8) << 8).astype(np.int16)
+    assert np.array_equal(out, want)
+
+
+def test_pcm8_24_stereo_and_ragged_chunks():
+    """Both new variants carry channels through the header, and a ragged
+    data chunk (half a 24-bit stereo frame) errors like the other
+    formats."""
+    import struct
+
+    from ibc_spark.ext.multimodal import encode_wav_pcm8, encode_wav_pcm24
+
+    s = np.array([-32768, -257, -1, 0, 255, 256, 32767, 1000], dtype=np.int16)
+    for enc in (encode_wav_pcm8, encode_wav_pcm24):
+        rate, ch, _ = decode_audio(enc(s, sample_rate=22050, channels=2))
+        assert rate == 22050 and ch == 2
+    wav = bytearray(encode_wav_pcm24(s, channels=2))
+    data_hdr = bytes(wav).index(b"data")
+    # shrink the data chunk by one byte: no longer a whole stereo frame
+    (ln,) = struct.unpack_from("<I", bytes(wav), data_hdr + 4)
+    wav[data_hdr + 4 : data_hdr + 8] = struct.pack("<I", ln - 1)
+    del wav[-1:]
+    with pytest.raises(ValueError, match="whole number of frames"):
+        decode_audio(bytes(wav))
+
+
 def test_float_pcm_nonfinite_samples_error():
     """NaN/Inf float samples would quantize platform-dependently — they
     take the errors-as-data seam (ValueError -> NULL row) instead."""
@@ -684,6 +749,9 @@ def test_new_audio_entries_on_empty_corpus(spark, empty_sf):
         "multimodal_audio_stereo_resample",
         "multimodal_audio_stereo_resample_rational",
         "multimodal_audio_stereo_vad_spectral",
+        "multimodal_audio_stereo_vad_segments",
+        "multimodal_audio_pcm24",
+        "multimodal_audio_pcm8",
     ):
         assert QUERIES[name](spark, empty_sf).count() == 0
 
@@ -713,5 +781,6 @@ def test_stereo_audio_entries_adversarial_corpus_parity(spark, duck):
         "multimodal_audio_stereo_resample",
         "multimodal_audio_stereo_resample_rational",
         "multimodal_audio_stereo_vad_spectral",
+        "multimodal_audio_stereo_vad_segments",
     ):
         assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
