@@ -88,16 +88,31 @@ def _last_green_round() -> dict[str, int]:
 # _frame_sample, module-hash collateral only — their image kernels are
 # untouched and locally parity-green, but with spare drain slots the
 # conservative round-5 route is to re-attest, not ack, same call as r11).
+#
+# Round 13: the full r12 force set (7 entries) cleared — all hash-green in
+# CORRECTNESS_r12.json, including embedding_power_iteration_pc1 on its
+# rewritten plan. The driver's r12 snapshot (14:30 UTC) postdates commit
+# b2edb92 (12:34 UTC, the suffix _sizes partition-bound change), so the 5
+# suffix green rows attest the CURRENT plan and `entry_manifest refresh`
+# (not force-recheck) was the correct round-open route — decision recorded
+# per VERDICT r12 #1. The set below is manifest-derived (the
+# scripts/round_open.py output after the IMA ADPCM closure): the 0x11
+# decoder branch edits _decode_wav's chunk walk (fact/fmt-extension
+# capture), which is the REAL shared decode path of every green audio
+# entry — re-attest all 8. The image pair (multimodal_features /
+# multimodal_frame_sample) is module-hash collateral only (their kernels
+# never call decode_audio); unlike r11/r12 the drain window has no spare
+# slots (38-entry r8 pool), so they take the documented ack route with a
+# green tests/test_oracle_parity.py instead.
 _FORCE_RECHECK: set[str] = {
     "multimodal_audio_features",
     "multimodal_audio_resample",
+    "multimodal_audio_resample_rational",
+    "multimodal_audio_vad_spectral",
+    "multimodal_audio_float_pcm",
     "multimodal_audio_vad_segments",
+    "multimodal_audio_rice_codec",
     "streaming_audio_features",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # r12 perf rewrite (posexplode → elementwise bucket fold; oracle
-    # untouched, exact-equality-verified) — re-attest the new plan
-    "embedding_power_iteration_pc1",
 }
 
 
@@ -132,15 +147,17 @@ _FORCE_RECHECK: set[str] = {
 # module-hash collateral, and the pc1 perf rewrite — see _FORCE_RECHECK);
 # the remaining 34 slots drain the whole r7 pool (32 entries) + the 2
 # oldest r8 entries. Round-12 additions are deferred below.
+# Round-13 window arithmetic: the 6 round-12 deferrals (4 stereo-DSP +
+# pcm8/pcm24 — the only never-green entries) graduate to the never-green
+# bucket and attest first; 8 force-recheck slots (the green audio family,
+# whose shared _decode_wav path gained the ADPCM branch — see
+# _FORCE_RECHECK); the remaining 36 slots drain 36 of the 38-entry r8
+# pool (incl. weekday_bitstring and pivot_status_counts); the 2 youngest
+# r8 entries carry to r14. Round-13 additions are deferred below.
 _DEFER_TO_NEXT_ROUND: set[str] = {
-    # round 12 additions (stereo DSP family + 8/24-bit PCM codec loops),
-    # parity-proven locally; driver slots next round
-    "multimodal_audio_stereo_resample",
-    "multimodal_audio_stereo_resample_rational",
-    "multimodal_audio_stereo_vad_spectral",
-    "multimodal_audio_stereo_vad_segments",
-    "multimodal_audio_pcm24",
-    "multimodal_audio_pcm8",
+    # round 13 additions (IMA ADPCM WAVE codec), parity-proven locally;
+    # driver slots next round
+    "multimodal_audio_adpcm",
 }
 
 

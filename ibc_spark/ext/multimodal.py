@@ -579,6 +579,137 @@ def encode_wav_pcm24(samples, *, sample_rate: int = 16000, channels: int = 1) ->
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# IMA ADPCM (WAVE format code 0x11) — the one compressed WAVE format that
+# is NOT entropy-coded: a fixed-table 4-bit predictive codec (step-size
+# table + index-adaptation table, integer state machine), so it is
+# implementable with the same integer-exact numpy discipline as the Rice
+# codec and REPLAYABLE declaratively (the registry oracle folds the exact
+# encode→decode recurrence with a recursive CTE). MP3/FLAC stay the
+# documented entropy-coding seam. Tables are the IMA/DVI spec constants.
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+# index adaptation over the 3 magnitude bits (sign bit ignored)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+# 4 nibble words (4 bytes = 8 samples each) per channel per block →
+# 33 frames/block: small enough that the 64-sample registry corpus spans
+# a block boundary, so the header-resync path is hash-attested too.
+ADPCM_WORDS_PER_CHANNEL = 4
+ADPCM_SAMPLES_PER_BLOCK = 1 + 8 * ADPCM_WORDS_PER_CHANNEL  # 33
+
+
+def _ima_encode_step(pred: int, idx: int, sample: int):
+    """One IMA ADPCM encoder step (scalar, pure int — the reference the
+    numpy kernels and the SQL oracle both mirror). Returns
+    ``(nibble, new_pred, new_idx)`` where ``new_pred`` IS the decoder's
+    reconstruction for this sample (encoder and decoder share the state
+    machine, which is what makes the recurrence oracle-replayable)."""
+    step = IMA_STEP_TABLE[idx]
+    diff = sample - pred
+    sign = 8 if diff < 0 else 0
+    ad = -diff if diff < 0 else diff
+    b2 = 1 if ad >= step else 0
+    ad -= b2 * step
+    b1 = 1 if ad >= step >> 1 else 0
+    ad -= b1 * (step >> 1)
+    b0 = 1 if ad >= step >> 2 else 0
+    delta = 4 * b2 + 2 * b1 + b0
+    diffq = (step >> 3) + b2 * step + b1 * (step >> 1) + b0 * (step >> 2)
+    new_pred = pred - diffq if sign else pred + diffq
+    new_pred = max(-32768, min(32767, new_pred))
+    new_idx = max(0, min(88, idx + IMA_INDEX_TABLE[delta]))
+    return sign | delta, new_pred, new_idx
+
+
+def ima_adpcm_reference(frames):
+    """Pure-scalar reference of the IMA encode→decode recurrence over a
+    ``(n_frames, channels)`` int array: block starts store the sample
+    verbatim (header predictor) and carry the running index; every other
+    sample reconstructs through :func:`_ima_encode_step`. Returns the
+    decoded ``(n_frames, channels)`` int16 array — what
+    ``_decode_wav(encode_wav_adpcm(x))`` must equal, pinned by the
+    hypothesis round-trip test."""
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.int64)
+    if a.ndim != 2:
+        raise ValueError("expected a (frames, channels) array")
+    out = np.empty_like(a)
+    spb = ADPCM_SAMPLES_PER_BLOCK
+    for c in range(a.shape[1]):
+        pred, idx = 0, 0
+        for t in range(a.shape[0]):
+            if t % spb == 0:
+                pred = int(a[t, c])  # block header: verbatim, index carries
+            else:
+                _, pred, idx = _ima_encode_step(pred, idx, int(a[t, c]))
+            out[t, c] = pred
+    return out.astype(np.int16)
+
+
+def encode_wav_adpcm(samples, *, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Encode int16 PCM as a REAL IMA ADPCM WAVE file (format code 0x11,
+    4 bits/sample): per block and channel a 4-byte header (predictor
+    int16 = first frame verbatim, running step index, reserved byte) then
+    nibble pairs packed low-first in 4-byte words, words channel-
+    interleaved per the IMA-in-RIFF layout; a ``fact`` chunk records the
+    true per-channel frame count (required for compressed WAVE) so the
+    zero-padded final block truncates exactly on decode. The encoder
+    tracks the decoder's state machine, so
+    ``_decode_wav(encode_wav_adpcm(x))`` equals
+    :func:`ima_adpcm_reference` — the hypothesis-pinned contract."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim != 1:
+        raise ValueError("expected a 1-D int16 sample array (interleaved)")
+    if channels < 1 or len(a) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    frames = a.reshape(-1, channels).astype(np.int64)
+    n = frames.shape[0]
+    spb = ADPCM_SAMPLES_PER_BLOCK
+    words = ADPCM_WORDS_PER_CHANNEL
+    block_align = channels * 4 * (1 + words)
+    data = bytearray()
+    pred = [0] * channels
+    idx = [0] * channels
+    for t0 in range(0, n, spb):
+        for c in range(channels):
+            pred[c] = int(frames[t0, c])
+            data += struct.pack("<hBB", pred[c], idx[c], 0)
+        # nibbles: per channel, samples t0+1 .. t0+spb-1 (zero-padded tail)
+        nibs = np.zeros((channels, spb - 1), dtype=np.uint8)
+        for c in range(channels):
+            p, ix = pred[c], idx[c]
+            for k in range(1, spb):
+                t = t0 + k
+                if t >= n:
+                    break  # final partial block: remaining nibbles stay 0
+                nib, p, ix = _ima_encode_step(p, ix, int(frames[t, c]))
+                nibs[c, k - 1] = nib
+            pred[c], idx[c] = p, ix
+        # pack: 4-byte words of 8 nibbles (low nibble first), words
+        # channel-interleaved: ch0 word, ch1 word, ch0 word, ...
+        packed = (nibs[:, 0::2] | (nibs[:, 1::2] << 4)).reshape(channels, words, 4)
+        data += packed.transpose(1, 0, 2).tobytes()
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, channels, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n)
+    body += b"data" + struct.pack("<I", len(data)) + bytes(data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _decode_wav(payload: bytes):
     """Parse a RIFF/WAVE container: chunk walk (fmt /data), little-endian
     header fields; decodes 8-bit unsigned, 16-bit and 24-bit signed
@@ -586,16 +717,18 @@ def _decode_wav(payload: bytes):
     quantized to int16 by ``clip(rint(x * 32768), -32768, 32767)`` —
     round-half-even, the exact inverse of the ``k/32768`` float encoding;
     8/24-bit land in the int16 domain via ``(u8-128)<<8`` / arithmetic
-    ``>> 8``). Returns ``(sample_rate, channels, int16 array of
-    interleaved frames)``. Compressed WAVE formats (ADPCM/MP3-in-WAV)
-    raise — the same entropy-coding seam as JPEG on the image side."""
+    ``>> 8``). Also decodes IMA ADPCM (format code 0x11 — fixed-table
+    4-bit predictive coding, NOT entropy-coded, so it decodes with the
+    same integer-exact discipline). Returns ``(sample_rate, channels,
+    int16 array of interleaved frames)``. Entropy-coded WAVE formats
+    (MP3-in-WAV) raise — the same seam as JPEG on the image side."""
     import struct
 
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_raw, fact, data = 12, None, None, None, None
     while pos + 8 <= len(payload):
         ctype = payload[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", payload, pos + 4)
@@ -608,6 +741,9 @@ def _decode_wav(payload: bytes):
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if ctype == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", chunk)
+            fmt_raw = chunk
+        elif ctype == b"fact":
+            (fact,) = struct.unpack_from("<I", chunk)
         elif ctype == b"data":
             data = chunk
     if fmt is None or data is None:
@@ -650,10 +786,60 @@ def _decode_wav(payload: bytes):
         v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
         v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend
         return rate, channels, (v >> 8).astype(np.int16)
+    if code == 0x11 and bits == 4:
+        # IMA ADPCM: 4-byte per-channel block headers (predictor verbatim,
+        # step index), then channel-interleaved 4-byte nibble words. The
+        # fact chunk gives the true frame count (the final block is
+        # zero-padded); state machine = _ima_encode_step's decode half.
+        if fmt_raw is None or len(fmt_raw) < 20:
+            raise ValueError("IMA ADPCM WAVE without the samples-per-block extension")
+        (spb,) = struct.unpack_from("<H", fmt_raw, 18)
+        words = (spb - 1) // 8
+        block_align = channels * 4 * (1 + words)
+        if spb < 1 or (spb - 1) % 8 or _block != block_align:
+            raise ValueError("inconsistent IMA ADPCM block geometry")
+        if fact is None:
+            raise ValueError("IMA ADPCM WAVE without a fact chunk")
+        if len(data) % block_align:
+            raise ValueError("WAVE data chunk is not a whole number of blocks")
+        n_blocks = len(data) // block_align
+        if fact > n_blocks * spb or (fact and n_blocks != (fact + spb - 1) // spb):
+            raise ValueError("IMA ADPCM fact count inconsistent with data size")
+        out = np.zeros((n_blocks * spb, channels), dtype=np.int64)
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(n_blocks, block_align)
+        for bi in range(n_blocks):
+            blk = raw[bi]
+            hdr = blk[: 4 * channels].reshape(channels, 4)
+            # nibble words: (words, channels, 4 bytes) channel-interleaved
+            wb = blk[4 * channels :].reshape(words, channels, 4)
+            for c in range(channels):
+                v = int(hdr[c, 0]) | (int(hdr[c, 1]) << 8)
+                pred = v - 65536 if v >= 32768 else v  # sign-extend int16
+                idx = int(hdr[c, 2])
+                if idx > 88:
+                    raise ValueError("IMA ADPCM step index out of range")
+                out[bi * spb, c] = pred
+                cb = wb[:, c, :].reshape(-1)
+                nibs = np.empty(8 * words, dtype=np.uint8)
+                nibs[0::2] = cb & 0x0F
+                nibs[1::2] = cb >> 4
+                for k, nib in enumerate(nibs, start=1):
+                    step = IMA_STEP_TABLE[idx]
+                    delta = int(nib) & 7
+                    diffq = (step >> 3) + (
+                        (step if delta & 4 else 0)
+                        + ((step >> 1) if delta & 2 else 0)
+                        + ((step >> 2) if delta & 1 else 0)
+                    )
+                    pred += -diffq if nib & 8 else diffq
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + IMA_INDEX_TABLE[delta]))
+                    out[bi * spb + k, c] = pred
+        return rate, channels, out[:fact].reshape(-1).astype(np.int16)
     raise NotImplementedError(
-        "only 8/16/24-bit integer and 32-bit IEEE-float PCM WAVE "
-        "supported; ADPCM/MP3-in-WAV require an audio library not present "
-        "in this environment"
+        "only 8/16/24-bit integer, 32-bit IEEE-float, and IMA ADPCM "
+        "(format 0x11) WAVE supported; MP3-in-WAV and other entropy-coded "
+        "formats require an audio library not present in this environment"
     )
 
 
@@ -1072,6 +1258,40 @@ def transcode_audio_pcm(
                 try:
                     rate, ch, s = decode_audio(bytes(payload))
                     out.append((doc_id, enc(s, sample_rate=rate, channels=ch)))
+                except Exception:
+                    out.append((doc_id, None))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(_trans, schema)
+
+
+def transcode_audio_adpcm(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """Transcode WAV payloads to IMA ADPCM (format code 0x11): REAL decode
+    → :func:`encode_wav_adpcm`. The codec is LOSSY (4-bit residuals), but
+    deterministically so — downstream decodes equal
+    :func:`ima_adpcm_reference`, an integer recurrence the registry
+    oracle replays declaratively with a recursive CTE, so the full
+    compressed-container loop (block headers, nibble packing, fact-chunk
+    truncation, state machine) is hash-checked, not just attested. 1:1
+    ``mapInPandas``, narrow map; undecodable payloads → NULL row."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _trans(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    rate, ch, s = decode_audio(bytes(payload))
+                    out.append(
+                        (doc_id, encode_wav_adpcm(s, sample_rate=rate, channels=ch))
+                    )
                 except Exception:
                     out.append((doc_id, None))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])

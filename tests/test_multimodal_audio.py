@@ -784,3 +784,124 @@ def test_stereo_audio_entries_adversarial_corpus_parity(spark, duck):
         "multimodal_audio_stereo_vad_segments",
     ):
         assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (format 0x11, r13) — the last closable WAVE format
+# ---------------------------------------------------------------------------
+
+
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), max_size=200),
+    channels=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_adpcm_roundtrip_matches_scalar_reference(samples, channels, rate):
+    """decode(encode_wav_adpcm(x)) equals the pure-scalar IMA recurrence
+    (``ima_adpcm_reference``) on arbitrary waveforms — lossy but exactly
+    deterministic, across block boundaries (33-frame blocks), partial
+    final blocks, mono and stereo, and every sample rate."""
+    from ibc_spark.ext.multimodal import encode_wav_adpcm, ima_adpcm_reference
+
+    n = (len(samples) // channels) * channels
+    s = np.asarray(samples[:n], dtype=np.int16)
+    got_rate, ch, out = decode_audio(encode_wav_adpcm(s, sample_rate=rate, channels=channels))
+    assert got_rate == rate and ch == channels
+    ref = ima_adpcm_reference(s.reshape(-1, channels)).reshape(-1)
+    assert np.array_equal(out, ref)
+
+
+@given(samples=st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=150))
+@settings(max_examples=40, deadline=None)
+def test_adpcm_block_headers_store_verbatim_samples(samples):
+    """Every block-start frame (i % 33 == 0) decodes EXACTLY — the header
+    predictor is the verbatim int16 sample, so quantization error resets
+    at each block boundary (the resync contract the oracle replays)."""
+    from ibc_spark.ext.multimodal import ADPCM_SAMPLES_PER_BLOCK, encode_wav_adpcm
+
+    s = np.asarray(samples, dtype=np.int16)
+    _r, _c, out = decode_audio(encode_wav_adpcm(s))
+    starts = np.arange(0, len(s), ADPCM_SAMPLES_PER_BLOCK)
+    assert np.array_equal(out[starts], s[starts])
+
+
+def test_adpcm_geometry_and_corruption_errors():
+    """Corrupt ADPCM containers error loudly (errors-as-data seam): bad
+    block geometry, missing fact chunk, out-of-range step index, ragged
+    data chunk."""
+    import struct
+
+    from ibc_spark.ext.multimodal import encode_wav_adpcm
+
+    s = np.arange(-40, 40, dtype=np.int16)
+    wav = bytes(encode_wav_adpcm(s))
+
+    # strip the fact chunk
+    fpos = wav.index(b"fact")
+    no_fact = wav[:fpos] + wav[fpos + 12 :]
+    no_fact = no_fact[:4] + struct.pack("<I", len(no_fact) - 8) + no_fact[8:]
+    with pytest.raises(ValueError, match="fact"):
+        decode_audio(no_fact)
+
+    # corrupt the step index in the first block header past 88
+    b = bytearray(wav)
+    dpos = wav.index(b"data")
+    b[dpos + 8 + 2] = 99
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_audio(bytes(b))
+
+    # shrink the data chunk: no longer a whole number of blocks
+    b = bytearray(wav)
+    (ln,) = struct.unpack_from("<I", wav, dpos + 4)
+    b[dpos + 4 : dpos + 8] = struct.pack("<I", ln - 1)
+    del b[-1:]
+    with pytest.raises(ValueError, match="whole number of blocks"):
+        decode_audio(bytes(b))
+
+    # fact count inconsistent with block count
+    b = bytearray(wav)
+    b[fpos + 8 : fpos + 12] = struct.pack("<I", 10_000)
+    with pytest.raises(ValueError, match="fact count inconsistent"):
+        decode_audio(bytes(b))
+
+
+def test_adpcm_empty_and_single_sample():
+    """Zero frames → empty decode; one frame → the verbatim header only."""
+    from ibc_spark.ext.multimodal import encode_wav_adpcm
+
+    _r, _c, out = decode_audio(encode_wav_adpcm(np.array([], dtype=np.int16)))
+    assert len(out) == 0
+    _r, _c, out = decode_audio(encode_wav_adpcm(np.array([-12345], dtype=np.int16)))
+    assert np.array_equal(out, np.array([-12345], dtype=np.int16))
+
+
+def test_adpcm_entry_on_empty_corpus(spark, empty_sf):
+    from ibc_spark.registry import QUERIES
+
+    assert QUERIES["multimodal_audio_adpcm"](spark, empty_sf).count() == 0
+
+
+def test_adpcm_entry_adversarial_corpus_parity(spark, duck):
+    """ADPCM registry entry on the adversarial corpus: empty text → the
+    all-zero feature row via the LEFT JOIN oracle; non-ASCII text → the
+    codepoint derivation and the recursive-CTE codec replay agree."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from ibc_spark.registry import ORACLES, QUERIES
+    from tests.parity import assert_parity
+
+    tmp = tempfile.mkdtemp(prefix="ibc_audio_adpcm_adv_")
+    rows = [(1, "", "en", "s", 0), (2, "héllo wörld é", "fr", "s", 13), (3, "a", "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    name = "multimodal_audio_adpcm"
+    assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
