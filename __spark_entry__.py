@@ -104,6 +104,14 @@ def _last_green_round() -> dict[str, int]:
 # never call decode_audio); unlike r11/r12 the drain window has no spare
 # slots (38-entry r8 pool), so they take the documented ack route with a
 # green tests/test_oracle_parity.py instead.
+# ADVICE r12 fixes: embedding_power_iteration_pc1's normalization gained
+# an ss>0 guard (empty corpus → NULL loadings like the oracle, and no
+# ANSI DIVIDE_BY_ZERO) — an output-semantics change on a degenerate input
+# plus a hot-path expression change, so re-attest. The suffix gpos guard
+# change (abs() → two-sided bound in the upfront sizes agg) is
+# error-path-only — identical results on any corpus that passes the
+# guard, locally parity-green — so the 5 suffix entries take the ack
+# route, keeping the drain window at 36 slots.
 _FORCE_RECHECK: set[str] = {
     "multimodal_audio_features",
     "multimodal_audio_resample",
@@ -113,6 +121,7 @@ _FORCE_RECHECK: set[str] = {
     "multimodal_audio_vad_segments",
     "multimodal_audio_rice_codec",
     "streaming_audio_features",
+    "embedding_power_iteration_pc1",
 }
 
 
@@ -149,11 +158,12 @@ _FORCE_RECHECK: set[str] = {
 # oldest r8 entries. Round-12 additions are deferred below.
 # Round-13 window arithmetic: the 6 round-12 deferrals (4 stereo-DSP +
 # pcm8/pcm24 — the only never-green entries) graduate to the never-green
-# bucket and attest first; 8 force-recheck slots (the green audio family,
-# whose shared _decode_wav path gained the ADPCM branch — see
-# _FORCE_RECHECK); the remaining 36 slots drain 36 of the 38-entry r8
-# pool (incl. weekday_bitstring and pivot_status_counts); the 2 youngest
-# r8 entries carry to r14. Round-13 additions are deferred below.
+# bucket and attest first; 9 force-recheck slots (the green audio family,
+# whose shared _decode_wav path gained the ADPCM branch, plus the pc1
+# empty-corpus guard — see _FORCE_RECHECK); the remaining 35 slots drain
+# 35 of the 38-entry r8 pool (incl. weekday_bitstring and
+# pivot_status_counts); the 3 youngest r8 entries carry to r14.
+# Round-13 additions are deferred below.
 _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 13 additions (IMA ADPCM WAVE codec), parity-proven locally;
     # driver slots next round

@@ -72,10 +72,25 @@ def release_checkpoints(spark: SparkSession | None = None, blocking: bool = True
     except Exception:  # context already stopped
         return 0
     n = 0
+    swept: list[str] = []
     for jrdd in rdds:
         try:
+            # capture identity BEFORE unpersist so a mid-pipeline misuse is
+            # diagnosable from the log (ADVICE r12: this sweeps EVERY
+            # persistent RDD, including third-party caches — the JVM does
+            # not expose checkpoint-origin filtering)
+            try:
+                swept.append(f"rdd_{jrdd.id()}:{jrdd.name() or jrdd.toString()}")
+            except Exception:
+                swept.append("rdd_?")
             jrdd.unpersist(blocking)
             n += 1
         except Exception:
             pass
+    if n:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "release_checkpoints swept %d persistent RDD(s): %s", n, "; ".join(swept)
+        )
     return n

@@ -220,14 +220,18 @@ def _sizes(
         F.max(F.length(F.col(text_col))).alias("chars"),
     ]
     if id_col is not None:
-        aggs.append(F.max(F.abs(F.col(id_col).cast("long"))).alias("maxid"))
+        # BOTH bounds, not abs(): non-ANSI abs(Long.MIN_VALUE) stays
+        # negative and would silently understate the guard (ADVICE r12);
+        # the negation happens driver-side in Python, which can't wrap
+        aggs.append(F.max(F.col(id_col).cast("long")).alias("idmax"))
+        aggs.append(F.min(F.col(id_col).cast("long")).alias("idmin"))
     sizes = df.agg(*aggs).first()
     bound = sizes["m"] or 0
     n_pos = sizes["n"] or 0
     max_chars = 2 * int(sizes["chars"] or 0) + 32
     if id_col is not None:
         width = bound + 2
-        maxid = int(sizes["maxid"] or 0)
+        maxid = max(int(sizes["idmax"] or 0), -int(sizes["idmin"] or 0))
         if maxid >= (2**63 - 1) // max(width, 1):
             raise ValueError(
                 f"suffix array: max |{id_col}| = {maxid} with stream width "

@@ -977,7 +977,9 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     w = spark.range(1).select(
-        F.array_repeat(F.lit(0.125), _PI_DIM).alias("vv"), F.lit(0.0).alias("nrm")
+        F.array_repeat(F.lit(0.125), _PI_DIM).alias("vv"),
+        F.lit(0.0).alias("nrm"),
+        F.lit(1).alias("ng"),
     )
     zeros = F.array_repeat(F.lit(0.0), _PI_DIM)
     for _ in range(_PI_ITERS):
@@ -1011,18 +1013,32 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
                 ),
                 zeros,
                 lambda acc, p: F.zip_with(acc, p["x"], lambda a, b: a + b),
-            ).alias("y")
+            ).alias("y"),
+            # bucket-partial count: 0 iff the corpus is empty — threaded to
+            # the final projection so an empty embeddings table yields NULL
+            # loadings/sigma like the oracle's empty-aggregate NULLs, not
+            # the 0/sqrt(0) NaNs the bare arithmetic would produce
+            # (ADVICE r12 #1)
+            F.count(F.lit(1)).alias("ng"),
         )
         w = yrow.select(
-            F.aggregate("y", F.lit(0.0), lambda a, x: a + x * x).alias("ss"), "y"
+            F.aggregate("y", F.lit(0.0), lambda a, x: a + x * x).alias("ss"),
+            "y",
+            "ng",
         ).select(
-            F.transform("y", lambda x: x / F.sqrt(F.col("ss"))).alias("vv"),
+            # ss = 0 (empty corpus) must not divide: ANSI mode (the Spark 4
+            # default) raises DIVIDE_BY_ZERO instead of yielding NaN
+            F.transform(
+                "y",
+                lambda x: F.when(F.col("ss") > 0, x / F.sqrt(F.col("ss"))),
+            ).alias("vv"),
             F.sqrt(F.col("ss")).alias("nrm"),
+            "ng",
         )
-    return w.select(F.posexplode("vv").alias("pos0", "l"), "nrm").select(
+    return w.select(F.posexplode("vv").alias("pos0", "l"), "nrm", "ng").select(
         (F.col("pos0") + 1).alias("pos"),
-        F.round("l", 8).alias("loading"),
-        F.round("nrm", 6).alias("sigma_sq"),
+        F.when(F.col("ng") > 0, F.round("l", 8)).alias("loading"),
+        F.when(F.col("ng") > 0, F.round("nrm", 6)).alias("sigma_sq"),
     )
 
 

@@ -270,6 +270,32 @@ def test_power_iteration_unit_norm_and_dominance(spark):
     assert rows[0].sigma_sq > 0
 
 
+def test_power_iteration_empty_corpus_parity(spark, duck, empty_sf):
+    """An empty embeddings table yields the oracle's 64 (pos, NULL, NULL)
+    rows — not the 0/sqrt(0) NaN loadings and 0.0 sigma the bare
+    normalization arithmetic would produce (ADVICE r12 #1: the silent
+    empty-corpus parity drift)."""
+    import os
+
+    import duckdb
+
+    from ibc_spark.registry import ORACLES, QUERIES
+    from tests.parity import assert_parity
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(
+            f"create view {t} as select * from "
+            f"read_parquet('{os.path.join(empty_sf, t)}.parquet/*.parquet')"
+        )
+    name = "embedding_power_iteration_pc1"
+    df = QUERIES[name](spark, empty_sf)
+    rows = df.collect()
+    assert len(rows) == 64
+    assert all(r.loading is None and r.sigma_sq is None for r in rows)
+    assert_parity(name, df, con, ORACLES[name])
+
+
 def test_bfs_distances_are_minimal(spark):
     """BFS dist must equal the true min-hop distance (checked by a driver
     Floyd-style closure over the tiny distilled nation graph)."""

@@ -233,6 +233,14 @@ def test_hashed_doc_ids_fail_loudly_not_silently(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     with pytest.raises(ValueError, match="overflows the int64"):
         sx.suffix_array_ranks(df, id_col="doc_id", text_col="text").collect()
+    # Long.MIN_VALUE: non-ANSI abs() keeps it NEGATIVE, which would make
+    # an abs-based bound silently pass — the guard must check both bounds
+    # (ADVICE r12)
+    neg = spark.createDataFrame(
+        [(-(2**63), docs[0][1]), (7, docs[1][1])], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="overflows the int64"):
+        sx.suffix_array_ranks(neg, id_col="doc_id", text_col="text").collect()
     dense = spark.createDataFrame(
         [(0, docs[0][1]), (1, docs[1][1])], ["doc_id", "text"]
     )
