@@ -37,35 +37,49 @@ def materialize(df) -> int:
 
 
 def prior_bench() -> dict[str, float]:
-    """Per-query timings from the newest BENCH_r*.json next to this script
-    (for delta reporting); {} when this is the first round."""
+    """Per-query timings from the newest BENCH_r*.json next to this script,
+    overlaid on the newest committed full per-query record in
+    bench_records/ (the driver snapshot keeps only the top-10 compact
+    line, which would misclassify ~220 entries as "new" for the anchor
+    comparison); {} when this is the first round."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def load_queries(path: str) -> dict[str, float]:
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            queries = doc.get("queries")
+            if queries is None and isinstance(doc.get("parsed"), dict):
+                queries = doc["parsed"].get("queries")
+            if queries is None and isinstance(doc.get("tail"), str):
+                # driver snapshots keep only the raw output tail: scrape pairs
+                queries = {
+                    m.group(1): float(m.group(2))
+                    for m in re.finditer(r'"(\w+)": (-?\d+\.\d+)', doc["tail"])
+                }
+            return {k: float(v) for k, v in (queries or {}).items()}
+        except (OSError, ValueError, TypeError):
+            return {}
+
+    merged: dict[str, float] = {}
+    fulls = []
+    for path in glob.glob(os.path.join(here, "bench_records", "bench_r*_full_*.json")):
+        m = re.search(r"bench_r(\d+)_full_", path)
+        if m:
+            fulls.append((int(m.group(1)), path))
+    if fulls:
+        merged.update(load_queries(max(fulls)[1]))
     rounds = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    if not rounds:
-        return {}
-    path = max(rounds)[1]
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-        queries = doc.get("queries")
-        if queries is None and isinstance(doc.get("parsed"), dict):
-            queries = doc["parsed"].get("queries")
-        if queries is None and isinstance(doc.get("tail"), str):
-            # driver snapshots keep only the raw output tail: scrape pairs
-            queries = {
-                m.group(1): float(m.group(2))
-                for m in re.finditer(r'"(\w+)": (-?\d+\.\d+)', doc["tail"])
-            }
-        return {k: float(v) for k, v in (queries or {}).items()}
-    except (OSError, ValueError, TypeError):
-        return {}
+    if rounds:
+        merged.update(load_queries(max(rounds)[1]))
+    return merged
 
 
 def main() -> None:
@@ -98,7 +112,16 @@ def main() -> None:
     # timings, so each query's median measures the QUERY, not the session
     # history before it. Still cold-cache per run (release + clearCache).
     restart_every = max(1, int(os.environ.get("BENCH_RESTART_EVERY", "25")))
+    # Co-tenant-noise hardening (VERDICT r12 #4): a single 3-run median on a
+    # shared host swung untouched multi-second entries up to 5.5x between
+    # rounds. For entries whose 3-run median exceeds this threshold, take
+    # extra runs (5 total by default) — ~+90s over the full registry at the
+    # current mix — and record per-entry run counts so the official BENCH
+    # history carries its own noise budget.
+    slow_threshold = float(os.environ.get("BENCH_SLOW_THRESHOLD_SEC", "3.0"))
+    slow_runs = max(runs, int(os.environ.get("BENCH_SLOW_RUNS", "5")))
     timings: dict[str, float] = {}
+    run_counts: dict[str, int] = {}
     t_all = time.perf_counter()
     from ibc_spark.ext.persistreg import release_checkpoints, release_persisted
 
@@ -109,7 +132,8 @@ def main() -> None:
             read_table(spark, sf_dir, "nation").count()
         samples: list[float] = []
         try:
-            for _ in range(runs):
+
+            def one_run() -> None:
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
@@ -122,7 +146,14 @@ def main() -> None:
                 # 8g heap by the third back-to-back sf3 entry (r12)
                 release_checkpoints(spark)
                 spark.catalog.clearCache()
+
+            for _ in range(runs):
+                one_run()
+            if sorted(samples)[len(samples) // 2] > slow_threshold:
+                while len(samples) < slow_runs:
+                    one_run()
             samples.sort()
+            run_counts[name] = len(samples)
             timings[name] = round(samples[len(samples) // 2], 4)
             delta = ""
             if name in previous and previous[name] > 0:
@@ -136,6 +167,43 @@ def main() -> None:
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 4)
+    # Idle-anchor comparison (VERDICT r12 #4): the repo's best idle-host
+    # per-query anchor is 0.768 s/q (the round-8 low-load full-registry
+    # record). Comparable set = everything except the algorithmically-heavy
+    # exact-suffix-array family (a documented corpus-global sort, ~9s/entry
+    # by design) and entries with no prior-round timing (new this round) —
+    # the same convention the r12 adjudication applied by hand. A ratio
+    # near 1.0 at normal load means no regression; a broad ratio spike with
+    # high `load` means co-tenant noise, not code.
+    ANCHOR_SEC_PER_QUERY = 0.768
+    HEAVY = {
+        "suffix_array_rank",
+        "suffix_lrs",
+        "suffix_lcp_histogram",
+        "dedup_duplicate_spans_sa",
+        "dedup_spans_rewrite_sa",
+    }
+    comparable = {
+        k: v
+        for k, v in timings.items()
+        if v > 0 and k not in HEAVY and k in previous
+    }
+    anchor = {
+        "anchor_sec_per_query": ANCHOR_SEC_PER_QUERY,
+        "comparable_n": len(comparable),
+        "comparable_sec_per_query": (
+            round(sum(comparable.values()) / len(comparable), 4) if comparable else None
+        ),
+        "anchor_ratio": (
+            round(
+                sum(comparable.values()) / len(comparable) / ANCHOR_SEC_PER_QUERY, 3
+            )
+            if comparable
+            else None
+        ),
+        "excluded_heavy": sorted(HEAVY & set(timings)),
+        "excluded_new": sorted(k for k in timings if k not in previous),
+    }
     # Host load (1/5/15-min averages) stamped into both JSON lines so
     # round-over-round deltas are mechanically adjudicable against co-tenant
     # noise (round 6's closing numbers needed a prose disclaimer; VERDICT
@@ -162,12 +230,14 @@ def main() -> None:
                 # stay interpretable.
                 "methodology": f"cold+session-refresh/{restart_every}",
                 "load": load,
+                "run_counts": run_counts,
+                "anchor": anchor,
             }
         ),
         flush=True,
     )
     # ... compact summary LAST so it survives the driver's output-tail
-    # capture intact (top-10 slowest + count; ~0.6 KB).
+    # capture intact (top-10 slowest + count; ~0.9 KB).
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
@@ -179,9 +249,20 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "runs_per_query": runs,
+                "extra_runs_over_sec": slow_threshold,
+                "n_extra_run_entries": sum(1 for c in run_counts.values() if c > runs),
                 "methodology": f"cold+session-refresh/{restart_every}",
                 "load": load,
                 "sum_median_sec": round(sum(t for t in timings.values() if t > 0), 2),
+                "anchor": {
+                    k: anchor[k]
+                    for k in (
+                        "anchor_sec_per_query",
+                        "comparable_n",
+                        "comparable_sec_per_query",
+                        "anchor_ratio",
+                    )
+                },
             }
         ),
         flush=True,
