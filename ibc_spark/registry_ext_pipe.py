@@ -1490,6 +1490,59 @@ def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_stereo_adpcm",
+    oracle=f"""
+    WITH RECURSIVE {_AUDIO_SAMPLES_STEREO_SQL},
+    steps AS (SELECT * FROM (VALUES {_ADPCM_STEPS_SQL}) st(ix, stp)),
+    rec AS (
+      SELECT doc_id, c, i, smp AS dec, CAST(0 AS INT) AS idx
+      FROM s WHERE i = 1
+      UNION ALL
+      SELECT doc_id, c, i, dec, idx FROM (
+        SELECT s.doc_id, s.c, s.i,
+               st.stp AS step,
+               s.smp - r.dec AS diff,
+               abs(diff) AS ad,
+               CASE WHEN ad >= step THEN 1 ELSE 0 END AS b2,
+               ad - b2 * step AS ad1,
+               CASE WHEN ad1 >= step // 2 THEN 1 ELSE 0 END AS b1,
+               ad1 - b1 * (step // 2) AS ad2,
+               CASE WHEN ad2 >= step // 4 THEN 1 ELSE 0 END AS b0,
+               step // 8 + b2 * step + b1 * (step // 2) + b0 * (step // 4)
+                 AS diffq,
+               CASE WHEN (s.i - 1) % {_ADPCM_SPB} = 0 THEN s.smp
+                    ELSE GREATEST(-32768, LEAST(32767,
+                         r.dec + CASE WHEN diff < 0 THEN -diffq ELSE diffq END))
+               END AS dec,
+               CASE WHEN (s.i - 1) % {_ADPCM_SPB} = 0 THEN r.idx
+                    ELSE GREATEST(0, LEAST(88, r.idx +
+                         CASE WHEN b2 = 1 THEN 2 + 4 * b1 + 2 * b0 ELSE -1 END))
+               END AS idx
+        FROM rec r
+        JOIN s ON s.doc_id = r.doc_id AND s.c = r.c AND s.i = r.i + 1
+        JOIN steps st ON st.ix = r.idx
+      )
+    ),
+    filt AS (SELECT doc_id, c, i AS j, dec AS smp FROM rec),
+    {_STEREO_FEATURES_TAIL_SQL.format(rate=16000)}
+    """,
+)
+def multimodal_audio_stereo_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO IMA ADPCM codec loop (r13): the two channels carry DIFFERENT
+    waveforms and run INDEPENDENT quantizer state machines, with nibble
+    words channel-interleaved per the IMA-in-RIFF layout — a decoder that
+    mixed channel states or misread the word interleave hash-mismatches.
+    The oracle runs the same recursive codec replay as the mono entry
+    with (doc, channel) as the recursion key, feeding the shared
+    channel-aware stereo feature reduction (zero-crossings never counted
+    across L/R). Narrow mapInPandas ×3, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(
+        multimodal.transcode_audio_adpcm(multimodal.attach_audio(d, channels=2))
+    )
+
+
+@query(
     "multimodal_audio_vad_segments",
     oracle=f"""
     WITH {_AUDIO_SAMPLES_SQL},

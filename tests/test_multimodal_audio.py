@@ -880,6 +880,7 @@ def test_adpcm_entry_on_empty_corpus(spark, empty_sf):
     from ibc_spark.registry import QUERIES
 
     assert QUERIES["multimodal_audio_adpcm"](spark, empty_sf).count() == 0
+    assert QUERIES["multimodal_audio_stereo_adpcm"](spark, empty_sf).count() == 0
 
 
 def test_adpcm_entry_adversarial_corpus_parity(spark, duck):
@@ -903,5 +904,5 @@ def test_adpcm_entry_adversarial_corpus_parity(spark, duck):
     con.sql(
         f"create view documents as select * from read_parquet('{tmp}/documents.parquet/*.parquet')"
     )
-    name = "multimodal_audio_adpcm"
-    assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
+    for name in ("multimodal_audio_adpcm", "multimodal_audio_stereo_adpcm"):
+        assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
