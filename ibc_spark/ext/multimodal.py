@@ -710,6 +710,102 @@ def encode_wav_adpcm(samples, *, sample_rate: int = 16000, channels: int = 1) ->
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# G.711 companding (WAVE format codes 6 = A-law, 7 = mu-law) — the
+# telephony PCM variants: fixed 8-segment logarithmic quantizers,
+# MEMORYLESS (one byte per sample, no state), so encode and decode are
+# pure numpy vector expressions and the lossy decode∘encode composition
+# is replayable as a scalar SQL expression — no recursion needed, unlike
+# ADPCM. Formulas follow the ITU G.711 / CCITT reference shapes; anchor
+# bytes match the spec (mu-law silence 0xFF, A-law silence 0xD5, mu-law
+# max-negative 0x00, A-law max-positive 0xAA).
+_G711_CODES = {"alaw": 6, "mulaw": 7}
+
+
+def _mulaw_encode_np(x):
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 132
+    e = sum((mag >= (1 << j)).astype(np.int32) for j in range(8, 15))
+    m = (mag >> (e + 3)) & 0xF
+    return (~(sign | (e << 4) | m) & 0xFF).astype(np.uint8)
+
+
+def _mulaw_decode_np(b):
+    import numpy as np
+
+    v = (~np.asarray(b, dtype=np.uint8)) & 0xFF
+    e = (v.astype(np.int32) >> 4) & 7
+    m = v.astype(np.int32) & 0xF
+    mag = ((m * 8 + 132) << e) - 132
+    return np.where(v & 0x80, -mag, mag).astype(np.int16)
+
+
+def _alaw_encode_np(x):
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int32)
+    p0 = x >> 3  # 13-bit domain, arithmetic shift
+    mask = np.where(p0 >= 0, 0xD5, 0x55)
+    p = np.where(p0 >= 0, p0, -p0 - 1)
+    seg = sum((p > t).astype(np.int32) for t in (31, 63, 127, 255, 511, 1023, 2047))
+    nib = np.where(seg < 2, (p >> 1) & 0xF, (p >> seg) & 0xF)
+    return (((seg << 4) | nib) ^ mask).astype(np.uint8)
+
+
+def _alaw_decode_np(b):
+    import numpy as np
+
+    v = np.asarray(b, dtype=np.uint8).astype(np.int32) ^ 0x55
+    t = (v & 0xF) << 4
+    seg = (v >> 4) & 7
+    mag = np.where(
+        seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0)
+    )
+    return np.where(v & 0x80, mag, -mag).astype(np.int16)
+
+
+def g711_reference(samples, law: str):
+    """decode(encode(x)) composition for one G.711 law — the scalar
+    quantizer the SQL oracles replay and the hypothesis tests pin."""
+    if law == "mulaw":
+        return _mulaw_decode_np(_mulaw_encode_np(samples))
+    if law == "alaw":
+        return _alaw_decode_np(_alaw_encode_np(samples))
+    raise ValueError("law must be 'mulaw' or 'alaw'")
+
+
+def encode_wav_g711(
+    samples, *, law: str, sample_rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Encode int16 PCM as a G.711 companded WAVE file (format code 7 =
+    mu-law or 6 = A-law, 8 bits/sample, one byte per sample interleaved
+    as the input is). Non-PCM WAVE carries a ``fact`` chunk with the
+    per-stream sample-frame count per the spec."""
+    import struct
+
+    import numpy as np
+
+    if law not in _G711_CODES:
+        raise ValueError("law must be 'mulaw' or 'alaw'")
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim != 1:
+        raise ValueError("expected a 1-D int16 sample array (interleaved)")
+    if channels < 1 or len(a) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    enc = _mulaw_encode_np if law == "mulaw" else _alaw_encode_np
+    data = enc(a).tobytes()
+    code = _G711_CODES[law]
+    fmt = struct.pack(
+        "<HHIIHHH", code, channels, sample_rate, sample_rate * channels, channels, 8, 0
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(a) // channels)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _decode_wav(payload: bytes):
     """Parse a RIFF/WAVE container: chunk walk (fmt /data), little-endian
     header fields; decodes 8-bit unsigned, 16-bit and 24-bit signed
@@ -786,6 +882,14 @@ def _decode_wav(payload: bytes):
         v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
         v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend
         return rate, channels, (v >> 8).astype(np.int16)
+    if code in (6, 7) and bits == 8:
+        # G.711 A-law (6) / mu-law (7): memoryless byte-per-sample
+        # companding — vector table inversion, no state machine
+        if len(data) % channels:
+            raise ValueError("WAVE data chunk is not a whole number of frames")
+        b = np.frombuffer(data, dtype=np.uint8)
+        dec = _mulaw_decode_np(b) if code == 7 else _alaw_decode_np(b)
+        return rate, channels, dec
     if code == 0x11 and bits == 4:
         # IMA ADPCM: 4-byte per-channel block headers (predictor verbatim,
         # step index), then channel-interleaved 4-byte nibble words. The
@@ -837,9 +941,10 @@ def _decode_wav(payload: bytes):
                     out[bi * spb + k, c] = pred
         return rate, channels, out[:fact].reshape(-1).astype(np.int16)
     raise NotImplementedError(
-        "only 8/16/24-bit integer, 32-bit IEEE-float, and IMA ADPCM "
-        "(format 0x11) WAVE supported; MP3-in-WAV and other entropy-coded "
-        "formats require an audio library not present in this environment"
+        "only 8/16/24-bit integer, 32-bit IEEE-float, IMA ADPCM (0x11), "
+        "and G.711 mu-law/A-law (7/6) WAVE supported; MP3-in-WAV and other "
+        "entropy-coded formats require an audio library not present in "
+        "this environment"
     )
 
 
@@ -1258,6 +1363,42 @@ def transcode_audio_pcm(
                 try:
                     rate, ch, s = decode_audio(bytes(payload))
                     out.append((doc_id, enc(s, sample_rate=rate, channels=ch)))
+                except Exception:
+                    out.append((doc_id, None))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(_trans, schema)
+
+
+def transcode_audio_g711(
+    df: DataFrame, *, law: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Transcode WAV payloads to G.711 companded WAVE (mu-law code 7 /
+    A-law code 6): REAL decode → :func:`encode_wav_g711`. Lossy but
+    MEMORYLESS — downstream decodes equal :func:`g711_reference`, a pure
+    scalar quantizer the registry oracles replay as a SQL expression, so
+    the whole companded-container loop is hash-checked. 1:1
+    ``mapInPandas``, narrow map; undecodable payloads → NULL row."""
+    if law not in _G711_CODES:
+        raise ValueError("law must be 'mulaw' or 'alaw'")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _trans(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    rate, ch, s = decode_audio(bytes(payload))
+                    out.append(
+                        (doc_id, encode_wav_g711(s, law=law, sample_rate=rate, channels=ch))
+                    )
                 except Exception:
                     out.append((doc_id, None))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])

@@ -1489,6 +1489,116 @@ def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G.711 companding oracles (r13): mu-law/A-law are MEMORYLESS 8-segment
+# logarithmic quantizers, so unlike ADPCM the lossy decode∘encode
+# composition replays as a plain scalar expression over the shared
+# synthetic samples — segment index by threshold counting, mantissa by
+# shift/mask, spec reconstruction, sign fold — then the same features
+# reduction. DuckDB lateral column aliases keep each stage named.
+_MULAW_DEC_SQL = """
+    g AS (
+      SELECT doc_id, i,
+             LEAST(abs(smp), 32635) + 132 AS mag,
+             (CASE WHEN mag >= 256 THEN 1 ELSE 0 END)
+           + (CASE WHEN mag >= 512 THEN 1 ELSE 0 END)
+           + (CASE WHEN mag >= 1024 THEN 1 ELSE 0 END)
+           + (CASE WHEN mag >= 2048 THEN 1 ELSE 0 END)
+           + (CASE WHEN mag >= 4096 THEN 1 ELSE 0 END)
+           + (CASE WHEN mag >= 8192 THEN 1 ELSE 0 END)
+           + (CASE WHEN mag >= 16384 THEN 1 ELSE 0 END) AS e,
+             (mag >> (e + 3)) & 15 AS m,
+             (CASE WHEN smp < 0 THEN -1 ELSE 1 END)
+               * (((m * 8 + 132) << e) - 132) AS dec
+      FROM s
+    )
+"""
+_ALAW_DEC_SQL = """
+    g AS (
+      SELECT doc_id, i,
+             (smp >> 3) AS p0,
+             (CASE WHEN p0 >= 0 THEN p0 ELSE -p0 - 1 END) AS p,
+             (CASE WHEN p > 31 THEN 1 ELSE 0 END)
+           + (CASE WHEN p > 63 THEN 1 ELSE 0 END)
+           + (CASE WHEN p > 127 THEN 1 ELSE 0 END)
+           + (CASE WHEN p > 255 THEN 1 ELSE 0 END)
+           + (CASE WHEN p > 511 THEN 1 ELSE 0 END)
+           + (CASE WHEN p > 1023 THEN 1 ELSE 0 END)
+           + (CASE WHEN p > 2047 THEN 1 ELSE 0 END) AS seg,
+             (CASE WHEN seg < 2 THEN (p >> 1) & 15 ELSE (p >> seg) & 15 END)
+               AS nib,
+             (CASE WHEN seg = 0 THEN nib * 16 + 8
+                   ELSE (nib * 16 + 264)
+                        << (CASE WHEN seg >= 2 THEN seg - 1 ELSE 0 END)
+              END) AS mag,
+             (CASE WHEN p0 >= 0 THEN mag ELSE -mag END) AS dec
+      FROM s
+    )
+"""
+_G711_FEATURES_TAIL = """
+    lagged AS (
+      SELECT doc_id, dec,
+             lag(dec) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM g
+    ),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_samples,
+             CAST(COUNT(*) * 1000 // 16000 AS BIGINT) AS duration_ms,
+             CAST(MAX(abs(dec)) AS BIGINT) AS peak_abs,
+             CAST(SUM(abs(dec)) AS BIGINT) AS sum_abs,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * dec < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM lagged
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           16000 AS sample_rate,
+           COALESCE(a.n_samples, 0) AS n_samples,
+           COALESCE(a.duration_ms, 0) AS duration_ms,
+           COALESCE(a.peak_abs, 0) AS peak_abs,
+           COALESCE(a.sum_abs, 0) AS sum_abs,
+           COALESCE(a.zero_crossings, 0) AS zero_crossings
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query(
+    "multimodal_audio_mulaw",
+    oracle=f"WITH {_AUDIO_SAMPLES_SQL}, {_MULAW_DEC_SQL}, {_G711_FEATURES_TAIL}",
+)
+def multimodal_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law WAVE codec loop (r13, format code 7 — telephony PCM):
+    int16 WAV → REAL decode → mu-law companding (8-segment log quantizer,
+    bias 132, inverted bits; spec anchors pinned: silence 0xFF,
+    max-negative 0x00) → REAL mu-law decode → waveform features. The
+    quantizer is memoryless, so the oracle replays decode∘encode as a
+    scalar SQL expression per sample — every byte of the companded
+    container (fmt code 7, fact chunk, 1-byte frames) is hash-checked.
+    Narrow mapInPandas ×3, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(
+        multimodal.transcode_audio_g711(multimodal.attach_audio(d), law="mulaw")
+    )
+
+
+@query(
+    "multimodal_audio_alaw",
+    oracle=f"WITH {_AUDIO_SAMPLES_SQL}, {_ALAW_DEC_SQL}, {_G711_FEATURES_TAIL}",
+)
+def multimodal_audio_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 A-law WAVE codec loop (r13, format code 6): the European
+    telephony twin — 13-bit domain (s >> 3), XOR-0x55 bit inversion,
+    8-segment quantizer (spec anchors pinned: silence 0xD5, max-positive
+    0xAA). Same memoryless scalar-replay oracle discipline as the mu-law
+    entry; together they close every fixed-table WAVE format — the
+    remaining audio seam is true entropy coding (MP3-in-WAV). Narrow
+    mapInPandas ×3, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(
+        multimodal.transcode_audio_g711(multimodal.attach_audio(d), law="alaw")
+    )
+
+
 @query(
     "multimodal_audio_stereo_adpcm",
     oracle=f"""

@@ -45,20 +45,37 @@ def main() -> int:
     print("\n== step 2: derived force set ==")
     problems = entry_manifest.check()
     import __spark_entry__ as entry_mod
+    from ibc_spark.registry import QUERIES
 
-    force = sorted(p.split(":", 1)[0] for p in problems)
-    if force:
-        print("closure changed since last green driver round — add to")
-        print("_FORCE_RECHECK in __spark_entry__.py (or ack if provably")
-        print("semantics-preserving):")
-        for name in force:
-            print(f"  {name}")
+    # The RAW drift set (ignoring the _FORCE_RECHECK/_DEFER excuse list
+    # check() applies): every entry whose closure hash differs from the
+    # one pinned at its last green driver round. Entries already in
+    # _FORCE_RECHECK are listed as covered, not as violations.
+    manifest = entry_manifest.load_manifest().get("entries", {})
+    greens = entry_manifest._last_green_rounds()
+    drifted = sorted(
+        n
+        for n in QUERIES
+        if greens.get(n, 0) > 0
+        and n in manifest
+        and entry_manifest.compute_entry_hash(n) != manifest[n]["hash"]
+    )
+    uncovered = sorted(p.split(":", 1)[0] for p in problems)
+    if drifted:
+        print("closure changed since last green driver round:")
+        for name in drifted:
+            mark = "" if name in uncovered else "  (covered by _FORCE_RECHECK)"
+            print(f"  {name}{mark}")
+        if uncovered:
+            print("UNCOVERED entries above must be added to _FORCE_RECHECK in")
+            print("__spark_entry__.py (or acked if provably semantics-")
+            print("preserving with a green tests/test_oracle_parity.py).")
     else:
         print("(empty — no entry's closure drifted past its green round)")
-    stale = sorted(entry_mod._FORCE_RECHECK - set(force))
+    stale = sorted(entry_mod._FORCE_RECHECK - set(drifted))
     if stale:
-        print("\nNOTE: _FORCE_RECHECK carries entries the manifest no longer")
-        print("flags (likely cleared by the refresh) — consider removing:")
+        print("\nNOTE: _FORCE_RECHECK carries entries whose closure matches")
+        print("their pinned green hash — consider removing:")
         for name in stale:
             print(f"  {name}")
 

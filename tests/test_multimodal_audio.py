@@ -906,3 +906,93 @@ def test_adpcm_entry_adversarial_corpus_parity(spark, duck):
     )
     for name in ("multimodal_audio_adpcm", "multimodal_audio_stereo_adpcm"):
         assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (format codes 7/6, r13) — telephony companding
+# ---------------------------------------------------------------------------
+
+
+def test_g711_spec_anchor_bytes():
+    """The classic G.711 anchor bytes: mu-law silence 0xFF / max-negative
+    0x00, A-law silence 0xD5 / max-positive 0xAA; decode of the silence
+    bytes gives the spec values (0 for mu-law, +8 for A-law)."""
+    from ibc_spark.ext.multimodal import (
+        _alaw_decode_np,
+        _alaw_encode_np,
+        _mulaw_decode_np,
+        _mulaw_encode_np,
+    )
+
+    assert _mulaw_encode_np([0])[0] == 0xFF
+    assert _mulaw_encode_np([-32768])[0] == 0x00
+    assert _alaw_encode_np([0])[0] == 0xD5
+    assert _alaw_encode_np([32767])[0] == 0xAA
+    assert _mulaw_decode_np([0xFF])[0] == 0
+    assert _alaw_decode_np([0xD5])[0] == 8
+
+
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), max_size=200),
+    law=st.sampled_from(["mulaw", "alaw"]),
+    channels=st.sampled_from([1, 2]),
+)
+@settings(max_examples=60, deadline=None)
+def test_g711_container_roundtrip_matches_reference(samples, law, channels):
+    """decode(encode_wav_g711(x)) equals the pure quantizer composition
+    (``g711_reference``) — container fields, fact chunk, byte frames, and
+    companding all pinned on arbitrary waveforms."""
+    from ibc_spark.ext.multimodal import encode_wav_g711, g711_reference
+
+    n = (len(samples) // channels) * channels
+    s = np.asarray(samples[:n], dtype=np.int16)
+    rate, ch, out = decode_audio(encode_wav_g711(s, law=law, sample_rate=8000, channels=channels))
+    assert rate == 8000 and ch == channels
+    assert np.array_equal(out, g711_reference(s, law))
+
+
+def test_g711_quantizer_is_idempotent_and_bounded():
+    """Decoded values are codec fixpoints (a second companding pass is the
+    identity) and the quantization error is bounded by half the top
+    segment step (mu-law ≤ 644 incl. the 32635 clip, A-law ≤ 512) —
+    the two properties a lossy telephony codec must hold."""
+    from ibc_spark.ext.multimodal import g711_reference
+
+    s = np.arange(-32768, 32768, dtype=np.int32)
+    for law, bound in (("mulaw", 644), ("alaw", 512)):
+        d = g711_reference(s.astype(np.int16), law).astype(np.int32)
+        assert int(np.abs(d - s).max()) <= bound, law
+        d2 = g711_reference(d.astype(np.int16), law).astype(np.int32)
+        assert np.array_equal(d, d2), law
+
+
+def test_g711_entries_on_empty_corpus(spark, empty_sf):
+    from ibc_spark.registry import QUERIES
+
+    assert QUERIES["multimodal_audio_mulaw"](spark, empty_sf).count() == 0
+    assert QUERIES["multimodal_audio_alaw"](spark, empty_sf).count() == 0
+
+
+def test_g711_entries_adversarial_corpus_parity(spark, duck):
+    """mu-law/A-law entries on the adversarial corpus (empty text, accented
+    codepoints, single char) — the scalar SQL replay and the numpy kernel
+    agree everywhere."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from ibc_spark.registry import ORACLES, QUERIES
+    from tests.parity import assert_parity
+
+    tmp = tempfile.mkdtemp(prefix="ibc_audio_g711_adv_")
+    rows = [(1, "", "en", "s", 0), (2, "héllo wörld é", "fr", "s", 13), (3, "a", "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    for name in ("multimodal_audio_mulaw", "multimodal_audio_alaw"):
+        assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
