@@ -165,12 +165,13 @@ _FORCE_RECHECK: set[str] = {
 # pivot_status_counts); the 3 youngest r8 entries carry to r14.
 # Round-13 additions are deferred below.
 _DEFER_TO_NEXT_ROUND: set[str] = {
-    # round 13 additions (IMA ADPCM mono/stereo + G.711 mu-law/A-law),
-    # parity-proven locally; driver slots next round
+    # round 13 additions (IMA ADPCM mono/stereo, G.711 mu-law/A-law, AVI
+    # video container), parity-proven locally; driver slots next round
     "multimodal_audio_adpcm",
     "multimodal_audio_stereo_adpcm",
     "multimodal_audio_mulaw",
     "multimodal_audio_alaw",
+    "multimodal_video_frames",
 }
 
 

@@ -1489,6 +1489,52 @@ def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH t AS (SELECT doc_id, substring(text, 1, 16) AS head FROM documents),
+    px AS (
+      SELECT doc_id, CAST(f.t AS INT) AS t,
+             CAST(yy.y AS INT) AS y, CAST(xx.x AS INT) AS x,
+             CAST(cc.c AS INT) AS c,
+             (ascii(substring(head, CAST(f.t AS INT), 1)) * 7
+              + CAST(yy.y AS INT) * 13 + CAST(xx.x AS INT) * 17
+              + CAST(cc.c AS INT) * 29 + (CAST(f.t AS INT) - 1) * 3) % 256 AS p
+      FROM t,
+           unnest(range(1, length(head) + 1)) AS f(t),
+           unnest(range(0, 4)) AS yy(y),
+           unnest(range(0, 4)) AS xx(x),
+           unnest(range(0, 3)) AS cc(c)
+    )
+    SELECT doc_id,
+           t - 1 AS frame_idx,
+           10 AS fps,
+           4 AS height,
+           4 AS width,
+           CAST(SUM(p) AS BIGINT) AS sum_pix,
+           CAST(MAX(p) AS INT) AS max_pix,
+           CAST(SUM(p * (y * 12 + x * 3 + c + 1)) AS BIGINT) AS checksum
+    FROM px
+    GROUP BY doc_id, t
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container pipeline (r13 — the video seam upgraded from
+    stubbed decode to a real codec loop): one deterministic 4×4 RGB frame
+    per text codepoint is encoded into a standards-conforming RIFF/AVI
+    file (``encode_avi_raw``: hdrl/avih/strl/strf headers, '00db'
+    uncompressed DIB frames with bottom-up BGR DWORD-padded rows, idx1
+    index), then REALLY parsed back (``decode_avi``: LIST walk, header
+    cross-validation, BMP-discipline row decode) into per-frame integer
+    stats. The POSITION-WEIGHTED checksum makes any row flip, BGR/RGB
+    swap, stride mis-padding, or frame mis-ordering in the container loop
+    hash-mismatch; fps attests the avih frame-interval field. DCT-coded
+    video (H.264/VP9) stays the documented entropy seam, same as
+    JPEG/MP3. Narrow mapInPandas ×2, 1:N frame fan-out, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.video_frame_features(multimodal.attach_video(d))
+
+
 # G.711 companding oracles (r13): mu-law/A-law are MEMORYLESS 8-segment
 # logarithmic quantizers, so unlike ADPCM the lossy decode∘encode
 # composition replays as a plain scalar expression over the shared
