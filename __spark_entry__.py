@@ -172,6 +172,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "multimodal_audio_mulaw",
     "multimodal_audio_alaw",
     "multimodal_video_frames",
+    "multimodal_video_scene_cuts",
 }
 
 

@@ -1324,6 +1324,58 @@ def video_frame_features(df: DataFrame, *, payload_col: str = "payload") -> Data
     return df.mapInPandas(_feat, VIDEO_FRAME_SCHEMA)
 
 
+# Scene-cut threshold: L1 frame difference at which a transition counts
+# as a shot boundary. 3200 ≈ the corpus median inter-frame L1 (quantiles
+# 816/1536/3152/4920/6048 at sf0.01), so the flag is discriminative —
+# shared with the SQL oracle like the spectral-VAD constants.
+SCENE_CUT_L1_THRESHOLD = 3200
+
+
+def scene_cut_frames(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    threshold: int = SCENE_CUT_L1_THRESHOLD,
+) -> DataFrame:
+    """Shot-boundary detection over the video binary column — the classic
+    video-corpus preprocessing screen (keyframe selection / clip
+    segmentation for training pipelines): REAL AVI decode, per-frame L1
+    distance to the previous frame, ``is_cut = l1 >= threshold``. Emits
+    one row per frame TRANSITION (frame_idx ≥ 1); 0/1-frame videos emit
+    nothing. Integer arithmetic end to end so the decisions are
+    SQL-replayable. 1:N ``mapInPandas`` fan-out, narrow map;
+    undecodable payloads → NULL row (errors-as-data)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("l1_diff", T.LongType()),
+            T.StructField("is_cut", T.BooleanType()),
+        ]
+    )
+
+    def _cuts(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    _fps, frames = decode_avi(bytes(payload))
+                    f = frames.astype(np.int64)
+                    diffs = np.abs(f[1:] - f[:-1]).reshape(max(len(f) - 1, 0), -1).sum(axis=1) if len(f) > 1 else np.zeros(0, np.int64)
+                    for i, d in enumerate(diffs, start=1):
+                        out.append((doc_id, i, int(d), bool(d >= threshold)))
+                except Exception:
+                    out.append((doc_id, None, None, None))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "l1_diff", "is_cut"]
+            )
+
+    return df.mapInPandas(_cuts, schema)
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

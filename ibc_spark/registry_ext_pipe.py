@@ -1535,6 +1535,47 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_frame_features(multimodal.attach_video(d))
 
 
+@query(
+    "multimodal_video_scene_cuts",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, substring(text, 1, 16) AS head FROM documents),
+    px AS (
+      SELECT doc_id, CAST(f.t AS INT) AS t,
+             CAST(yy.y AS INT) AS y, CAST(xx.x AS INT) AS x,
+             CAST(cc.c AS INT) AS c,
+             (ascii(substring(head, CAST(f.t AS INT), 1)) * 7
+              + CAST(yy.y AS INT) * 13 + CAST(xx.x AS INT) * 17
+              + CAST(cc.c AS INT) * 29 + (CAST(f.t AS INT) - 1) * 3) % 256 AS p
+      FROM t,
+           unnest(range(1, length(head) + 1)) AS f(t),
+           unnest(range(0, 4)) AS yy(y),
+           unnest(range(0, 4)) AS xx(x),
+           unnest(range(0, 3)) AS cc(c)
+    )
+    SELECT a.doc_id,
+           a.t - 1 AS frame_idx,
+           CAST(SUM(abs(a.p - b.p)) AS BIGINT) AS l1_diff,
+           SUM(abs(a.p - b.p)) >= {multimodal.SCENE_CUT_L1_THRESHOLD} AS is_cut
+    FROM px a
+    JOIN px b ON a.doc_id = b.doc_id AND b.t = a.t - 1
+             AND a.y = b.y AND a.x = b.x AND a.c = b.c
+    GROUP BY a.doc_id, a.t
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on REAL container video (r13): AVI decode →
+    per-transition L1 frame distance → thresholded cut flag (threshold =
+    the corpus-median L1, shared with the oracle like the spectral-VAD
+    constants) — the keyframe/clip-segmentation screen a video training
+    pipeline runs before sampling. The oracle re-derives both frames of
+    every transition from the text and replays the distance as an
+    equi-join on (doc, y, x, c) — a decoder misaligning frames by one
+    hash-mismatches every row. Narrow mapInPandas ×2, 1:N transition
+    fan-out, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.scene_cut_frames(multimodal.attach_video(d))
+
+
 # G.711 companding oracles (r13): mu-law/A-law are MEMORYLESS 8-segment
 # logarithmic quantizers, so unlike ADPCM the lossy decode∘encode
 # composition replays as a plain scalar expression over the shared

@@ -141,3 +141,59 @@ def test_video_frames_entry_adversarial_corpus_parity(spark, duck):
     )
     name = "multimodal_video_frames"
     assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
+
+
+def test_scene_cut_kernel_matches_bruteforce(spark):
+    """scene_cut_frames == the literal per-transition spec: L1 over all
+    48 pixel positions, >= threshold flag, first frame excluded."""
+    from ibc_spark.ext.multimodal import (
+        SCENE_CUT_L1_THRESHOLD,
+        attach_video,
+        scene_cut_frames,
+    )
+
+    docs = spark.createDataFrame([(1, "AaAz"), (2, "x"), (3, "")], ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.frame_idx): (r.l1_diff, r.is_cut)
+        for r in scene_cut_frames(attach_video(docs)).collect()
+    }
+    # 0/1-frame videos emit no transitions
+    assert all(k[0] == 1 for k in got)
+    for t in (1, 2, 3):
+        ref = 0
+        for y in range(4):
+            for x in range(4):
+                for c in range(3):
+                    base = y * 13 + x * 17 + c * 29
+                    a = (ord("AaAz"[t]) * 7 + base + t * 3) % 256
+                    b = (ord("AaAz"[t - 1]) * 7 + base + (t - 1) * 3) % 256
+                    ref += abs(a - b)
+        assert got[(1, t)] == (ref, ref >= SCENE_CUT_L1_THRESHOLD), t
+
+
+def test_scene_cut_entry_on_empty_corpus(spark, empty_sf):
+    from ibc_spark.registry import QUERIES
+
+    assert QUERIES["multimodal_video_scene_cuts"](spark, empty_sf).count() == 0
+
+
+def test_scene_cut_entry_adversarial_corpus_parity(spark, duck):
+    import os
+    import tempfile
+
+    import duckdb
+
+    from ibc_spark.registry import ORACLES, QUERIES
+    from tests.parity import assert_parity
+
+    tmp = tempfile.mkdtemp(prefix="ibc_video_cuts_adv_")
+    rows = [(1, "", "en", "s", 0), (2, "héllo wörld é", "fr", "s", 13), (3, "a", "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    name = "multimodal_video_scene_cuts"
+    assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
