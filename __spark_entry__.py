@@ -173,6 +173,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "multimodal_audio_alaw",
     "multimodal_video_frames",
     "multimodal_video_scene_cuts",
+    "multimodal_video_frame_dedup",
 }
 
 

@@ -1576,6 +1576,59 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.scene_cut_frames(multimodal.attach_video(d))
 
 
+@query(
+    "multimodal_video_frame_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, substring(text, 1, 16) AS head FROM documents),
+    px AS (
+      SELECT doc_id, CAST(f.t AS INT) AS t,
+             CAST(yy.y AS INT) AS y, CAST(xx.x AS INT) AS x,
+             CAST(cc.c AS INT) AS c,
+             (ascii(substring(head, CAST(f.t AS INT), 1)) * 7
+              + CAST(yy.y AS INT) * 13 + CAST(xx.x AS INT) * 17
+              + CAST(cc.c AS INT) * 29 + (CAST(f.t AS INT) - 1) * 3) % 256 AS p
+      FROM t,
+           unnest(range(1, length(head) + 1)) AS f(t),
+           unnest(range(0, 4)) AS yy(y),
+           unnest(range(0, 4)) AS xx(x),
+           unnest(range(0, 3)) AS cc(c)
+    ),
+    sig AS (
+      SELECT doc_id, t,
+             CAST(SUM(p * (y * 12 + x * 3 + c + 1)) AS BIGINT) AS checksum,
+             CAST(SUM(p) AS BIGINT) AS sum_pix
+      FROM px GROUP BY doc_id, t
+    )
+    SELECT checksum, sum_pix,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM sig
+    GROUP BY checksum, sum_pix
+    HAVING COUNT(*) > 1
+    """,
+)
+def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frame-level dedup across REAL container video (r13) — the
+    "repeated intro/outro frame" screen a video corpus pipeline runs
+    before sampling: AVI decode → per-frame signature (position-weighted
+    checksum + pixel sum, computed from DECODED bytes so the container
+    loop is inside the attestation) → signature groupBy → groups seen
+    more than once, with their frame and distinct-document counts. One
+    shuffle on the signature with map-side combine — at 100 TB the same
+    plan, signatures being 16 bytes/frame. The oracle re-derives every
+    frame from the text and replays the two-level aggregation."""
+    d = read_table(spark, sf_dir, "documents")
+    feats = multimodal.video_frame_features(multimodal.attach_video(d))
+    return (
+        feats.groupBy("checksum", "sum_pix")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_frames") > 1)
+    )
+
+
 # G.711 companding oracles (r13): mu-law/A-law are MEMORYLESS 8-segment
 # logarithmic quantizers, so unlike ADPCM the lossy decode∘encode
 # composition replays as a plain scalar expression over the shared

@@ -197,3 +197,32 @@ def test_scene_cut_entry_adversarial_corpus_parity(spark, duck):
     )
     name = "multimodal_video_scene_cuts"
     assert_parity(name, QUERIES[name](spark, tmp), con, ORACLES[name])
+
+
+def test_frame_dedup_finds_planted_duplicates(spark):
+    """Two docs sharing a char at the same position produce the SAME frame
+    (the formula depends only on (codepoint, t)); the dedup entry must
+    group them, and unique frames must not appear."""
+    from ibc_spark.ext.multimodal import attach_video, video_frame_features
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "axc"), (3, "zzz")], ["doc_id", "text"]
+    )
+    feats = video_frame_features(attach_video(docs))
+    groups = (
+        feats.groupBy("checksum", "sum_pix")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_frames") > 1)
+        .collect()
+    )
+    # planted dups: 'a'@t=1 and 'c'@t=3 shared by docs 1/2 -> two groups
+    # of (n_frames=2, n_docs=2); doc 3's 'z'@{1,2,3} are three DISTINCT
+    # frames (the t term shifts pixels), so no intra-doc group
+    assert sorted((g.n_frames, g.n_docs) for g in groups) == [(2, 2), (2, 2)]
+
+
+def test_frame_dedup_entry_on_empty_corpus(spark, empty_sf):
+    from ibc_spark.registry import QUERIES
+
+    assert QUERIES["multimodal_video_frame_dedup"](spark, empty_sf).count() == 0
