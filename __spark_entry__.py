@@ -112,17 +112,14 @@ def _last_green_round() -> dict[str, int]:
 # error-path-only — identical results on any corpus that passes the
 # guard, locally parity-green — so the 5 suffix entries take the ack
 # route, keeping the drain window at 36 slots.
-_FORCE_RECHECK: set[str] = {
-    "multimodal_audio_features",
-    "multimodal_audio_resample",
-    "multimodal_audio_resample_rational",
-    "multimodal_audio_vad_spectral",
-    "multimodal_audio_float_pcm",
-    "multimodal_audio_vad_segments",
-    "multimodal_audio_rice_codec",
-    "streaming_audio_features",
-    "embedding_power_iteration_pc1",
-}
+#
+# Round 14: the full r13 force set (9 entries) cleared — all hash-green
+# in CORRECTNESS_r13.json (the 8 audio entries on the post-ADPCM
+# _decode_wav chunk walk, pc1 on the empty-corpus guard).
+# scripts/round_open.py reports an EMPTY derived force set at round open:
+# no green entry's implementation closure drifted past its last green
+# driver round, so no force slots are spent this round.
+_FORCE_RECHECK: set[str] = set()
 
 
 # Entries ADDED in the current round, deferred to the NEXT round's snapshot
@@ -164,17 +161,15 @@ _FORCE_RECHECK: set[str] = {
 # 35 of the 38-entry r8 pool (incl. weekday_bitstring and
 # pivot_status_counts); the 3 youngest r8 entries carry to r14.
 # Round-13 additions are deferred below.
-_DEFER_TO_NEXT_ROUND: set[str] = {
-    # round 13 additions (IMA ADPCM mono/stereo, G.711 mu-law/A-law, AVI
-    # video container), parity-proven locally; driver slots next round
-    "multimodal_audio_adpcm",
-    "multimodal_audio_stereo_adpcm",
-    "multimodal_audio_mulaw",
-    "multimodal_audio_alaw",
-    "multimodal_video_frames",
-    "multimodal_video_scene_cuts",
-    "multimodal_video_frame_dedup",
-}
+# Round-14 window arithmetic: the 7 round-13 deferrals (ADPCM
+# mono/stereo, G.711 mu-law/A-law, AVI video frames/scene-cuts/
+# frame-dedup — the only never-green entries) graduate to the
+# never-green bucket and attest first; 0 force-recheck (empty derived
+# set at round open); the remaining 43 slots drain the 3 r8 carryovers
+# (q21_waiting_suppliers, graph_pagerank_shuffled,
+# streaming_decontaminate_bloom) + the 40 oldest entries of the
+# 44-entry r9 pool. Round-14 additions are deferred below.
+_DEFER_TO_NEXT_ROUND: set[str] = set()
 
 
 def _ordered(mapping: dict) -> dict:

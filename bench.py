@@ -55,11 +55,22 @@ def prior_bench() -> dict[str, float]:
             if queries is None and isinstance(doc.get("parsed"), dict):
                 queries = doc["parsed"].get("queries")
             if queries is None and isinstance(doc.get("tail"), str):
-                # driver snapshots keep only the raw output tail: scrape pairs
-                queries = {
-                    m.group(1): float(m.group(2))
-                    for m in re.finditer(r'"(\w+)": (-?\d+\.\d+)', doc["tail"])
-                }
+                # driver snapshots keep only the raw output tail: parse the
+                # final JSON line (the bench's own summary) and take its
+                # queries/top10 object, so the compact summary's meta float
+                # keys (anchor_ratio, sum_median_sec, ...) never leak into
+                # the baseline dict as pseudo-queries (ADVICE r13).
+                queries = {}
+                for line in reversed(doc["tail"].strip().splitlines()):
+                    try:
+                        parsed = json.loads(line)
+                    except ValueError:
+                        continue
+                    if isinstance(parsed, dict):
+                        obj = parsed.get("queries") or parsed.get("top10") or {}
+                        if isinstance(obj, dict):
+                            queries = obj
+                        break
             return {k: float(v) for k, v in (queries or {}).items()}
         except (OSError, ValueError, TypeError):
             return {}

@@ -266,7 +266,11 @@ def decode_avi(payload: bytes):
             "(H.264/VP9/...) requires a media library not present in this "
             "environment"
         )
-    if (bw, abs(bh)) != (w, h):
+    if bh < 0:
+        # ADVICE r13: the decoder only implements the bottom-up row
+        # discipline; silently decoding a top-down DIB would flip it.
+        raise NotImplementedError("top-down DIB AVI (negative biHeight) not supported")
+    if (bw, bh) != (w, h):
         raise ValueError("AVI strf dimensions disagree with avih")
     if len(frames_raw) != total:
         raise ValueError("AVI frame count disagrees with avih dwTotalFrames")

@@ -1619,6 +1619,12 @@ def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame from the text and replays the two-level aggregation."""
     d = read_table(spark, sf_dir, "documents")
     feats = multimodal.video_frame_features(multimodal.attach_video(d))
+    # Exclude errors-as-data NULL rows BEFORE the signature groupBy
+    # (ADVICE r13): two undecodable payloads would otherwise form a
+    # phantom (NULL, NULL) group that passes n_frames > 1 on the Spark
+    # side but can never appear in the oracle — a decode regression
+    # should surface as visible NULL rows, not a hash mismatch.
+    feats = feats.where(F.col("frame_idx").isNotNull())
     return (
         feats.groupBy("checksum", "sum_pix")
         .agg(
