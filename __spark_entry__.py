@@ -169,7 +169,12 @@ _FORCE_RECHECK: set[str] = set()
 # (q21_waiting_suppliers, graph_pagerank_shuffled,
 # streaming_decontaminate_bloom) + the 40 oldest entries of the
 # 44-entry r9 pool. Round-14 additions are deferred below.
-_DEFER_TO_NEXT_ROUND: set[str] = set()
+_DEFER_TO_NEXT_ROUND: set[str] = {
+    # round 14 additions (baseline JFIF/JPEG codec, MS-RLE8 compressed
+    # AVI), parity-proven locally; driver slots next round
+    "multimodal_image_jpeg",
+    "multimodal_video_rle",
+}
 
 
 def _ordered(mapping: dict) -> dict:

@@ -93,6 +93,72 @@ def prior_bench() -> dict[str, float]:
     return merged
 
 
+def _time_entry(spark, name: str, sf_dir: str, runs: int, slow_threshold: float, slow_runs: int) -> list[float]:
+    """Cold-timed samples for one entry: ``runs`` runs, topped up to
+    ``slow_runs`` when the median lands above ``slow_threshold`` (the
+    VERDICT r12 #4 noise hardening); persisted frames, checkpoint blocks,
+    and the catalog cache are released after every run so each sample is
+    a true cold timing. Returns the sorted samples."""
+    from ibc_spark.ext.persistreg import release_checkpoints, release_persisted
+    from ibc_spark.registry import QUERIES
+
+    samples: list[float] = []
+
+    def one_run() -> None:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        samples.append(time.perf_counter() - t0)
+        release_persisted()
+        release_checkpoints(spark)
+        spark.catalog.clearCache()
+
+    for _ in range(runs):
+        one_run()
+    if sorted(samples)[len(samples) // 2] > slow_threshold:
+        while len(samples) < slow_runs:
+            one_run()
+    samples.sort()
+    return samples
+
+
+# Idle-anchor comparison (VERDICT r12 #4): the repo's best idle-host
+# per-query anchor is 0.768 s/q (the round-8 low-load full-registry
+# record). Comparable set = everything except the algorithmically-heavy
+# exact-suffix-array family (a documented corpus-global sort, ~9s/entry
+# by design) and entries with no prior-round timing (new this round) —
+# the same convention the r12 adjudication applied by hand. A ratio
+# near 1.0 at normal load means no regression; a broad ratio spike with
+# high `load` means co-tenant noise, not code.
+ANCHOR_SEC_PER_QUERY = 0.768
+HEAVY = {
+    "suffix_array_rank",
+    "suffix_lrs",
+    "suffix_lcp_histogram",
+    "dedup_duplicate_spans_sa",
+    "dedup_spans_rewrite_sa",
+}
+
+
+def _anchor_block(timings: dict[str, float], previous: dict[str, float]) -> dict:
+    comparable = {
+        k: v for k, v in timings.items() if v > 0 and k not in HEAVY and k in previous
+    }
+    return {
+        "anchor_sec_per_query": ANCHOR_SEC_PER_QUERY,
+        "comparable_n": len(comparable),
+        "comparable_sec_per_query": (
+            round(sum(comparable.values()) / len(comparable), 4) if comparable else None
+        ),
+        "anchor_ratio": (
+            round(sum(comparable.values()) / len(comparable) / ANCHOR_SEC_PER_QUERY, 3)
+            if comparable
+            else None
+        ),
+        "excluded_heavy": sorted(HEAVY & set(timings)),
+        "excluded_new": sorted(k for k in timings if k not in previous),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ibc_spark.registry import QUERIES
@@ -134,36 +200,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     run_counts: dict[str, int] = {}
     t_all = time.perf_counter()
-    from ibc_spark.ext.persistreg import release_checkpoints, release_persisted
 
     for qi, name in enumerate(names):
         if qi and qi % restart_every == 0:
             spark.stop()
             spark = get_spark("ibc_spark_bench")
             read_table(spark, sf_dir, "nation").count()
-        samples: list[float] = []
         try:
-
-            def one_run() -> None:
-                t0 = time.perf_counter()
-                materialize(QUERIES[name](spark, sf_dir))
-                samples.append(time.perf_counter() - t0)
-                # drop operator-persisted frames + any cached plan so every
-                # run (and the reported median) is a true cold timing, not a
-                # warm-cache echo of run 1
-                release_persisted()
-                # free local-checkpoint blocks too (suffix rounds):
-                # invisible to DataFrame unpersist, they OOMed the
-                # 8g heap by the third back-to-back sf3 entry (r12)
-                release_checkpoints(spark)
-                spark.catalog.clearCache()
-
-            for _ in range(runs):
-                one_run()
-            if sorted(samples)[len(samples) // 2] > slow_threshold:
-                while len(samples) < slow_runs:
-                    one_run()
-            samples.sort()
+            samples = _time_entry(spark, name, sf_dir, runs, slow_threshold, slow_runs)
             run_counts[name] = len(samples)
             timings[name] = round(samples[len(samples) // 2], 4)
             delta = ""
@@ -177,44 +221,64 @@ def main() -> None:
         except Exception as exc:  # a failing query must not hide the others
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
-    total = round(time.perf_counter() - t_all, 4)
-    # Idle-anchor comparison (VERDICT r12 #4): the repo's best idle-host
-    # per-query anchor is 0.768 s/q (the round-8 low-load full-registry
-    # record). Comparable set = everything except the algorithmically-heavy
-    # exact-suffix-array family (a documented corpus-global sort, ~9s/entry
-    # by design) and entries with no prior-round timing (new this round) —
-    # the same convention the r12 adjudication applied by hand. A ratio
-    # near 1.0 at normal load means no regression; a broad ratio spike with
-    # high `load` means co-tenant noise, not code.
-    ANCHOR_SEC_PER_QUERY = 0.768
-    HEAVY = {
-        "suffix_array_rank",
-        "suffix_lrs",
-        "suffix_lcp_histogram",
-        "dedup_duplicate_spans_sa",
-        "dedup_spans_rewrite_sa",
-    }
-    comparable = {
-        k: v
-        for k, v in timings.items()
-        if v > 0 and k not in HEAVY and k in previous
-    }
-    anchor = {
-        "anchor_sec_per_query": ANCHOR_SEC_PER_QUERY,
-        "comparable_n": len(comparable),
-        "comparable_sec_per_query": (
-            round(sum(comparable.values()) / len(comparable), 4) if comparable else None
-        ),
-        "anchor_ratio": (
-            round(
-                sum(comparable.values()) / len(comparable) / ANCHOR_SEC_PER_QUERY, 3
+    anchor = _anchor_block(timings, previous)
+
+    # Self-healing contended-run splice (VERDICT r13 #3): rounds 12 and 13
+    # each produced a full pass whose anchor_ratio flagged co-tenant load
+    # (1.315 / 1.134) and the discard/re-run adjudication was MANUAL both
+    # times. Automate it: when the final anchor exceeds the trigger,
+    # re-time the entries whose median blew up vs their prior-round
+    # baseline (the contended block, mechanically: ratio > 2x) on a fresh
+    # session at end-of-pass, keep the better median, and record BOTH
+    # numbers in a `reruns` block so the official record self-documents
+    # the splice instead of needing a hand-written adjudication note.
+    rerun_trigger = float(os.environ.get("BENCH_RERUN_ANCHOR", "1.15"))
+    rerun_ratio = float(os.environ.get("BENCH_RERUN_RATIO", "2.0"))
+    reruns: dict[str, dict] = {}
+    if anchor["anchor_ratio"] is not None and anchor["anchor_ratio"] > rerun_trigger:
+        suspects = sorted(
+            k
+            for k, v in timings.items()
+            if v > 0 and previous.get(k, 0) > 0.05 and v / previous[k] > rerun_ratio
+        )
+        if suspects:
+            print(
+                f"BENCH anchor_ratio {anchor['anchor_ratio']} > {rerun_trigger}: "
+                f"re-running {len(suspects)} contended entries",
+                file=sys.stderr,
             )
-            if comparable
-            else None
-        ),
-        "excluded_heavy": sorted(HEAVY & set(timings)),
-        "excluded_new": sorted(k for k in timings if k not in previous),
-    }
+            spark.stop()
+            spark = get_spark("ibc_spark_bench")
+            read_table(spark, sf_dir, "nation").count()
+            for ri, name in enumerate(suspects):
+                if ri and ri % restart_every == 0:
+                    spark.stop()
+                    spark = get_spark("ibc_spark_bench")
+                    read_table(spark, sf_dir, "nation").count()
+                try:
+                    samples = _time_entry(
+                        spark, name, sf_dir, runs, slow_threshold, slow_runs
+                    )
+                    new_med = round(samples[len(samples) // 2], 4)
+                except Exception as exc:  # keep the first-pass number
+                    print(f"BENCH RERUN ERROR {name}: {exc}", file=sys.stderr)
+                    continue
+                kept = min(timings[name], new_med)
+                reruns[name] = {
+                    "first_pass": timings[name],
+                    "rerun": new_med,
+                    "kept": kept,
+                }
+                print(
+                    f"BENCH RERUN {name}: {timings[name]:.2f}s -> {new_med:.2f}s "
+                    f"(kept {kept:.2f}s)",
+                    file=sys.stderr,
+                )
+                timings[name] = kept
+                run_counts[name] = run_counts.get(name, 0) + len(samples)
+            anchor = _anchor_block(timings, previous)
+
+    total = round(time.perf_counter() - t_all, 4)
     # Host load (1/5/15-min averages) stamped into both JSON lines so
     # round-over-round deltas are mechanically adjudicable against co-tenant
     # noise (round 6's closing numbers needed a prose disclaimer; VERDICT
@@ -243,6 +307,9 @@ def main() -> None:
                 "load": load,
                 "run_counts": run_counts,
                 "anchor": anchor,
+                # contended-entry splices this pass (empty when the anchor
+                # stayed under the trigger): name -> first_pass/rerun/kept
+                "reruns": reruns,
             }
         ),
         flush=True,
@@ -265,6 +332,7 @@ def main() -> None:
                 "methodology": f"cold+session-refresh/{restart_every}",
                 "load": load,
                 "sum_median_sec": round(sum(t for t in timings.values() if t > 0), 2),
+                "n_reruns": len(reruns),
                 "anchor": {
                     k: anchor[k]
                     for k in (

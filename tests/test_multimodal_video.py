@@ -226,3 +226,99 @@ def test_frame_dedup_entry_on_empty_corpus(spark, empty_sf):
     from ibc_spark.registry import QUERIES
 
     assert QUERIES["multimodal_video_frame_dedup"](spark, empty_sf).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# MS-RLE8 compressed AVI (round 14)
+# ---------------------------------------------------------------------------
+
+from ibc_spark.ext.multimodal import (  # noqa: E402
+    _rle8_decode_plane,
+    _rle8_encode_plane,
+    default_rle_palette,
+    encode_avi_rle8,
+)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=5),
+    h=st.integers(min_value=1, max_value=10),
+    w=st.integers(min_value=1, max_value=10),
+    maxval=st.sampled_from([1, 4, 255]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=80, deadline=None)
+def test_rle8_avi_roundtrip_is_lossless(n, h, w, maxval, seed):
+    """decode(encode(frames)) reproduces palette[frames] exactly — for
+    run-heavy content (small alphabets → long runs) AND noise (singleton
+    runs → absolute-mode segments)."""
+    rng = np.random.default_rng(seed)
+    fr = rng.integers(0, maxval + 1, size=(n, h, w), dtype=np.uint8)
+    pal = default_rle_palette()
+    fps, dec = decode_avi(encode_avi_rle8(fr, pal, fps=10))
+    assert fps == 10
+    assert np.array_equal(dec, pal[fr])
+
+
+@given(w=st.integers(min_value=256, max_value=600))
+@settings(max_examples=10, deadline=None)
+def test_rle8_long_runs_are_chopped_at_255(w):
+    """A single-value row longer than 255 pixels must split into multiple
+    encoded runs and still decode exactly."""
+    row = np.full((1, w), 7, np.uint8)
+    data = _rle8_encode_plane(row)
+    assert np.array_equal(_rle8_decode_plane(data, 1, w), row)
+
+
+def test_rle8_decoder_handles_delta_and_absolute_opcodes():
+    """Hand-crafted stream: encoded run, DELTA skip (skipped pixels keep
+    the zero-initialized canvas), word-padded absolute segment, EOL,
+    second row, EOB — the full spec opcode set."""
+    data = bytes(
+        [3, 5]  # run: 3 × palette index 5
+        + [0, 2, 2, 0]  # delta: skip 2 pixels right
+        + [0, 3, 1, 2, 3, 0]  # absolute: literals 1,2,3 + word pad
+        + [0, 0]  # end of line
+        + [8, 7]  # next row: 8 × 7
+        + [0, 1]  # end of bitmap
+    )
+    idx = _rle8_decode_plane(data, 2, 8)
+    assert idx.tolist() == [[5, 5, 5, 0, 0, 1, 2, 3], [7, 7, 7, 7, 7, 7, 7, 7]]
+
+
+def test_rle8_error_paths():
+    pal = default_rle_palette()
+    fr = np.zeros((1, 4, 4), np.uint8)
+    with pytest.raises(ValueError, match="palette"):
+        encode_avi_rle8(fr, np.zeros((16, 3), np.uint8))
+    with pytest.raises(ValueError, match="past row end"):
+        _rle8_decode_plane(bytes([9, 1, 0, 1]), 1, 8)  # run of 9 into width 8
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        _rle8_decode_plane(bytes([2, 1]), 1, 8)  # stream just stops
+    with pytest.raises(ValueError, match="truncated"):
+        _rle8_decode_plane(bytes([0, 2, 1]), 2, 8)  # delta missing dy
+    # RLE8 AVI whose strf lost its palette: drop the 1024 palette bytes
+    # and shrink every enclosing size field (strf, strl, hdrl, RIFF)
+    payload = bytearray(encode_avi_rle8(fr, pal))
+    import struct as _s
+
+    pos = payload.index(b"strf")
+    (ln,) = _s.unpack_from("<I", payload, pos + 4)
+    dropped = ln - 40
+    for tag_pos in [0, payload.index(b"hdrl") - 8, payload.index(b"strl") - 8]:
+        (old,) = _s.unpack_from("<I", payload, tag_pos + 4)
+        _s.pack_into("<I", payload, tag_pos + 4, old - dropped)
+    _s.pack_into("<I", payload, pos + 4, 40)
+    del payload[pos + 8 + 40 : pos + 8 + ln]
+    with pytest.raises(ValueError, match="palette"):
+        decode_avi(bytes(payload))
+
+
+def test_rle8_mixed_runs_and_literals_roundtrip():
+    """A row mixing long runs with literal stretches exercises both the
+    encoded-run and absolute-mode emitters in one plane."""
+    row = np.array([[9] * 10 + [1, 2, 3, 4, 5] + [6] * 3 + [7, 8] + [0] * 12], np.uint8)
+    data = _rle8_encode_plane(row)
+    assert np.array_equal(_rle8_decode_plane(data, 1, row.shape[1]), row)
+    # absolute mode must actually appear for the 5-literal stretch
+    assert bytes([0, 5, 1, 2, 3, 4, 5]) in data
