@@ -171,9 +171,11 @@ _FORCE_RECHECK: set[str] = set()
 # 44-entry r9 pool. Round-14 additions are deferred below.
 _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 14 additions (baseline JFIF/JPEG codec, MS-RLE8 compressed
-    # AVI), parity-proven locally; driver slots next round
+    # AVI, motion-JPEG AVI), parity-proven locally; driver slots next
+    # round
     "multimodal_image_jpeg",
     "multimodal_video_rle",
+    "multimodal_video_mjpeg",
 }
 
 

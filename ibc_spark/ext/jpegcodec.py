@@ -53,6 +53,7 @@ like the ADPCM nibble loop, and parallelizes across rows.
 
 from __future__ import annotations
 
+import functools
 import math
 import struct
 
@@ -185,8 +186,16 @@ def quality_tables(quality: int):
 
 
 def _huff_encode_table(spec) -> dict[int, tuple[int, int]]:
-    """symbol → (code, length) via the canonical assignment (T.81 C.2)."""
+    """symbol → (code, length) via the canonical assignment (T.81 C.2).
+    Cached on the (BITS, HUFFVAL) bytes: a video corpus decodes the same
+    four tables for every frame of every payload."""
     bits, vals = spec
+    return _huff_encode_table_cached(bytes(bits) + bytes(vals))
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_encode_table_cached(spec_bytes: bytes) -> dict[int, tuple[int, int]]:
+    bits, vals = list(spec_bytes[:16]), list(spec_bytes[16:])
     table, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -198,8 +207,17 @@ def _huff_encode_table(spec) -> dict[int, tuple[int, int]]:
 
 
 def _huff_decode_table(spec) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol — the decoder-direction twin."""
-    return {(ln, code): sym for sym, (code, ln) in _huff_encode_table(spec).items()}
+    """(length, code) → symbol — the decoder-direction twin (same cache)."""
+    bits, vals = spec
+    return _huff_decode_table_cached(bytes(bits) + bytes(vals))
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_decode_table_cached(spec_bytes: bytes) -> dict[tuple[int, int], int]:
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _huff_encode_table_cached(spec_bytes).items()
+    }
 
 
 def _category(v: int) -> int:
@@ -220,6 +238,7 @@ def _extend(bits_val: int, s: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=1)
 def _dct_matrix():
     """Orthonormal 8×8 DCT-II matrix A, A[u,x] = 0.5·c(u)·cos((2x+1)uπ/16)."""
     import numpy as np
@@ -232,6 +251,7 @@ def _dct_matrix():
     return a
 
 
+@functools.lru_cache(maxsize=1)
 def _idct_int_matrix():
     """The 13-bit fixed-point basis round(A·2¹³) — int64."""
     import numpy as np

@@ -396,15 +396,87 @@ def encode_avi_rle8(frames_idx, palette, *, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+#: BI_... fourcc for motion-JPEG streams ('MJPG' little-endian)
+BI_MJPG = 0x47504A4D
+
+
+def encode_avi_mjpeg(
+    frames,
+    *,
+    fps: int = 10,
+    quality: int | None = None,
+    quant_luma=None,
+    quant_chroma=None,
+    subsampling: str = "420",
+) -> bytes:
+    """Encode an (N, H, W, 3) uint8 RGB frame stack as a motion-JPEG AVI
+    (r14 — the seam VERDICT r13 noted as unlocked by the JPEG codec):
+    same hdrl/movi/idx1 skeleton as :func:`encode_avi_raw`, strh handler
+    'MJPG', strf ``biCompression = 'MJPG'``, one baseline-JFIF stream
+    per '00dc' chunk via :func:`ibc_spark.ext.jpegcodec
+    .encode_jpeg_baseline` (tables forwarded, so the all-ones flat-MCU
+    exactness carries through to the container)."""
+    import struct
+
+    import numpy as np
+
+    from ibc_spark.ext.jpegcodec import encode_jpeg_baseline
+
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[3] != 3:
+        raise ValueError("expected (N, H, W, 3) uint8 frame stack")
+    if fps < 1:
+        raise ValueError("fps must be >= 1")
+    n, h, w = a.shape[:3]
+    encoded = [
+        encode_jpeg_baseline(
+            a[i], quality=quality, quant_luma=quant_luma,
+            quant_chroma=quant_chroma, subsampling=subsampling,
+        )
+        for i in range(n)
+    ]
+    bufsize = max((len(e) for e in encoded), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, bufsize * fps, 0, 0x10, n, 0, 1, bufsize,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, bufsize, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, BI_MJPG, h * w * 3, 0, 0, 0, 0)
+
+    def chunk(cc: bytes, data: bytes) -> bytes:
+        return cc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(cc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", cc + data)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00dc", e) for e in encoded))
+    idx = bytearray()
+    off = 4
+    for e in encoded:
+        idx += struct.pack("<4sIII", b"00dc", 0x10, off, len(e))
+        off += 8 + len(e) + (len(e) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_avi(payload: bytes):
     """Parse a RIFF/AVI container: chunk/LIST walk, avih (dimensions,
     frame count, frame interval), strh/strf validation, frame chunks
     decoded per the stream format — uncompressed 24-bit DIB ('00db',
-    BMP row discipline: bottom-up BGR, DWORD-padded rows) or
+    BMP row discipline: bottom-up BGR, DWORD-padded rows),
     MS-RLE8-compressed 8-bit palette frames (r14: BI_RLE8 '00dc' chunks
-    through :func:`_rle8_decode_plane` + the strf palette). Returns
-    ``(fps, (N, H, W, 3) uint8 RGB array)``. Entropy-coded streams
-    (MJPEG/H.264/...) raise the documented seam."""
+    through :func:`_rle8_decode_plane` + the strf palette), or
+    motion-JPEG (r14: 'MJPG' '00dc' chunks, each a baseline JFIF stream
+    through the real JPEG decoder). Returns ``(fps, (N, H, W, 3) uint8
+    RGB array)``. Inter-frame-predicted codecs (H.264/VP9/...) raise
+    the documented seam."""
     import struct
 
     import numpy as np
@@ -456,11 +528,12 @@ def decode_avi(payload: bytes):
         and bpp == 8
         and compression == 1
     )
-    if not raw_dib and not rle8:
+    mjpeg = strh[1] in (b"MJPG", b"mjpg") and compression == BI_MJPG
+    if not raw_dib and not rle8 and not mjpeg:
         raise NotImplementedError(
-            "only uncompressed 24-bit DIB and MS-RLE8 8-bit AVI supported; "
-            "DCT-coded video (MJPEG/H.264/VP9/...) requires a media library "
-            "not present in this environment"
+            "only uncompressed 24-bit DIB, MS-RLE8 8-bit, and motion-JPEG "
+            "AVI supported; inter-frame-predicted video (H.264/VP9/...) "
+            "requires a media library not present in this environment"
         )
     if bh < 0:
         # ADVICE r13: the decoder only implements the bottom-up row
@@ -473,6 +546,17 @@ def decode_avi(payload: bytes):
     if usec < 1:
         raise ValueError("AVI frame interval must be positive")
     out = np.zeros((len(frames_raw), h, w, 3), dtype=np.uint8)
+    if mjpeg:
+        from ibc_spark.ext.jpegcodec import decode_jpeg_baseline
+
+        for i, raw in enumerate(frames_raw):
+            img = decode_jpeg_baseline(raw)
+            if img.ndim == 2:
+                img = np.stack([img, img, img], axis=-1)
+            if img.shape[:2] != (h, w):
+                raise ValueError("MJPEG frame dimensions disagree with avih")
+            out[i] = img
+        return 1_000_000 // usec, out
     if rle8:
         if strf_extra is None or len(strf_extra) < 1024:
             raise ValueError("RLE8 AVI without a 256-entry palette in strf")
@@ -1535,6 +1619,85 @@ def attach_video_rle(
                     "payload": payloads,
                     "media_meta": [
                         {"mime": "video/x-msvideo", "n_bytes": len(p), "codec": "msrle"}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return src.mapInPandas(_attach, schema)
+
+
+def attach_video_mjpeg(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fps: int = 10,
+    head_len: int = 16,
+) -> DataFrame:
+    """Attach a REAL motion-JPEG AVI payload per row (r14): one 16×16
+    frame per codepoint of the text head — exactly one 4:2:0 MCU, flat
+    color ``(cp_t·7 + (t-1)·3, cp_t·11 + (t-1)·5, cp_t·13 + (t-1)·7)
+    % 256`` — encoded with all-ones quantization tables through
+    :func:`encode_avi_mjpeg`, so every decoded pixel is the pinned-order
+    YCbCr round trip of a value any engine can re-derive from the text
+    (the flat-MCU exactness contract in ``ext/jpegcodec.py``).
+    Arrow-batched ``mapInPandas``."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                        T.StructField("codec", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.substring(F.col(text_col), 1, head_len).alias("head"),
+    )
+
+    def _attach(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        ones = [1] * 64
+        for pdf in batches:
+            payloads = []
+            for head in pdf["head"]:
+                cp = np.frombuffer(
+                    (head or "").encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                t = np.arange(len(cp), dtype=np.int64)  # 0-based (t-1)
+                colors = np.stack(
+                    [
+                        (cp * 7 + t * 3) % 256,
+                        (cp * 11 + t * 5) % 256,
+                        (cp * 13 + t * 7) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                frames = np.repeat(
+                    np.repeat(colors[:, None, None, :], 16, axis=1), 16, axis=2
+                )
+                payloads.append(
+                    encode_avi_mjpeg(
+                        frames, fps=fps, quant_luma=ones, quant_chroma=ones
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_meta": [
+                        {"mime": "video/x-msvideo", "n_bytes": len(p), "codec": "mjpeg"}
                         for p in payloads
                     ],
                 }

@@ -322,3 +322,76 @@ def test_rle8_mixed_runs_and_literals_roundtrip():
     assert np.array_equal(_rle8_decode_plane(data, 1, row.shape[1]), row)
     # absolute mode must actually appear for the 5-literal stretch
     assert bytes([0, 5, 1, 2, 3, 4, 5]) in data
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG AVI (round 14)
+# ---------------------------------------------------------------------------
+
+from ibc_spark.ext.jpegcodec import (  # noqa: E402
+    _rgb_to_ycbcr,
+    _ycbcr_to_rgb,
+    jpeg_reference_decode,
+)
+from ibc_spark.ext.multimodal import encode_avi_mjpeg  # noqa: E402
+
+
+@given(
+    n=st.integers(min_value=0, max_value=4),
+    mcus=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_mjpeg_avi_flat_mcu_exactness(n, mcus, seed):
+    """With all-ones tables, MCU-flat MJPEG frames decode to exactly the
+    pinned-order YCbCr round trip of the input — the container-level
+    extension of the JPEG flat-MCU contract."""
+    rng = np.random.default_rng(seed)
+    colors = rng.integers(0, 256, size=(n, 1, mcus, 3), dtype=np.uint8)
+    frames = np.repeat(np.repeat(colors, 16, axis=1), 16, axis=2)
+    ones = [1] * 64
+    fps, dec = decode_avi(encode_avi_mjpeg(frames, quant_luma=ones, quant_chroma=ones))
+    assert fps == 10
+    if n:
+        y, cb, cr = _rgb_to_ycbcr(frames)
+        exp = np.stack(_ycbcr_to_rgb(y, cb, cr), axis=-1)
+        assert np.array_equal(dec, exp)
+    else:
+        assert dec.shape == (0, 16, mcus * 16, 3)
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=15, deadline=None)
+def test_mjpeg_avi_general_frames_match_reference(seed):
+    """Arbitrary lossy frames: every '00dc' chunk decodes bit-identically
+    to the scalar reference JPEG decoder."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(3, 16, 24, 3), dtype=np.uint8)
+    payload = encode_avi_mjpeg(frames, quality=80)
+    _fps, dec = decode_avi(payload)
+    # pull each frame's JFIF stream back out of the movi list
+    import struct as _s
+
+    pos = payload.index(b"movi") + 4
+    for i in range(3):
+        cc = payload[pos : pos + 4]
+        (ln,) = _s.unpack_from("<I", payload, pos + 4)
+        assert cc == b"00dc"
+        frame_jpeg = payload[pos + 8 : pos + 8 + ln]
+        assert np.array_equal(dec[i], jpeg_reference_decode(frame_jpeg))
+        pos += 8 + ln + (ln & 1)
+
+
+def test_mjpeg_avi_dimension_cross_check():
+    """An MJPEG frame whose JFIF dimensions disagree with avih errors."""
+    frames = np.zeros((1, 16, 16, 3), np.uint8)
+    payload = bytearray(encode_avi_mjpeg(frames))
+    # shrink avih dimensions (w at offset avih+32, h at +36) AND strf to match
+    pos = payload.index(b"avih") + 8
+    import struct as _s
+
+    _s.pack_into("<II", payload, pos + 32, 8, 8)
+    spos = payload.index(b"strf") + 8
+    _s.pack_into("<ii", payload, spos + 4, 8, 8)
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_avi(bytes(payload))
