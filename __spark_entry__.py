@@ -174,6 +174,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # AVI, motion-JPEG AVI), parity-proven locally; driver slots next
     # round
     "multimodal_image_jpeg",
+    "multimodal_image_jpeg_progressive",
     "multimodal_video_rle",
     "multimodal_video_mjpeg",
 }

@@ -30,6 +30,13 @@ Scope:
   decoder implementing the same integer semantics, used by the
   hypothesis suite to pin the vectorized decoder bit-exactly (the
   ADPCM `ima_adpcm_reference` discipline).
+- :func:`encode_jpeg_progressive` / :func:`decode_jpeg_progressive`
+  (r14, second session) — PROGRESSIVE (SOF2) support: spectral
+  selection + successive approximation over the same quantized
+  coefficients, so completed progressive streams reconstruct
+  BIT-IDENTICALLY to the baseline path (the cross-validation pytest
+  pins). Remaining seam: arithmetic coding (SOF9+), lossless (SOF3),
+  hierarchical — all rare in real corpora.
 
 Determinism contract (what the oracle relies on):
 
@@ -421,21 +428,12 @@ def _dht_body(tc_th: int, spec) -> bytes:
     return bytes([tc_th]) + bytes(bits) + bytes(vals)
 
 
-def encode_jpeg_baseline(
-    arr,
-    *,
-    quality: int | None = None,
-    quant_luma=None,
-    quant_chroma=None,
-    subsampling: str = "420",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (H, W, 3) RGB or (H, W) grayscale uint8 array as a
-    baseline JFIF stream. ``quality`` scales the Annex-K tables
-    (:func:`quality_tables`); explicit ``quant_luma``/``quant_chroma``
-    (raster-order, 64 ints ≥1) override — all-ones tables give the exact
-    flat-MCU round trip the hash oracle uses. ``subsampling`` is
-    ``"420"`` or ``"444"`` (ignored for grayscale)."""
+def _encode_prep(arr, quality, quant_luma, quant_chroma, subsampling):
+    """Shared front half of both encoders: validate, resolve tables,
+    build padded component planes, forward-DCT + quantize. Returns
+    ``(gray, h, w, comps, coeffs, ql, qc)`` where each ``comps`` item is
+    ``(plane, qtbl, hi, vi)`` and each ``coeffs`` item is the
+    (blocks_v, blocks_h, 64) zig-zag coefficient stack."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -452,10 +450,8 @@ def encode_jpeg_baseline(
     ql = list(quant_luma) if quant_luma is not None else list(QUANT_LUMA_STD)
     qc = list(quant_chroma) if quant_chroma is not None else list(QUANT_CHROMA_STD)
 
-    # --- plane preparation -------------------------------------------------
     if gray:
         comps = [(_pad_edge(a.astype(np.int32), 8, 8), ql, 1, 1)]
-        samplings = [(1, 1)]
     else:
         y, cb, cr = _rgb_to_ycbcr(a)
         if subsampling == "420":
@@ -469,11 +465,13 @@ def encode_jpeg_baseline(
             cr = _pad_edge(cr, 8, 8)
             samplings = [(1, 1), (1, 1), (1, 1)]
         comps = [(y, ql, *samplings[0]), (cb, qc, *samplings[1]), (cr, qc, *samplings[2])]
-
     coeffs = [_fdct_quant(p, q) for p, q, _hi, _vi in comps]
+    return gray, h, w, comps, coeffs, ql, qc
 
-    # --- headers ------------------------------------------------------------
-    out = bytearray(b"\xff\xd8")  # SOI
+
+def _encode_headers(out: bytearray, gray: bool, h: int, w: int, comps, ql, qc, sof_marker: int) -> None:
+    """SOI through DHT (shared by the baseline and progressive writers;
+    ``sof_marker`` is 0xC0 or 0xC2)."""
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
     out += _seg(0xDB, bytes([0x00]) + bytes(ql[i] for i in ZIGZAG))
     if not gray:
@@ -483,12 +481,36 @@ def encode_jpeg_baseline(
     for ci in range(ncomp):
         hi, vi = (comps[ci][2], comps[ci][3])
         sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += _seg(0xC0, sof)
+    out += _seg(sof_marker, sof)
     out += _seg(0xC4, _dht_body(0x00, DC_LUMA_SPEC))
     out += _seg(0xC4, _dht_body(0x10, AC_LUMA_SPEC))
     if not gray:
         out += _seg(0xC4, _dht_body(0x01, DC_CHROMA_SPEC))
         out += _seg(0xC4, _dht_body(0x11, AC_CHROMA_SPEC))
+
+
+def encode_jpeg_baseline(
+    arr,
+    *,
+    quality: int | None = None,
+    quant_luma=None,
+    quant_chroma=None,
+    subsampling: str = "420",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (H, W, 3) RGB or (H, W) grayscale uint8 array as a
+    baseline JFIF stream. ``quality`` scales the Annex-K tables
+    (:func:`quality_tables`); explicit ``quant_luma``/``quant_chroma``
+    (raster-order, 64 ints ≥1) override — all-ones tables give the exact
+    flat-MCU round trip the hash oracle uses. ``subsampling`` is
+    ``"420"`` or ``"444"`` (ignored for grayscale)."""
+    gray, h, w, comps, coeffs, ql, qc = _encode_prep(
+        arr, quality, quant_luma, quant_chroma, subsampling
+    )
+    ncomp = 1 if gray else 3
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    _encode_headers(out, gray, h, w, comps, ql, qc, 0xC0)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
@@ -595,9 +617,10 @@ def _huff_decode_symbol(br: _BitReader, table) -> int:
 def decode_jpeg_baseline(payload: bytes):
     """Decode a baseline JFIF stream → (H, W, 3) uint8 RGB for 3-component
     scans, (H, W) uint8 for grayscale. Reads DQT/DHT/SOF0/SOF1/DRI/SOS
-    from the stream; progressive (SOF2), arithmetic-coded (SOF9+) and
-    hierarchical frames raise ``NotImplementedError`` — they are
-    different entropy machinery, the same documented seam split as
+    from the stream; progressive (SOF2) streams are routed to
+    :func:`decode_jpeg_progressive`; arithmetic-coded (SOF9+), lossless
+    (SOF3) and hierarchical frames raise ``NotImplementedError`` — a
+    different entropy machine, the same documented seam split as
     compressed-AVI vs DIB."""
     import numpy as np
 
@@ -656,10 +679,12 @@ def decode_jpeg_baseline(payload: bytes):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # progressive (SOF2) — multi-scan machinery (r14)
+            return decode_jpeg_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG not supported; "
-                "baseline (SOF0/SOF1) decodes natively"
+                "lossless/arithmetic/hierarchical JPEG not supported; "
+                "baseline (SOF0/SOF1) and progressive (SOF2) decode natively"
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", body, 0)
@@ -737,13 +762,24 @@ def decode_jpeg_baseline(payload: bytes):
                             k += 1
             mcu_i += 1
 
-    # dequantize + integer IDCT + reassemble planes
+    return _reconstruct_planes(
+        stacks, [(hi, vi, qt) for hi, vi, qt, _d, _a in order], fh, fw, hmax, vmax
+    )
+
+
+def _reconstruct_planes(stacks, comps_hv_qt, fh, fw, hmax, vmax):
+    """Shared back half of both decoders: dequantize the zig-zag
+    coefficient stacks, integer-IDCT, reassemble/upsample/crop planes,
+    color-convert. ``comps_hv_qt`` is ``[(hi, vi, qtable_raster), ...]``
+    in scan-component order."""
+    import numpy as np
+
     planes = []
-    for ci, (hi, vi, qt, _d, _a) in enumerate(order):
+    for ci, (hi, vi, qt) in enumerate(comps_hv_qt):
         zz = stacks[ci]
         nv, nh = zz.shape[:2]
         q_zz = np.asarray([qt[ZIGZAG[k]] for k in range(64)], dtype=np.int64)
-        deq_zz = zz.reshape(-1, 64) * q_zz
+        deq_zz = zz.reshape(-1, 64).astype(np.int64) * q_zz
         raster = np.zeros_like(deq_zz)
         raster[:, ZIGZAG] = deq_zz
         px = _idct_int_blocks(raster.reshape(-1, 8, 8))
@@ -977,3 +1013,492 @@ def jpeg_reference_decode(payload: bytes):
             clamp = lambda v: 0 if v < 0 else (255 if v > 255 else int(v))  # noqa: E731
             out[yy][xx] = (clamp(r), clamp(g), clamp(b))
     return np.asarray(out, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — round 14. Spectral selection + successive
+# approximation over the SAME quantized coefficients the baseline path
+# produces, so after every scan of a stream is consumed the reconstruction
+# is BIT-IDENTICAL to the baseline decode of the same image/tables — the
+# cross-validation the test suite pins (two completely different entropy
+# paths must agree exactly). Scan script mirrors the published libjpeg
+# default (DC first at Al=1, split AC bands, one-bit refinements).
+# ---------------------------------------------------------------------------
+
+
+# Progressive AC scans need EOBn symbols (r<<4, s=0, r<15) that the
+# baseline Annex-K tables do not contain. The writer uses a flat 8-bit
+# canonical table over ALL 176 progressive AC symbols (EOB1..EOB32767,
+# ZRL, every run/size) — written into DHT like any other table, so the
+# stream is self-describing and fully conforming; the decoder reads
+# whatever tables the file carries (libjpeg's optimized two-pass tables
+# included).
+PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+)
+
+
+def _default_progressive_scans(ncomp: int):
+    """(component_indices, Ss, Se, Ah, Al) per scan."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+class _ProgressiveACWriter:
+    """AC-scan emission state: EOB-run accumulation plus the two
+    correction-bit buffers of refinement scans (T.81 G.1.2.3; the
+    libjpeg BE/BR discipline) — ``be_bits`` ride behind the pending
+    EOB-run code, ``br_bits`` (current block, since the last symbol)
+    follow the next emitted ZRL or run/size symbol, in positional order,
+    exactly where the decoder's coefficient walk consumes them."""
+
+    def __init__(self, bw: _BitWriter, ac_tbl):
+        self.bw = bw
+        self.ac = ac_tbl
+        self.eobrun = 0
+        self.be_bits: list[int] = []
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            n = self.eobrun
+            r = n.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(n - (1 << r), r)
+            self.eobrun = 0
+        for b in self.be_bits:
+            self.bw.write(b, 1)
+        self.be_bits = []
+
+    def first_block(self, zz, ss: int, se: int, al: int) -> None:
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            vals.append((abs(v) >> al) if v >= 0 else -(abs(v) >> al))
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+            return
+        self.flush_eob()
+        run = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = self.ac[0xF0]
+                self.bw.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = self.ac[(run << 4) | s]
+            self.bw.write(code, ln)
+            self.bw.write(_mag_bits(v, s), s)
+            run = 0
+        if last < se - ss:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+    def refine_block(self, zz, ss: int, se: int, al: int) -> None:
+        absvals = []
+        signs = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            absvals.append(abs(v) >> al)
+            signs.append(1 if v >= 0 else 0)
+        eob = -1
+        for i, t in enumerate(absvals):
+            if t == 1:
+                eob = i
+        run = 0
+        br: list[int] = []  # current-block correction bits since last symbol
+        for i, t in enumerate(absvals):
+            if t == 0:
+                run += 1
+                continue
+            # ZRLs needed before this nonzero — unless foldable into EOB
+            while run > 15 and i <= eob:
+                self.flush_eob()
+                code, ln = self.ac[0xF0]
+                self.bw.write(code, ln)
+                run -= 16
+                for b in br:
+                    self.bw.write(b, 1)
+                br = []
+            if t > 1:  # history coefficient: one buffered correction bit
+                br.append(t & 1)
+                continue
+            # newly significant coefficient (magnitude exactly 1 at this Al)
+            self.flush_eob()
+            code, ln = self.ac[(run << 4) | 1]
+            self.bw.write(code, ln)
+            self.bw.write(signs[i], 1)
+            for b in br:
+                self.bw.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            self.eobrun += 1
+            self.be_bits.extend(br)
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+
+def encode_jpeg_progressive(
+    arr,
+    *,
+    quality: int | None = None,
+    quant_luma=None,
+    quant_chroma=None,
+    subsampling: str = "420",
+    scans=None,
+) -> bytes:
+    """Encode an (H, W, 3) RGB or (H, W) grayscale uint8 array as a
+    PROGRESSIVE JFIF stream (SOF2): same plane/DCT/quantization front
+    half as the baseline writer, coefficients delivered over the
+    ``scans`` script (default: the libjpeg-shaped
+    :func:`_default_progressive_scans`) — interleaved DC first pass with
+    point transform, per-component spectral AC bands with EOB-run
+    coding, one-bit DC/AC successive-approximation refinements."""
+    gray, h, w, comps, coeffs, ql, qc = _encode_prep(
+        arr, quality, quant_luma, quant_chroma, subsampling
+    )
+    ncomp = 1 if gray else 3
+    script = scans if scans is not None else _default_progressive_scans(ncomp)
+
+    out = bytearray(b"\xff\xd8")
+    _encode_headers(out, gray, h, w, comps, ql, qc, 0xC2)
+    # override the baseline AC tables with the EOBn-capable progressive one
+    out += _seg(0xC4, _dht_body(0x10, PROG_AC_SPEC))
+    if not gray:
+        out += _seg(0xC4, _dht_body(0x11, PROG_AC_SPEC))
+
+    dc_tbls = [_huff_encode_table(DC_LUMA_SPEC)] + [
+        _huff_encode_table(DC_CHROMA_SPEC)
+    ] * (ncomp - 1)
+    ac_tbls = [_huff_encode_table(PROG_AC_SPEC)] * ncomp
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    for comp_idx, ss, se, ah, al in script:
+        bw = _BitWriter()
+        if ss == 0:  # DC scan (interleaved over the scan's components)
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se = 0")
+            preds = {ci: 0 for ci in comp_idx}
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in comp_idx:
+                        hi, vi = comps[ci][2], comps[ci][3]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                zz = coeffs[ci][my * vi + by, mx * hi + bx]
+                                if ah == 0:
+                                    diff = (int(zz[0]) >> al) - preds[ci]
+                                    preds[ci] = int(zz[0]) >> al
+                                    s = _category(diff)
+                                    code, ln = dc_tbls[ci][s]
+                                    bw.write(code, ln)
+                                    if s:
+                                        bw.write(_mag_bits(diff, s), s)
+                                else:
+                                    bw.write((int(zz[0]) >> al) & 1, 1)
+        else:  # AC scan — single component, real (non-dummy) blocks only
+            if len(comp_idx) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            ci = comp_idx[0]
+            hi, vi = comps[ci][2], comps[ci][3]
+            comp_w = (w * hi + 8 * hmax - 1) // (8 * hmax)
+            comp_h = (h * vi + 8 * vmax - 1) // (8 * vmax)
+            writer = _ProgressiveACWriter(bw, ac_tbls[ci])
+            for by in range(comp_h):
+                for bx in range(comp_w):
+                    zz = coeffs[ci][by, bx]
+                    if ah == 0:
+                        writer.first_block(zz, ss, se, al)
+                    else:
+                        writer.refine_block(zz, ss, se, al)
+            writer.flush_eob()
+        bw.flush()
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            sos += bytes([ci + 1, (0x00 if ci == 0 else 0x11)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_progressive(payload: bytes):
+    """Decode a progressive JFIF stream (SOF2): accumulate coefficients
+    over every scan — DC first/refine (point transform, bit OR), AC
+    first (EOB runs, ZRL, successive-approximation shift), AC refine
+    (correction bits on history coefficients, the T.81 G.1.2.3 walk) —
+    then reconstruct once through the shared dequant → integer IDCT →
+    upsample → YCbCr pipeline. Restart markers reset predictors and
+    EOB runs per scan."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    dri = 0
+    stacks = None
+    pos = 2
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                o += 1
+                if pq == 0:
+                    zzt = list(body[o : o + 64])
+                    o += 64
+                else:
+                    zzt = list(struct.unpack_from(">64H", body, o))
+                    o += 128
+                raster = [0] * 64
+                for k in range(64):
+                    raster[ZIGZAG[k]] = zzt[k]
+                qtables[tq] = raster
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1 : o + 17])
+                nsym = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nsym])
+                htables[(tc, th)] = _huff_decode_table((bits, vals))
+                o += 17 + nsym
+        elif marker == 0xC2:
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+            stacks = {
+                cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+                for cid, hi, vi, _tq in comps
+            }
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("decode_jpeg_progressive expects a SOF2 frame")
+        elif marker == 0xDD:
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            fh, fw, comps = frame
+            by_id = {c[0]: c for c in comps}
+            ns = body[0]
+            scomps = []
+            for si in range(ns):
+                cs, tds = body[1 + 2 * si : 3 + 2 * si]
+                scomps.append((cs, tds >> 4, tds & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            pos = _decode_progressive_scan(
+                payload, pos, stacks, by_id, htables, scomps,
+                ss, se, ah, al, dri, fh, fw, hmax, vmax, mcus_x, mcus_y,
+            )
+        # APPn / COM: skipped
+    if frame is None or stacks is None:
+        raise ValueError("progressive JPEG without SOF2/SOS")
+    fh, fw, comps = frame
+    order = [(hi, vi, qtables[tq]) for _cid, hi, vi, tq in comps]
+    return _reconstruct_planes(
+        [stacks[cid] for cid, _hi, _vi, _tq in comps], order, fh, fw, hmax, vmax
+    )
+
+
+def _decode_progressive_scan(
+    payload, data_pos, stacks, by_id, htables, scomps,
+    ss, se, ah, al, dri, fh, fw, hmax, vmax, mcus_x, mcus_y,
+):
+    """Decode one progressive scan's entropy data; returns the byte
+    position just past it (marker-aligned)."""
+    br = _BitReader(payload, data_pos)
+    p1 = 1 << al
+    m1 = -1 << al
+
+    if ss == 0:  # DC scan, possibly interleaved
+        order = []
+        for cs, td, _ta in scomps:
+            cid, hi, vi, _tq = by_id[cs]
+            order.append((cid, hi, vi, htables.get((0, td))))
+        preds = {cid: 0 for cid, _h, _v, _t in order}
+        interleaved = len(order) > 1
+        if interleaved:
+            nx, ny = mcus_x, mcus_y
+        else:
+            cid0, hi0, vi0, _ = order[0]
+            nx = (fw * hi0 + 8 * hmax - 1) // (8 * hmax)
+            ny = (fh * vi0 + 8 * vmax - 1) // (8 * vmax)
+        rst = 0
+        unit_i = 0
+        for my in range(ny):
+            for mx in range(nx):
+                if dri and unit_i and unit_i % dri == 0:
+                    br.sync_restart(rst)
+                    rst = (rst + 1) & 7
+                    preds = {cid: 0 for cid in preds}
+                for cid, hi, vi, dct in order:
+                    blocks = (
+                        [(my * vi + by, mx * hi + bx) for by in range(vi) for bx in range(hi)]
+                        if interleaved
+                        else [(my, mx)]
+                    )
+                    for byy, bxx in blocks:
+                        zz = stacks[cid][byy, bxx]
+                        if ah == 0:
+                            s = _huff_decode_symbol(br, dct)
+                            diff = _extend(br.receive(s), s) if s else 0
+                            preds[cid] += diff
+                            zz[0] = preds[cid] << al
+                        else:
+                            if br.read_bit():
+                                zz[0] = int(zz[0]) | p1
+                unit_i += 1
+        return _past_scan(payload, br)
+
+    # AC scan — single component, real block grid
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cs, _td, ta = scomps[0]
+    cid, hi, vi, _tq = by_id[cs]
+    act = htables[(1, ta)]
+    nblocks_x = (fw * hi + 8 * hmax - 1) // (8 * hmax)
+    nblocks_y = (fh * vi + 8 * vmax - 1) // (8 * vmax)
+    eobrun = 0
+    rst = 0
+    unit_i = 0
+    for byy in range(nblocks_y):
+        for bxx in range(nblocks_x):
+            if dri and unit_i and unit_i % dri == 0:
+                br.sync_restart(rst)
+                rst = (rst + 1) & 7
+                eobrun = 0
+            zz = stacks[cid][byy, bxx]
+            if ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        sym = _huff_decode_symbol(br, act)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("progressive AC run past band end")
+                        zz[k] = _extend(br.receive(s), s) << al
+                        k += 1
+            else:  # refinement pass (T.81 G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _huff_decode_symbol(br, act)
+                        r, s = sym >> 4, sym & 0x0F
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError("progressive AC refine size != 1")
+                            newval = p1 if br.read_bit() else m1
+                        elif r != 15:
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += br.receive(r)
+                            break
+                        while k <= se:
+                            v = int(zz[k])
+                            if v != 0:
+                                if br.read_bit() and (v & p1) == 0:
+                                    zz[k] = v + (p1 if v >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            zz[k] = newval
+                        k += 1
+                if eobrun > 0:  # EOB-run tail: correction bits only
+                    while k <= se:
+                        v = int(zz[k])
+                        if v != 0:
+                            if br.read_bit() and (v & p1) == 0:
+                                zz[k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+            unit_i += 1
+    return _past_scan(payload, br)
+
+
+def _past_scan(payload: bytes, br: _BitReader) -> int:
+    """Byte position of the next marker after a decoded scan (skip the
+    pad bits of the final partial byte; the reader is already past every
+    consumed stuffed byte)."""
+    pos = br.pos
+    while pos < len(payload) - 1 and not (
+        payload[pos] == 0xFF and payload[pos + 1] not in (0x00,)
+    ):
+        pos += 1
+    return pos

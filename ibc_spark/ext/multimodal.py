@@ -8,14 +8,16 @@ partitioning, batch shape) is real and tested, and since round 6 so is the
 codec for uncompressed formats:
 
 - :func:`decode_image` REALLY decodes PPM (P6), uncompressed 24-bit BMP,
-  and — via stdlib zlib — 8-bit non-interlaced PNG (gray/RGB/RGBA, all
-  five scanline filters) in pure numpy (plus :func:`encode_ppm` /
-  :func:`encode_png` / :func:`resize_nearest` / :func:`image_channel_stats`;
-  the encode→decode identity is oracle-checked by
-  ``multimodal_image_roundtrip_stats`` and its PNG sibling). Only
-  DCT/entropy-coded formats with non-stdlib compression (JPEG/WebP/...)
-  remain a loud ``NotImplementedError`` seam where Pillow/torchvision/
-  ffmpeg plugs in.
+  — via stdlib zlib — 8-bit non-interlaced PNG (gray/RGB/RGBA, all
+  five scanline filters), and — since r14, via
+  :mod:`ibc_spark.ext.jpegcodec` — baseline AND progressive JFIF/JPEG,
+  all in pure numpy (plus :func:`encode_ppm` / :func:`encode_png` /
+  :func:`resize_nearest` / :func:`image_channel_stats`; the
+  encode→decode identity is oracle-checked by
+  ``multimodal_image_roundtrip_stats`` and its PNG sibling, the JPEG
+  loop by the flat-MCU entries). Only arithmetic-coded JPEG and
+  VP8-family formats (WebP/AVIF) remain a loud ``NotImplementedError``
+  seam where Pillow/torchvision/ffmpeg plugs in.
 - :func:`extract_features` computes DETERMINISTIC fake features from the
   raw bytes, so the full pipeline (including the pandas boundary) is
   hash-checkable against a SQL oracle.
@@ -129,9 +131,10 @@ def decode_image(payload: bytes):
     scanline filters), and — since r14 — baseline JFIF/JPEG
     (:mod:`ibc_spark.ext.jpegcodec`: DQT/DHT/SOF0/SOS parse, Huffman
     entropy decode, fixed-point integer IDCT, 4:2:0 upsample). The
-    ``NotImplementedError`` seam now covers only progressive/arithmetic
-    JPEG, WebP and other formats whose entropy machinery goes beyond
-    baseline Huffman, where Pillow/torchvision would plug in."""
+    ``NotImplementedError`` seam now covers only arithmetic-coded JPEG,
+    WebP and other formats whose entropy machinery goes beyond JPEG
+    Huffman (baseline AND progressive decode natively since r14), where
+    Pillow/torchvision would plug in."""
     import numpy as np
 
     if payload[:2] == b"P6":

@@ -1918,9 +1918,11 @@ def streaming_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "multimodal_image_jpeg",
-    oracle="""
+# Shared by the baseline and progressive JPEG entries: the decoded value
+# of every flat MCU is the pinned-order YCbCr round trip of the derived
+# color — the lossy DCT stage drops out exactly (proof in the jpegcodec
+# module docstring), so the oracle never sees a JPEG.
+_JPEG_MCU_ORACLE = """
     WITH px AS (
       SELECT vec_id, CAST(k AS INT) AS mcu_idx,
              floor(greatest(least(CAST(embedding[3*k + 1] AS DOUBLE), 1.0), -1.0) * 127.0 + 128.0) AS r,
@@ -1941,31 +1943,20 @@ def streaming_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(greatest(least(floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5), 255.0), 0.0) AS INT) AS g_dec,
            CAST(greatest(least(floor(y + 1.772 * (cb - 128.0) + 0.5), 255.0), 0.0) AS INT) AS b_dec
     FROM ycc
-    """,
-)
-def multimodal_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG attestation (r14): each embedding's first 48
-    values quantize to 16 RGB colors laid out as a 64×64 image flat per
-    16×16 MCU, encode through the full baseline JFIF writer (all-ones
-    quantization tables, 4:2:0), decode through the general baseline
-    decoder (stream-read DQT/DHT, Huffman, fixed-point integer IDCT),
-    and emit one row per MCU with the decoded color — reported only if
-    the decoded MCU is uniform across all 768 pixel-channels (else −1,
-    so any stride/interleave/upsample bug mismatches loudly). The DuckDB
-    oracle re-derives every decoded value from the raw numbers by
-    replaying the pinned-order YCbCr round trip; the lossy DCT stage
-    drops out because flat blocks quantize exactly (see
-    ibc_spark/ext/jpegcodec.py docstring for the proof). Arrow-batched
-    ``mapInPandas``, narrow map — the scan is widened to CPU width first
-    (``widen_for_compute``: a ~2.5 ms/image codec kernel over a 2-split
-    parquet scan would run on 2 of 32 cores; on a real 100 TB scan the
-    widen is a no-op). The 100 TB plan is unchanged: decode fleets
-    parallelize across rows, entropy decode is per-payload sequential
-    like every Huffman stream."""
+    """
+
+
+def _jpeg_mcu_attest(spark: SparkSession, sf_dir: str, encode_fn) -> DataFrame:
+    """Shared kernel of the JPEG attestation entries: embeddings → 16
+    flat 16×16 MCUs per vector (a 64×64 image), encode via ``encode_fn``
+    (all-ones tables, 4:2:0), decode via the full stream-driven decoder,
+    one row per MCU with the decoded color — reported only if the MCU is
+    uniform across all 768 pixel-channels (else −1, so any stride/
+    interleave/upsample bug mismatches loudly)."""
     import numpy as np
 
     from ibc_spark.ext.dedup import widen_for_compute
-    from ibc_spark.ext.jpegcodec import decode_jpeg_baseline, encode_jpeg_baseline
+    from ibc_spark.ext.jpegcodec import decode_jpeg_baseline
 
     e = widen_for_compute(
         read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1988,9 +1979,7 @@ def multimodal_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 img = np.repeat(np.repeat(colors, 16, axis=0), 16, axis=1)
                 dec = decode_jpeg_baseline(
-                    encode_jpeg_baseline(
-                        img, quant_luma=ones, quant_chroma=ones, subsampling="420"
-                    )
+                    encode_fn(img, quant_luma=ones, quant_chroma=ones, subsampling="420")
                 )
                 for i in range(4):
                     for j in range(4):
@@ -2018,6 +2007,41 @@ def multimodal_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInPandas(_jpeg, schema)
+
+
+@query("multimodal_image_jpeg", oracle=_JPEG_MCU_ORACLE)
+def multimodal_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG attestation (r14): full baseline JFIF writer
+    (markers, Annex-K Huffman, byte stuffing) → general baseline decoder
+    (stream-read DQT/DHT, Huffman, fixed-point integer IDCT, 4:2:0
+    upsample, pinned YCbCr) over the flat-MCU construction (kernel in
+    :func:`_jpeg_mcu_attest`). Non-flat content, quality-scaled tables
+    and restart markers are pinned against the scalar reference decoder
+    in tests/test_jpegcodec.py — the hypothesis arm of the two-sided
+    attestation. Arrow-batched ``mapInPandas``, scan widened to CPU
+    width (no-op at 100 TB); entropy decode is per-payload sequential
+    like every Huffman stream, parallel across rows."""
+    from ibc_spark.ext.jpegcodec import encode_jpeg_baseline
+
+    return _jpeg_mcu_attest(spark, sf_dir, encode_jpeg_baseline)
+
+
+@query("multimodal_image_jpeg_progressive", oracle=_JPEG_MCU_ORACLE)
+def multimodal_image_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG attestation (r14): the same flat-MCU construction
+    delivered through the SOF2 multi-scan pipeline — interleaved DC
+    first pass with point transform, spectral AC bands with EOB-run
+    coding, one-bit DC/AC successive-approximation refinements (the
+    libjpeg-shaped default scan script) — then the progressive decoder
+    accumulates coefficients across all scans and reconstructs through
+    the shared integer-IDCT tail. Because completed progressive scans
+    reproduce the baseline quantized coefficients EXACTLY, the same SQL
+    oracle attests both paths, and pytest pins progressive==baseline
+    bit-equality on arbitrary content (two different entropy machines
+    agreeing exactly). Same plan shape as the baseline entry."""
+    from ibc_spark.ext.jpegcodec import encode_jpeg_progressive
+
+    return _jpeg_mcu_attest(spark, sf_dir, encode_jpeg_progressive)
 
 
 @query(

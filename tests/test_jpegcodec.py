@@ -161,13 +161,14 @@ def test_quality_table_formula():
     assert max(ql1) == 255 and min(ql1) >= 1
 
 
-def test_progressive_and_corrupt_streams_error_loudly():
+def test_arithmetic_and_corrupt_streams_error_loudly():
     img = np.zeros((8, 8), dtype=np.uint8)
     payload = bytearray(encode_jpeg_baseline(img, quant_luma=ONES))
-    # flip SOF0 (0xC0) to SOF2 (progressive)
+    # flip SOF0 (0xC0) to SOF9 (arithmetic-coded sequential) — the seam
+    # that remains after r14 closed progressive (SOF2)
     pos = payload.index(bytes([0xFF, 0xC0]))
-    payload[pos + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+    payload[pos + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic|non-baseline"):
         decode_jpeg_baseline(bytes(payload))
 
     with pytest.raises(ValueError, match="SOI"):
@@ -225,3 +226,112 @@ def test_decode_image_routes_jpeg():
     assert out.shape == (8, 8, 3)
     assert np.array_equal(out[..., 0], gray)
     assert np.array_equal(out[..., 0], out[..., 1]) and np.array_equal(out[..., 1], out[..., 2])
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (round 14)
+# ---------------------------------------------------------------------------
+
+from ibc_spark.ext.jpegcodec import (  # noqa: E402
+    PROG_AC_SPEC,
+    encode_jpeg_progressive,
+)
+
+
+def test_prog_ac_table_is_complete():
+    tbl = _huff_encode_table(PROG_AC_SPEC)
+    need = (
+        {r << 4 for r in range(15)}
+        | {0xF0}
+        | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    )
+    assert need == set(tbl)
+    # flat 8-bit canonical: last code must stay below the all-ones code
+    assert max(code for code, _ln in tbl.values()) < 0xFF
+
+
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    quality=st.sampled_from([25, 50, 75, 90, 100]),
+    sub=st.sampled_from(["420", "444"]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_progressive_equals_baseline_color(h, w, quality, sub, seed):
+    """The cross-validation progressive decoding rests on: after all scans
+    the accumulated coefficients ARE the baseline quantized coefficients,
+    so two completely different entropy paths (interleaved single-scan vs
+    spectral bands + successive approximation with EOB runs and
+    correction bits) must reconstruct bit-identically."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    db = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=quality, subsampling=sub))
+    dp = decode_jpeg_baseline(encode_jpeg_progressive(img, quality=quality, subsampling=sub))
+    assert np.array_equal(db, dp)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=32),
+    w=st.integers(min_value=1, max_value=32),
+    quality=st.sampled_from([30, 75, 95]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_progressive_equals_baseline_gray(h, w, quality, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    db = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=quality))
+    dp = decode_jpeg_baseline(encode_jpeg_progressive(img, quality=quality))
+    assert np.array_equal(db, dp)
+
+
+def test_progressive_smooth_content_exercises_eob_runs():
+    """A smooth gradient zeroes most high-band blocks — the EOBn path
+    (runs far beyond 1) must round-trip; verified against baseline."""
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.stack(
+        [np.clip(yy * 4, 0, 255), np.clip(xx * 4, 0, 255), np.full_like(yy, 77)],
+        axis=-1,
+    ).astype(np.uint8)
+    p = encode_jpeg_progressive(img, quality=75)
+    assert np.array_equal(
+        decode_jpeg_baseline(p),
+        decode_jpeg_baseline(encode_jpeg_baseline(img, quality=75)),
+    )
+    assert p[:2] == b"\xff\xd8"
+    # really is SOF2
+    assert bytes([0xFF, 0xC2]) in p
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=20, deadline=None)
+def test_progressive_flat_mcu_is_exact(seed):
+    """The oracle-grade property carries over: MCU-flat images with
+    all-ones tables decode exactly through the progressive path too."""
+    rng = np.random.default_rng(seed)
+    colors, img = _flat_mcu_image(rng, 2, 2)
+    ones = [1] * 64
+    dec = decode_jpeg_baseline(
+        encode_jpeg_progressive(img, quant_luma=ones, quant_chroma=ones, subsampling="420")
+    )
+    y, cb, cr = _rgb_to_ycbcr(img)
+    assert np.array_equal(dec, np.stack(_ycbcr_to_rgb(y, cb, cr), axis=-1))
+
+
+def test_progressive_custom_scan_script():
+    """A nonstandard but legal script (single AC band, no refinement)
+    decodes identically to baseline at full precision."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    script = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    p = encode_jpeg_progressive(img, quality=85, scans=script)
+    assert np.array_equal(
+        decode_jpeg_baseline(p),
+        decode_jpeg_baseline(encode_jpeg_baseline(img, quality=85)),
+    )
