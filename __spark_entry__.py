@@ -175,6 +175,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # round
     "multimodal_image_jpeg",
     "multimodal_image_jpeg_progressive",
+    "multimodal_image_gif_animated",
     "multimodal_video_rle",
     "multimodal_video_mjpeg",
 }

@@ -100,27 +100,94 @@ def _decode_ppm(payload: bytes):
 
 
 def _decode_bmp(payload: bytes):
-    """Uncompressed 24-bit BMP: little-endian header fields, rows padded to
-    4 bytes, stored bottom-up (top-down when height is negative), BGR
-    order."""
+    """BMP decode: little-endian BITMAPINFOHEADER, rows padded to 4
+    bytes, stored bottom-up (top-down when height is negative), BGR
+    order. Since r14 the full common matrix: uncompressed 24-bit,
+    32-bit BGRX (pad byte dropped), 8-bit palette (BI_RGB), and
+    RLE8-compressed 8-bit palette (BI_RLE8, shared opcode decoder with
+    the AVI 'MRLE' branch). 16-bit bitfield / 4-bit / 1-bit variants
+    stay the loud seam."""
     import struct
 
     import numpy as np
 
     (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
     w, h = struct.unpack_from("<ii", payload, 18)
     (bpp,) = struct.unpack_from("<H", payload, 28)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    (clr_used,) = struct.unpack_from("<I", payload, 46)
     flip = h > 0
     h = abs(h)
-    stride = ((w * 3 + 3) // 4) * 4
-    rows = np.frombuffer(
-        payload, dtype=np.uint8, count=stride * h, offset=data_off
-    ).reshape(h, stride)
-    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
-    return (img[::-1] if flip else img).copy()
+    if bpp == 8 and compression in (0, 1):
+        ncol = clr_used or 256
+        pal_off = 14 + hdr_size
+        quads = np.frombuffer(
+            payload, np.uint8, count=ncol * 4, offset=pal_off
+        ).reshape(ncol, 4)
+        pal = quads[:, [2, 1, 0]].copy()  # BGR0 -> RGB
+        if compression == 1:  # BI_RLE8 — spec stores bottom-up only
+            idx = _rle8_decode_plane(payload[data_off:], h, w)
+            if int(idx.max(initial=0)) >= ncol:
+                raise ValueError("BMP palette index out of range")
+            img = pal[idx]
+            return (img[::-1] if flip else img).copy()
+        stride = ((w + 3) // 4) * 4
+        rows = np.frombuffer(
+            payload, np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= ncol:
+            raise ValueError("BMP palette index out of range")
+        img = pal[idx]
+        return (img[::-1] if flip else img).copy()
+    if bpp in (24, 32) and compression == 0:
+        nb = bpp // 8
+        stride = ((w * nb + 3) // 4) * 4
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        img = rows[:, : w * nb].reshape(h, w, nb)[:, :, 2::-1]  # BGR(X) -> RGB
+        return (img[::-1] if flip else img).copy()
+    raise NotImplementedError(
+        "only 24/32-bit uncompressed and 8-bit palette (BI_RGB/BI_RLE8) "
+        "BMP supported"
+    )
+
+
+def encode_bmp_palette(idx, palette, *, rle: bool = False) -> bytes:
+    """Encode an (H, W) palette-index grid + (N, 3) RGB palette as an
+    8-bit BMP — uncompressed (BI_RGB, DWORD-padded rows) or
+    RLE8-compressed (BI_RLE8, same opcode emitter as the AVI 'MRLE'
+    frames). The test-side twin of :func:`_decode_bmp`'s r14 paths."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if a.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("expected (H, W) indices and (N, 3) palette")
+    if int(a.max(initial=0)) >= len(pal):
+        raise ValueError("palette index out of range")
+    h, w = a.shape
+    quads = b"".join(bytes([int(b_), int(g_), int(r_), 0]) for r_, g_, b_ in pal)
+    if rle:
+        pix = _rle8_encode_plane(a)
+        compression = 1
+    else:
+        stride = ((w + 3) // 4) * 4
+        padded = np.zeros((h, stride), np.uint8)
+        padded[:, :w] = a[::-1]  # bottom-up
+        pix = padded.tobytes()
+        compression = 0
+    data_off = 14 + 40 + len(quads)
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(pix), 0, 0, data_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, compression, len(pix), 0, 0, len(pal), 0
+    )
+    return header + quads + pix
 
 
 def decode_image(payload: bytes):
@@ -150,11 +217,19 @@ def decode_image(payload: bytes):
         if img.ndim == 2:  # grayscale scan → replicate to RGB
             img = np.stack([img, img, img], axis=-1)
         return img
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ibc_spark.ext.gifcodec import decode_gif
+
+        _delays, frames = decode_gif(bytes(payload))
+        if len(frames) == 0:
+            raise ValueError("GIF without image frames")
+        return frames[0]
     raise NotImplementedError(
         "WebP/AVIF and other non-baseline entropy-coded codecs require an "
-        "imaging library not present in this environment; PPM(P6), 24-bit "
-        "BMP, 8-bit non-interlaced PNG, and baseline JFIF/JPEG decode "
-        "natively"
+        "imaging library not present in this environment; PPM(P6), BMP "
+        "(24/32-bit + 8-bit palette/RLE8), PNG (all color types/depths, "
+        "Adam7), GIF (LZW, animated -> first frame), and baseline + "
+        "progressive JFIF/JPEG decode natively"
     )
 
 
@@ -593,33 +668,63 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr, *, filter_mode: str = "mixed") -> bytes:
-    """Encode an (H, W, 3) uint8 array as a REAL standards-conforming PNG
-    (8-bit truecolor, non-interlaced) using only stdlib zlib — no imaging
-    library. ``filter_mode``: ``"none"`` writes every scanline with filter
-    0; ``"mixed"`` cycles row filters 1→4 (Sub/Up/Average/Paeth — the
-    non-trivial branches; filter 0 is the ``"none"`` mode), so a decode of
-    the output exercises every non-trivial unfilter branch EVEN on 4-row
-    images (a 0-4 cycle never reached Paeth below 5 rows — review, this
-    session). Unknown modes raise."""
-    import struct
-    import zlib
+#: Adam7 interlace pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
+
+def _png_pack_rows(samples, depth: int):
+    """Pack an (H, N) integer sample grid into PNG scanline bytes at the
+    given bit depth (sub-byte samples MSB-first, 16-bit big-endian)."""
     import numpy as np
 
-    if filter_mode not in ("none", "mixed"):
-        raise ValueError(f"unknown filter_mode {filter_mode!r}")
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError("expected (H, W, 3) uint8 array")
-    h, w = a.shape[:2]
-    bpp = 3
-    rows = a.reshape(h, w * bpp).astype(np.int32)
+    h, n = samples.shape
+    if depth == 8:
+        return samples.astype(np.uint8)
+    if depth == 16:
+        out = np.zeros((h, n * 2), np.uint8)
+        out[:, 0::2] = (samples >> 8) & 0xFF
+        out[:, 1::2] = samples & 0xFF
+        return out
+    per = 8 // depth
+    pad = (-n) % per
+    s = np.pad(samples, ((0, 0), (0, pad))).astype(np.uint8)
+    bits = np.unpackbits(s[:, :, None], axis=2, count=8)[:, :, 8 - depth :]
+    return np.packbits(bits.reshape(h, -1), axis=1)
+
+
+def _png_unpack_rows(rows_bytes, depth: int, nsamples: int):
+    """Inverse of :func:`_png_pack_rows` (16-bit samples downscale to
+    their high byte — the spec's sample-depth rescale)."""
+    import numpy as np
+
+    if depth == 8:
+        return rows_bytes[:, :nsamples].astype(np.int32)
+    if depth == 16:
+        return rows_bytes[:, 0 : 2 * nsamples : 2].astype(np.int32)
+    h = rows_bytes.shape[0]
+    bits = np.unpackbits(rows_bytes, axis=1)
+    usable = (bits.shape[1] // depth) * depth
+    vals = bits[:, :usable].reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+    return (vals * weights).sum(axis=2)[:, :nsamples].astype(np.int32)
+
+
+def _png_filter_rows(rows, bpp: int, filter_mode: str) -> bytearray:
+    """Apply per-scanline filters to an (H, stride) byte grid and emit the
+    filter-type-prefixed scanline stream. ``"mixed"`` cycles 1→4
+    (Sub/Up/Average/Paeth) so decodes exercise every unfilter branch."""
+    import numpy as np
+
+    h, stride = rows.shape
+    rows = rows.astype(np.int32)
     out = bytearray()
     for y in range(h):
         f = (y % 4) + 1 if filter_mode == "mixed" else 0
         cur = rows[y]
-        prior = rows[y - 1] if y else np.zeros(w * bpp, dtype=np.int32)
+        prior = rows[y - 1] if y else np.zeros(stride, dtype=np.int32)
         left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
         ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prior[:-bpp]])
         if f == 0:
@@ -639,12 +744,93 @@ def encode_png(arr, *, filter_mode: str = "mixed") -> bytes:
             filt = cur - pred
         out.append(f)
         out += (filt & 0xFF).astype(np.uint8).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (
-        PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
-        + _png_chunk(b"IEND", b"")
+    return out
+
+
+def _encode_png_core(samples, color: int, depth: int, palette, filter_mode: str, interlace: bool) -> bytes:
+    """Shared PNG writer: ``samples`` is (H, W, channels) ints already in
+    range for ``depth``; emits IHDR/(PLTE)/IDAT/IEND with per-pass
+    filtering (Adam7 when ``interlace``)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, channels = samples.shape
+    bpp = max(1, channels * depth // 8)
+
+    def pass_bytes(sub):
+        hh, ww = sub.shape[:2]
+        packed = _png_pack_rows(sub.reshape(hh, ww * channels), depth)
+        return _png_filter_rows(packed, bpp, filter_mode)
+
+    if interlace:
+        stream = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                stream += pass_bytes(sub)
+    else:
+        stream = pass_bytes(samples)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
+    out = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        out += _png_chunk(b"PLTE", pal.tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(stream))) + _png_chunk(b"IEND", b"")
+
+
+def encode_png(arr, *, filter_mode: str = "mixed", interlace: bool = False) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a REAL standards-conforming PNG
+    (8-bit truecolor) using only stdlib zlib — no imaging library.
+    ``filter_mode``: ``"none"`` writes every scanline with filter 0;
+    ``"mixed"`` cycles row filters 1→4 (Sub/Up/Average/Paeth — the
+    non-trivial branches), so a decode of the output exercises every
+    non-trivial unfilter branch EVEN on 4-row images. ``interlace``
+    writes Adam7 passes (r14). Unknown modes raise."""
+    import numpy as np
+
+    if filter_mode not in ("none", "mixed"):
+        raise ValueError(f"unknown filter_mode {filter_mode!r}")
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) uint8 array")
+    return _encode_png_core(a, 2, 8, None, filter_mode, interlace)
+
+
+def encode_png_palette(idx, palette, *, bit_depth: int = 8, filter_mode: str = "mixed", interlace: bool = False) -> bytes:
+    """Encode an (H, W) palette-index grid + (N, 3) RGB palette as an
+    indexed-color PNG (color type 3) at bit depth 1/2/4/8 (r14)."""
+    import numpy as np
+
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("palette PNG bit depth must be 1/2/4/8")
+    a = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if a.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("expected (H, W) indices and (N, 3) palette")
+    if len(pal) > (1 << bit_depth):
+        raise ValueError("palette larger than bit depth allows")
+    if a.max(initial=0) >= len(pal):
+        raise ValueError("palette index out of range")
+    return _encode_png_core(a[:, :, None], 3, bit_depth, pal, filter_mode, interlace)
+
+
+def encode_png_gray(arr, *, bit_depth: int = 8, filter_mode: str = "mixed", interlace: bool = False) -> bytes:
+    """Encode an (H, W) grayscale grid as a color-type-0 PNG at bit depth
+    1/2/4/8/16 (values must already fit the depth; 16-bit input is
+    uint16) (r14)."""
+    import numpy as np
+
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError("gray PNG bit depth must be 1/2/4/8/16")
+    a = np.asarray(arr, dtype=np.uint16 if bit_depth == 16 else np.uint8)
+    if a.ndim != 2:
+        raise ValueError("expected (H, W) array")
+    if int(a.max(initial=0)) >= (1 << bit_depth):
+        raise ValueError("sample out of range for bit depth")
+    return _encode_png_core(
+        a[:, :, None].astype(np.int64), 0, bit_depth, None, filter_mode, interlace
     )
 
 
@@ -689,11 +875,18 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
     return out
 
 
+_PNG_VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def _decode_png(payload: bytes):
-    """Real PNG decode via stdlib zlib: chunk walk (IHDR/IDAT*/IEND),
-    inflate, per-scanline unfilter. Supports 8-bit depth, non-interlaced,
-    color types 0 (grayscale → replicated RGB), 2 (truecolor), and 6
-    (truecolor+alpha → alpha dropped)."""
+    """Real PNG decode via stdlib zlib: chunk walk (IHDR/PLTE/IDAT*/IEND),
+    inflate, per-scanline unfilter, bit unpack. Since r14 this is the
+    FULL static-PNG matrix: all five color types (gray, truecolor,
+    indexed/PLTE, gray+alpha, truecolor+alpha — alpha dropped), every
+    legal bit depth (1/2/4/8/16; 16-bit rescales to its high byte), and
+    Adam7 interlacing (7 independently-filtered passes scattered onto
+    the output grid). Ancillary chunks are skipped."""
     import struct
     import zlib
 
@@ -701,7 +894,7 @@ def _decode_png(payload: bytes):
 
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, b"", None
+    pos, idat, ihdr, plte = 8, b"", None, None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -709,6 +902,8 @@ def _decode_png(payload: bytes):
         pos += 12 + ln
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -716,17 +911,50 @@ def _decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
-        raise NotImplementedError(
-            "PNG: only 8-bit non-interlaced gray/RGB/RGBA supported"
-        )
-    bpp = {0: 1, 2: 3, 6: 4}[color]
-    px = _png_unfilter(zlib.decompress(idat), h, w * bpp, bpp).reshape(h, w, bpp)
-    if color == 0:
-        px = np.repeat(px, 3, axis=2)
-    elif color == 6:
-        px = px[:, :, :3]
-    return px.copy()
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: unknown compression/filter method")
+    if color not in _PNG_VALID_DEPTHS or depth not in _PNG_VALID_DEPTHS[color]:
+        raise ValueError(f"PNG: illegal color/depth combination {color}/{depth}")
+    if interlace not in (0, 1):
+        raise ValueError("PNG: unknown interlace method")
+    if color == 3 and plte is None:
+        raise ValueError("PNG: indexed color without PLTE")
+    channels = _PNG_CHANNELS[color]
+    bpp = max(1, channels * depth // 8)
+    raw = zlib.decompress(idat)
+
+    def decode_region(off: int, ww: int, hh: int):
+        stride = (ww * channels * depth + 7) // 8
+        need = (1 + stride) * hh
+        if off + need > len(raw):
+            raise ValueError("PNG: truncated scanline data")
+        un = _png_unfilter(raw[off : off + need], hh, stride, bpp)
+        vals = _png_unpack_rows(un, depth, ww * channels)
+        return vals.reshape(hh, ww, channels), off + need
+
+    if interlace == 0:
+        samples, _ = decode_region(0, w, h)
+    else:
+        samples = np.zeros((h, w, channels), dtype=np.int32)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ww = (w - x0 + dx - 1) // dx
+            hh = (h - y0 + dy - 1) // dy
+            if ww and hh:
+                sub, off = decode_region(off, ww, hh)
+                samples[y0::dy, x0::dx] = sub
+
+    if color == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG: palette index out of range")
+        return plte[idx].copy()
+    if color in (0, 4):  # gray / gray+alpha: scale sub-byte depths to 8-bit
+        g = samples[:, :, 0]
+        if depth < 8:
+            g = g * (255 // ((1 << depth) - 1))
+        return np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+    return samples[:, :, :3].astype(np.uint8).copy()  # truecolor / +alpha
 
 
 def resize_nearest(arr, *, width: int, height: int):

@@ -2174,3 +2174,83 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = widen_for_compute(read_table(spark, sf_dir, "documents"))
     feats = multimodal.video_frame_features(multimodal.attach_video_mjpeg(d))
     return feats.where(F.col("frame_idx").isNotNull())
+
+
+@query(
+    "multimodal_image_gif_animated",
+    oracle="""
+    WITH px AS (
+      SELECT vec_id, CAST(k // 16 AS INT) AS frame_idx, CAST(k % 16 AS INT) AS px_idx,
+             CAST(floor(greatest(least(CAST(embedding[k + 1] AS DOUBLE), 1.0), -1.0)
+                        * 127.0 + 128.0) AS BIGINT) AS i
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS k)
+    )
+    SELECT vec_id, frame_idx, px_idx,
+           CAST(i AS INT) AS idx_in,
+           CAST(i AS INT) AS r_dec,
+           CAST((i * 3) % 256 AS INT) AS g_dec,
+           CAST((i * 7) % 256 AS INT) AS b_dec
+    FROM px
+    """,
+)
+def multimodal_image_gif_animated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF codec loop (r14): each embedding's 64 values quantize
+    to four 4×4 palette-index frames, encode through the full GIF89a
+    writer (logical screen + global color table, per-frame Graphic
+    Control Extensions, REAL LZW with variable code width), decode back
+    through the container walk + LZW decoder + frame compositor, and
+    emit one row per frame-pixel with the decoded color. The palette is
+    the arithmetic ``default_rle_palette`` (i, 3i%256, 7i%256), so the
+    DuckDB oracle re-derives every decoded pixel from the raw numbers —
+    LZW being LOSSLESS means the full dictionary-coder loop (code-width
+    growth, KwKwK, sub-block framing) is inside the hash. The LZW
+    machinery itself is additionally pinned by hypothesis round-trips
+    (table-full re-CLEAR, deferred-clear tolerance, interlacing) in
+    tests/test_gifcodec.py. 1:N narrow ``mapInPandas``, scan widened to
+    CPU width (no-op at 100 TB)."""
+    import numpy as np
+
+    from ibc_spark.ext.dedup import widen_for_compute
+    from ibc_spark.ext.gifcodec import decode_gif, encode_gif
+
+    e = widen_for_compute(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    schema = (
+        "vec_id long, frame_idx int, px_idx int, idx_in int, "
+        "r_dec int, g_dec int, b_dec int"
+    )
+
+    def _gif(batches):
+        pal = multimodal.default_rle_palette()
+        for pdf in batches:
+            out = []
+            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
+                vals = np.asarray(emb[:64], dtype=np.float64)
+                idx = (
+                    np.floor(np.clip(vals, -1.0, 1.0) * 127.0 + 128.0)
+                    .astype(np.uint8)
+                    .reshape(4, 4, 4)
+                )
+                _delays, frames = decode_gif(encode_gif(idx, pal))
+                for t in range(4):
+                    for y in range(4):
+                        for x in range(4):
+                            out.append(
+                                (
+                                    int(vec_id), t, y * 4 + x,
+                                    int(idx[t, y, x]),
+                                    int(frames[t, y, x, 0]),
+                                    int(frames[t, y, x, 1]),
+                                    int(frames[t, y, x, 2]),
+                                )
+                            )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "vec_id", "frame_idx", "px_idx", "idx_in",
+                    "r_dec", "g_dec", "b_dec",
+                ],
+            )
+
+    return e.mapInPandas(_gif, schema)

@@ -1828,3 +1828,153 @@ def test_curriculum_quality_order_invariants(spark):
         by_bucket[r["bucket"]].append(r["doc_id"])
     big = [v for v in by_bucket.values() if len(v) > 3]
     assert big and any(v != sorted(v) for v in big)
+
+
+# ---------------------------------------------------------------------------
+# PNG full-matrix + BMP palette/RLE8/32-bit (round 14)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given as _r14_given, settings as _r14_settings
+from hypothesis import strategies as _r14_st
+
+
+@_r14_given(
+    h=_r14_st.integers(min_value=1, max_value=16),
+    w=_r14_st.integers(min_value=1, max_value=16),
+    depth=_r14_st.sampled_from([1, 2, 4, 8]),
+    interlace=_r14_st.booleans(),
+    seed=_r14_st.integers(min_value=0, max_value=2**31),
+)
+@_r14_settings(max_examples=60, deadline=None)
+def test_png_palette_roundtrip(h, w, depth, interlace, seed):
+    import numpy as np
+
+    from ibc_spark.ext.multimodal import _decode_png, encode_png_palette
+
+    rng = np.random.default_rng(seed)
+    n = 1 << depth
+    pal = rng.integers(0, 256, (n, 3), np.uint8)
+    idx = rng.integers(0, n, (h, w), np.uint8)
+    p = encode_png_palette(idx, pal, bit_depth=depth, interlace=interlace)
+    assert np.array_equal(_decode_png(p), pal[idx])
+
+
+@_r14_given(
+    h=_r14_st.integers(min_value=1, max_value=16),
+    w=_r14_st.integers(min_value=1, max_value=16),
+    depth=_r14_st.sampled_from([1, 2, 4, 8, 16]),
+    interlace=_r14_st.booleans(),
+    seed=_r14_st.integers(min_value=0, max_value=2**31),
+)
+@_r14_settings(max_examples=60, deadline=None)
+def test_png_gray_depth_matrix_roundtrip(h, w, depth, interlace, seed):
+    """Gray at every legal depth: sub-byte samples scale by 255/(2^d−1),
+    16-bit rescales to its high byte — the spec's sample-depth rules."""
+    import numpy as np
+
+    from ibc_spark.ext.multimodal import _decode_png, encode_png_gray
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 1 << depth, (h, w)).astype(
+        np.uint16 if depth == 16 else np.uint8
+    )
+    p = encode_png_gray(g, bit_depth=depth, interlace=interlace)
+    if depth < 8:
+        exp8 = (g * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    elif depth == 8:
+        exp8 = g.astype(np.uint8)
+    else:
+        exp8 = (g >> 8).astype(np.uint8)
+    assert np.array_equal(_decode_png(p), np.repeat(exp8[:, :, None], 3, axis=2))
+
+
+@_r14_given(
+    h=_r14_st.integers(min_value=1, max_value=12),
+    w=_r14_st.integers(min_value=1, max_value=12),
+    seed=_r14_st.integers(min_value=0, max_value=2**31),
+)
+@_r14_settings(max_examples=40, deadline=None)
+def test_png_truecolor_interlaced_roundtrip(h, w, seed):
+    import numpy as np
+
+    from ibc_spark.ext.multimodal import _decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    assert np.array_equal(_decode_png(encode_png(img, interlace=True)), img)
+    # non-interlaced payloads stay byte-stable vs the r13 writer contract
+    assert np.array_equal(_decode_png(encode_png(img)), img)
+
+
+def test_png_error_paths_r14():
+    import numpy as np
+    import pytest as _pytest
+
+    from ibc_spark.ext.multimodal import (
+        _decode_png,
+        encode_png_gray,
+        encode_png_palette,
+    )
+
+    pal = np.zeros((4, 3), np.uint8)
+    with _pytest.raises(ValueError, match="bit depth"):
+        encode_png_palette(np.zeros((2, 2), np.uint8), pal, bit_depth=3)
+    with _pytest.raises(ValueError, match="larger than"):
+        encode_png_palette(np.zeros((2, 2), np.uint8), np.zeros((8, 3), np.uint8), bit_depth=2)
+    with _pytest.raises(ValueError, match="out of range"):
+        encode_png_palette(np.full((2, 2), 7, np.uint8), pal, bit_depth=8)
+    with _pytest.raises(ValueError, match="out of range"):
+        encode_png_gray(np.full((2, 2), 9, np.uint8), bit_depth=2)
+    # indexed PNG missing its PLTE chunk
+    p = bytearray(encode_png_palette(np.zeros((2, 2), np.uint8), pal, bit_depth=8))
+    pos = bytes(p).index(b"PLTE") - 4
+    import struct as _s
+
+    (ln,) = _s.unpack_from(">I", p, pos)
+    del p[pos : pos + 12 + ln]
+    with _pytest.raises(ValueError, match="PLTE"):
+        _decode_png(bytes(p))
+
+
+@_r14_given(
+    h=_r14_st.integers(min_value=1, max_value=14),
+    w=_r14_st.integers(min_value=1, max_value=14),
+    k=_r14_st.sampled_from([16, 256]),
+    rle=_r14_st.booleans(),
+    seed=_r14_st.integers(min_value=0, max_value=2**31),
+)
+@_r14_settings(max_examples=50, deadline=None)
+def test_bmp_palette_roundtrip(h, w, k, rle, seed):
+    import numpy as np
+
+    from ibc_spark.ext.multimodal import _decode_bmp, encode_bmp_palette
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (k, 3), np.uint8)
+    idx = rng.integers(0, k, (h, w), np.uint8)
+    assert np.array_equal(
+        _decode_bmp(encode_bmp_palette(idx, pal, rle=rle)), pal[idx]
+    )
+
+
+def test_bmp_32bit_and_seams():
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ibc_spark.ext.multimodal import _decode_bmp
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (3, 5, 3), np.uint8)
+    plane = np.concatenate([img[::-1, :, ::-1], np.zeros((3, 5, 1), np.uint8)], axis=2)
+    hdr = _s.pack("<2sIHHI", b"BM", 14 + 40 + plane.size, 0, 0, 54) + _s.pack(
+        "<IiiHHIIiiII", 40, 5, 3, 1, 32, 0, plane.size, 0, 0, 0, 0
+    )
+    assert np.array_equal(_decode_bmp(hdr + plane.tobytes()), img)
+    # 4-bit stays the loud seam
+    hdr4 = _s.pack("<2sIHHI", b"BM", 100, 0, 0, 54) + _s.pack(
+        "<IiiHHIIiiII", 40, 5, 3, 1, 4, 0, 0, 0, 0, 0, 0
+    )
+    with _pytest.raises(NotImplementedError):
+        _decode_bmp(hdr4 + b"\x00" * 64)
