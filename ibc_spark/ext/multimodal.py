@@ -224,12 +224,17 @@ def decode_image(payload: bytes):
         if len(frames) == 0:
             raise ValueError("GIF without image frames")
         return frames[0]
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from ibc_spark.ext.tiffcodec import decode_tiff
+
+        return decode_tiff(bytes(payload))
     raise NotImplementedError(
         "WebP/AVIF and other non-baseline entropy-coded codecs require an "
         "imaging library not present in this environment; PPM(P6), BMP "
         "(24/32-bit + 8-bit palette/RLE8), PNG (all color types/depths, "
-        "Adam7), GIF (LZW, animated -> first frame), and baseline + "
-        "progressive JFIF/JPEG decode natively"
+        "Adam7), GIF (LZW, animated -> first frame), TIFF (none/LZW/"
+        "PackBits strips), and baseline + progressive JFIF/JPEG decode "
+        "natively"
     )
 
 

@@ -2254,3 +2254,22 @@ def multimodal_image_gif_animated(spark: SparkSession, sf_dir: str) -> DataFrame
             )
 
     return e.mapInPandas(_gif, schema)
+
+
+@query("multimodal_image_roundtrip_tiff", oracle=_ROUNDTRIP_ORACLE)
+def multimodal_image_roundtrip_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TIFF sibling of ``multimodal_image_roundtrip_stats`` (r14,
+    same shared pipeline and oracle): the codec under test is the full
+    baseline TIFF stack — IFD container walk, LZW strips under the
+    TIFF early-change convention, horizontal-differencing predictor —
+    and a hash match proves encode→decode is the identity on every row
+    while DuckDB only ever sees the raw numbers. PackBits and the
+    big-endian/multi-strip paths are pinned by hypothesis in
+    tests/test_tiffcodec.py."""
+    from ibc_spark.ext.tiffcodec import encode_tiff
+
+    return _image_roundtrip(
+        spark,
+        sf_dir,
+        lambda img: encode_tiff(img, compression="lzw", predictor=True),
+    )
