@@ -2439,6 +2439,58 @@ def transcode_audio_adpcm(df: DataFrame, *, payload_col: str = "payload") -> Dat
     return df.mapInPandas(_trans, schema)
 
 
+def transcode_audio_flac(
+    df: DataFrame, *, payload_col: str = "payload", mid_side: bool = False
+) -> DataFrame:
+    """Transcode WAV payloads through the FLAC codec (r14): REAL WAV
+    decode → :func:`ibc_spark.ext.flaccodec.encode_flac` (STREAMINFO
+    with real MD5, fixed-predictor subframes, Rice residuals, CRC-8/16)
+    → :func:`decode_flac` (CRC- and MD5-verified) → WAV re-encode.
+    FLAC is LOSSLESS, so the downstream features oracle hash-proves the
+    whole compressed loop is the identity — the strongest attestation a
+    codec path can get. ``mid_side`` exercises the stereo decorrelation
+    assignment. 1:1 ``mapInPandas``, narrow map; undecodable payloads →
+    NULL row."""
+    from ibc_spark.ext.flaccodec import decode_flac, encode_flac
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _trans(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    rate, ch, s = decode_audio(bytes(payload))
+                    arr = np.asarray(s, dtype=np.int64).reshape(-1, ch)
+                    fl = encode_flac(
+                        arr if ch > 1 else arr[:, 0],
+                        sample_rate=rate,
+                        mid_side=mid_side and ch == 2,
+                    )
+                    r2, dec = decode_flac(fl)
+                    out.append(
+                        (
+                            doc_id,
+                            encode_wav(
+                                dec.reshape(-1), sample_rate=r2, channels=ch
+                            ),
+                        )
+                    )
+                except Exception:
+                    out.append((doc_id, None))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(_trans, schema)
+
+
 def transcode_audio_float(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
     """Transcode int16-PCM WAV payloads to 32-bit IEEE-float PCM WAV
     (format code 3): REAL decode → ``k / 32768`` float32 (exact in binary

@@ -2273,3 +2273,48 @@ def multimodal_image_roundtrip_tiff(spark: SparkSession, sf_dir: str) -> DataFra
         sf_dir,
         lambda img: encode_tiff(img, compression="lzw", predictor=True),
     )
+
+
+@query("multimodal_audio_flac", oracle=_AUDIO_FEATURES_ORACLE)
+def multimodal_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC codec loop (r14): int16 WAV → REAL decode → REAL FLAC encode
+    (STREAMINFO with the true MD5 of the unencoded samples, frames with
+    per-block CONSTANT/FIXED-predictor subframe choice, Rice-coded
+    residuals, CRC-8 headers + CRC-16 frames) → REAL FLAC decode (CRC-
+    and MD5-verified) → waveform features. FLAC is LOSSLESS, so the
+    shared features oracle hash-proves the whole compressed-container
+    loop is the identity on every document — same attestation class as
+    the PCM-8/24 and float-WAV entries, now over an actually-compressing
+    codec (Rice beats raw ~2.4x on the corpus waveforms). The bit-level
+    machinery (LPC/wasted-bits/escape-partition decode paths, stereo
+    assignments, CRC rejection) is pinned by hypothesis in
+    tests/test_flaccodec.py. MP3/AAC remain the documented
+    psychoacoustic seam. Narrow mapInPandas ×3, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(
+        multimodal.transcode_audio_flac(multimodal.attach_audio(d))
+    )
+
+
+@query(
+    "multimodal_audio_stereo_flac",
+    oracle=f"""
+    WITH {_AUDIO_SAMPLES_STEREO_SQL},
+    filt AS (SELECT doc_id, c, i AS j, smp FROM s),
+    {_STEREO_FEATURES_TAIL_SQL.format(rate=16000)}
+    """,
+)
+def multimodal_audio_stereo_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO FLAC with MID/SIDE decorrelation (r14): the L/R channels
+    transform to (mid, side) at encode and reconstruct exactly at decode
+    — the lossless stereo-prediction trick real FLAC encoders default
+    to. Channel 1's waveform differs by construction, so a decoder that
+    mixed the assignment up (or lost the side channel's extra bit)
+    would hash-mismatch the channel-aware features oracle. Lossless ⇒
+    the oracle reads the raw synthetic samples directly."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(
+        multimodal.transcode_audio_flac(
+            multimodal.attach_audio(d, channels=2), mid_side=True
+        )
+    )
