@@ -169,6 +169,9 @@ _FORCE_RECHECK: set[str] = set()
 # (q21_waiting_suppliers, graph_pagerank_shuffled,
 # streaming_decontaminate_bloom) + the 40 oldest entries of the
 # 44-entry r9 pool. Round-14 additions are deferred below.
+# Round-15 window preview: the 8 r14 media additions below graduate
+# first (8 slots), leaving ~42 to finish the r9 pool (4 carryovers
+# expected) and start the r10 pool oldest-first.
 _DEFER_TO_NEXT_ROUND: set[str] = {
     # round 14 additions (baseline JFIF/JPEG codec, MS-RLE8 compressed
     # AVI, motion-JPEG AVI), parity-proven locally; driver slots next

@@ -225,12 +225,16 @@ def test_ivf_topk_recall_vs_bruteforce(spark, emb):
 
 
 def test_multimodal_decode_stub_is_loud():
-    """Non-stdlib entropy-coded codecs (JPEG here) stay a loud seam;
-    native formats decode."""
+    """Non-closable entropy-coded codecs (WebP's VP8 here) stay a loud
+    seam; formats outside every magic-byte route too. JPEG graduated
+    from this seam in r14 — a malformed JPEG now errors LOUDLY through
+    the real decoder instead of hitting the stub."""
     from ibc_spark.ext.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI/APP0
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # truncated JPEG
 
 
 def test_png_roundtrip_all_filters_and_color_types():
