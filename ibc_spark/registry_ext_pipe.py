@@ -2289,8 +2289,12 @@ def multimodal_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery (LPC/wasted-bits/escape-partition decode paths, stereo
     assignments, CRC rejection) is pinned by hypothesis in
     tests/test_flaccodec.py. MP3/AAC remain the documented
-    psychoacoustic seam. Narrow mapInPandas ×3, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    psychoacoustic seam. Narrow mapInPandas ×3, no shuffle; scan
+    widened to CPU width for the per-frame bit-writer kernel (no-op at
+    100 TB)."""
+    from ibc_spark.ext.dedup import widen_for_compute
+
+    d = widen_for_compute(read_table(spark, sf_dir, "documents"))
     return multimodal.audio_features(
         multimodal.transcode_audio_flac(multimodal.attach_audio(d))
     )
@@ -2311,8 +2315,11 @@ def multimodal_audio_stereo_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     to. Channel 1's waveform differs by construction, so a decoder that
     mixed the assignment up (or lost the side channel's extra bit)
     would hash-mismatch the channel-aware features oracle. Lossless ⇒
-    the oracle reads the raw synthetic samples directly."""
-    d = read_table(spark, sf_dir, "documents")
+    the oracle reads the raw synthetic samples directly. Scan widened
+    to CPU width (no-op at 100 TB)."""
+    from ibc_spark.ext.dedup import widen_for_compute
+
+    d = widen_for_compute(read_table(spark, sf_dir, "documents"))
     return multimodal.audio_features(
         multimodal.transcode_audio_flac(
             multimodal.attach_audio(d, channels=2), mid_side=True
