@@ -180,10 +180,12 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "multimodal_image_jpeg_progressive",
     "multimodal_image_gif_animated",
     "multimodal_image_roundtrip_tiff",
+    "multimodal_image_roundtrip_tga",
     "multimodal_audio_flac",
     "multimodal_audio_stereo_flac",
     "multimodal_video_rle",
     "multimodal_video_mjpeg",
+    "streaming_audio_flac",
 }
 
 

@@ -190,6 +190,150 @@ def encode_bmp_palette(idx, palette, *, rle: bool = False) -> bytes:
     return header + quads + pix
 
 
+TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(arr, *, rle: bool = False) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit Truevision TGA
+    (type 2 uncompressed or type 10 RLE, bottom-up BGR) with the
+    new-style footer signature — the footer is what lets
+    :func:`decode_image` route TGA, which has no leading magic (r14)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) uint8 array")
+    h, w = a.shape[:2]
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 10 if rle else 2, 0, 0, 0, 0, 0, w, h, 24, 0)
+    bgr = a[::-1, :, ::-1]  # bottom-up BGR
+    if not rle:
+        body = bgr.tobytes()
+    else:
+        out = bytearray()
+        for row in bgr.reshape(h, w, 3):
+            i = 0
+            while i < w:
+                j = i
+                while j + 1 < w and (row[j + 1] == row[i]).all() and j - i < 127:
+                    j += 1
+                if j > i:  # run packet
+                    out.append(0x80 | (j - i))
+                    out += row[i].tobytes()
+                    i = j + 1
+                    continue
+                j = i
+                while j < w and j - i < 128:
+                    if (
+                        j + 2 < w
+                        and (row[j] == row[j + 1]).all()
+                        and (row[j + 1] == row[j + 2]).all()
+                    ):
+                        break
+                    j += 1
+                out.append(j - i - 1)
+                out += row[i:j].tobytes()
+                i = j
+        body = bytes(out)
+    footer = struct.pack("<II", 0, 0) + TGA_FOOTER
+    return hdr + body + footer
+
+
+def _decode_tga(payload: bytes):
+    """Truevision TGA: 18-byte header, types 2/10 truecolor (24/32-bit)
+    and 3/11 grayscale, RLE packets, bottom-up or top-down via the
+    descriptor bit. Colormapped types stay the loud seam."""
+    import struct
+
+    import numpy as np
+
+    (id_len, cmap_type, itype, _f, _l, _e, _x, _y, w, h, depth, desc) = struct.unpack_from(
+        "<BBBHHBHHHHBB", payload, 0
+    )
+    if cmap_type != 0 or itype not in (2, 3, 10, 11):
+        raise NotImplementedError("only truecolor/grayscale TGA supported")
+    nb = depth // 8
+    if (itype in (2, 10) and depth not in (24, 32)) or (
+        itype in (3, 11) and depth != 8
+    ):
+        raise ValueError("TGA pixel depth does not match image type")
+    pos = 18 + id_len
+    npx = h * w
+    if itype in (2, 3):  # uncompressed
+        raw = np.frombuffer(payload, np.uint8, npx * nb, pos)
+    else:  # RLE packets
+        out = bytearray()
+        while len(out) < npx * nb:
+            n = payload[pos]
+            pos += 1
+            if n & 0x80:  # run
+                cnt = (n & 0x7F) + 1
+                out += payload[pos : pos + nb] * cnt
+                pos += nb
+            else:  # literal
+                cnt = (n + 1) * nb
+                out += payload[pos : pos + cnt]
+                pos += cnt
+        if len(out) != npx * nb:
+            raise ValueError("TGA RLE overruns the pixel count")
+        raw = np.frombuffer(bytes(out), np.uint8)
+    px = raw.reshape(h, w, nb)
+    if nb == 1:
+        img = np.repeat(px, 3, axis=2)
+    else:
+        img = px[:, :, 2::-1]  # BGR(A) -> RGB
+    if not desc & 0x20:  # bottom-up unless the top-down bit is set
+        img = img[::-1]
+    return img.copy()
+
+
+def _decode_ico(payload: bytes):
+    """ICO container (r14): directory walk, first image decoded — PNG
+    payloads route to the PNG decoder; classic entries are headerless
+    DIBs (BITMAPINFOHEADER with doubled biHeight for the AND mask),
+    24/32-bit or 8-bit palette, bottom-up BGR; the AND mask is ignored
+    (alpha dropped like everywhere else in this pipeline)."""
+    import struct
+
+    import numpy as np
+
+    _z, typ, count = struct.unpack_from("<HHH", payload, 0)
+    if typ not in (1, 2) or count < 1:
+        raise ValueError("not an ICO/CUR payload")
+    w0, h0 = payload[6], payload[7]
+    (size,) = struct.unpack_from("<I", payload, 14)
+    (off,) = struct.unpack_from("<I", payload, 18)
+    data = payload[off : off + size]
+    if data[:8] == PNG_SIG:
+        return _decode_png(data)
+    (hdr_size, bw, bh2, _pl, bpp, comp) = struct.unpack_from("<IiiHHI", data, 0)
+    w = bw or (w0 or 256)
+    h = (bh2 // 2) if bh2 else (h0 or 256)
+    if comp != 0:
+        raise NotImplementedError("compressed ICO DIB not supported")
+    pos = hdr_size
+    if bpp == 8:
+        (clr_used,) = struct.unpack_from("<I", data, 32)
+        ncol = clr_used or 256
+        quads = np.frombuffer(data, np.uint8, ncol * 4, pos).reshape(ncol, 4)
+        pal = quads[:, [2, 1, 0]].copy()
+        pos += ncol * 4
+        stride = ((w + 3) // 4) * 4
+        rows = np.frombuffer(data, np.uint8, stride * h, pos).reshape(h, stride)
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= ncol:
+            raise ValueError("ICO palette index out of range")
+        return pal[idx][::-1].copy()
+    if bpp in (24, 32):
+        nb = bpp // 8
+        stride = ((w * nb + 3) // 4) * 4
+        rows = np.frombuffer(data, np.uint8, stride * h, pos).reshape(h, stride)
+        img = rows[:, : w * nb].reshape(h, w, nb)[:, :, 2::-1]
+        return img[::-1].copy()
+    raise NotImplementedError(f"{bpp}-bit ICO DIB not supported")
+
+
 def decode_image(payload: bytes):
     """Decode a media payload into an (H, W, 3) uint8 numpy array.
 
@@ -228,6 +372,13 @@ def decode_image(payload: bytes):
         from ibc_spark.ext.tiffcodec import decode_tiff
 
         return decode_tiff(bytes(payload))
+    if payload[-18:] == TGA_FOOTER:
+        # TGA has no leading magic (footer-routed) — and an uncompressed
+        # truecolor TGA header is byte-identical to the CUR magic, so
+        # the footer check must come first
+        return _decode_tga(payload)
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return _decode_ico(payload)
     raise NotImplementedError(
         "WebP/AVIF and other non-baseline entropy-coded codecs require an "
         "imaging library not present in this environment; PPM(P6), BMP "

@@ -2325,3 +2325,45 @@ def multimodal_audio_stereo_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
             multimodal.attach_audio(d, channels=2), mid_side=True
         )
     )
+
+
+@query("streaming_audio_flac", oracle=_AUDIO_FEATURES_ORACLE)
+def streaming_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of ``multimodal_audio_flac`` (r14): the
+    documents feed runs the FULL FLAC codec loop INSIDE the micro-batch
+    — synthesize → WAV encode → decode → FLAC encode (Rice, CRCs, MD5)
+    → FLAC decode (verified) → WAV re-encode → features — as stateless
+    Arrow-batched stages (no state store, no watermark; the decode-fleet
+    shape a perpetual media-ingest feed takes at 100 TB). availableNow
+    drains the backlog and the append-mode emission equals the batch
+    entry exactly — the shared lossless-features oracle hash-proves
+    batch/streaming parity of the whole compressed codec loop, the same
+    guarantee ``streaming_audio_features`` gives the WAV path."""
+    from ibc_spark.registry_extras import _run_stream_to_memory
+    from ibc_spark.streaming.sources import read_documents_stream
+
+    docs = read_documents_stream(spark, sf_dir)
+    feats = multimodal.audio_features(
+        multimodal.transcode_audio_flac(multimodal.attach_audio(docs))
+    )
+    return _run_stream_to_memory(
+        spark,
+        lambda name: feats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True),
+        "streaming_audio_flac",
+    )
+
+
+@query("multimodal_image_roundtrip_tga", oracle=_ROUNDTRIP_ORACLE)
+def multimodal_image_roundtrip_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TGA sibling of ``multimodal_image_roundtrip_stats`` (r14, same
+    shared pipeline and oracle): the codec under test is the Truevision
+    TGA RLE path (packet run-length, bottom-up BGR, footer-routed
+    dispatch in ``decode_image``). Uncompressed, grayscale, top-down and
+    32-bit variants plus the ICO/CUR container are pinned in
+    tests/test_extensions.py."""
+    from ibc_spark.ext.multimodal import encode_tga
+
+    return _image_roundtrip(spark, sf_dir, lambda img: encode_tga(img, rle=True))

@@ -1982,3 +1982,79 @@ def test_bmp_32bit_and_seams():
     )
     with _pytest.raises(NotImplementedError):
         _decode_bmp(hdr4 + b"\x00" * 64)
+
+
+# ---------------------------------------------------------------------------
+# TGA + ICO (round 14, third session)
+# ---------------------------------------------------------------------------
+
+
+@_r14_given(
+    h=_r14_st.integers(min_value=1, max_value=14),
+    w=_r14_st.integers(min_value=1, max_value=14),
+    rle=_r14_st.booleans(),
+    seed=_r14_st.integers(min_value=0, max_value=2**31),
+)
+@_r14_settings(max_examples=50, deadline=None)
+def test_tga_roundtrip(h, w, rle, seed):
+    import numpy as np
+
+    from ibc_spark.ext.multimodal import decode_image, encode_tga
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    assert np.array_equal(decode_image(encode_tga(img, rle=rle)), img)
+
+
+def test_tga_gray_topdown_and_ico_container():
+    import struct as _s
+
+    import numpy as np
+
+    from ibc_spark.ext.multimodal import (
+        TGA_FOOTER,
+        decode_image,
+        default_rle_palette,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(9)
+    # grayscale, TOP-DOWN via descriptor bit 5 (hand-built header)
+    g = rng.integers(0, 256, (5, 4), np.uint8)
+    hdr = _s.pack("<BBBHHBHHHHBB", 0, 0, 3, 0, 0, 0, 0, 0, 4, 5, 8, 0x20)
+    tga = hdr + g.tobytes() + _s.pack("<II", 0, 0) + TGA_FOOTER
+    assert np.array_equal(decode_image(tga), np.repeat(g[:, :, None], 3, 2))
+
+    # ICO wrapping a PNG payload
+    img = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    png = encode_png(img)
+    ico = _s.pack("<HHH", 0, 1, 1) + _s.pack("<BBBBHHII", 8, 8, 0, 0, 1, 32, len(png), 22) + png
+    assert np.array_equal(decode_image(ico), img)
+
+    # ICO classic headerless DIB (doubled biHeight), 32-bit BGRX
+    h, w = 6, 5
+    plane = np.concatenate([img[:h, :w][::-1, :, ::-1], np.zeros((h, w, 1), np.uint8)], 2)
+    stride = ((w * 4 + 3) // 4) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 4] = plane.reshape(h, w * 4)
+    dib = _s.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0, 0, 0, 0, 0, 0) + rows.tobytes()
+    ico2 = _s.pack("<HHH", 0, 1, 1) + _s.pack("<BBBBHHII", w, h, 0, 0, 1, 32, len(dib), 22) + dib
+    assert np.array_equal(decode_image(ico2), img[:h, :w])
+
+    # ICO 8-bit palette DIB
+    pal = default_rle_palette()
+    idx = rng.integers(0, 256, (4, 4), np.uint8)
+    quads = b"".join(bytes([int(b), int(gg), int(r), 0]) for r, gg, b in pal)
+    rows8 = idx[::-1].copy()
+    dib8 = _s.pack("<IiiHHIIiiII", 40, 4, 8, 1, 8, 0, 0, 0, 0, 256, 0) + quads + rows8.tobytes()
+    ico3 = _s.pack("<HHH", 0, 1, 1) + _s.pack("<BBBBHHII", 4, 4, 0, 0, 1, 8, len(dib8), 22) + dib8
+    assert np.array_equal(decode_image(ico3), pal[idx])
+
+    # the TGA-vs-CUR magic collision: an uncompressed truecolor TGA
+    # header begins 00 00 02 00 — footer routing must win
+    from ibc_spark.ext.multimodal import encode_tga
+
+    img2 = rng.integers(0, 256, (3, 3, 3), np.uint8)
+    payload = encode_tga(img2, rle=False)
+    assert payload[:4] == b"\x00\x00\x02\x00"  # would look like CUR
+    assert np.array_equal(decode_image(payload), img2)
