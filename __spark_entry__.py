@@ -119,7 +119,46 @@ def _last_green_round() -> dict[str, int]:
 # scripts/round_open.py reports an EMPTY derived force set at round open:
 # no green entry's implementation closure drifted past its last green
 # driver round, so no force slots are spent this round.
-_FORCE_RECHECK: set[str] = set()
+#
+# Round 15 (optimization round): the set below is every GREEN entry whose
+# actual execution path changed in the r15 optimization pass — the
+# vectorized ADPCM batch kernels + batched audio decode dispatcher
+# (ext/multimodal.py), the scan widening/projection added to the
+# audio/video/binary/image-roundtrip entries, and the audio_features
+# kernel rewrite shared by the streaming twin. All are result-preserving
+# by construction (byte-exact kernel equivalence tests + the full local
+# parity suite re-verified hash-exact), but per the round-5 lesson a
+# changed hot path re-attests under the driver, not just locally. The
+# r15 collateral-only entries (dedup/text families whose module hash
+# moved because ext/dedup.py gained the widen_for_arrow_chain helper;
+# multimodal_audio_rice_codec / multimodal_image_dedup_ahash whose own
+# kernels are untouched) took the documented ack route instead.
+_FORCE_RECHECK: set[str] = {
+    "multimodal_audio_features",
+    "multimodal_audio_resample",
+    "multimodal_audio_stereo_resample",
+    "multimodal_audio_resample_rational",
+    "multimodal_audio_stereo_resample_rational",
+    "multimodal_audio_vad_segments",
+    "multimodal_audio_stereo_vad_segments",
+    "multimodal_audio_vad_spectral",
+    "multimodal_audio_stereo_vad_spectral",
+    "multimodal_audio_pcm8",
+    "multimodal_audio_pcm24",
+    "multimodal_audio_float_pcm",
+    "multimodal_audio_adpcm",
+    "multimodal_audio_stereo_adpcm",
+    "multimodal_audio_mulaw",
+    "multimodal_audio_alaw",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_video_frames",
+    "multimodal_video_scene_cuts",
+    "multimodal_video_frame_dedup",
+    "multimodal_image_roundtrip_stats",
+    "multimodal_image_roundtrip_png",
+    "streaming_audio_features",
+}
 
 
 # Entries ADDED in the current round, deferred to the NEXT round's snapshot
@@ -169,24 +208,18 @@ _FORCE_RECHECK: set[str] = set()
 # (q21_waiting_suppliers, graph_pagerank_shuffled,
 # streaming_decontaminate_bloom) + the 40 oldest entries of the
 # 44-entry r9 pool. Round-14 additions are deferred below.
-# Round-15 window preview: the 8 r14 media additions below graduate
-# first (8 slots), leaving ~42 to finish the r9 pool (4 carryovers
-# expected) and start the r10 pool oldest-first.
-_DEFER_TO_NEXT_ROUND: set[str] = {
-    # round 14 additions (baseline JFIF/JPEG codec, MS-RLE8 compressed
-    # AVI, motion-JPEG AVI), parity-proven locally; driver slots next
-    # round
-    "multimodal_image_jpeg",
-    "multimodal_image_jpeg_progressive",
-    "multimodal_image_gif_animated",
-    "multimodal_image_roundtrip_tiff",
-    "multimodal_image_roundtrip_tga",
-    "multimodal_audio_flac",
-    "multimodal_audio_stereo_flac",
-    "multimodal_video_rle",
-    "multimodal_video_mjpeg",
-    "streaming_audio_flac",
-}
+# Round-15 window arithmetic (optimization round, no new entries): the 10
+# r14 media deferrals graduate to the never-green bucket and attest
+# first (10 slots); 24 force-recheck slots (the r15 optimization pass's
+# changed-path green entries — see _FORCE_RECHECK); the remaining 16
+# slots drain the 4 r9 carryovers (bucketed_join_colocate,
+# sample_diverse_per_cluster, streaming_dedup_watermarked,
+# streaming_sketch_kmv) + the 12 oldest r10-pool entries.
+# Staleness bound (VERDICT r14 #5): with the registry frozen at 249 and
+# ~40+ slots/round net of force sets, no green row's attestation can age
+# past 5 rounds; this round's oldest post-snapshot row will be r10 (5
+# rounds), shrinking again next round when the force pressure is gone.
+_DEFER_TO_NEXT_ROUND: set[str] = set()
 
 
 def _ordered(mapping: dict) -> dict:

@@ -62,6 +62,27 @@ def widen_for_compute(df: DataFrame) -> DataFrame:
         return df.repartition(target)
     return df
 
+
+def widen_for_arrow_chain(df: DataFrame) -> DataFrame:
+    """Quarter-width :func:`widen_for_compute` for CHAINED Arrow-kernel
+    pipelines (attach → transcode → features is three mapInPandas stages,
+    each paying a per-task python-worker/Arrow boundary cost).
+
+    Full core-width repartitioning was measured SLOWER than no widening
+    at all for the light audio codec entries once their per-sample loops
+    were vectorized (r15 A/B at sf0.1, 3-run best: stereo-ADPCM none/8/32
+    = 0.90/0.56/1.12 s, mu-law 0.82/0.48/0.95 s, resample
+    0.43/0.39/0.65 s) — 3 stages × 32 tasks of ~150 rows is boundary
+    overhead, not parallelism. Quarter width keeps the kernel parallel
+    while batches stay big enough for the vector kernels. Same scale
+    posture as widen_for_compute: on a real multi-split scan this is a
+    no-op, so the constant only shapes the small-corpus bench, never the
+    100 TB plan."""
+    target = max(2, df.sparkSession.sparkContext.defaultParallelism // 4)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # Live `bloom_flag_docs` bitset broadcasts, oldest first — bounded so
 # repeated invocations never accumulate executor state, with a small
 # grace window so CONCURRENT queries (a streaming probe next to a batch

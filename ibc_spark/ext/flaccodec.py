@@ -26,6 +26,18 @@ additionally pinned by hypothesis round-trips in tests/test_flaccodec.py.
 
 At 100 TB: Arrow-batched ``mapInPandas`` narrow maps; frames decode
 sequentially per payload (Rice is a prefix code), parallel across rows.
+
+r15 optimization (byte-exact, pinned by the same hypothesis round-trips):
+CRC-8/16 are 256-entry table loops; the bit writer flushes whole bytes
+via int.to_bytes; the bit reader refills 8 bytes at a time and counts
+unary leading zeros with int.bit_length (O(1) per Rice code, the state
+held in locals inside _rice_decode); Rice encode builds each partition's
+bitstream as one numpy bit matrix -> packbits -> a single write; FIXED
+subframe selection/residuals are numpy (np.diff IS the FIXED_COEFS
+recurrence) and FIXED reconstruction is k-fold cumsum integration.
+A binary-lifting fully-vectorized Rice decode was measured SLOWER than
+the inlined bigint loop at every block size (gather-bound), so the loop
+stays.
 """
 
 from __future__ import annotations
@@ -33,30 +45,46 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
+
 FLAC_MARKER = b"fLaC"
 FIXED_COEFS = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
 
 
+def _make_crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for i in range(256):
+        crc = i << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    t = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    t = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ t[(crc >> 8) ^ b]
     return crc
 
 
 class _BW:
-    """MSB-first bit writer."""
+    """MSB-first bit writer (bulk byte flush)."""
 
     def __init__(self):
         self.buf = bytearray()
@@ -68,15 +96,14 @@ class _BW:
             return
         self.acc = (self.acc << bits) | (val & ((1 << bits) - 1))
         self.n += bits
-        while self.n >= 8:
-            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
-            self.n -= 8
-        self.acc &= (1 << self.n) - 1
+        nb = self.n >> 3
+        if nb:
+            rem = self.n & 7
+            self.buf += (self.acc >> rem).to_bytes(nb, "big")
+            self.n = rem
+            self.acc &= (1 << rem) - 1
 
     def write_unary(self, q: int) -> None:
-        while q >= 32:
-            self.write(0, 32)
-            q -= 32
         self.write(1, q + 1)  # q zeros then a one
 
     def align(self) -> None:
@@ -85,7 +112,7 @@ class _BW:
 
 
 class _BR:
-    """MSB-first bit reader."""
+    """MSB-first bit reader (bulk refill, O(1) unary via bit_length)."""
 
     def __init__(self, data: bytes, pos: int = 0):
         self.d = data
@@ -93,13 +120,19 @@ class _BR:
         self.acc = 0
         self.n = 0
 
+    def _refill(self) -> None:
+        take = min(len(self.d) - self.pos, 8)
+        if take <= 0:
+            raise ValueError("truncated FLAC stream")
+        self.acc = (self.acc << (take * 8)) | int.from_bytes(
+            self.d[self.pos : self.pos + take], "big"
+        )
+        self.pos += take
+        self.n += take * 8
+
     def read(self, bits: int) -> int:
         while self.n < bits:
-            if self.pos >= len(self.d):
-                raise ValueError("truncated FLAC stream")
-            self.acc = (self.acc << 8) | self.d[self.pos]
-            self.pos += 1
-            self.n += 8
+            self._refill()
         v = (self.acc >> (self.n - bits)) & ((1 << bits) - 1)
         self.n -= bits
         self.acc &= (1 << self.n) - 1
@@ -111,9 +144,17 @@ class _BR:
 
     def read_unary(self) -> int:
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if self.n:
+                bl = self.acc.bit_length()
+                if bl:
+                    q += self.n - bl
+                    self.n = bl - 1
+                    self.acc &= (1 << self.n) - 1
+                    return q
+                q += self.n
+                self.n = 0
+            self._refill()
 
     def align(self) -> None:
         self.n = 0
@@ -122,10 +163,46 @@ class _BR:
     def byte_pos(self) -> int:
         return self.pos - (self.n // 8) - (1 if self.n % 8 else 0)
 
+    def bit_offset(self) -> int:
+        return self.pos * 8 - self.n
+
+    def seek_bit(self, off: int) -> None:
+        self.pos = off >> 3
+        rem = off & 7
+        if rem:
+            self.acc = self.d[self.pos] & ((1 << (8 - rem)) - 1)
+            self.n = 8 - rem
+            self.pos += 1
+        else:
+            self.acc = 0
+            self.n = 0
+
+    def read_block_signed(self, count: int, bits: int) -> "np.ndarray":
+        """Read ``count`` fixed-width signed fields as an int64 array —
+        bit-identical to ``[read_signed(bits)]*count`` but via one
+        unpackbits pass."""
+        if count == 0 or bits == 0:
+            if bits == 0:
+                return np.zeros(count, dtype=np.int64)
+            return np.zeros(0, dtype=np.int64)
+        off = self.bit_offset()
+        total = count * bits
+        if off + total > len(self.d) * 8:
+            raise ValueError("truncated FLAC stream")
+        first = off >> 3
+        last = (off + total + 7) >> 3
+        bitarr = np.unpackbits(
+            np.frombuffer(self.d[first:last], dtype=np.uint8)
+        )[off - first * 8 : off - first * 8 + total]
+        mat = bitarr.reshape(count, bits).astype(np.int64)
+        weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64))
+        vals = mat @ weights
+        vals = np.where(vals >= (1 << (bits - 1)), vals - (1 << bits), vals)
+        self.seek_bit(off + total)
+        return vals
+
 
 def _utf8_number(n: int) -> bytes:
-    """FLAC's UTF-8-style coded number (frame index): an nbytes-long
-    sequence carries (7 − nbytes) + 6·(nbytes − 1) payload bits."""
     if n < 0x80:
         return bytes([n])
     for nbytes in range(2, 8):
@@ -161,27 +238,106 @@ def _read_utf8_number(br: _BR) -> int:
     return n
 
 
+def _zigzag_np(res: "np.ndarray") -> "np.ndarray":
+    return np.where(res < 0, ((-res) << 1) - 1, res << 1)
+
+
 def _rice_encode(bw: _BW, residuals, param: int) -> None:
-    for v in residuals:
-        v = int(v)
-        u = (-v << 1) - 1 if v < 0 else v << 1  # zigzag fold
-        bw.write_unary(u >> param)
-        if param:
-            bw.write(u & ((1 << param) - 1), param)
+    """Batch Rice coder: identical bitstream to the per-value original."""
+    res = np.asarray(residuals, dtype=np.int64)
+    if res.size == 0:
+        return
+    u = _zigzag_np(res)
+    q = u >> param
+    lens = q + 1 + param
+    ends = np.cumsum(lens)
+    total = int(ends[-1])
+    arr = np.zeros(total, dtype=np.uint8)
+    arr[ends - param - 1] = 1
+    if param:
+        rem = u & ((1 << param) - 1)
+        for b in range(param):
+            arr[ends - param + b] = (rem >> (param - 1 - b)) & 1
+    packed = np.packbits(arr)  # zero-padded at the tail
+    pad = (-total) % 8
+    bw.write(int.from_bytes(packed.tobytes(), "big") >> pad, total)
+
+
+def _rice_decode_scalar(br: _BR, n: int, param: int) -> list[int]:
+    out = [0] * n
+    ru = br.read_unary
+    rd = br.read
+    if param:
+        for i in range(n):
+            u = (ru() << param) | rd(param)
+            out[i] = -(u + 1) >> 1 if u & 1 else u >> 1
+    else:
+        for i in range(n):
+            u = ru()
+            out[i] = -(u + 1) >> 1 if u & 1 else u >> 1
+    return out
 
 
 def _rice_decode(br: _BR, n: int, param: int) -> list[int]:
-    out = []
-    for _ in range(n):
-        q = br.read_unary()
-        u = (q << param) | (br.read(param) if param else 0)
-        out.append(-(u + 1) >> 1 if u & 1 else u >> 1)
+    """Rice decode of ``n`` codes ([q zeros][1][param bits]) with the
+    reader state held in locals — the per-code cost is a handful of
+    bigint ops (leading-zero count via ``int.bit_length``), no method
+    calls. Bit-exact with :func:`_rice_decode_scalar`; returns a list
+    (the pre-r15 public shape the hypothesis round-trip pins)."""
+    out = [0] * n
+    d = br.d
+    dlen = len(d)
+    pos = br.pos
+    acc = br.acc
+    nb = br.n
+    pmask = (1 << param) - 1
+    for i in range(n):
+        # unary quotient
+        q = 0
+        while True:
+            if nb:
+                bl = acc.bit_length()
+                if bl:
+                    q += nb - bl
+                    nb = bl - 1
+                    acc &= (1 << nb) - 1
+                    break
+                q += nb
+                nb = 0
+            take = dlen - pos
+            if take <= 0:
+                raise ValueError("truncated FLAC stream")
+            if take > 8:
+                take = 8
+            acc = (acc << (take * 8)) | int.from_bytes(d[pos : pos + take], "big")
+            pos += take
+            nb += take * 8
+        if param:
+            while nb < param:
+                take = dlen - pos
+                if take <= 0:
+                    raise ValueError("truncated FLAC stream")
+                if take > 8:
+                    take = 8
+                acc = (acc << (take * 8)) | int.from_bytes(d[pos : pos + take], "big")
+                pos += take
+                nb += take * 8
+            nb -= param
+            u = (q << param) | ((acc >> nb) & pmask)
+            acc &= (1 << nb) - 1
+        else:
+            u = q
+        out[i] = -(u + 1) >> 1 if u & 1 else u >> 1
+    br.pos = pos
+    br.acc = acc
+    br.n = nb
     return out
 
 
 def _best_rice_param(residuals) -> int:
-    total = sum((-v << 1) - 1 if v < 0 else v << 1 for v in residuals)
-    mean = total // max(1, len(residuals))
+    res = np.asarray(residuals, dtype=np.int64)
+    total = int(_zigzag_np(res).sum()) if res.size else 0
+    mean = total // max(1, res.size)
     p = 0
     while (1 << (p + 1)) < mean + 1 and p < 14:
         p += 1
@@ -197,16 +353,6 @@ def encode_flac(
     force_lpc: bool = False,
     partition_order: int = 0,
 ) -> bytes:
-    """Encode 16-bit PCM (``(n,)`` mono or ``(n, 2)`` stereo int array)
-    as a FLAC stream: fLaC marker, STREAMINFO (real MD5), frames with
-    per-block CONSTANT / FIXED(0-2) subframe choice, wasted-bits
-    detection, and Rice partitions at ``partition_order``; ``mid_side``
-    uses the mid/side stereo decorrelation; ``force_lpc`` emits the
-    order-2 predictor through the LPC subframe machinery (scaled
-    coefficients, still lossless) so the decoder's LPC path has a real
-    encoder-side twin."""
-    import numpy as np
-
     a = np.asarray(samples, dtype=np.int64)
     if a.ndim == 1:
         a = a[:, None]
@@ -218,81 +364,78 @@ def encode_flac(
         raise ValueError("mid/side needs stereo input")
     n, ch = a.shape
 
-    raw = a.astype("<i2").tobytes()  # interleaved LE, the MD5 input
+    raw = a.astype("<i2").tobytes()
     md5 = hashlib.md5(raw).digest()
     min_bs = min(block_size, n) if n else block_size
     streaminfo = bytearray()
     streaminfo += struct.pack(">HH", min_bs, block_size)
-    streaminfo += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    streaminfo += b"\x00\x00\x00" * 2
     packed = (sample_rate << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | n
     streaminfo += packed.to_bytes(8, "big")
     streaminfo += md5
 
     out = bytearray(FLAC_MARKER)
-    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big")  # last metadata block
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
     out += streaminfo
 
     def subframe(bw: _BW, x, depth: int = 16) -> None:
-        xs = [int(v) for v in x]
-        if len(set(xs)) == 1:
+        xs = np.asarray(x, dtype=np.int64)
+        if xs.size and (xs == xs[0]).all():
             bw.write(0, 1)
             bw.write(0b000000, 6)  # CONSTANT
             bw.write(0, 1)
-            bw.write(xs[0] & ((1 << depth) - 1), depth)
+            bw.write(int(xs[0]) & ((1 << depth) - 1), depth)
             return
-        # wasted-bits detection: shared trailing zero bits shift out
-        wasted = min(
-            ((v & -v).bit_length() - 1 for v in xs if v), default=0
-        )
+        # wasted-bits: min trailing zeros over nonzero values == trailing
+        # zeros of the OR of all nonzero values
+        nz = xs[xs != 0]
+        if nz.size:
+            ov = int(np.bitwise_or.reduce(nz))
+            wasted = (ov & -ov).bit_length() - 1
+        else:
+            wasted = 0
         wasted = min(wasted, depth - 2)
         if wasted:
-            xs = [v >> wasted for v in xs]
+            xs = xs >> wasted
         eff = depth - wasted
         best = None
         for order in (0, 1, 2):
-            if order >= len(xs):
+            if order >= xs.size:
                 break
-            res = [
-                xs[i]
-                - sum(c * xs[i - 1 - j] for j, c in enumerate(FIXED_COEFS[order]))
-                for i in range(order, len(xs))
-            ]
-            cost = sum(abs(r) for r in res)
+            res = np.diff(xs, n=order)  # == the FIXED_COEFS recurrence
+            cost = int(np.abs(res).sum())
             if best is None or cost < best[1]:
                 best = (order, cost, res)
         order, _cost, res = best
         bw.write(0, 1)
-        if force_lpc and order == 2 and len(xs) > 2:
-            # trivial LPC mirroring the fixed order-2 predictor with
-            # scaled coefficients — exercises the decoder's LPC path
-            # (precision/shift/coefficient machinery) losslessly
-            bw.write(0b100000 | (2 - 1), 6)  # LPC, order 2
+        if force_lpc and order == 2 and xs.size > 2:
+            bw.write(0b100000 | (2 - 1), 6)
             _write_wasted(bw, wasted)
             for i in range(2):
-                bw.write(xs[i] & ((1 << eff) - 1), eff)
-            bw.write(15 - 1, 4)  # precision 15
-            bw.write(5, 5)  # shift 5
-            bw.write((2 << 5) & 0x7FFF, 15)  # coef 2·2^5
-            bw.write((-1 << 5) & 0x7FFF, 15)  # coef −1·2^5
-            _write_residual(bw, res, partition_order, len(xs), 2)
+                bw.write(int(xs[i]) & ((1 << eff) - 1), eff)
+            bw.write(15 - 1, 4)
+            bw.write(5, 5)
+            bw.write((2 << 5) & 0x7FFF, 15)
+            bw.write((-1 << 5) & 0x7FFF, 15)
+            _write_residual(bw, res, partition_order, xs.size, 2)
             return
-        bw.write(0b001000 | order, 6)  # FIXED, order
+        bw.write(0b001000 | order, 6)
         _write_wasted(bw, wasted)
         for i in range(order):
-            bw.write(xs[i] & ((1 << eff) - 1), eff)
-        _write_residual(bw, res, partition_order, len(xs), order)
+            bw.write(int(xs[i]) & ((1 << eff) - 1), eff)
+        _write_residual(bw, res, partition_order, xs.size, order)
 
     def _write_wasted(bw: _BW, wasted: int) -> None:
         if wasted:
             bw.write(1, 1)
-            bw.write_unary(wasted - 1)  # k encoded as unary(k-1)
+            bw.write_unary(wasted - 1)
         else:
             bw.write(0, 1)
 
     def _write_residual(bw: _BW, res, porder: int, bs_: int, order: int) -> None:
         if porder and (bs_ % (1 << porder) or (bs_ >> porder) <= order):
-            porder = 0  # partition order must divide the block evenly
-        bw.write(0, 2)  # method: 4-bit rice
+            porder = 0
+        bw.write(0, 2)
         bw.write(porder, 4)
         nparts = 1 << porder
         start = 0
@@ -313,16 +456,16 @@ def encode_flac(
         block = a[pos : pos + bs]
         bw = _BW()
         bw.write(0b11111111111110, 14)
-        bw.write(0, 1)  # reserved
-        bw.write(0, 1)  # fixed blocksize strategy
-        bw.write(0b0111, 4)  # blocksize: 16-bit value-1 follows
-        bw.write(0b0000, 4)  # sample rate: from STREAMINFO
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(0b0111, 4)
+        bw.write(0b0000, 4)
         if mid_side:
             chan_code = 0b1010
         else:
             chan_code = ch - 1
         bw.write(chan_code, 4)
-        bw.write(0b100, 3)  # 16-bit samples
+        bw.write(0b100, 3)
         bw.write(0, 1)
         header = bytearray(bw.buf)
         assert bw.n == 0
@@ -335,13 +478,19 @@ def encode_flac(
             right = block[:, 1].astype(np.int64)
             mid = (left + right) >> 1
             side = left - right
-            subframe(bw, mid)  # 16-bit
-            # side channel carries one extra bit — encode VERBATIM at 17
+            subframe(bw, mid)
             bw.write(0, 1)
             bw.write(0b000001, 6)  # VERBATIM
             bw.write(0, 1)
-            for v in side:
-                bw.write(int(v) & 0x1FFFF, 17)
+            # bulk: pack all 17-bit fields via one bit-matrix
+            su = (side & 0x1FFFF).astype(np.int64)
+            if su.size:
+                shifts = np.arange(16, -1, -1, dtype=np.int64)
+                bits = ((su[:, None] >> shifts) & 1).astype(np.uint8).ravel()
+                total = int(bits.size)
+                packedb = np.packbits(bits)
+                pad = (-total) % 8
+                bw.write(int.from_bytes(packedb.tobytes(), "big") >> pad, total)
         else:
             for c in range(ch):
                 subframe(bw, block[:, c])
@@ -354,13 +503,31 @@ def encode_flac(
     return bytes(out)
 
 
-def decode_flac(payload: bytes):
-    """Decode a FLAC stream → ``(sample_rate, (n, channels) int32
-    array)``. General subframe support (CONSTANT/VERBATIM/FIXED 0-4/
-    LPC any order, wasted bits), all channel assignments, Rice methods
-    0/1 with escape partitions, CRC-8/CRC-16 verified per frame."""
-    import numpy as np
+def _fixed_reconstruct(warm: "np.ndarray", res: "np.ndarray", order: int) -> "np.ndarray":
+    """x[i] = FIXED_COEFS[order]·history + res — via iterated cumsum
+    (the order-k fixed predictor's residual is the k-th finite
+    difference, so reconstruction is k-fold integration). Exact in
+    int64."""
+    x = np.empty(warm.size + res.size, dtype=np.int64)
+    x[: warm.size] = warm
+    if res.size == 0:
+        return x
+    if order == 0:
+        x[warm.size :] = res
+        return x
+    # d_k = the k-th difference sequence seeds from the warmup samples
+    seeds = [warm.copy()]
+    for k in range(1, order):
+        seeds.append(np.diff(seeds[-1]))
+    cur = res
+    for k in range(order - 1, -1, -1):
+        prev_last = seeds[k][-1]
+        cur = prev_last + np.cumsum(cur)
+    x[warm.size :] = cur
+    return x
 
+
+def decode_flac(payload: bytes):
     if payload[:4] != FLAC_MARKER:
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -385,14 +552,15 @@ def decode_flac(payload: bytes):
     total = packed & ((1 << 36) - 1)
 
     out = []
-    while pos < len(payload) and (total == 0 or sum(len(b) for b in out) < total):
+    decoded = 0
+    while pos < len(payload) and (total == 0 or decoded < total):
         frame_start = pos
         br = _BR(payload, pos)
         sync = br.read(14)
         if sync != 0b11111111111110:
             raise ValueError("bad FLAC frame sync")
         br.read(1)
-        br.read(1)  # blocking strategy
+        br.read(1)
         bs_code = br.read(4)
         sr_code = br.read(4)
         chan_code = br.read(4)
@@ -423,13 +591,13 @@ def decode_flac(payload: bytes):
         if chan_code <= 0b0111:
             nch = chan_code + 1
             assigns = [("indep", sbits)] * nch
-        elif chan_code == 0b1000:  # left/side
+        elif chan_code == 0b1000:
             nch = 2
             assigns = [("indep", sbits), ("side", sbits + 1)]
-        elif chan_code == 0b1001:  # right/side
+        elif chan_code == 0b1001:
             nch = 2
             assigns = [("side", sbits + 1), ("indep", sbits)]
-        elif chan_code == 0b1010:  # mid/side
+        elif chan_code == 0b1010:
             nch = 2
             assigns = [("indep", sbits), ("side", sbits + 1)]
         else:
@@ -445,21 +613,17 @@ def decode_flac(payload: bytes):
                 wasted = 1 + br.read_unary()
             eff = cbits - wasted
             if stype == 0b000000:  # CONSTANT
-                x = [br.read_signed(eff)] * bs
+                x = np.full(bs, br.read_signed(eff), dtype=np.int64)
             elif stype == 0b000001:  # VERBATIM
-                x = [br.read_signed(eff) for _ in range(bs)]
+                x = br.read_block_signed(bs, eff)
             elif 0b001000 <= stype <= 0b001100:  # FIXED 0-4
                 order = stype & 0x07
-                x = [br.read_signed(eff) for _ in range(order)]
+                warm = br.read_block_signed(order, eff)
                 res = _read_residual(br, bs, order)
-                for i in range(order, bs):
-                    pred = sum(
-                        c * x[i - 1 - j] for j, c in enumerate(FIXED_COEFS[order])
-                    )
-                    x.append(pred + res[i - order])
+                x = _fixed_reconstruct(warm, res, order)
             elif stype >= 0b100000:  # LPC
                 order = (stype & 0x1F) + 1
-                x = [br.read_signed(eff) for _ in range(order)]
+                warm = br.read_block_signed(order, eff)
                 prec = br.read(4) + 1
                 if prec == 16:
                     raise ValueError("invalid FLAC LPC precision")
@@ -468,38 +632,35 @@ def decode_flac(payload: bytes):
                     raise ValueError("negative FLAC LPC shift")
                 coefs = [br.read_signed(prec) for _ in range(order)]
                 res = _read_residual(br, bs, order)
+                xl = [int(v) for v in warm]
                 for i in range(order, bs):
-                    acc = sum(coefs[j] * x[i - 1 - j] for j in range(order))
-                    x.append((acc >> shift) + res[i - order])
+                    acc = sum(coefs[j] * xl[i - 1 - j] for j in range(order))
+                    xl.append((acc >> shift) + int(res[i - order]))
+                x = np.asarray(xl, dtype=np.int64)
             else:
                 raise ValueError("reserved FLAC subframe type")
             if wasted:
-                x = [v << wasted for v in x]
+                x = x << wasted
             chans.append(x)
 
-        if chan_code == 0b1000:  # left/side: right = left - side
+        if chan_code == 0b1000:  # left/side
             left, side = chans
-            chans = [left, [l_ - s_ for l_, s_ in zip(left, side)]]
-        elif chan_code == 0b1001:  # right/side: left = right + side
+            chans = [left, left - side]
+        elif chan_code == 0b1001:  # right/side
             side, right = chans
-            chans = [[r_ + s_ for r_, s_ in zip(right, side)], right]
+            chans = [right + side, right]
         elif chan_code == 0b1010:  # mid/side
             mid, side = chans
-            left = []
-            right = []
-            for m_, s_ in zip(mid, side):
-                l_ = (m_ << 1) | (s_ & 1)
-                left.append((l_ + s_) >> 1)
-                right.append((l_ - s_) >> 1)
-            chans = [left, right]
+            l_ = (mid << 1) | (side & 1)
+            chans = [(l_ + side) >> 1, (l_ - side) >> 1]
 
-        br.align()
-        frame_end = br.pos
+        frame_end = (br.bit_offset() + 7) // 8  # byte after the last consumed bit
         (crc16,) = struct.unpack_from(">H", payload, frame_end)
         if _crc16(payload[frame_start:frame_end]) != crc16:
             raise ValueError("FLAC frame CRC-16 mismatch")
         pos = frame_end + 2
-        out.append(np.asarray(chans, dtype=np.int64).T)
+        out.append(np.stack(chans, axis=1))
+        decoded += out[-1].shape[0]
         if nch != channels:
             raise ValueError("FLAC frame channel count disagrees with STREAMINFO")
 
@@ -517,7 +678,7 @@ def decode_flac(payload: bytes):
     return rate, data.astype(np.int32)
 
 
-def _read_residual(br: _BR, bs: int, order: int) -> list[int]:
+def _read_residual(br: _BR, bs: int, order: int) -> "np.ndarray":
     method = br.read(2)
     if method > 1:
         raise ValueError("reserved FLAC residual method")
@@ -525,7 +686,7 @@ def _read_residual(br: _BR, bs: int, order: int) -> list[int]:
     escape = (1 << plen) - 1
     porder = br.read(4)
     nparts = 1 << porder
-    res: list[int] = []
+    parts = []
     for p in range(nparts):
         cnt = (bs >> porder) - (order if p == 0 else 0)
         if cnt < 0:
@@ -533,7 +694,10 @@ def _read_residual(br: _BR, bs: int, order: int) -> list[int]:
         param = br.read(plen)
         if param == escape:
             rawbits = br.read(5)
-            res.extend(br.read_signed(rawbits) if rawbits else 0 for _ in range(cnt))
+            if rawbits:
+                parts.append(br.read_block_signed(cnt, rawbits))
+            else:
+                parts.append(np.zeros(cnt, dtype=np.int64))
         else:
-            res.extend(_rice_decode(br, cnt, param))
-    return res
+            parts.append(np.asarray(_rice_decode(br, cnt, param), dtype=np.int64))
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)

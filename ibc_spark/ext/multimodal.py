@@ -1161,7 +1161,7 @@ def image_channel_stats(df: DataFrame, *, payload_col: str = "payload") -> DataF
                 out, columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"]
             )
 
-    return df.mapInPandas(_stats, schema)
+    return df.select("doc_id", payload_col).mapInPandas(_stats, schema)
 
 
 def extract_features(df: DataFrame, *, dim: int = 8) -> DataFrame:
@@ -1192,7 +1192,7 @@ def extract_features(df: DataFrame, *, dim: int = 8) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(_extract, FEATURE_SCHEMA)
+    return df.select("doc_id", "payload").mapInPandas(_extract, FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -1285,7 +1285,7 @@ def sample_frames(
                 }
             )
 
-    return df.mapInPandas(_frames, FRAME_SCHEMA)
+    return df.select("doc_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1469,6 +1469,314 @@ def ima_adpcm_reference(frames):
                 _, pred, idx = _ima_encode_step(pred, idx, int(a[t, c]))
             out[t, c] = pred
     return out.astype(np.int16)
+
+
+def _ima_tables_np():
+    """(step, index) tables as int32 arrays — shared by the vectorized
+    encode/decode kernels (r15: the per-sample Python state machine was 3
+    of the top-11 bench entries; the recurrence is sequential per stream
+    but embarrassingly parallel ACROSS payloads, so the batch kernels run
+    it with numpy lanes = (payload, channel) — guide §4.2)."""
+    import numpy as np
+
+    return (
+        np.asarray(IMA_STEP_TABLE, dtype=np.int32),
+        np.asarray(IMA_INDEX_TABLE, dtype=np.int32),
+    )
+
+
+def _ima_step_np(pred, idx, sample, step_tbl, index_tbl):
+    """Vectorized :func:`_ima_encode_step` over int32 lanes. Returns
+    ``(nibble, new_pred, new_idx)`` — element-wise identical to the
+    scalar reference (hypothesis-pinned via the byte-exact encode)."""
+    import numpy as np
+
+    step = step_tbl[idx]
+    diff = sample - pred
+    sign = np.where(diff < 0, 8, 0).astype(np.int32)
+    ad = np.abs(diff)
+    b2 = (ad >= step).astype(np.int32)
+    ad = ad - b2 * step
+    h = step >> 1
+    b1 = (ad >= h).astype(np.int32)
+    ad = ad - b1 * h
+    q = step >> 2
+    b0 = (ad >= q).astype(np.int32)
+    delta = 4 * b2 + 2 * b1 + b0
+    diffq = (step >> 3) + b2 * step + b1 * h + b0 * q
+    new_pred = np.where(sign != 0, pred - diffq, pred + diffq)
+    np.clip(new_pred, -32768, 32767, out=new_pred)
+    new_idx = np.clip(idx + index_tbl[delta], 0, 88)
+    return sign | delta, new_pred, new_idx
+
+
+# Lane budget for the batched ADPCM kernels: chunk payload groups so the
+# padded (payload, frame, channel) working set stays ~32 MB regardless
+# of Arrow batch size (a 16k-sample sweep batch would otherwise inflate
+# the padded array past the worker overhead budget).
+_ADPCM_BATCH_ELEMS = 4 << 20
+
+
+def encode_wav_adpcm_batch(items):
+    """Batched :func:`encode_wav_adpcm`: ``items`` is a list of
+    ``(int16 interleaved samples, sample_rate, channels)``; returns the
+    payload bytes list, byte-exact with the scalar encoder. The encoder
+    state machine chains across blocks (the step index carries), so the
+    sequential loop stays — but it runs ONCE per batch with numpy lanes
+    = (payload, channel), not once per payload."""
+    import struct
+
+    import numpy as np
+
+    step_tbl, index_tbl = _ima_tables_np()
+    results: list[bytes | None] = [None] * len(items)
+    spb = ADPCM_SAMPLES_PER_BLOCK
+    words = ADPCM_WORDS_PER_CHANNEL
+    by_ch: dict[int, list] = {}
+    for i, (s, rate, ch) in enumerate(items):
+        a = np.asarray(s, dtype=np.int16)
+        if a.ndim != 1:
+            raise ValueError("expected a 1-D int16 sample array (interleaved)")
+        if ch < 1 or len(a) % ch:
+            raise ValueError("sample count must be a multiple of channels")
+        by_ch.setdefault(ch, []).append((i, a.reshape(-1, ch), rate))
+    for ch, group in by_ch.items():
+        block_align = ch * 4 * (1 + words)
+        # chunk the group so the padded lane array stays bounded
+        start = 0
+        while start < len(group):
+            nmax_seen = 0
+            end = start
+            while end < len(group):
+                nmax_seen = max(nmax_seen, group[end][1].shape[0])
+                if (end - start + 1) * max(nmax_seen, 1) * ch > _ADPCM_BATCH_ELEMS:
+                    break
+                end += 1
+            end = max(end, start + 1)
+            chunk = group[start:end]
+            start = end
+            lens = np.asarray([g[1].shape[0] for g in chunk])
+            nmax = int(lens.max()) if len(lens) else 0
+            ndocs = len(chunk)
+            fr = np.zeros((ndocs, max(nmax, 1), ch), dtype=np.int32)
+            for gi, (_i, f, _r) in enumerate(chunk):
+                fr[gi, : f.shape[0]] = f
+            n_blocks_max = (nmax + spb - 1) // spb
+            preds = np.zeros((ndocs, n_blocks_max, ch), dtype=np.int32)
+            idxs = np.zeros((ndocs, n_blocks_max, ch), dtype=np.int32)
+            nibs = np.zeros((ndocs, n_blocks_max, ch, spb - 1), dtype=np.uint8)
+            idx = np.zeros((ndocs, ch), dtype=np.int32)
+            for b in range(n_blocks_max):
+                t0 = b * spb
+                act = (lens > t0)[:, None]
+                pred = np.where(act, fr[:, t0, :], 0).astype(np.int32)
+                preds[:, b] = pred
+                idxs[:, b] = np.where(act, idx, 0)
+                for k in range(1, spb):
+                    t = t0 + k
+                    if t >= nmax:
+                        break
+                    nib, n_pred, n_idx = _ima_step_np(
+                        pred, idx, fr[:, t, :], step_tbl, index_tbl
+                    )
+                    live = (lens > t)[:, None]
+                    nibs[:, b, :, k - 1] = np.where(live, nib, 0)
+                    pred = np.where(live, n_pred, pred)
+                    idx = np.where(live, n_idx, idx)
+            for gi, (i, f, rate) in enumerate(chunk):
+                n = f.shape[0]
+                nb = (n + spb - 1) // spb
+                data = bytearray()
+                if nb:
+                    # headers: (<h pred, B idx, B 0) per channel per block
+                    hdr = np.zeros((nb, ch, 4), dtype=np.uint8)
+                    p16 = preds[gi, :nb].astype("<i2").view(np.uint8).reshape(
+                        nb, ch, 2
+                    )
+                    hdr[:, :, :2] = p16
+                    hdr[:, :, 2] = idxs[gi, :nb].astype(np.uint8)
+                    nb_blk = nibs[gi, :nb]  # (nb, ch, spb-1)
+                    packed = (
+                        nb_blk[:, :, 0::2] | (nb_blk[:, :, 1::2] << 4)
+                    ).reshape(nb, ch, words, 4)
+                    # per block: headers then channel-interleaved words
+                    body = np.concatenate(
+                        [
+                            hdr.reshape(nb, ch * 4),
+                            packed.transpose(0, 2, 1, 3).reshape(nb, -1),
+                        ],
+                        axis=1,
+                    )
+                    data = bytearray(body.tobytes())
+                byte_rate = (rate * block_align + spb - 1) // spb
+                fmt = struct.pack(
+                    "<HHIIHHHH", 0x11, ch, rate, byte_rate, block_align, 4, 2, spb
+                )
+                body_b = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                body_b += b"fact" + struct.pack("<II", 4, n)
+                body_b += b"data" + struct.pack("<I", len(data)) + bytes(data)
+                results[i] = b"RIFF" + struct.pack("<I", len(body_b)) + body_b
+    return results
+
+
+def _decode_adpcm_batch(parts):
+    """Batched IMA ADPCM data-chunk decode: ``parts`` is a list of
+    ``(data bytes, channels, spb, fact)`` rows that already passed the
+    scalar decoder's geometry validation. Blocks are INDEPENDENT on
+    decode (each block header carries predictor + step index), so lanes
+    = (block, channel) across every payload of a (channels, spb) group.
+    Returns int16 interleaved arrays, sample-exact with
+    :func:`_decode_wav`'s scalar branch."""
+    import numpy as np
+
+    step_tbl, index_tbl = _ima_tables_np()
+    results = [None] * len(parts)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (_data, ch, spb, _fact) in enumerate(parts):
+        groups.setdefault((ch, spb), []).append(i)
+    for (ch, spb), idxs_g in groups.items():
+        words = (spb - 1) // 8
+        block_align = ch * 4 * (1 + words)
+        datas = [parts[i][0] for i in idxs_g]
+        nb = [len(d) // block_align for d in datas]
+        raw_all = np.frombuffer(b"".join(datas), dtype=np.uint8).reshape(
+            -1, block_align
+        )
+        # chunk so (blocks, spb, ch) output stays bounded
+        total_blocks = raw_all.shape[0]
+        max_blocks = max(_ADPCM_BATCH_ELEMS // (spb * ch), 1)
+        decoded_chunks = []
+        for c0 in range(0, total_blocks, max_blocks):
+            raw = raw_all[c0 : c0 + max_blocks]
+            n_blocks = raw.shape[0]
+            hdr = raw[:, : 4 * ch].reshape(n_blocks, ch, 4).astype(np.int32)
+            pred = hdr[:, :, 0] | (hdr[:, :, 1] << 8)
+            pred = np.where(pred >= 32768, pred - 65536, pred).astype(np.int32)
+            idx = hdr[:, :, 2]
+            if (idx > 88).any():
+                raise ValueError("IMA ADPCM step index out of range")
+            wb = raw[:, 4 * ch :].reshape(n_blocks, words, ch, 4)
+            cb = wb.transpose(0, 2, 1, 3).reshape(n_blocks, ch, 4 * words)
+            nibs = np.empty((n_blocks, ch, 8 * words), dtype=np.int32)
+            nibs[:, :, 0::2] = cb & 0x0F
+            nibs[:, :, 1::2] = cb >> 4
+            out = np.empty((n_blocks, spb, ch), dtype=np.int32)
+            out[:, 0, :] = pred
+            for k in range(8 * words):
+                nib = nibs[:, :, k]
+                step = step_tbl[idx]
+                delta = nib & 7
+                diffq = (
+                    (step >> 3)
+                    + np.where(delta & 4, step, 0)
+                    + np.where(delta & 2, step >> 1, 0)
+                    + np.where(delta & 1, step >> 2, 0)
+                )
+                pred = pred + np.where(nib & 8, -diffq, diffq)
+                np.clip(pred, -32768, 32767, out=pred)
+                idx = np.clip(idx + index_tbl[delta], 0, 88)
+                out[:, k + 1, :] = pred
+            decoded_chunks.append(out)
+        out_all = (
+            np.concatenate(decoded_chunks, axis=0)
+            if decoded_chunks
+            else np.zeros((0, spb, ch), np.int32)
+        )
+        pos = 0
+        for j, i in enumerate(idxs_g):
+            fact = parts[i][3]
+            blk = out_all[pos : pos + nb[j]]
+            pos += nb[j]
+            results[i] = blk.reshape(-1, ch)[:fact].reshape(-1).astype(np.int16)
+    return results
+
+
+def decode_audio_batch(payloads):
+    """Decode a BATCH of audio payloads → list of
+    ``(sample_rate, channels, int16 samples)`` or the per-row exception
+    (errors-as-data: one bad payload never poisons the batch). WAV PCM /
+    float / G.711 rows take the scalar per-row path (already one numpy
+    expression each); IMA ADPCM rows — the per-sample state machine —
+    are grouped and decoded by the vectorized batch kernel, falling back
+    to the scalar decoder per row if a group trips a validation error."""
+    import struct
+
+    results: list = [None] * len(payloads)
+    adpcm_rows: list[int] = []
+    adpcm_parts: list = []
+    adpcm_meta: list = []
+    for i, payload in enumerate(payloads):
+        try:
+            payload = bytes(payload)
+            if payload[:4] != WAV_SIG or payload[8:12] != b"WAVE":
+                results[i] = decode_audio(payload)  # non-WAV seam/raise
+                continue
+            pos, fmt, fmt_raw, fact, data = 12, None, None, None, None
+            while pos + 8 <= len(payload):
+                ctype = payload[pos : pos + 4]
+                (ln,) = struct.unpack_from("<I", payload, pos + 4)
+                if pos + 8 + ln > len(payload):
+                    raise ValueError("truncated WAVE chunk")
+                chunk = payload[pos + 8 : pos + 8 + ln]
+                pos += 8 + ln + (ln & 1)
+                if ctype == b"fmt ":
+                    fmt = struct.unpack_from("<HHIIHH", chunk)
+                    fmt_raw = chunk
+                elif ctype == b"fact":
+                    (fact,) = struct.unpack_from("<I", chunk)
+                elif ctype == b"data":
+                    data = chunk
+            if fmt is None or data is None:
+                raise ValueError("WAVE without fmt /data chunks")
+            code, channels, rate, _byte_rate, _block, bits = fmt
+            if code == 0x11 and bits == 4 and channels >= 1:
+                # same geometry validation as _decode_wav, per row so a
+                # bad row errors alone
+                if fmt_raw is None or len(fmt_raw) < 20:
+                    raise ValueError(
+                        "IMA ADPCM WAVE without the samples-per-block extension"
+                    )
+                (spb,) = struct.unpack_from("<H", fmt_raw, 18)
+                words = (spb - 1) // 8
+                block_align = channels * 4 * (1 + words)
+                if spb < 1 or (spb - 1) % 8 or _block != block_align:
+                    raise ValueError("inconsistent IMA ADPCM block geometry")
+                if fact is None:
+                    raise ValueError("IMA ADPCM WAVE without a fact chunk")
+                if len(data) % block_align:
+                    raise ValueError(
+                        "WAVE data chunk is not a whole number of blocks"
+                    )
+                n_blocks = len(data) // block_align
+                if fact > n_blocks * spb or (
+                    fact and n_blocks != (fact + spb - 1) // spb
+                ):
+                    raise ValueError(
+                        "IMA ADPCM fact count inconsistent with data size"
+                    )
+                adpcm_rows.append(i)
+                adpcm_parts.append((data, channels, spb, fact))
+                adpcm_meta.append((rate, channels, payload))
+            else:
+                results[i] = _decode_wav(payload)
+        except Exception as exc:
+            results[i] = exc
+    if adpcm_parts:
+        try:
+            decoded = _decode_adpcm_batch(adpcm_parts)
+            for i, (rate, channels, _p), s in zip(
+                adpcm_rows, adpcm_meta, decoded
+            ):
+                results[i] = (rate, channels, s)
+        except Exception:
+            # a row the per-row validation missed: decode each scalar so
+            # only the offending row carries the error
+            for i, (_rate, _channels, payload) in zip(adpcm_rows, adpcm_meta):
+                try:
+                    results[i] = _decode_wav(payload)
+                except Exception as exc:
+                    results[i] = exc
+    return results
 
 
 def encode_wav_adpcm(samples, *, sample_rate: int = 16000, channels: int = 1) -> bytes:
@@ -2150,7 +2458,7 @@ def video_frame_features(df: DataFrame, *, payload_col: str = "payload") -> Data
                 ],
             )
 
-    return df.mapInPandas(_feat, VIDEO_FRAME_SCHEMA)
+    return df.select("doc_id", payload_col).mapInPandas(_feat, VIDEO_FRAME_SCHEMA)
 
 
 # Scene-cut threshold: L1 frame difference at which a transition counts
@@ -2202,7 +2510,7 @@ def scene_cut_frames(
                 out, columns=["doc_id", "frame_idx", "l1_diff", "is_cut"]
             )
 
-    return df.mapInPandas(_cuts, schema)
+    return df.select("doc_id", payload_col).mapInPandas(_cuts, schema)
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -2235,9 +2543,15 @@ def audio_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
         cols = [f.name for f in AUDIO_FEATURE_SCHEMA.fields]
         for pdf in batches:
             out = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+            # batched decode (r15): ADPCM rows run the vectorized block
+            # kernel across the whole Arrow batch; per-row errors stay
+            # per-row (errors-as-data)
+            decoded = decode_audio_batch(list(pdf[payload_col]))
+            for doc_id, dec in zip(pdf["doc_id"], decoded):
                 try:
-                    rate, ch, s = decode_audio(bytes(payload))
+                    if isinstance(dec, Exception):
+                        raise dec
+                    rate, ch, s = dec
                     if rate > 0x7FFFFFFF:
                         # the fmt field is uint32 but the feature column is
                         # int32 — route the overflow to the NULL row instead
@@ -2261,7 +2575,10 @@ def audio_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
                     out.append((doc_id, None, None, None, None, None, None))
             yield pd.DataFrame(out, columns=cols)
 
-    return df.mapInPandas(_feat, AUDIO_FEATURE_SCHEMA)
+    # pass only the two columns the kernel reads across the Python
+    # boundary (media_meta from attach_* stages otherwise ships for
+    # nothing — guide §4.1)
+    return df.select("doc_id", payload_col).mapInPandas(_feat, AUDIO_FEATURE_SCHEMA)
 
 
 # Anti-alias FIR for integer-factor decimation: windowed-sinc low-pass,
@@ -2377,7 +2694,7 @@ def resample_audio(
                     out.append((doc_id, None))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(_res, schema)
+    return df.select("doc_id", payload_col).mapInPandas(_res, schema)
 
 
 def fir_rational_taps(up: int, down: int) -> "np.ndarray":  # noqa: F821
@@ -2481,7 +2798,7 @@ def resample_audio_rational(
                     out.append((doc_id, None))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(_res, schema)
+    return df.select("doc_id", payload_col).mapInPandas(_res, schema)
 
 
 def transcode_audio_pcm(
@@ -2517,7 +2834,7 @@ def transcode_audio_pcm(
                     out.append((doc_id, None))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(_trans, schema)
+    return df.select("doc_id", payload_col).mapInPandas(_trans, schema)
 
 
 def transcode_audio_g711(
@@ -2553,7 +2870,7 @@ def transcode_audio_g711(
                     out.append((doc_id, None))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(_trans, schema)
+    return df.select("doc_id", payload_col).mapInPandas(_trans, schema)
 
 
 def transcode_audio_adpcm(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
@@ -2576,18 +2893,33 @@ def transcode_audio_adpcm(df: DataFrame, *, payload_col: str = "payload") -> Dat
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                try:
-                    rate, ch, s = decode_audio(bytes(payload))
-                    out.append(
-                        (doc_id, encode_wav_adpcm(s, sample_rate=rate, channels=ch))
-                    )
-                except Exception:
-                    out.append((doc_id, None))
-            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+            n = len(pdf)
+            payloads: list = [None] * n
+            # per-row decode errors → NULL rows; good rows batch-encode
+            # through the vectorized lane kernel (r15)
+            decoded = decode_audio_batch(list(pdf[payload_col]))
+            good_idx = [i for i, d in enumerate(decoded) if not isinstance(d, Exception)]
+            items = [(decoded[i][2], decoded[i][0], decoded[i][1]) for i in good_idx]
+            try:
+                encoded = encode_wav_adpcm_batch(items)
+            except Exception:
+                # a row the batch validation rejected: encode each scalar
+                # so only the offending row carries the error
+                encoded = []
+                for s, rate, ch in items:
+                    try:
+                        encoded.append(
+                            encode_wav_adpcm(s, sample_rate=rate, channels=ch)
+                        )
+                    except Exception:
+                        encoded.append(None)
+            for i, enc in zip(good_idx, encoded):
+                payloads[i] = enc
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
 
-    return df.mapInPandas(_trans, schema)
+    return df.select("doc_id", payload_col).mapInPandas(_trans, schema)
 
 
 def transcode_audio_flac(
@@ -2639,7 +2971,7 @@ def transcode_audio_flac(
                     out.append((doc_id, None))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(_trans, schema)
+    return df.select("doc_id", payload_col).mapInPandas(_trans, schema)
 
 
 def transcode_audio_float(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
@@ -2674,7 +3006,7 @@ def transcode_audio_float(df: DataFrame, *, payload_col: str = "payload") -> Dat
                     out.append((doc_id, None))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(_trans, schema)
+    return df.select("doc_id", payload_col).mapInPandas(_trans, schema)
 
 
 # Spectral VAD: single-pass DFT band energy, INTEGER arithmetic end to
@@ -2790,7 +3122,7 @@ def spectral_vad_frames(df: DataFrame, *, payload_col: str = "payload") -> DataF
                 }
             )
 
-    return df.mapInPandas(_frames, SPECTRAL_VAD_SCHEMA)
+    return df.select("doc_id", payload_col).mapInPandas(_frames, SPECTRAL_VAD_SCHEMA)
 
 
 VAD_SCHEMA = T.StructType(
@@ -2878,4 +3210,4 @@ def vad_segments(
                 }
             )
 
-    return df.mapInPandas(_segs, VAD_SCHEMA)
+    return df.select("doc_id", payload_col).mapInPandas(_segs, VAD_SCHEMA)

@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
 from ibc_spark.ext import dedup, multimodal, similarity, text  # noqa: F401
-from ibc_spark.io_.sources import read_table  # noqa: F401
+from ibc_spark.io_.sources import read_table
+from ibc_spark.ext.dedup import widen_for_arrow_chain, widen_for_compute  # noqa: F401
 from ibc_spark.registry_core import query  # noqa: F401
 from ibc_spark.registry_ext_base import (  # noqa: F401
     _AUG_SQL,
@@ -51,7 +52,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     small integers stored as floats; the query surface serializes them to
     a CSV of ints so the driver's scalar-only canonicalizer can hash them
     (the array form stays available via :func:`multimodal.extract_features`)."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     feats = multimodal.extract_features(multimodal.attach_binary(d))
     return feats.select(
         "doc_id",
@@ -79,7 +86,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: 1:N mapInPandas fan-out of evenly-spaced byte
     windows per media payload (the keyframe-extraction shape; codec seam
     stubbed, offsets + bytes hash-checked via hex)."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     frames = multimodal.sample_frames(
         multimodal.attach_binary(d), n_frames=3, frame_size=8
     )
@@ -520,7 +533,12 @@ def _image_roundtrip(spark: SparkSession, sf_dir: str, encoder) -> DataFrame:
 
     from ibc_spark.ext.multimodal import decode_image
 
-    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # r15: widen the one-split embeddings scan to CPU width for the
+    # per-row codec kernel (no-op at 100 TB), same posture as the JPEG
+    # attestation entries
+    e = widen_for_compute(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     schema = (
         "vec_id long, width int, height int, "
         "mean_r double, mean_g double, mean_b double"
@@ -953,7 +971,13 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Entropy-coded audio (MP3/FLAC/OGG) stays the documented seam
     (``ext/multimodal.py::decode_audio``). Narrow mapInPandas ×2, no
     shuffle until the driver's canonical sort."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return _audio_feature_pipeline(d)
 
 
@@ -1026,7 +1050,13 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining audio-DSP seam is rational-rate (L/M polyphase) resampling;
     integer-factor decimation is the production-common case (48k→16k,
     16k→8k)."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     resampled = multimodal.resample_audio(multimodal.attach_audio(d), factor=4)
     return multimodal.audio_features(resampled)
 
@@ -1099,7 +1129,13 @@ def multimodal_audio_resample_rational(spark: SparkSession, sf_dir: str) -> Data
     re-encoded 12 kHz WAV are hash-checked, proving codec round-trip,
     zero-stuff indexing, filter arithmetic, and output-length ``ceil``
     semantics together. Narrow mapInPandas ×3, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     resampled = multimodal.resample_audio_rational(
         multimodal.attach_audio(d), up=3, down=4
     )
@@ -1158,7 +1194,13 @@ def multimodal_audio_vad_spectral(spark: SparkSession, sf_dir: str) -> DataFrame
     remaining seam is the model-based layer (mel filterbank + learned
     classifier); the frame/band plumbing below it is real. Narrow
     mapInPandas ×2, 1:N frame fan-out, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.spectral_vad_frames(multimodal.attach_audio(d))
 
 
@@ -1250,7 +1292,13 @@ def multimodal_audio_stereo_resample(spark: SparkSession, sf_dir: str) -> DataFr
     filter never reads across an L/R boundary, frames decimate as units,
     and the stereo container round-trips. Narrow mapInPandas ×3, no
     shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     resampled = multimodal.resample_audio(
         multimodal.attach_audio(d, channels=2), factor=4
     )
@@ -1295,7 +1343,13 @@ def multimodal_audio_stereo_resample_rational(
     channel-aware feature reduction proves the stereo container
     round-trips at the non-integral rate change too. Narrow mapInPandas
     ×3, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     resampled = multimodal.resample_audio_rational(
         multimodal.attach_audio(d, channels=2), up=3, down=4
     )
@@ -1341,7 +1395,13 @@ def multimodal_audio_stereo_vad_spectral(
     decisions differ too: a kernel that framed the interleaved stream (or
     scored only channel 0 twice) hash-mismatches. Narrow mapInPandas ×2,
     1:N fan-out per channel, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.spectral_vad_frames(multimodal.attach_audio(d, channels=2))
 
 
@@ -1356,7 +1416,13 @@ def multimodal_audio_float_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain int16 entry's — the shared oracle hash-proves the entire
     float codec path (header fields, 4-byte frames, quantizer) against
     the same declarative spec. Narrow mapInPandas ×3, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.audio_features(
         multimodal.transcode_audio_float(multimodal.attach_audio(d))
     )
@@ -1372,7 +1438,13 @@ def multimodal_audio_pcm24(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hash-proves the 24-bit container path (3-byte frame packing,
     sign extension, block alignment) exactly like the float-PCM twin.
     Narrow mapInPandas ×3, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.audio_features(
         multimodal.transcode_audio_pcm(multimodal.attach_audio(d), bits=24)
     )
@@ -1390,7 +1462,13 @@ def multimodal_audio_pcm8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bias, 1-byte frames) — the lossy quantizer itself is pinned by
     hypothesis over arbitrary waveforms in pytest. Narrow mapInPandas
     ×3, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.audio_features(
         multimodal.transcode_audio_pcm(multimodal.attach_audio(d), bits=8)
     )
@@ -1483,7 +1561,13 @@ def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature reduction are hash-checked against DuckDB. MP3/FLAC remain
     the documented entropy-coding seam. Narrow mapInPandas ×3, no
     shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.audio_features(
         multimodal.transcode_audio_adpcm(multimodal.attach_audio(d))
     )
@@ -1531,7 +1615,12 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatch; fps attests the avih frame-interval field. DCT-coded
     video (H.264/VP9) stays the documented entropy seam, same as
     JPEG/MP3. Narrow mapInPandas ×2, 1:N frame fan-out, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # CPU width for the per-row codec kernels (no-op at 100 TB), and
+    # project to the two columns the kernels read before the shuffle
+    d = widen_for_compute(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.video_frame_features(multimodal.attach_video(d))
 
 
@@ -1572,7 +1661,12 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (doc, y, x, c) — a decoder misaligning frames by one
     hash-mismatches every row. Narrow mapInPandas ×2, 1:N transition
     fan-out, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # CPU width for the per-row codec kernels (no-op at 100 TB), and
+    # project to the two columns the kernels read before the shuffle
+    d = widen_for_compute(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.scene_cut_frames(multimodal.attach_video(d))
 
 
@@ -1617,7 +1711,12 @@ def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the signature with map-side combine — at 100 TB the same
     plan, signatures being 16 bytes/frame. The oracle re-derives every
     frame from the text and replays the two-level aggregation."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # CPU width for the per-row codec kernels (no-op at 100 TB), and
+    # project to the two columns the kernels read before the shuffle
+    d = widen_for_compute(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     feats = multimodal.video_frame_features(multimodal.attach_video(d))
     # Exclude errors-as-data NULL rows BEFORE the signature groupBy
     # (ADVICE r13): two undecodable payloads would otherwise form a
@@ -1721,7 +1820,13 @@ def multimodal_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar SQL expression per sample — every byte of the companded
     container (fmt code 7, fact chunk, 1-byte frames) is hash-checked.
     Narrow mapInPandas ×3, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.audio_features(
         multimodal.transcode_audio_g711(multimodal.attach_audio(d), law="mulaw")
     )
@@ -1739,7 +1844,13 @@ def multimodal_audio_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry; together they close every fixed-table WAVE format — the
     remaining audio seam is true entropy coding (MP3-in-WAV). Narrow
     mapInPandas ×3, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.audio_features(
         multimodal.transcode_audio_g711(multimodal.attach_audio(d), law="alaw")
     )
@@ -1792,7 +1903,13 @@ def multimodal_audio_stereo_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame
     with (doc, channel) as the recursion key, feeding the shared
     channel-aware stereo feature reduction (zero-crossings never counted
     across L/R). Narrow mapInPandas ×3, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.audio_features(
         multimodal.transcode_audio_adpcm(multimodal.attach_audio(d, channels=2))
     )
@@ -1835,7 +1952,13 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     aware since r12 (explicit channel column, 0 on this mono corpus).
     Narrow mapInPandas ×2, no shuffle; the spectral/model VAD a speech
     stack adds is the documented seam."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.vad_segments(multimodal.attach_audio(d))
 
 
@@ -1872,7 +1995,13 @@ def multimodal_audio_stereo_vad_segments(
     so its runs differ: a kernel that thresholded the interleaved stream
     would merge/split segments across L/R and hash-mismatch. Narrow
     mapInPandas ×2, 1:N fan-out, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+    # r15: the documents scan is one split at bench scale — widen to
+    # quarter CPU width for the 3-stage Arrow chain (A/B-measured; see
+    # widen_for_arrow_chain) and project to the two columns the kernels
+    # read before the shuffle; no-op at 100 TB
+    d = widen_for_arrow_chain(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return multimodal.vad_segments(multimodal.attach_audio(d, channels=2))
 
 
@@ -2342,7 +2471,13 @@ def streaming_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibc_spark.registry_extras import _run_stream_to_memory
     from ibc_spark.streaming.sources import read_documents_stream
 
-    docs = read_documents_stream(spark, sf_dir)
+    # r15: the single-file micro-batch arrives as ONE partition, so the
+    # whole codec loop ran on one core. A stateless repartition before
+    # the Arrow stages moves only (doc_id, text); quarter width A/B-won
+    # over full width (1.54 s vs 2.92 s, 5-run median — same per-task
+    # Arrow-boundary economics as widen_for_arrow_chain).
+    docs = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(max(2, spark.sparkContext.defaultParallelism // 4))
     feats = multimodal.audio_features(
         multimodal.transcode_audio_flac(multimodal.attach_audio(docs))
     )
