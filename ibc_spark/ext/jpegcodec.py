@@ -213,18 +213,30 @@ def _huff_encode_table_cached(spec_bytes: bytes) -> dict[int, tuple[int, int]]:
     return table
 
 
-def _huff_decode_table(spec) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol — the decoder-direction twin (same cache)."""
+def _huff_decode_table(spec):
+    """Decoder-direction table (same cache): ``(dict, len16, sym16)``
+    where dict maps (length, code) → symbol (the prefix-walk fallback)
+    and len16/sym16 are the flat 16-bit-peek LUT (r15: one list lookup
+    per symbol instead of a per-bit dict walk — Huffman decode owned a
+    third of the MJPEG decode kernel)."""
     bits, vals = spec
     return _huff_decode_table_cached(bytes(bits) + bytes(vals))
 
 
 @functools.lru_cache(maxsize=64)
-def _huff_decode_table_cached(spec_bytes: bytes) -> dict[tuple[int, int], int]:
-    return {
+def _huff_decode_table_cached(spec_bytes: bytes):
+    d = {
         (ln, code): sym
         for sym, (code, ln) in _huff_encode_table_cached(spec_bytes).items()
     }
+    len16 = [0] * 65536
+    sym16 = [0] * 65536
+    for (ln, code), sym in d.items():
+        base = code << (16 - ln)
+        for i in range(base, base + (1 << (16 - ln))):
+            len16[i] = ln
+            sym16[i] = sym
+    return d, len16, sym16
 
 
 def _category(v: int) -> int:
@@ -370,25 +382,9 @@ def _subsample_420(plane):
     return ((s + 2) >> 2).astype(np.int32)
 
 
-def _fdct_quant(plane, qtbl_raster):
-    """Split a (H,W) int plane (H,W multiples of 8) into 8×8 blocks in
-    raster order, forward-DCT (float64), quantize floor(F/Q + 0.5) →
-    (n_v, n_h, 64) int32 zig-zag coefficient array."""
+def _encode_block(bw: _BitWriter, zz, pred: int, dc_tbl, ac_tbl) -> int:
     import numpy as np
 
-    a = _dct_matrix()
-    h, w = plane.shape
-    blocks = (
-        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
-        - 128.0
-    )
-    f = a[None, None] @ blocks @ a.T[None, None]
-    q = np.asarray(qtbl_raster, dtype=np.float64).reshape(8, 8)
-    coeff = np.floor(f / q + 0.5).astype(np.int32)
-    return coeff.reshape(h // 8, w // 8, 64)[:, :, ZIGZAG]
-
-
-def _encode_block(bw: _BitWriter, zz, pred: int, dc_tbl, ac_tbl) -> int:
     dc = int(zz[0])
     diff = dc - pred
     s = _category(diff)
@@ -396,14 +392,13 @@ def _encode_block(bw: _BitWriter, zz, pred: int, dc_tbl, ac_tbl) -> int:
     bw.write(code, ln)
     if s:
         bw.write(_mag_bits(diff, s), s)
-    nz = [k for k in range(1, 64) if zz[k]]
-    last = nz[-1] if nz else 0
-    run = 0
-    for k in range(1, last + 1):
+    # nonzero AC positions via one vector op; runs are the index gaps
+    # (bit-identical stream to the per-k scan it replaces — r15)
+    nzk = np.flatnonzero(zz[1:]) + 1
+    prev = 0
+    for k in nzk:
         v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+        run = int(k) - prev - 1
         while run >= 16:
             code, ln = ac_tbl[0xF0]  # ZRL
             bw.write(code, ln)
@@ -412,8 +407,8 @@ def _encode_block(bw: _BitWriter, zz, pred: int, dc_tbl, ac_tbl) -> int:
         code, ln = ac_tbl[(run << 4) | s]
         bw.write(code, ln)
         bw.write(_mag_bits(v, s), s)
-        run = 0
-    if last < 63:
+        prev = int(k)
+    if prev < 63:
         code, ln = ac_tbl[0x00]  # EOB
         bw.write(code, ln)
     return dc
@@ -465,13 +460,63 @@ def _encode_prep(arr, quality, quant_luma, quant_chroma, subsampling):
             cr = _pad_edge(cr, 8, 8)
             samplings = [(1, 1), (1, 1), (1, 1)]
         comps = [(y, ql, *samplings[0]), (cb, qc, *samplings[1]), (cr, qc, *samplings[2])]
-    coeffs = [_fdct_quant(p, q) for p, q, _hi, _vi in comps]
+    coeffs = _fdct_quant_multi(comps)
     return gray, h, w, comps, coeffs, ql, qc
+
+
+def _fdct_quant_multi(comps):
+    """Split every component's (H,W) int plane (multiples of 8) into 8×8
+    raster-order blocks, forward-DCT (float64), quantize floor(F/Q+0.5)
+    → per-component (n_v, n_h, 64) int32 zig-zag coefficient arrays.
+    All components go through ONE batched matmul chain (r15: per-frame
+    numpy-call overhead owned the tiny-image encode; batch dims do not
+    change per-block arithmetic, so the bytes are unchanged)."""
+    import numpy as np
+
+    a = _dct_matrix()
+    stacks, qs, shapes = [], [], []
+    for p, q, _hi, _vi in comps:
+        h, w = p.shape
+        blocks = p.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        stacks.append(blocks)
+        qs.append(
+            np.broadcast_to(
+                np.asarray(q, dtype=np.float64).reshape(8, 8),
+                (blocks.shape[0], 8, 8),
+            )
+        )
+        shapes.append((h // 8, w // 8))
+    allb = np.concatenate(stacks).astype(np.float64) - 128.0
+    f = a @ allb @ a.T
+    coeff = np.floor(f / np.concatenate(qs) + 0.5).astype(np.int32)
+    out, o = [], 0
+    for nv, nh in shapes:
+        n = nv * nh
+        out.append(coeff[o : o + n].reshape(n, 64)[:, ZIGZAG].reshape(nv, nh, 64))
+        o += n
+    return out
 
 
 def _encode_headers(out: bytearray, gray: bool, h: int, w: int, comps, ql, qc, sof_marker: int) -> None:
     """SOI through DHT (shared by the baseline and progressive writers;
-    ``sof_marker`` is 0xC0 or 0xC2)."""
+    ``sof_marker`` is 0xC0 or 0xC2). Cached on the value key — a video
+    corpus writes the identical header bytes for every frame (r15)."""
+    out += _encode_headers_cached(
+        gray,
+        h,
+        w,
+        tuple((c[2], c[3]) for c in comps),
+        tuple(ql),
+        tuple(qc),
+        sof_marker,
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _encode_headers_cached(
+    gray: bool, h: int, w: int, samplings, ql, qc, sof_marker: int
+) -> bytes:
+    out = bytearray()
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
     out += _seg(0xDB, bytes([0x00]) + bytes(ql[i] for i in ZIGZAG))
     if not gray:
@@ -479,7 +524,7 @@ def _encode_headers(out: bytearray, gray: bool, h: int, w: int, comps, ql, qc, s
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        hi, vi = (comps[ci][2], comps[ci][3])
+        hi, vi = samplings[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += _seg(sof_marker, sof)
     out += _seg(0xC4, _dht_body(0x00, DC_LUMA_SPEC))
@@ -487,6 +532,7 @@ def _encode_headers(out: bytearray, gray: bool, h: int, w: int, comps, ql, qc, s
     if not gray:
         out += _seg(0xC4, _dht_body(0x01, DC_CHROMA_SPEC))
         out += _seg(0xC4, _dht_body(0x11, AC_CHROMA_SPEC))
+    return bytes(out)
 
 
 def encode_jpeg_baseline(
@@ -509,6 +555,17 @@ def encode_jpeg_baseline(
     )
     ncomp = 1 if gray else 3
 
+    return _assemble_baseline(
+        gray, h, w, comps, coeffs, ql, qc, restart_interval
+    )
+
+
+def _assemble_baseline(
+    gray, h, w, comps, coeffs, ql, qc, restart_interval: int
+) -> bytes:
+    """Headers + entropy-coded scan + EOI for one frame's coefficient
+    stacks (shared by the single and batch writers; bytes unchanged)."""
+    ncomp = 1 if gray else 3
     out = bytearray(b"\xff\xd8")  # SOI
     _encode_headers(out, gray, h, w, comps, ql, qc, 0xC0)
     if restart_interval:
@@ -553,6 +610,108 @@ def encode_jpeg_baseline(
     return bytes(out)
 
 
+def encode_jpeg_baseline_batch(
+    stack,
+    *,
+    quality: int | None = None,
+    quant_luma=None,
+    quant_chroma=None,
+    subsampling: str = "420",
+    restart_interval: int = 0,
+) -> list[bytes]:
+    """Encode an (N, H, W, 3) RGB (or (N, H, W) grayscale) uint8 stack as
+    N independent baseline JFIF streams, each byte-identical to
+    :func:`encode_jpeg_baseline` of the corresponding frame (r15: an
+    MJPEG payload encodes one tiny JPEG per video frame, and the color /
+    pad / subsample / DCT numpy stages batch across frames for free —
+    elementwise ops and batched matmuls do not change per-block
+    arithmetic; only the entropy scan stays per frame)."""
+    import numpy as np
+
+    a = np.asarray(stack, dtype=np.uint8)
+    if a.ndim not in (3, 4) or (a.ndim == 4 and a.shape[3] != 3):
+        raise ValueError("expected (N, H, W, 3) RGB or (N, H, W) grayscale stack")
+    gray = a.ndim == 3
+    if subsampling not in ("420", "444"):
+        raise ValueError("subsampling must be '420' or '444'")
+    n_frames, h, w = a.shape[:3]
+    if n_frames == 0:
+        return []
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if quality is not None:
+        quant_luma, quant_chroma = quality_tables(quality)
+    ql = list(quant_luma) if quant_luma is not None else list(QUANT_LUMA_STD)
+    qc = list(quant_chroma) if quant_chroma is not None else list(QUANT_CHROMA_STD)
+
+    def pad_b(st, mh, mw):
+        ph = (-st.shape[1]) % mh
+        pw = (-st.shape[2]) % mw
+        if ph or pw:
+            st = np.pad(st, ((0, 0), (0, ph), (0, pw)), mode="edge")
+        return st
+
+    if gray:
+        planes = [(pad_b(a.astype(np.int32), 8, 8), ql, 1, 1)]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(a)  # elementwise on the (N,H,W,·) stack
+        if subsampling == "420":
+            y = pad_b(y, 16, 16)
+            cb = pad_b(cb, 16, 16)
+            cr = pad_b(cr, 16, 16)
+            p = cb.astype(np.int64)
+            cb = (
+                (p[:, 0::2, 0::2] + p[:, 0::2, 1::2] + p[:, 1::2, 0::2] + p[:, 1::2, 1::2] + 2) >> 2
+            ).astype(np.int32)
+            p = cr.astype(np.int64)
+            cr = (
+                (p[:, 0::2, 0::2] + p[:, 0::2, 1::2] + p[:, 1::2, 0::2] + p[:, 1::2, 1::2] + 2) >> 2
+            ).astype(np.int32)
+            samplings = [(2, 2), (1, 1), (1, 1)]
+        else:
+            y = pad_b(y, 8, 8)
+            cb = pad_b(cb, 8, 8)
+            cr = pad_b(cr, 8, 8)
+            samplings = [(1, 1), (1, 1), (1, 1)]
+        planes = [
+            (y, ql, *samplings[0]),
+            (cb, qc, *samplings[1]),
+            (cr, qc, *samplings[2]),
+        ]
+
+    # one DCT+quant matmul chain over every block of every frame
+    aM = _dct_matrix()
+    coeffs_per_comp = []
+    for st, q, _hi, _vi in planes:
+        nf, hh, ww = st.shape
+        blocks = (
+            st.reshape(nf, hh // 8, 8, ww // 8, 8)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(-1, 8, 8)
+            .astype(np.float64)
+            - 128.0
+        )
+        f = aM @ blocks @ aM.T
+        qarr = np.asarray(q, dtype=np.float64).reshape(8, 8)
+        coeff = np.floor(f / qarr + 0.5).astype(np.int32)
+        coeffs_per_comp.append(
+            coeff.reshape(nf * (hh // 8) * (ww // 8), 64)[:, ZIGZAG].reshape(
+                nf, hh // 8, ww // 8, 64
+            )
+        )
+
+    comps_meta = [(None, p[1], p[2], p[3]) for p in planes]
+    out = []
+    for fi in range(n_frames):
+        coeffs = [c[fi] for c in coeffs_per_comp]
+        out.append(
+            _assemble_baseline(
+                gray, h, w, comps_meta, coeffs, ql, qc, restart_interval
+            )
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
@@ -560,7 +719,12 @@ def encode_jpeg_baseline(
 
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment: un-stuffs
-    0xFF00, and RSTn resync is explicit via :meth:`sync_restart`."""
+    0xFF00, and RSTn resync is explicit via :meth:`sync_restart`.
+
+    r15: buffered — :meth:`_refill` un-stuffs up to 4 bytes at a time
+    and stops cleanly at markers/end so the per-bit marker checks leave
+    the hot path; the error behavior (truncated vs unexpected-marker,
+    garbage bytes before a restart marker) is reproduced exactly."""
 
     def __init__(self, data: bytes, pos: int):
         self.d = data
@@ -568,34 +732,64 @@ class _BitReader:
         self.acc = 0
         self.n = 0
 
+    def _refill(self) -> None:
+        d = self.d
+        pos = self.pos
+        n = self.n
+        acc = self.acc & ((1 << n) - 1)  # drop consumed high bits
+        lim = len(d)
+        while n < 32 and pos < lim:
+            b = d[pos]
+            if b == 0xFF:
+                if pos + 1 < lim and d[pos + 1] == 0x00:
+                    pos += 2
+                else:
+                    break  # marker (or truncated FF): the starved path reports it
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            n += 8
+        self.pos = pos
+        self.acc = acc
+        self.n = n
+
+    def _starved(self) -> None:
+        """Out of entropy bits: reproduce the unbuffered reader's error."""
+        if self.pos >= len(self.d):
+            raise ValueError("truncated JPEG scan data")
+        nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else None
+        if nxt is None:
+            raise ValueError("truncated JPEG scan data")
+        raise ValueError(f"unexpected marker 0xFF{nxt:02X} inside scan")
+
     def read_bit(self) -> int:
         if self.n == 0:
-            if self.pos >= len(self.d):
-                raise ValueError("truncated JPEG scan data")
-            b = self.d[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.d[self.pos] if self.pos < len(self.d) else None
-                if nxt == 0x00:
-                    self.pos += 1
-                else:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} inside scan" if nxt is not None
-                        else "truncated JPEG scan data"
-                    )
-            self.acc = b
-            self.n = 8
+            self._refill()
+            if self.n == 0:
+                self._starved()
         self.n -= 1
         return (self.acc >> self.n) & 1
 
     def receive(self, s: int) -> int:
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.read_bit()
+        if s == 0:
+            return 0
+        while self.n < s:
+            before = self.n
+            self._refill()
+            if self.n == before:
+                self._starved()
+        self.n -= s
+        v = (self.acc >> self.n) & ((1 << s) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
 
     def sync_restart(self, expected: int) -> None:
+        if self.n >= 8:
+            # whole un-decoded data bytes sit before the expected marker —
+            # the unbuffered reader's marker check fails there too
+            raise ValueError("missing or out-of-order JPEG restart marker")
         self.n = 0  # drop pad bits
+        self.acc = 0
         if self.pos + 1 >= len(self.d):
             raise ValueError("truncated JPEG scan data at restart")
         if self.d[self.pos] != 0xFF or self.d[self.pos + 1] != 0xD0 + (expected & 7):
@@ -604,11 +798,24 @@ class _BitReader:
 
 
 def _huff_decode_symbol(br: _BitReader, table) -> int:
+    d16, len16, sym16 = table
+    if br.n < 16:
+        br._refill()
+    n = br.n
+    if n >= 16:
+        idx = (br.acc >> (n - 16)) & 0xFFFF
+        ln = len16[idx]
+        if ln == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        br.n = n - ln
+        br.acc &= (1 << br.n) - 1
+        return sym16[idx]
+    # near the scan end: prefix-walk bit-by-bit (errors exactly as before)
     code, ln = 0, 0
     while ln < 16:
         code = (code << 1) | br.read_bit()
         ln += 1
-        sym = table.get((ln, code))
+        sym = d16.get((ln, code))
         if sym is not None:
             return sym
     raise ValueError("invalid JPEG Huffman code")
@@ -622,6 +829,83 @@ def decode_jpeg_baseline(payload: bytes):
     (SOF3) and hierarchical frames raise ``NotImplementedError`` — a
     different entropy machine, the same documented seam split as
     compressed-AVI vs DIB."""
+    parsed = _decode_baseline_entropy(payload)
+    if parsed is None:  # SOF2
+        return decode_jpeg_progressive(payload)
+    stacks, order_hv_qt, fh, fw, hmax, vmax = parsed
+    return _reconstruct_planes(stacks, order_hv_qt, fh, fw, hmax, vmax)
+
+
+def decode_jpeg_baseline_batch(payloads):
+    """Decode MANY baseline JFIF streams, returning one array per
+    payload — each bit-identical to :func:`decode_jpeg_baseline` (r15:
+    the dequant/IDCT/upsample/color back half batches across payloads of
+    the same geometry, which is every frame of an MJPEG stream; entropy
+    decode stays per payload, progressive payloads take the single
+    path)."""
+    import numpy as np
+
+    results: list = [None] * len(payloads)
+    groups: dict = {}
+    for i, payload in enumerate(payloads):
+        parsed = _decode_baseline_entropy(payload)
+        if parsed is None:
+            results[i] = decode_jpeg_progressive(payload)
+            continue
+        stacks, order_hv_qt, fh, fw, hmax, vmax = parsed
+        key = (
+            fh,
+            fw,
+            hmax,
+            vmax,
+            tuple((hi, vi, tuple(qt)) for hi, vi, qt in order_hv_qt),
+        )
+        groups.setdefault(key, []).append((i, stacks))
+    for (fh, fw, hmax, vmax, comps_key), items in groups.items():
+        if len(items) == 1:
+            i, stacks = items[0]
+            results[i] = _reconstruct_planes(
+                stacks,
+                [(hi, vi, list(qt)) for hi, vi, qt in comps_key],
+                fh, fw, hmax, vmax,
+            )
+            continue
+        n = len(items)
+        planes = []
+        for ci, (hi, vi, qt) in enumerate(comps_key):
+            zz = np.concatenate([st[ci] for _i, st in items], axis=0)
+            nv = items[0][1][ci].shape[0]
+            nh = zz.shape[1]
+            q_zz = _qt_zz_cached(qt)
+            deq_zz = zz.reshape(-1, 64).astype(np.int64) * q_zz
+            raster = np.zeros_like(deq_zz)
+            raster[:, ZIGZAG] = deq_zz
+            px = _idct_int_blocks(raster.reshape(-1, 8, 8))
+            plane = (
+                px.reshape(n, nv, nh, 8, 8)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(n, nv * 8, nh * 8)
+            )
+            plane = plane.repeat(vmax // vi, axis=1).repeat(hmax // hi, axis=2)
+            planes.append(plane[:, :fh, :fw])
+        if len(planes) == 1:
+            imgs = planes[0]
+        elif len(planes) == 3:
+            r, g, b = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+            imgs = np.stack([r, g, b], axis=-1)
+        else:
+            raise NotImplementedError(
+                f"{len(planes)}-component JPEG not supported"
+            )
+        for j, (i, _st) in enumerate(items):
+            results[i] = imgs[j]
+    return results
+
+
+def _decode_baseline_entropy(payload: bytes):
+    """Marker walk + Huffman entropy decode of one baseline stream →
+    ``(stacks, [(hi, vi, qt), ...], fh, fw, hmax, vmax)``; ``None`` for a
+    progressive (SOF2) stream."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -680,7 +964,7 @@ def decode_jpeg_baseline(payload: bytes):
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps)
         elif marker == 0xC2:  # progressive (SOF2) — multi-scan machinery (r14)
-            return decode_jpeg_progressive(payload)
+            return None  # caller routes to decode_jpeg_progressive
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "lossless/arithmetic/hierarchical JPEG not supported; "
@@ -762,9 +1046,23 @@ def decode_jpeg_baseline(payload: bytes):
                             k += 1
             mcu_i += 1
 
-    return _reconstruct_planes(
-        stacks, [(hi, vi, qt) for hi, vi, qt, _d, _a in order], fh, fw, hmax, vmax
+    return (
+        stacks,
+        [(hi, vi, qt) for hi, vi, qt, _d, _a in order],
+        fh,
+        fw,
+        hmax,
+        vmax,
     )
+
+
+@functools.lru_cache(maxsize=64)
+def _qt_zz_cached(qt_raster: tuple):
+    """Quantization table reordered to zig-zag, cached per table value
+    (rebuilt per frame before r15 — 64-iteration Python loop)."""
+    import numpy as np
+
+    return np.asarray([qt_raster[ZIGZAG[k]] for k in range(64)], dtype=np.int64)
 
 
 def _reconstruct_planes(stacks, comps_hv_qt, fh, fw, hmax, vmax):
@@ -778,7 +1076,7 @@ def _reconstruct_planes(stacks, comps_hv_qt, fh, fw, hmax, vmax):
     for ci, (hi, vi, qt) in enumerate(comps_hv_qt):
         zz = stacks[ci]
         nv, nh = zz.shape[:2]
-        q_zz = np.asarray([qt[ZIGZAG[k]] for k in range(64)], dtype=np.int64)
+        q_zz = _qt_zz_cached(tuple(qt))
         deq_zz = zz.reshape(-1, 64).astype(np.int64) * q_zz
         raster = np.zeros_like(deq_zz)
         raster[:, ZIGZAG] = deq_zz

@@ -654,7 +654,7 @@ def encode_avi_mjpeg(
 
     import numpy as np
 
-    from ibc_spark.ext.jpegcodec import encode_jpeg_baseline
+    from ibc_spark.ext.jpegcodec import encode_jpeg_baseline_batch
 
     a = np.asarray(frames, dtype=np.uint8)
     if a.ndim != 4 or a.shape[3] != 3:
@@ -662,13 +662,13 @@ def encode_avi_mjpeg(
     if fps < 1:
         raise ValueError("fps must be >= 1")
     n, h, w = a.shape[:3]
-    encoded = [
-        encode_jpeg_baseline(
-            a[i], quality=quality, quant_luma=quant_luma,
-            quant_chroma=quant_chroma, subsampling=subsampling,
-        )
-        for i in range(n)
-    ]
+    # r15: frame-batched writer (shared color/pad/subsample/DCT matmuls
+    # across frames; per-frame streams byte-identical to
+    # encode_jpeg_baseline)
+    encoded = encode_jpeg_baseline_batch(
+        a, quality=quality, quant_luma=quant_luma,
+        quant_chroma=quant_chroma, subsampling=subsampling,
+    )
     bufsize = max((len(e) for e in encoded), default=0)
     avih = struct.pack(
         "<IIIIIIIIII4I",
@@ -781,10 +781,11 @@ def decode_avi(payload: bytes):
         raise ValueError("AVI frame interval must be positive")
     out = np.zeros((len(frames_raw), h, w, 3), dtype=np.uint8)
     if mjpeg:
-        from ibc_spark.ext.jpegcodec import decode_jpeg_baseline
+        from ibc_spark.ext.jpegcodec import decode_jpeg_baseline_batch
 
-        for i, raw in enumerate(frames_raw):
-            img = decode_jpeg_baseline(raw)
+        # r15: entropy decode stays per frame; the dequant/IDCT/upsample/
+        # color back half batches across the stream's frames (bit-exact)
+        for i, img in enumerate(decode_jpeg_baseline_batch(frames_raw)):
             if img.ndim == 2:
                 img = np.stack([img, img, img], axis=-1)
             if img.shape[:2] != (h, w):

@@ -2085,7 +2085,6 @@ def _jpeg_mcu_attest(spark: SparkSession, sf_dir: str, encode_fn) -> DataFrame:
     import numpy as np
 
     from ibc_spark.ext.dedup import widen_for_compute
-    from ibc_spark.ext.jpegcodec import decode_jpeg_baseline
 
     e = widen_for_compute(
         read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -2096,20 +2095,29 @@ def _jpeg_mcu_attest(spark: SparkSession, sf_dir: str, encode_fn) -> DataFrame:
     )
 
     def _jpeg(batches):
+        from ibc_spark.ext.jpegcodec import decode_jpeg_baseline_batch
+
         ones = [1] * 64
         for pdf in batches:
             out = []
-            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
+            all_colors = []
+            payloads = []
+            for emb in pdf["embedding"]:
                 vals = np.asarray(emb[:48], dtype=np.float64)
                 colors = (
                     np.floor(np.clip(vals, -1.0, 1.0) * 127.0 + 128.0)
                     .astype(np.uint8)
                     .reshape(4, 4, 3)
                 )
+                all_colors.append(colors)
                 img = np.repeat(np.repeat(colors, 16, axis=0), 16, axis=1)
-                dec = decode_jpeg_baseline(
+                payloads.append(
                     encode_fn(img, quant_luma=ones, quant_chroma=ones, subsampling="420")
                 )
+            # r15: batch the decode back half across the Arrow batch's rows
+            # (bit-identical to per-row decode_jpeg_baseline)
+            decs = decode_jpeg_baseline_batch(payloads)
+            for vec_id, colors, dec in zip(pdf["vec_id"], all_colors, decs):
                 for i in range(4):
                     for j in range(4):
                         mcu = dec[i * 16 : (i + 1) * 16, j * 16 : (j + 1) * 16]
