@@ -199,6 +199,7 @@ def main() -> None:
     slow_runs = max(runs, int(os.environ.get("BENCH_SLOW_RUNS", "5")))
     timings: dict[str, float] = {}
     run_counts: dict[str, int] = {}
+    entry_load: dict[str, float] = {}  # 1-min load when the entry was timed
     t_all = time.perf_counter()
 
     for qi, name in enumerate(names):
@@ -209,6 +210,7 @@ def main() -> None:
         try:
             samples = _time_entry(spark, name, sf_dir, runs, slow_threshold, slow_runs)
             run_counts[name] = len(samples)
+            entry_load[name] = round(os.getloadavg()[0], 2)
             timings[name] = round(samples[len(samples) // 2], 4)
             delta = ""
             if name in previous and previous[name] > 0:
@@ -234,7 +236,65 @@ def main() -> None:
     # the splice instead of needing a hand-written adjudication note.
     rerun_trigger = float(os.environ.get("BENCH_RERUN_ANCHOR", "1.15"))
     rerun_ratio = float(os.environ.get("BENCH_RERUN_RATIO", "2.0"))
+    # proportional arm (VERDICT r14 #4): after the >2x outlier splice, a
+    # still-inflated anchor means UNIFORM ambient load, which the outlier
+    # trigger can't see. Re-run the inflated comparable entries (ratio vs
+    # the prior round above this softer bound), largest excess first.
+    prop_ratio = float(os.environ.get("BENCH_RERUN_PROP_RATIO", "1.15"))
+    prop_max = int(os.environ.get("BENCH_RERUN_PROP_MAX", "60"))
     reruns: dict[str, dict] = {}
+
+    def _splice(suspects: list[str], label: str) -> None:
+        nonlocal spark
+        print(
+            f"BENCH anchor_ratio {anchor_now()} > {rerun_trigger}: "
+            f"re-running {len(suspects)} {label} entries",
+            file=sys.stderr,
+        )
+        spark.stop()
+        spark = get_spark("ibc_spark_bench")
+        read_table(spark, sf_dir, "nation").count()
+        for ri, name in enumerate(suspects):
+            if ri and ri % restart_every == 0:
+                spark.stop()
+                spark = get_spark("ibc_spark_bench")
+                read_table(spark, sf_dir, "nation").count()
+            try:
+                samples = _time_entry(
+                    spark, name, sf_dir, runs, slow_threshold, slow_runs
+                )
+                new_med = round(samples[len(samples) // 2], 4)
+            except Exception as exc:  # keep the first-pass number
+                print(f"BENCH RERUN ERROR {name}: {exc}", file=sys.stderr)
+                continue
+            rerun_load = round(os.getloadavg()[0], 2)
+            first_load = entry_load.get(name)
+            # ADVICE r14: min() could only lower numbers, never correct an
+            # anomalously LOW first pass — prefer the re-timed value when
+            # it ran under load no worse than the first pass, else fall
+            # back to the min (both numbers stay in the record).
+            if first_load is None or rerun_load <= first_load:
+                kept = new_med
+            else:
+                kept = min(timings[name], new_med)
+            reruns[name] = {
+                "first_pass": timings[name],
+                "first_load": first_load,
+                "rerun": new_med,
+                "rerun_load": rerun_load,
+                "kept": kept,
+            }
+            print(
+                f"BENCH RERUN {name}: {timings[name]:.2f}s -> {new_med:.2f}s "
+                f"(kept {kept:.2f}s; load {first_load}->{rerun_load})",
+                file=sys.stderr,
+            )
+            timings[name] = kept
+            run_counts[name] = run_counts.get(name, 0) + len(samples)
+
+    def anchor_now():
+        return _anchor_block(timings, previous)["anchor_ratio"]
+
     if anchor["anchor_ratio"] is not None and anchor["anchor_ratio"] > rerun_trigger:
         suspects = sorted(
             k
@@ -242,41 +302,24 @@ def main() -> None:
             if v > 0 and previous.get(k, 0) > 0.05 and v / previous[k] > rerun_ratio
         )
         if suspects:
-            print(
-                f"BENCH anchor_ratio {anchor['anchor_ratio']} > {rerun_trigger}: "
-                f"re-running {len(suspects)} contended entries",
-                file=sys.stderr,
-            )
-            spark.stop()
-            spark = get_spark("ibc_spark_bench")
-            read_table(spark, sf_dir, "nation").count()
-            for ri, name in enumerate(suspects):
-                if ri and ri % restart_every == 0:
-                    spark.stop()
-                    spark = get_spark("ibc_spark_bench")
-                    read_table(spark, sf_dir, "nation").count()
-                try:
-                    samples = _time_entry(
-                        spark, name, sf_dir, runs, slow_threshold, slow_runs
-                    )
-                    new_med = round(samples[len(samples) // 2], 4)
-                except Exception as exc:  # keep the first-pass number
-                    print(f"BENCH RERUN ERROR {name}: {exc}", file=sys.stderr)
-                    continue
-                kept = min(timings[name], new_med)
-                reruns[name] = {
-                    "first_pass": timings[name],
-                    "rerun": new_med,
-                    "kept": kept,
-                }
-                print(
-                    f"BENCH RERUN {name}: {timings[name]:.2f}s -> {new_med:.2f}s "
-                    f"(kept {kept:.2f}s)",
-                    file=sys.stderr,
-                )
-                timings[name] = kept
-                run_counts[name] = run_counts.get(name, 0) + len(samples)
+            _splice(suspects, "contended (>2x outlier)")
             anchor = _anchor_block(timings, previous)
+        # second, proportional arm: still inflated → re-time the largest
+        # inflated contributors once, oldest-trigger semantics unchanged
+        if anchor["anchor_ratio"] is not None and anchor["anchor_ratio"] > rerun_trigger:
+            inflated = [
+                (timings[k] - previous[k], k)
+                for k, v in timings.items()
+                if v > 0
+                and previous.get(k, 0) > 0.05
+                and k not in reruns
+                and v / previous[k] > prop_ratio
+            ]
+            inflated.sort(reverse=True)
+            suspects = [k for _excess, k in inflated[:prop_max]]
+            if suspects:
+                _splice(suspects, "ambient-inflated (proportional arm)")
+                anchor = _anchor_block(timings, previous)
 
     total = round(time.perf_counter() - t_all, 4)
     # Host load (1/5/15-min averages) stamped into both JSON lines so

@@ -234,7 +234,8 @@ def decode_gif(payload: bytes):
     """Decode a GIF87a/89a stream → ``(delays_cs, (N, H, W, 3) uint8 RGB
     frame stack)`` of COMPOSITED full-canvas frames: sub-rect images
     draw onto the running canvas, transparent pixels keep what is under
-    them, disposal 2 restores the background after the frame, GIF
+    them, disposal 2 restores the background after the frame, disposal 3
+    restores the pre-frame canvas (r15), GIF
     4-pass row interlacing is de-interleaved, local color tables
     override the global one. Other extensions are skipped."""
     import numpy as np
@@ -315,6 +316,10 @@ def decode_gif(payload: bytes):
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("GIF palette index out of range")
         region = canvas[top : top + ih, left : left + iw]
+        # disposal 3 = restore-to-previous: snapshot the pre-frame region
+        # so the next frame composites onto what was there BEFORE this
+        # one (ADVICE r14 — was silently treated as 'none')
+        prev_region = region.copy() if disposal == 3 else None
         rgb = pal[idx]
         if transparent is not None:
             mask = idx != transparent
@@ -325,6 +330,8 @@ def decode_gif(payload: bytes):
         delays.append(delay)
         if disposal == 2 and gct is not None and bg < len(gct):
             canvas[top : top + ih, left : left + iw] = gct[bg]
+        elif disposal == 3 and prev_region is not None:
+            canvas[top : top + ih, left : left + iw] = prev_region
         transparent = None
         disposal = 0
         delay = 0

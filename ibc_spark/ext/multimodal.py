@@ -265,15 +265,26 @@ def _decode_tga(payload: bytes):
     else:  # RLE packets
         out = bytearray()
         while len(out) < npx * nb:
+            if pos >= len(payload):
+                # truncated payload: past the end every slice below is
+                # empty and `out` stops growing — error out instead of
+                # spinning forever (ADVICE r14)
+                raise ValueError("truncated TGA RLE stream")
             n = payload[pos]
             pos += 1
             if n & 0x80:  # run
                 cnt = (n & 0x7F) + 1
-                out += payload[pos : pos + nb] * cnt
+                pix = payload[pos : pos + nb]
+                if len(pix) < nb:
+                    raise ValueError("truncated TGA RLE stream")
+                out += pix * cnt
                 pos += nb
             else:  # literal
                 cnt = (n + 1) * nb
-                out += payload[pos : pos + cnt]
+                lit = payload[pos : pos + cnt]
+                if len(lit) < cnt:
+                    raise ValueError("truncated TGA RLE stream")
+                out += lit
                 pos += cnt
         if len(out) != npx * nb:
             raise ValueError("TGA RLE overruns the pixel count")
@@ -728,6 +739,7 @@ def decode_avi(payload: bytes):
             pos += 8 + ln + (ln & 1)
 
     avih = strh = strf = strf_extra = None
+    strf_clr_used = 0
     frames_raw: list[bytes] = []
     for cc, off, ln in walk(payload, 12, len(payload)):
         if cc != b"LIST":
@@ -743,6 +755,11 @@ def decode_avi(payload: bytes):
                             strh = struct.unpack_from("<4s4s", payload, o3)
                         elif c3 == b"strf":
                             strf = struct.unpack_from("<IiiHHI", payload, o3)
+                            strf_clr_used = (
+                                struct.unpack_from("<I", payload, o3 + 32)[0]
+                                if l3 >= 36
+                                else 0
+                            )
                             strf_extra = payload[o3 + 40 : o3 + l3]
         elif kind == b"movi":
             for c2, o2, l2 in walk(payload, off + 4, off + ln):
@@ -793,9 +810,16 @@ def decode_avi(payload: bytes):
             out[i] = img
         return 1_000_000 // usec, out
     if rle8:
-        if strf_extra is None or len(strf_extra) < 1024:
-            raise ValueError("RLE8 AVI without a 256-entry palette in strf")
-        quads = np.frombuffer(strf_extra, np.uint8, count=1024).reshape(256, 4)
+        # biClrUsed < 256 is conformant: accept clr_used*4 palette bytes
+        # and zero-pad to 256 entries, like _decode_bmp's sibling path
+        # (ADVICE r14); biClrUsed == 0 means the full 256-entry table
+        n_pal = strf_clr_used if 0 < strf_clr_used <= 256 else 256
+        if strf_extra is None or len(strf_extra) < n_pal * 4:
+            raise ValueError("RLE8 AVI without its strf palette")
+        quads = np.zeros((256, 4), dtype=np.uint8)
+        quads[:n_pal] = np.frombuffer(
+            strf_extra, np.uint8, count=n_pal * 4
+        ).reshape(n_pal, 4)
         pal = quads[:, [2, 1, 0]].copy()  # BGR0 -> RGB
         for i, raw in enumerate(frames_raw):
             idx = _rle8_decode_plane(raw, h, w)[::-1]  # bottom-up -> image rows

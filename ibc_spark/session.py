@@ -62,6 +62,11 @@ def get_spark(
             ),
         )
     )
+    # A/B hook: SPARK_GRAFT_EXTRA_CONF="k1=v1,k2=v2" (bench experiments)
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(","):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -2058,3 +2058,21 @@ def test_tga_gray_topdown_and_ico_container():
     payload = encode_tga(img2, rle=False)
     assert payload[:4] == b"\x00\x00\x02\x00"  # would look like CUR
     assert np.array_equal(decode_image(payload), img2)
+
+
+def test_tga_rle_truncated_payload_errors_instead_of_hanging():
+    """A truncated TGA RLE stream must raise, not spin: past the payload
+    end the packet slices are empty and the output stops growing
+    (ADVICE r14)."""
+    import numpy as np
+    import pytest
+
+    from ibc_spark.ext.multimodal import _decode_tga, encode_tga
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    payload = encode_tga(img, rle=True)
+    with pytest.raises(ValueError, match="truncated TGA RLE"):
+        _decode_tga(payload[: len(payload) // 2])
+    # a run packet whose pixel bytes are cut off errors too
+    with pytest.raises(ValueError, match="truncated TGA RLE"):
+        _decode_tga(payload[:19])

@@ -124,3 +124,33 @@ def test_gif_errors_and_decode_image_route():
     fr = np.arange(16, dtype=np.uint8).reshape(1, 4, 4)
     img = decode_image(encode_gif(fr, pal))
     assert np.array_equal(img, pal[fr[0]])
+
+
+def test_gif_disposal_restore_to_previous():
+    """Disposal method 3 restores the pre-frame canvas: a frame drawn
+    with disposal 3 must NOT leak into the composition of the next frame
+    (ADVICE r14 — it was silently treated as disposal 'none')."""
+    pal = default_rle_palette()
+    fr0 = np.full((4, 4), 5, np.uint8)
+    base = encode_gif(fr0[None, :, :], pal)
+
+    # append a hand-built frame: GCE with disposal 3, full-frame image of
+    # index 9, then a third frame of transparent pixels (keeps canvas)
+    body = bytearray()
+    body += bytes([0x21, 0xF9, 4, (3 << 2) | 0x00]) + struct.pack("<H", 4) + bytes([0, 0])
+    body += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 4, 4) + bytes([0x00])
+    enc = lzw_encode(np.full(16, 9, np.uint8), 8)
+    body += bytes([8, len(enc)]) + enc + bytes([0])
+    # frame 3: transparent overwrite (index 7 transparent, all-7 frame)
+    body += bytes([0x21, 0xF9, 4, 0x01]) + struct.pack("<H", 4) + bytes([7, 0])
+    body += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 4, 4) + bytes([0x00])
+    enc2 = lzw_encode(np.full(16, 7, np.uint8), 8)
+    body += bytes([8, len(enc2)]) + enc2 + bytes([0])
+    payload = base[:-1] + bytes(body) + b"\x3b"
+
+    _d, frames = decode_gif(payload)
+    assert frames.shape[0] == 3
+    assert np.array_equal(frames[1], np.broadcast_to(pal[9], (4, 4, 3)))
+    # disposal 3 restored frame 0's canvas, so the all-transparent frame 3
+    # shows frame 0's pixels, not frame 1's
+    assert np.array_equal(frames[2], pal[fr0])

@@ -395,3 +395,28 @@ def test_mjpeg_avi_dimension_cross_check():
     _s.pack_into("<ii", payload, spos + 4, 8, 8)
     with pytest.raises(ValueError, match="dimensions"):
         decode_avi(bytes(payload))
+
+
+def test_rle8_avi_accepts_small_biclrused_palette():
+    """A conformant BI_RLE8 AVI with biClrUsed < 256 carries only
+    clr_used*4 palette bytes; the decoder zero-pads to 256 entries like
+    _decode_bmp's sibling path (ADVICE r14)."""
+    import struct as _s
+
+    pal = default_rle_palette()
+    fr = np.random.default_rng(0).integers(0, 16, size=(2, 4, 8), dtype=np.uint8)
+    payload = bytearray(encode_avi_rle8(fr, pal))
+    want = decode_avi(bytes(payload))[1]
+
+    # shrink the palette to the 16 used entries and set biClrUsed = 16
+    pos = payload.index(b"strf")
+    (ln,) = _s.unpack_from("<I", payload, pos + 4)
+    dropped = (256 - 16) * 4
+    for tag_pos in [0, payload.index(b"hdrl") - 8, payload.index(b"strl") - 8]:
+        (old,) = _s.unpack_from("<I", payload, tag_pos + 4)
+        _s.pack_into("<I", payload, tag_pos + 4, old - dropped)
+    _s.pack_into("<I", payload, pos + 4, ln - dropped)
+    _s.pack_into("<I", payload, pos + 8 + 32, 16)  # biClrUsed
+    del payload[pos + 8 + 40 + 16 * 4 : pos + 8 + ln]
+    fps, got = decode_avi(bytes(payload))
+    assert np.array_equal(got, want)
