@@ -133,31 +133,19 @@ def _last_green_round() -> dict[str, int]:
 # moved because ext/dedup.py gained the widen_for_arrow_chain helper;
 # multimodal_audio_rice_codec / multimodal_image_dedup_ahash whose own
 # kernels are untouched) took the documented ack route instead.
+#
+# Round 16 (optimization round 2): the full r15 force set (24 entries)
+# cleared — all hash-green in CORRECTNESS_r15.json. This round's set:
+# multimodal_audio_rice_codec is the one manifest violation inherited
+# from r15 (VERDICT r15 #1 — its FLAC Rice/bit machinery was rewritten
+# in dd30480 and ext/multimodal.py edited post-ack in 545c2e2 without a
+# slot; the post-round CORRECTNESS_r15 snapshot could not cover it since
+# it wasn't in the window), and r16 vectorizes _rice_decode_scalar on
+# the same path anyway (VERDICT r15 #8) — re-attest under the driver.
+# Entries whose execution path r16's optimization pass changes are added
+# alongside as the round progresses.
 _FORCE_RECHECK: set[str] = {
-    "multimodal_audio_features",
-    "multimodal_audio_resample",
-    "multimodal_audio_stereo_resample",
-    "multimodal_audio_resample_rational",
-    "multimodal_audio_stereo_resample_rational",
-    "multimodal_audio_vad_segments",
-    "multimodal_audio_stereo_vad_segments",
-    "multimodal_audio_vad_spectral",
-    "multimodal_audio_stereo_vad_spectral",
-    "multimodal_audio_pcm8",
-    "multimodal_audio_pcm24",
-    "multimodal_audio_float_pcm",
-    "multimodal_audio_adpcm",
-    "multimodal_audio_stereo_adpcm",
-    "multimodal_audio_mulaw",
-    "multimodal_audio_alaw",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_video_frames",
-    "multimodal_video_scene_cuts",
-    "multimodal_video_frame_dedup",
-    "multimodal_image_roundtrip_stats",
-    "multimodal_image_roundtrip_png",
-    "streaming_audio_features",
+    "multimodal_audio_rice_codec",
 }
 
 
