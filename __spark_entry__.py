@@ -143,9 +143,23 @@ def _last_green_round() -> dict[str, int]:
 # it wasn't in the window), and r16 vectorizes _rice_decode_scalar on
 # the same path anyway (VERDICT r15 #8) — re-attest under the driver.
 # Entries whose execution path r16's optimization pass changes are added
-# alongside as the round progresses.
+# alongside as the round progresses:
+# - the 5 suffix/_sa entries: scan widening, the one-pass persisted
+#   corpus frame, gpos-arithmetic coordinates replacing the positions
+#   join, need_adj elision (rank), wider __pid window exchange;
+# - dedup_minhash_lsh / eval_dedup_metrics: hashed-prefix PPJoin arm with
+#   the positional filter + widened/persisted raw-shingle frame.
+# All verified hash-exact against the DuckDB oracle at sf0.01 locally;
+# per the round-5 lesson a changed hot path re-attests under the driver.
 _FORCE_RECHECK: set[str] = {
     "multimodal_audio_rice_codec",
+    "suffix_array_rank",
+    "suffix_lcp_histogram",
+    "suffix_lrs",
+    "dedup_duplicate_spans_sa",
+    "dedup_spans_rewrite_sa",
+    "dedup_minhash_lsh",
+    "eval_dedup_metrics",
 }
 
 

@@ -269,14 +269,15 @@ def main() -> None:
                 continue
             rerun_load = round(os.getloadavg()[0], 2)
             first_load = entry_load.get(name)
-            # ADVICE r14: min() could only lower numbers, never correct an
-            # anomalously LOW first pass — prefer the re-timed value when
-            # it ran under load no worse than the first pass, else fall
-            # back to the min (both numbers stay in the record).
+            # VERDICT r15 #5: the residual min() arm biased downward when
+            # the rerun was itself contended. Load-gated keep only: trust
+            # the re-timed value iff it ran under load no worse than the
+            # first pass, otherwise keep the first pass unchanged (both
+            # numbers stay in the record either way).
             if first_load is None or rerun_load <= first_load:
                 kept = new_med
             else:
-                kept = min(timings[name], new_med)
+                kept = timings[name]
             reruns[name] = {
                 "first_pass": timings[name],
                 "first_load": first_load,

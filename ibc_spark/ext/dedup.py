@@ -536,13 +536,11 @@ def ngram_jaccard_pairs(
     high-cardinality, so skew lands on genuinely common shingles only;
     AQE skew-split covers those.
     """
-    base = persist_tracked(
-        widen_for_compute(df).select(
-            F.col(id_col).alias("doc_id"),
-            F.col(block_col).alias("block"),
-            shingles(tokens(F.col(text_col)), n).alias("sh"),
-        ).select("doc_id", "block", "sh", F.size("sh").alias("sz"))
-    )
+    raw = widen_for_compute(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("block"),
+        shingles(tokens(F.col(text_col)), n).alias("sh"),
+    ).select("doc_id", "block", "sh", F.size("sh").alias("sz"))
     length_ok = (F.col("sz_a") >= threshold * F.col("sz_b")) & (
         F.col("sz_b") >= threshold * F.col("sz_a")
     )
@@ -551,6 +549,7 @@ def ngram_jaccard_pairs(
     )
 
     if threshold < 0.5:
+        base = persist_tracked(raw)
         postings = base.select(
             "doc_id", "block", "sz", F.explode("sh").alias("shingle")
         )
@@ -572,39 +571,72 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
-    p_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    hashed_order = F.array_sort(
-        F.transform(
-            F.col("sh"), lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s"))
+    # (r16) hashed prefix machinery: every shingle is replaced by its
+    # xxhash64 up front. The global prefix total order IS the hash order
+    # (exactly the order the previous struct sort keyed on), so nothing
+    # about candidate generation changes — but postings shuffle an 8-byte
+    # long instead of a ~30-byte string, and the exact verification
+    # intersects long arrays instead of string arrays. Jaccard over hashed
+    # DISTINCT shingles equals string-shingle Jaccard short of an int64
+    # collision — the same documented exposure the MinHash family carries
+    # (``_hashed_shingle_frame``); ``sz`` stays the string-distinct count.
+    hbase = persist_tracked(
+        raw.select(
+            "doc_id", "block", "sz",
+            F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias("hsh"),
         )
     )
-    prefix = base.select(
+    p_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = hbase.select(
         "doc_id",
         "block",
         "sz",
-        F.explode(F.slice(hashed_order, F.lit(1), p_len)).alias("ps"),
-    ).select("doc_id", "block", "sz", F.col("ps.s").alias("shingle"))
+        F.posexplode(F.slice(F.col("hsh"), F.lit(1), p_len)).alias("i0", "h"),
+    )
     a = prefix.select(
-        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "block", "shingle"
+        F.col("doc_id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        (F.col("i0") + 1).alias("ia"),
+        "block",
+        "h",
     )
     b = prefix.select(
-        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "block", "shingle"
+        F.col("doc_id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        (F.col("i0") + 1).alias("ib"),
+        "block",
+        "h",
     )
+    # PPJoin positional filter (Xiao et al., WWW'08 §3.2): a co-occurrence
+    # at 1-based prefix positions (ia, ib) bounds the pair's overlap by
+    # 1 + min(sz_a − ia, sz_b − ib) (both arrays share one total order, so
+    # every further common element lies strictly after BOTH positions).
+    # J ≥ t needs overlap ≥ t·(sz_a+sz_b)/(1+t); rows whose bound can't
+    # reach it are dropped BEFORE the pair dedup. The 1e-6 slack keeps the
+    # filter strictly more permissive than the verify stage's own IEEE
+    # compare, so it can never drop a pair verification would accept —
+    # exactness-preserving, candidates only shrink.
+    ubound = 1 + F.least(F.col("sz_a") - F.col("ia"), F.col("sz_b") - F.col("ib"))
+    alpha = F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
     cands = (
-        a.join(b, on=["block", "shingle"])
-        .where((F.col("id_a") < F.col("id_b")) & length_ok)
+        a.join(b, on=["block", "h"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & length_ok
+            & (ubound.cast("double") + F.lit(1e-6) >= alpha)
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     verified = (
         cands.join(
-            base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            hbase.select(F.col("doc_id").alias("id_a"), F.col("hsh").alias("sh_a")),
             on="id_a",
         )
         .join(
-            base.select(
+            hbase.select(
                 F.col("doc_id").alias("id_b"),
-                F.col("sh").alias("sh_b"),
+                F.col("hsh").alias("sh_b"),
                 F.col("sz").alias("sz_b"),
             ),
             on="id_b",

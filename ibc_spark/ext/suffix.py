@@ -50,7 +50,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ibc_spark.ext.dedup import _gap_merge_span_ids
+from ibc_spark.ext.dedup import _gap_merge_span_ids, widen_for_compute
 from ibc_spark.ext.persistreg import persist_tracked
 from ibc_spark.ext.text import tokens
 
@@ -133,11 +133,39 @@ def _consistent_rank(
     )
 
 
+def _corpus(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, arr, n_chars, ctl) — the ONE tokenize pass every stage of
+    a build shares, persisted. ``arr`` is the namespaced token array plus
+    the per-doc sentinel ('T'||token …, terminal 'S'||doc_id); ``n_chars``
+    / ``ctl`` carry what the sizes aggregate needs from the raw text.
+
+    Before r16 the sizes aggregate, the range-partitioner's sampling pass
+    and the sort exchange each re-read the parquet scan and re-tokenized
+    the corpus (3 full passes, and the scan of a small-but-dense table is
+    a single serial split). One tracked persist of the tokenized frame —
+    strictly smaller than the ``positions`` frame the general path already
+    persists — collapses them to one pass."""
+    return persist_tracked(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.concat(
+                F.transform(
+                    tokens(F.col(text_col)), lambda t: F.concat(F.lit("T"), t)
+                ),
+                F.array(F.concat(F.lit("S"), F.col(id_col).cast("string"))),
+            ).alias("arr"),
+            F.length(F.col(text_col)).alias("n_chars"),
+            F.col(text_col).rlike("[\\x00-\\x08\\x0e-\\x1f]").alias("ctl"),
+        )
+    )
+
+
 def _token_stream(
-    df: DataFrame, *, id_col: str, text_col: str, width: int, pk_len: int = _SEED
+    corpus: DataFrame, *, width: int, pk_len: int = _SEED
 ) -> DataFrame:
     """(doc_id, pos, key, pk, gpos): one row per token plus one per-doc
-    sentinel. Real tokens are namespaced ``'T' || token`` and the sentinel
+    sentinel, from the persisted :func:`_corpus` frame. Real tokens are
+    namespaced ``'T' || token`` and the sentinel
     is ``'S' || doc_id`` — 'S' < 'T' byte-wise, so sentinels sort as a
     contiguous low block and, being corpus-unique, cap every suffix
     comparison at its document boundary (no token can collide with a
@@ -148,14 +176,7 @@ def _token_stream(
     and doc-contiguous — all that prefix doubling with unique sentinels
     ever needs; at int64 this caps doc_id · width below 2^63, i.e. ~9e12
     max-1M-token docs — not the binding constraint at 100 TB)."""
-    base = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.concat(
-            F.transform(tokens(F.col(text_col)), lambda t: F.concat(F.lit("T"), t)),
-            F.array(F.concat(F.lit("S"), F.col(id_col).cast("string"))),
-        ).alias("arr"),
-    )
-    exploded = base.select(
+    exploded = corpus.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -211,30 +232,50 @@ def _sizes(
     is injective only without overflow, and sparse/hashed ids (e.g.
     63-bit content hashes) would wrap SILENTLY into wrong ranks. Fail
     loudly instead (ADVICE r11)."""
+    idc = F.col(id_col) if id_col is not None else F.lit(0)
+    corpus = df.select(
+        idc.cast("long").alias("doc_id"),
+        F.concat(
+            F.transform(tokens(F.col(text_col)), lambda t: F.concat(F.lit("T"), t)),
+            F.array(F.concat(F.lit("S"), idc.cast("string"))),
+        ).alias("arr"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.col(text_col).rlike("[\\x00-\\x08\\x0e-\\x1f]").alias("ctl"),
+    )
+    return _sizes_of(corpus, id_name=id_col)
+
+
+def _sizes_of(
+    corpus: DataFrame, *, id_name: str | None = "doc_id"
+) -> tuple[int, int, int, bool, int]:
+    """:func:`_sizes` over a prebuilt (persisted) :func:`_corpus` frame —
+    the one aggregate pass shared with stream construction. Same output
+    tuple, same guards; ``size(arr)`` is n_toks+1 per doc (−1 for a NULL
+    text, exactly mirroring the old ``size(tokens(text))`` arithmetic)."""
     aggs = [
-        F.max(F.size(tokens(F.col(text_col)))).alias("m"),
-        F.sum(F.size(tokens(F.col(text_col))) + 1).alias("n"),
-        F.max(
-            F.col(text_col).rlike("[\\x00-\\x08\\x0e-\\x1f]")
-        ).alias("ctl"),
-        F.max(F.length(F.col(text_col))).alias("chars"),
+        F.max(F.size(F.col("arr"))).alias("m1"),
+        F.sum(F.greatest(F.size(F.col("arr")), F.lit(0))).alias("n"),
+        F.max(F.col("ctl")).alias("ctl"),
+        F.max(F.col("n_chars")).alias("chars"),
     ]
-    if id_col is not None:
+    if id_name is not None:
         # BOTH bounds, not abs(): non-ANSI abs(Long.MIN_VALUE) stays
         # negative and would silently understate the guard (ADVICE r12);
         # the negation happens driver-side in Python, which can't wrap
-        aggs.append(F.max(F.col(id_col).cast("long")).alias("idmax"))
-        aggs.append(F.min(F.col(id_col).cast("long")).alias("idmin"))
-    sizes = df.agg(*aggs).first()
-    bound = sizes["m"] or 0
-    n_pos = sizes["n"] or 0
+        aggs.append(F.max(F.col("doc_id")).alias("idmax"))
+        aggs.append(F.min(F.col("doc_id")).alias("idmin"))
+    sizes = corpus.agg(*aggs).first()
+    # m1 = max(size(arr)) = max doc token count + 1; NULL-text docs carry
+    # size −1, so clamp at −1 to reproduce max(size(tokens(text))) exactly
+    bound = max(int(sizes["m1"]) - 1, -1) if sizes["m1"] is not None else 0
+    n_pos = int(sizes["n"] or 0)
     max_chars = 2 * int(sizes["chars"] or 0) + 32
-    if id_col is not None:
+    if id_name is not None:
         width = bound + 2
         maxid = max(int(sizes["idmax"] or 0), -int(sizes["idmin"] or 0))
         if maxid >= (2**63 - 1) // max(width, 1):
             raise ValueError(
-                f"suffix array: max |{id_col}| = {maxid} with stream width "
+                f"suffix array: max |{id_name}| = {maxid} with stream width "
                 f"{width} overflows the int64 global position "
                 f"gpos = doc_id*width + pos; re-key the corpus to dense ids "
                 f"(e.g. zipWithIndex / row_number) below {(2**63 - 1) // width}"
@@ -242,9 +283,9 @@ def _sizes(
     # conf may be "auto" on AQE-coalesce builds — fall back to the
     # cluster's default parallelism as the cap (ADVICE r11)
     try:
-        cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        cap = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
-        cap = df.sparkSession.sparkContext.defaultParallelism
+        cap = corpus.sparkSession.sparkContext.defaultParallelism
     # ~10k positions/partition (fat suffix keys sort CPU-bound), floored
     # at 4; the session cap governs UNTIL it would put >100k positions in
     # one task — per-partition sort size must stay bounded as the corpus
@@ -280,11 +321,10 @@ def _sort_key(flat_ok: bool):
     return F.array_join(F.col("pk"), " ") if flat_ok else F.col("pk")
 
 
-def _suffix_stream_flat(
-    df: DataFrame, *, id_col: str, text_col: str, width: int
-) -> DataFrame:
+def _suffix_stream_flat(corpus: DataFrame, *, width: int) -> DataFrame:
     """(doc_id, pos, key, gpos, sk) with the ENTIRE suffix as one string
-    ``sk`` — the flat fast-path stream. Each document joins its namespaced
+    ``sk`` — the flat fast-path stream, from the persisted :func:`_corpus`
+    frame. Each document joins its namespaced
     keys once ('T'||token …, terminal 'S'||doc_id, space-separated); a
     linear per-doc offset scan (aggregate accumulator) marks where every
     suffix starts, and ``sk`` is a single substring per position — no
@@ -293,13 +333,7 @@ def _suffix_stream_flat(
     control-char-free corpus the string order IS the token-sequence order
     (separator 0x20 sorts below every token byte and can't occur inside a
     token), which is exactly the ``flat_ok`` dispatch condition."""
-    base = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.concat(
-            F.transform(tokens(F.col(text_col)), lambda t: F.concat(F.lit("T"), t)),
-            F.array(F.concat(F.lit("S"), F.col(id_col).cast("string"))),
-        ).alias("arr"),
-    ).select(
+    base = corpus.select(
         "doc_id",
         F.array_join(F.col("arr"), " ").alias("full"),
         F.slice(
@@ -352,8 +386,8 @@ def _str_lcp_tokens(a, b, max_chars: int):  # Columns + bound -> Column (long)
 
 
 def _sa_fast(
-    stream: DataFrame, parts: int, max_chars: int
-) -> tuple[DataFrame, DataFrame]:
+    stream: DataFrame, parts: int, max_chars: int, need_adj: bool = True
+) -> tuple[DataFrame, DataFrame | None]:
     """Single-sort suffix array for short-doc flat_ok corpora (``sk``
     holds the ENTIRE suffix string and all suffix strings are distinct):
     ONE range shuffle on the suffix string, then per partition a window
@@ -362,8 +396,14 @@ def _sa_fast(
     and its LCP (chunked-memcmp common prefix → separator count). The
     ≤parts-1 cross-partition adjacencies stitch in the per-partition
     stats frame — lag over (first, last) rows carries both the gpos pair
-    and the boundary LCP. Returns (ranked(gpos, sa_rank), adj(ga, gb,
-    lcp)); identical contracts to the general doubling path."""
+    and the boundary LCP. Returns (ranked(gpos, sa_rank, key), adj(ga,
+    gb, lcp)); ``key`` is the suffix's first byte ('S' = sentinel, 'T' =
+    real token — 1 byte per row, read off the cached ``sk`` for free),
+    so fast-path callers never need the positions frame at all: together
+    with the ``gpos`` arithmetic (:func:`_coords`) it replaces a full
+    corpus-stream materialization AND the corpus⨝corpus coordinate join
+    every downstream entry used to pay (r16: the three ~2 s single-task
+    jobs per entry at sf0.1)."""
     # The ONLY cached copy of the fat suffix strings: the un-persisted
     # stream feeds this exchange (one recompute for the range sampler),
     # and the positions frame the callers join against is the string-free
@@ -398,71 +438,124 @@ def _sa_fast(
             F.col("__prev_last.sk"), F.col("__first.sk"), max_chars
         ).alias("lcp"),
     )
+    # The window's hashpartitioning(__pid) exchange maps `parts` pid keys
+    # into hash buckets — at parts≈cores the collision loss is severe
+    # (28 keys → 11 effective tasks measured at sf0.1), and AQE cannot
+    # widen it because it sizes by BYTES while this stage is CPU-bound
+    # (the per-row LCP memcmp walk; guide §2.5's "bytes underestimate
+    # compute"). An explicit 4× repartition on __pid keeps ~90% of the
+    # keys in distinct buckets and is AQE-proof (user repartitions are
+    # never coalesced); same-bucket keys are still windowed correctly.
     w = Window.partitionBy("__pid").orderBy("sk")
     rows = (
-        ranged.join(F.broadcast(stats.select("__pid", "__offset")), "__pid")
+        ranged.repartition(4 * parts, F.col("__pid"))
+        .join(F.broadcast(stats.select("__pid", "__offset")), "__pid")
         .withColumn(
             "sa_rank", (F.col("__offset") + F.row_number().over(w)).cast("long")
         )
-        .withColumn("__ga", F.lag("gpos").over(w))
-        .withColumn(
+    )
+    if need_adj:
+        rows = rows.withColumn("__ga", F.lag("gpos").over(w)).withColumn(
             "__lcp", _str_lcp_tokens(F.lag("sk").over(w), F.col("sk"), max_chars)
         )
-    )
     # LIFECYCLE: everything downstream ever needs from the fat sorted copy
-    # is 4 int64s per position — extract them in ONE eager pass (the slim
-    # checkpoint), then free the suffix-string cache IMMEDIATELY. Holding
-    # ranged through the downstream gap-merge/join stages is what
-    # exhausted the 8 GB single-JVM heap at sf3 (25M tokens); at cluster
-    # scale the same discipline keeps executor caches waveform-free too.
-    slim = rows.select("gpos", "sa_rank", "__ga", "__lcp").localCheckpoint()
-    adj = (
-        slim.where(F.col("__ga").isNotNull())
-        .select(
-            F.col("__ga").alias("ga"),
-            F.col("gpos").alias("gb"),
-            F.col("__lcp").cast("long").alias("lcp"),
+    # is 4 int64s + 1 marker byte per position — extract them in ONE eager
+    # pass (the slim checkpoint), then free the suffix-string cache
+    # IMMEDIATELY. Holding ranged through the downstream gap-merge/join
+    # stages is what exhausted the 8 GB single-JVM heap at sf3 (25M
+    # tokens); at cluster scale the same discipline keeps executor caches
+    # waveform-free too.
+    slim = rows.select(
+        "gpos",
+        "sa_rank",
+        F.substring(F.col("sk"), 1, 1).alias("key"),
+        *(["__ga", "__lcp"] if need_adj else []),
+    ).localCheckpoint()
+    if need_adj:
+        adj = (
+            slim.where(F.col("__ga").isNotNull())
+            .select(
+                F.col("__ga").alias("ga"),
+                F.col("gpos").alias("gb"),
+                F.col("__lcp").cast("long").alias("lcp"),
+            )
+            .unionByName(boundary)
+            .localCheckpoint()  # boundary still reads ranged — settle it now
         )
-        .unionByName(boundary)
-        .localCheckpoint()  # boundary still reads ranged — settle it now
-    )
+    else:
+        adj = None  # callers that skip the LCP (suffix_array_rank) save
+        #             the per-row memcmp walk AND one checkpoint job
     ranged.unpersist()
-    ranked = slim.select("gpos", "sa_rank")
+    ranked = slim.select("gpos", "sa_rank", "key")
     return ranked, adj
 
 
 class _SACore(NamedTuple):
-    positions: DataFrame  # (doc_id, pos, key, gpos) [+ pk on the general path]
-    ranked: DataFrame     # (gpos, sa_rank) — all distinct
-    adj: DataFrame        # (ga, gb, lcp) — every SA-adjacent pair
+    positions: DataFrame | None  # general path: (doc_id, pos, key, pk, gpos);
+    #                              fast path: None — gpos arithmetic + the
+    #                              ranked frame's 1-byte key replace it
+    ranked: DataFrame  # (gpos, sa_rank) [+ key on the fast path] — distinct
+    adj: DataFrame | None  # (ga, gb, lcp) per SA-adjacent pair; None when
+    #                        the caller asked need_adj=False
     parts: int
-    big: bool             # corpus-class joins should hint sort-merge
+    big: bool          # corpus-class joins should hint sort-merge
+    width: int         # gpos = doc_id·width + pos (pos ∈ [1, width-1])
+    src: DataFrame     # the WIDENED input frame (raw text, for rewrite)
+    corpus: DataFrame  # persisted (doc_id, arr, …) tokenize pass
 
 
-def _sa_core(df: DataFrame, *, id_col: str, text_col: str) -> _SACore:
+def _coords(col: str, width: int) -> tuple:
+    """(doc_id, pos) Columns recovered from a gpos column by exact int64
+    arithmetic: pos = pmod(g, width) (the true pos is in [1, width-1], so
+    the positive mod is exact for ANY doc_id sign) and doc_id =
+    (g - pos) div width (the numerator is an exact multiple of width, so
+    truncating integer division IS the answer — no float detour, exact
+    past 2^53 where floor(g / width) in doubles would round)."""
+    doc = F.expr(f"({col} - pmod({col}, {width})) div {width}").cast("long")
+    pos = F.pmod(F.col(col), F.lit(width)).cast("int")
+    return doc, pos
+
+
+def _sa_core(
+    df: DataFrame, *, id_col: str, text_col: str, need_adj: bool = True
+) -> _SACore:
     """Dispatch. Short-doc control-char-free corpora (the LLM-pipeline
     norm — both provable from the one upfront aggregate) take the
     single-sort flat fast path; long-doc or exotic-alphabet corpora take
     seeded prefix doubling + the rank-table LCP walk, which is exact for
     any content. Outputs are contract-identical, pinned by the
-    brute-force tests on both paths."""
-    sizes = _sizes(df, text_col, id_col)
+    brute-force tests on both paths.
+
+    The corpus scan is widened first (guide §2/§6): parquet split count
+    follows input BYTES, so a small-but-dense documents table reads as
+    one split and every corpus-linear pass (the sizes aggregate, the
+    range-sampler's stream recompute, the exchange feed) would run on one
+    core — measured 3×~2 s single-task jobs per entry at sf0.1. On a real
+    multi-split scan the widen is a no-op."""
+    df = widen_for_compute(df)
+    corpus = _corpus(df, id_col=id_col, text_col=text_col)
+    sizes = _sizes_of(corpus, id_name=id_col)
     bound, n_pos, parts, flat_ok, max_chars = sizes
     big = n_pos > _MERGE_HINT_MIN_POSITIONS
+    width = bound + 2
     if flat_ok and bound < _FAST_CAP:
-        stream = _suffix_stream_flat(
-            df, id_col=id_col, text_col=text_col, width=bound + 2
-        )
-        positions = persist_tracked(
-            stream.select("doc_id", "pos", "key", "gpos")
-        )
-        ranked, adj = _sa_fast(stream, parts, max_chars)
-        return _SACore(positions, ranked, adj, parts, big)
+        stream = _suffix_stream_flat(corpus, width=width)
+        ranked, adj = _sa_fast(stream, parts, max_chars, need_adj=need_adj)
+        return _SACore(None, ranked, adj, parts, big, width, df, corpus)
     positions, tables = build_suffix_array(
-        df, id_col=id_col, text_col=text_col, sizes=sizes
+        df, id_col=id_col, text_col=text_col, sizes=sizes, corpus=corpus
     )
     ranked = tables[-1][1].select("gpos", F.col("r").cast("long").alias("sa_rank"))
-    return _SACore(positions, ranked, adjacent_lcp(positions, tables), parts, big)
+    return _SACore(
+        positions,
+        ranked,
+        adjacent_lcp(positions, tables) if need_adj else None,
+        parts,
+        big,
+        width,
+        df,
+        corpus,
+    )
 
 
 def build_suffix_array(
@@ -471,12 +564,15 @@ def build_suffix_array(
     id_col: str,
     text_col: str,
     sizes: tuple[int, int, int, bool, int] | None = None,
+    corpus: DataFrame | None = None,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
     """Run seeded prefix doubling; return ``(positions, tables)``.
 
     ``sizes``: the precomputed :func:`_sizes` tuple — pass it when the
     caller (``_sa_core``) already ran the upfront aggregate, so the
     corpus isn't tokenized and sized twice per build (ADVICE r11).
+    ``corpus``: the caller's persisted :func:`_corpus` frame (built here
+    when absent, so direct calls share the same one-tokenize-pass plan).
 
     ``positions``: (doc_id, pos, key, pk, gpos) — the sentinel-augmented
     stream. ``tables``: [(h, DataFrame(gpos, r))] where ``r`` ranks every
@@ -487,12 +583,14 @@ def build_suffix_array(
     (self-join + the rank's internal reuse), so lazy caching leaves an
     analysis tree that grows ~4x per round; the checkpoint keeps plan
     size constant per round at the cost of one corpus-linear pass."""
-    bound, _n_pos, parts, flat_ok, _max_chars = sizes or _sizes(
-        df, text_col, id_col
+    if corpus is None:
+        corpus = _corpus(
+            widen_for_compute(df), id_col=id_col, text_col=text_col
+        )
+    bound, _n_pos, parts, flat_ok, _max_chars = sizes or _sizes_of(
+        corpus, id_name=id_col
     )
-    positions = persist_tracked(
-        _token_stream(df, id_col=id_col, text_col=text_col, width=bound + 2)
-    )
+    positions = persist_tracked(_token_stream(corpus, width=bound + 2))
 
     cur = _consistent_rank(
         positions.select("gpos", _sort_key(flat_ok).alias("__sk")),
@@ -532,7 +630,17 @@ def suffix_array_ranks(df: DataFrame, *, id_col: str, text_col: str) -> DataFram
     hold the lowest ranks, so real ranks carry a fixed n_docs offset —
     kept as-is so the rank is a plain permutation slice both engines
     reproduce)."""
-    core = _sa_core(df, id_col=id_col, text_col=text_col)
+    core = _sa_core(df, id_col=id_col, text_col=text_col, need_adj=False)
+    if core.positions is None:
+        # fast path: the ranked frame carries the suffix's first byte —
+        # sentinels filter on it and (doc_id, pos) fall out of the gpos
+        # arithmetic. Zero joins, zero extra corpus passes — and with
+        # need_adj=False the per-row LCP walk is never evaluated (this
+        # entry only reports ranks).
+        doc, pos = _coords("gpos", core.width)
+        return core.ranked.where(F.col("key") == "T").select(
+            doc.alias("doc_id"), pos.alias("pos"), "sa_rank"
+        )
     return (
         core.positions.join(_mh(core.ranked, core.big), "gpos")
         .where(F.col("key").startswith("T"))
@@ -627,31 +735,42 @@ def longest_repeated_substrings(
     unique sentinels), ordered by (lcp desc, coordinates) and limited —
     a total order, so the cut is deterministic on both engines."""
     core = _sa_core(df, id_col=id_col, text_col=text_col)
-    positions, adj = core.positions, core.adj
+    adj = core.adj
     # gpos = doc_id·W + pos is MONOTONE in (doc_id, pos), so the output
     # contract's tiebreak order (doc_id, pos, nbr_doc_id, nbr_pos) equals
     # (ga, gb) — the top-n cut runs BEFORE any join, on the 3-int adj
-    # frame (TakeOrdered), and the coordinate/passage joins touch only
-    # ``top_n`` rows.
+    # frame (TakeOrdered). Coordinates come from the gpos arithmetic
+    # (an lcp ≥ 1 pair can never involve a sentinel suffix — sentinels
+    # are corpus-unique, so their token-level LCP with anything is 0),
+    # and the only join left is the ≤top_n-row probe against the corpus
+    # tokens — broadcast the probe, never sort the corpus.
     lcps = (
         adj.where(F.col("lcp") >= 1)
         .orderBy(F.col("lcp").desc(), F.col("ga"), F.col("gb"))
         .limit(top_n)
     )
-    pa = positions.select(F.col("gpos").alias("ga"), F.col("doc_id"), F.col("pos"))
-    pb = positions.select(
-        F.col("gpos").alias("gb"),
-        F.col("doc_id").alias("nbr_doc_id"),
-        F.col("pos").alias("nbr_pos"),
+    doc_a, pos_a = _coords("ga", core.width)
+    doc_b, pos_b = _coords("gb", core.width)
+    probe = lcps.select(
+        "lcp",
+        doc_a.alias("doc_id"),
+        pos_a.alias("pos"),
+        doc_b.alias("nbr_doc_id"),
+        pos_b.alias("nbr_pos"),
     )
-    toks_by_doc = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        tokens(F.col(text_col)).alias("toks"),
+    # real tokens recovered from the CACHED corpus frame (strip the 'T'
+    # namespace byte; drop the terminal sentinel) — no re-tokenize pass
+    toks_by_doc = core.corpus.select(
+        "doc_id",
+        F.transform(
+            F.slice(
+                F.col("arr"), 1, F.greatest(F.size("arr") - 1, F.lit(0))
+            ),
+            lambda x: x.substr(F.lit(2), F.length(x)),
+        ).alias("toks"),
     )
     return (
-        lcps.join(pa, "ga")
-        .join(pb, "gb")
-        .join(_mh(toks_by_doc, core.big), "doc_id")
+        toks_by_doc.join(F.broadcast(probe), "doc_id")
         .select(
             F.col("lcp").cast("long").alias("lcp_len"),
             "doc_id",
@@ -700,22 +819,25 @@ def sa_duplicate_spans(
     positions gap-merge into spans via the SAME shared sweep. Two
     independent algorithms, one output contract — the equality is the
     attestation."""
+    if window < 1:
+        raise ValueError("sa_duplicate_spans: window must be >= 1")
     core = _sa_core(df, id_col=id_col, text_col=text_col)
-    positions, adj = core.positions, core.adj
+    adj = core.adj
     # Only the ≥window test matters, so filter the 3-int adj frame FIRST
     # (duplicated-window positions are a sliver of the corpus), then
-    # dedup the two legs — no corpus-wide max aggregation.
+    # dedup the two legs — no corpus-wide max aggregation. window ≥ 1
+    # means no hit can be a sentinel suffix (corpus-unique ⇒ LCP 0 with
+    # everything), so (doc_id, start_tok) fall out of the gpos arithmetic
+    # directly — the corpus⨝corpus positions join and the positions
+    # materialization are gone (r16).
     hits = adj.where(F.col("lcp") >= window)
     dup_gpos = (
         hits.select(F.col("ga").alias("gpos"))
         .unionByName(hits.select(F.col("gb").alias("gpos")))
         .distinct()
     )
-    dup = (
-        positions.join(_mh(dup_gpos, core.big), "gpos")
-        .where(F.col("key").startswith("T"))
-        .select("doc_id", F.col("pos").cast("int").alias("start_tok"))
-    )
+    doc, pos = _coords("gpos", core.width)
+    dup = dup_gpos.select(doc.alias("doc_id"), pos.alias("start_tok"))
     flagged = _gap_merge_span_ids(dup, window)
     return (
         flagged.groupBy("doc_id", "span_id")
@@ -759,9 +881,11 @@ def sa_spans_rewrite(
     helper: the oracle equality between the two entries IS the guard, and
     a shared-module edit would manifest-flag the whole windowed family).
     Two independent algorithms, one cleaned corpus — the attestation."""
+    if window < 1:
+        raise ValueError("sa_spans_rewrite: window must be >= 1")
     core = _sa_core(df, id_col=id_col, text_col=text_col)
-    positions, parts, big = core.positions, core.parts, core.big
-    ann = core.ranked.join(
+    parts, big = core.parts, core.big
+    ann = core.ranked.select("gpos", "sa_rank").join(
         _mh(core.adj.select(F.col("gb").alias("gpos"), "lcp"), big),
         "gpos",
         "left",
@@ -804,14 +928,16 @@ def sa_spans_rewrite(
         .where((F.col("nocc") >= 2) & (F.col("gpos") != F.col("cano")))
         .select("gpos")
     )
-    cuts = positions.join(_mh(cut_gpos, big), "gpos").select(
-        "doc_id", F.col("pos").cast("int").alias("start_tok")
-    )
+    # cut members sit in runs whose adjacent LCPs are ≥ window ≥ 1, so no
+    # cut can be a sentinel suffix — coordinates are pure gpos arithmetic
+    # (the positions join and its corpus pass are gone, r16).
+    cdoc, cpos = _coords("gpos", core.width)
+    cuts = cut_gpos.select(cdoc.alias("doc_id"), cpos.alias("start_tok"))
 
     # apply tail — the spans_rewrite output contract, verbatim semantics
     raw_toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     base = persist_tracked(
-        df.select(
+        core.src.select(
             F.col(id_col).cast("long").alias("doc_id"),
             tokens(F.col(text_col)).alias("toks"),
             raw_toks.alias("raw_toks"),

@@ -166,7 +166,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup.minhash_lsh_pairs(
         d, id_col="doc_id", text_col="text", k=32, bands=8, n=3, threshold=0.5
     )
-    sh = dedup._shingle_frame(d, "doc_id", "text", 3)
+    # widen + persist: the raw-shingle frame re-attaches TWICE (id_a and
+    # id_b legs); unwidened it tokenized the whole corpus twice on one
+    # core (the parquet scan is a single split at bench scale) — r16,
+    # guide §2/§6.
+    sh = dedup.persist_tracked(
+        dedup._shingle_frame(dedup.widen_for_compute(d), "doc_id", "text", 3)
+    )
     raw_checked = (
         lsh.join(
             sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),

@@ -76,7 +76,18 @@ def test_sa_and_lcp_match_brute_force(spark, cap, long_docs):
         for r in res:
             assert rank[(r.doc_id, r.pos)] == r.sa_rank, (r, rank[(r.doc_id, r.pos)])
         core = sx._sa_core(df, id_col="doc_id", text_col="text")
-        pl = {r.gpos: (r.doc_id, r.pos) for r in core.positions.collect()}
+        if core.positions is not None:
+            pl = {r.gpos: (r.doc_id, r.pos) for r in core.positions.collect()}
+        else:
+            # fast path carries no positions frame — rebuild the gpos map
+            # INDEPENDENTLY from the raw corpus (same tokenizer contract
+            # as _brute), so the arithmetic decode in suffix.py is being
+            # checked against this, not against itself.
+            pl = {}
+            for d, t in docs:
+                n_toks = len([x for x in re.split(r"\s+", t.lower()) if x])
+                for p in range(1, n_toks + 2):
+                    pl[d * core.width + p] = (d, p)
         got = core.adj.collect()
         assert len(got) == len(pl) - 1  # every SA-adjacent pair, exactly once
         for r in got:
