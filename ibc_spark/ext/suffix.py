@@ -385,9 +385,124 @@ def _str_lcp_tokens(a, b, max_chars: int):  # Columns + bound -> Column (long)
     return (F.length(prefix) - F.length(F.translate(prefix, " ", ""))).cast("long")
 
 
+def _rank_lag_lcp_kernel(need_adj: bool):
+    """``mapInArrow`` kernel over a SORTED range partition of
+    (gpos, sk, __pid): emits the 0-based per-partition row number, the
+    suffix's first byte, and (when ``need_adj``) the SA-lag pair —
+    previous row's gpos and the token LCP with it — carrying the last row
+    across batch boundaries. Replaces the Window(partitionBy __pid) plan,
+    whose hashpartitioning exchange re-shuffled the fat suffix strings
+    AND whose per-row binary-decomposition LCP walk was the single
+    heaviest stage left in the family (~21 s executor time at sf0.1;
+    guide §4.2 — batch the work inside the Arrow boundary).
+
+    The numpy LCP is byte-exact with :func:`_str_lcp_tokens`: the common
+    BYTE prefix of two UTF-8 strings can overrun the common CHARACTER
+    prefix only inside one multi-byte codepoint, which cannot contain the
+    0x20 separator — so counting separators inside the byte prefix equals
+    counting them inside the character prefix, which is the token LCP
+    (pinned by the brute-force suite)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        loc = 0
+        prev_gpos = 0
+        prev_bytes: bytes | None = None
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            gpos = rb.column(0).to_numpy(zero_copy_only=False)
+            sk = rb.column(1)
+            pid = rb.column(2)
+            if pa.types.is_large_string(sk.type):
+                sk = sk.cast(pa.large_binary())
+            elif pa.types.is_string(sk.type):
+                sk = sk.cast(pa.binary())
+            off_dt = np.int64 if pa.types.is_large_binary(sk.type) else np.int32
+            offs = np.frombuffer(sk.buffers()[1], dtype=off_dt)[
+                sk.offset : sk.offset + n + 1
+            ].astype(np.int64)
+            data = np.frombuffer(sk.buffers()[2], dtype=np.uint8)
+            starts, ends = offs[:-1], offs[1:]
+            lens = ends - starts
+            out = {
+                "gpos": rb.column(0),
+                "__pid": pid,
+                "__loc": pa.array(
+                    np.arange(loc, loc + n, dtype=np.int64), pa.int64()
+                ),
+                "key": pa.array(
+                    np.where(data[starts] == 0x54, "T", "S")
+                ),
+            }
+            if need_adj:
+                # one padded byte matrix of [prev row?] + batch rows;
+                # consecutive-row common prefix = first mismatching byte
+                # below min(len); token LCP = 0x20 count inside it
+                has_prev = prev_bytes is not None
+                p_len = len(prev_bytes) if has_prev else 0
+                rows_n = n + (1 if has_prev else 0)
+                m_len = int(max(int(lens.max()), p_len, 1))
+                all_l = np.empty(rows_n, dtype=np.int64)
+                colr = np.arange(m_len, dtype=np.int64)
+                idx = np.empty((rows_n, m_len), dtype=np.int64)
+                base = 1 if has_prev else 0
+                all_l[base:] = lens
+                idx[base:] = starts[:, None] + colr[None, :]
+                np.clip(idx, 0, max(len(data) - 1, 0), out=idx)
+                mat = (
+                    data[idx]
+                    if len(data)
+                    else np.zeros((rows_n, m_len), dtype=np.uint8)
+                )
+                if has_prev:
+                    all_l[0] = p_len
+                    prow = np.zeros(m_len, dtype=np.uint8)
+                    prow[:p_len] = np.frombuffer(prev_bytes, dtype=np.uint8)
+                    mat[0] = prow
+                a, b = mat[:-1], mat[1:]
+                min_l = np.minimum(all_l[:-1], all_l[1:])
+                neq = (a != b) & (colr[None, :] < min_l[:, None])
+                has = neq.any(axis=1)
+                cp = np.where(has, neq.argmax(axis=1), min_l)
+                lcp = (
+                    ((a == 0x20) & (colr[None, :] < cp[:, None]))
+                    .sum(axis=1)
+                    .astype(np.int64)
+                )
+                if has_prev:
+                    ga_np = np.empty(n, dtype=np.int64)
+                    ga_np[0] = prev_gpos
+                    ga_np[1:] = gpos[:-1]
+                    out["__ga"] = pa.array(ga_np, pa.int64())
+                    out["__lcp"] = pa.array(lcp, pa.int64())
+                else:
+                    nulls = np.zeros(n, dtype=bool)
+                    nulls[0] = True  # first row of the partition: no pair
+                    out["__ga"] = pa.array(
+                        np.concatenate(([0], gpos[:-1])).astype(np.int64),
+                        pa.int64(),
+                        mask=nulls,
+                    )
+                    out["__lcp"] = pa.array(
+                        np.concatenate(([0], lcp)).astype(np.int64),
+                        pa.int64(),
+                        mask=nulls,
+                    )
+            yield pa.record_batch(list(out.values()), names=list(out.keys()))
+            loc += n
+            prev_gpos = int(gpos[-1])
+            prev_bytes = data[starts[-1] : ends[-1]].tobytes()
+
+    return kernel
+
+
 def _sa_fast(
     stream: DataFrame, parts: int, max_chars: int, need_adj: bool = True
-) -> tuple[DataFrame, DataFrame | None]:
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
     """Single-sort suffix array for short-doc flat_ok corpora (``sk``
     holds the ENTIRE suffix string and all suffix strings are distinct):
     ONE range shuffle on the suffix string, then per partition a window
@@ -431,33 +546,30 @@ def _sa_fast(
         )
         .withColumn("__prev_last", F.lag("__last").over(wpid))
     )
-    boundary = stats.where(F.col("__prev_last").isNotNull()).select(
-        F.col("__prev_last.gpos").alias("ga"),
-        F.col("__first.gpos").alias("gb"),
-        _str_lcp_tokens(
-            F.col("__prev_last.sk"), F.col("__first.sk"), max_chars
-        ).alias("lcp"),
-    )
-    # The window's hashpartitioning(__pid) exchange maps `parts` pid keys
-    # into hash buckets — at parts≈cores the collision loss is severe
-    # (28 keys → 11 effective tasks measured at sf0.1), and AQE cannot
-    # widen it because it sizes by BYTES while this stage is CPU-bound
-    # (the per-row LCP memcmp walk; guide §2.5's "bytes underestimate
-    # compute"). An explicit 4× repartition on __pid keeps ~90% of the
-    # keys in distinct buckets and is AQE-proof (user repartitions are
-    # never coalesced); same-bucket keys are still windowed correctly.
-    w = Window.partitionBy("__pid").orderBy("sk")
-    rows = (
-        ranged.repartition(4 * parts, F.col("__pid"))
-        .join(F.broadcast(stats.select("__pid", "__offset")), "__pid")
-        .withColumn(
-            "sa_rank", (F.col("__offset") + F.row_number().over(w)).cast("long")
+    boundary = (
+        stats.where(F.col("__prev_last").isNotNull())
+        .select(
+            F.col("__prev_last.gpos").alias("ga"),
+            F.col("__first.gpos").alias("gb"),
+            _str_lcp_tokens(
+                F.col("__prev_last.sk"), F.col("__first.sk"), max_chars
+            ).alias("lcp"),
         )
+        .localCheckpoint()  # ≤parts−1 rows; settles the stats→ranged read
+        if need_adj
+        else None
     )
-    if need_adj:
-        rows = rows.withColumn("__ga", F.lag("gpos").over(w)).withColumn(
-            "__lcp", _str_lcp_tokens(F.lag("sk").over(w), F.col("sk"), max_chars)
-        )
+    # Rank + lag + LCP happen IN PLACE on the cached range partitions
+    # (JVM sortWithinPartitions, then the Arrow kernel): no
+    # hashpartitioning(__pid) re-exchange of the fat suffix strings, no
+    # per-row substring-pair LCP walk (the previous Window plan's
+    # exchange collapsed to ~11 effective tasks under byte-based AQE
+    # coalescing while the LCP walk burned ~21 s executor time at sf0.1).
+    rows = ranged.sortWithinPartitions("sk").mapInArrow(
+        _rank_lag_lcp_kernel(need_adj),
+        "gpos long, __pid int, __loc long, key string"
+        + (", __ga long, __lcp long" if need_adj else ""),
+    )
     # LIFECYCLE: everything downstream ever needs from the fat sorted copy
     # is 4 int64s + 1 marker byte per position — extract them in ONE eager
     # pass (the slim checkpoint), then free the suffix-string cache
@@ -465,29 +577,47 @@ def _sa_fast(
     # stages is what exhausted the 8 GB single-JVM heap at sf3 (25M
     # tokens); at cluster scale the same discipline keeps executor caches
     # waveform-free too.
-    slim = rows.select(
-        "gpos",
-        "sa_rank",
-        F.substring(F.col("sk"), 1, 1).alias("key"),
-        *(["__ga", "__lcp"] if need_adj else []),
-    ).localCheckpoint()
+    slim = (
+        rows.join(F.broadcast(stats.select("__pid", "__offset")), "__pid")
+        .select(
+            "gpos",
+            (F.col("__offset") + F.col("__loc") + 1).cast("long").alias(
+                "sa_rank"
+            ),
+            "key",
+            *(["__pid", "__ga", "__lcp"] if need_adj else []),
+        )
+        .localCheckpoint()
+    )
     if need_adj:
-        adj = (
-            slim.where(F.col("__ga").isNotNull())
-            .select(
-                F.col("__ga").alias("ga"),
-                F.col("gpos").alias("gb"),
-                F.col("__lcp").cast("long").alias("lcp"),
-            )
-            .unionByName(boundary)
-            .localCheckpoint()  # boundary still reads ranged — settle it now
+        # adj is LAZY off the slim checkpoint + the tiny boundary frame —
+        # the old eager adj checkpoint re-wrote the whole n-row frame per
+        # build for no reason (slim already settles everything fat).
+        adj = slim.where(F.col("__ga").isNotNull()).select(
+            F.col("__ga").alias("ga"),
+            F.col("gpos").alias("gb"),
+            F.col("__lcp").cast("long").alias("lcp"),
+        ).unionByName(boundary)
+        # per-position lag LCP with the ≤parts−1 partition-boundary pairs
+        # patched in by broadcast — the SA-run break test reads THIS
+        # instead of re-joining ranked⨝adj corpus-wide (sa_spans_rewrite).
+        lag_lcp = slim.join(
+            F.broadcast(boundary.select(F.col("gb").alias("gpos"), "lcp")),
+            "gpos",
+            "left",
+        ).select(
+            "gpos",
+            "sa_rank",
+            "__pid",
+            F.coalesce(F.col("lcp"), F.col("__lcp")).alias("lag_lcp"),
         )
     else:
         adj = None  # callers that skip the LCP (suffix_array_rank) save
         #             the per-row memcmp walk AND one checkpoint job
+        lag_lcp = None
     ranged.unpersist()
     ranked = slim.select("gpos", "sa_rank", "key")
-    return ranked, adj
+    return ranked, adj, lag_lcp
 
 
 class _SACore(NamedTuple):
@@ -502,6 +632,9 @@ class _SACore(NamedTuple):
     width: int         # gpos = doc_id·width + pos (pos ∈ [1, width-1])
     src: DataFrame     # the WIDENED input frame (raw text, for rewrite)
     corpus: DataFrame  # persisted (doc_id, arr, …) tokenize pass
+    lag_lcp: DataFrame | None = None  # fast path: (gpos, sa_rank, __pid,
+    #   lag_lcp) — per-position LCP with the SA predecessor, boundary
+    #   pairs patched in; __pid partitions are CONTIGUOUS in sa_rank
 
 
 def _coords(col: str, width: int) -> tuple:
@@ -540,8 +673,12 @@ def _sa_core(
     width = bound + 2
     if flat_ok and bound < _FAST_CAP:
         stream = _suffix_stream_flat(corpus, width=width)
-        ranked, adj = _sa_fast(stream, parts, max_chars, need_adj=need_adj)
-        return _SACore(None, ranked, adj, parts, big, width, df, corpus)
+        ranked, adj, lag_lcp = _sa_fast(
+            stream, parts, max_chars, need_adj=need_adj
+        )
+        return _SACore(
+            None, ranked, adj, parts, big, width, df, corpus, lag_lcp
+        )
     positions, tables = build_suffix_array(
         df, id_col=id_col, text_col=text_col, sizes=sizes, corpus=corpus
     )
@@ -885,21 +1022,42 @@ def sa_spans_rewrite(
         raise ValueError("sa_spans_rewrite: window must be >= 1")
     core = _sa_core(df, id_col=id_col, text_col=text_col)
     parts, big = core.parts, core.big
-    ann = core.ranked.select("gpos", "sa_rank").join(
-        _mh(core.adj.select(F.col("gb").alias("gpos"), "lcp"), big),
-        "gpos",
-        "left",
-    ).withColumn(
-        "brk",
-        F.when(F.col("lcp").isNull() | (F.col("lcp") < window), 1).otherwise(0),
-    )
-    ranged = persist_tracked(
-        ann.repartitionByRange(parts, F.col("sa_rank")).withColumn(
-            "__pid", F.spark_partition_id()
+    if core.lag_lcp is not None:
+        # fast path (r16): the per-position lag LCP is already on the slim
+        # checkpoint (boundary pairs patched in), and its __pid partitions
+        # are CONTIGUOUS in sa_rank — so the break flags need no
+        # ranked⨝adj corpus join, and the running break count reuses the
+        # checkpoint partitioning (no second range sampler, no second
+        # persist; the only exchange left is the int-row hash shuffle the
+        # window itself needs).
+        ann = core.lag_lcp.withColumn(
+            "brk",
+            F.when(
+                F.col("lag_lcp").isNull() | (F.col("lag_lcp") < window), 1
+            ).otherwise(0),
         )
-    )
+    else:
+        ann = (
+            core.ranked.select("gpos", "sa_rank")
+            .join(
+                _mh(core.adj.select(F.col("gb").alias("gpos"), "lcp"), big),
+                "gpos",
+                "left",
+            )
+            .withColumn(
+                "brk",
+                F.when(
+                    F.col("lcp").isNull() | (F.col("lcp") < window), 1
+                ).otherwise(0),
+            )
+        )
+        ann = persist_tracked(
+            ann.repartitionByRange(parts, F.col("sa_rank")).withColumn(
+                "__pid", F.spark_partition_id()
+            )
+        )
     offs = (
-        ranged.groupBy("__pid")
+        ann.groupBy("__pid")
         .agg(F.sum("brk").alias("__t"))
         .withColumn(
             "__off",
@@ -915,7 +1073,7 @@ def sa_spans_rewrite(
         .select("__pid", "__off")
     )
     w = Window.partitionBy("__pid").orderBy("sa_rank")
-    grouped = ranged.join(F.broadcast(offs), "__pid").withColumn(
+    grouped = ann.join(F.broadcast(offs), "__pid").withColumn(
         "grp",
         F.col("__off")
         + F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
