@@ -151,8 +151,14 @@ def _last_green_round() -> dict[str, int]:
 #   the positional filter + widened/persisted raw-shingle frame.
 # All verified hash-exact against the DuckDB oracle at sf0.01 locally;
 # per the round-5 lesson a changed hot path re-attests under the driver.
+# - the 3 FLAC entries: the Rice residual decode is now the vectorized
+#   binary-lifting kernel (VERDICT r15 #8), byte-exact-fuzzed against
+#   both reference arms but a changed decode hot path nonetheless.
 _FORCE_RECHECK: set[str] = {
     "multimodal_audio_rice_codec",
+    "multimodal_audio_flac",
+    "multimodal_audio_stereo_flac",
+    "streaming_audio_flac",
     "suffix_array_rank",
     "suffix_lcp_histogram",
     "suffix_lrs",

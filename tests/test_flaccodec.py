@@ -127,3 +127,40 @@ def test_flac_streaminfo_md5_is_real():
     # STREAMINFO md5 sits at bytes 8+18 .. 8+34 (marker 4 + block hdr 4)
     md5 = p[8 + 18 : 8 + 34]
     assert md5 == hashlib.md5(x.astype("<i2").tobytes()).digest()
+
+
+def test_rice_decode_vectorized_equals_reference_arms():
+    """r16: the binary-lifting vectorized Rice decoder must be bit-exact
+    with BOTH reference arms (scalar reader walk, bigint local-state walk)
+    across the paths it dispatches through: the n<128 bigint dispatch, the
+    lifted path, the window-extension retry (pathological quotients), and
+    mid-stream continuation (reader bit position must land identically)."""
+    import random
+
+    from ibc_spark.ext.flaccodec import _BW, _BR, _rice_decode_bigint
+
+    rng = random.Random(99)
+    cases = [
+        (0, [0]),                      # param 0, single zero
+        (0, [7, -7, 1, -1] * 80),      # param 0, lifted path
+        (3, list(range(-64, 64))),     # small n -> bigint dispatch
+        (4, [0] * 300),                # all-zero residuals, lifted
+        (2, [1 << 14, -(1 << 14)] * 100),  # huge quotients -> extension
+        (11, [rng.randint(-5000, 5000) for _ in range(513)]),
+    ]
+    for param, vals in cases:
+        bw = _BW()
+        _rice_encode(bw, vals, param)
+        bw.write(0, 7)  # unaligned tail so continuation offsets matter
+        data = bytes(bw.buf)
+        ra, rb = _BR(data), _BR(data)
+        assert _rice_decode(ra, len(vals), param) == vals
+        assert _rice_decode_bigint(rb, len(vals), param) == vals
+        assert ra.bit_offset() == rb.bit_offset()
+        # truncated stream raises on both arms (only meaningful when the
+        # cut actually removes bits the decode needs)
+        cut = data[: max(1, len(data) // 4)]
+        if ra.bit_offset() > len(cut) * 8:
+            for fn in (_rice_decode, _rice_decode_bigint):
+                with pytest.raises(ValueError, match="truncated"):
+                    fn(_BR(cut), len(vals), param)
