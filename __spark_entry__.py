@@ -154,8 +154,12 @@ def _last_green_round() -> dict[str, int]:
 # - the 3 FLAC entries: the Rice residual decode is now the vectorized
 #   binary-lifting kernel (VERDICT r15 #8), byte-exact-fuzzed against
 #   both reference arms but a changed decode hot path nonetheless.
+# - profile_cross_source_overlap / mix_dedup_aware_weights: the shingle
+#   KMV sketch pass is widened (2.4 s → 1.15 s measured, A/B-recorded).
 _FORCE_RECHECK: set[str] = {
     "multimodal_audio_rice_codec",
+    "profile_cross_source_overlap",
+    "mix_dedup_aware_weights",
     "multimodal_audio_flac",
     "multimodal_audio_stereo_flac",
     "streaming_audio_flac",

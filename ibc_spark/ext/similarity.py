@@ -306,6 +306,13 @@ def topk_ivf(
         F.col(vec_col).alias("q_vec"),
         F.explode(_nearest_cells(F.col(vec_col), centers, nprobe)).alias("cell"),
     )
+    # NOTE (r16): a packed per-cell GEMM variant (one matmul per
+    # cell×query-block instead of per-pair Arrow rows) was built and
+    # MEASURED SLOWER here — every registry caller probes with ≤10
+    # queries, so the pair frame is tiny while packing the corpus into
+    # fat collect_list rows costs a full extra shuffle per call. The
+    # pair plan is the right shape at realistic query counts; revisit
+    # only if a caller ever probes with a corpus-scale query set.
     cands = (
         c.join(F.broadcast(q), on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))

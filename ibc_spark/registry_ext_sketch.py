@@ -878,10 +878,12 @@ def profile_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension frame, not data scale. All md5/sort/double arithmetic —
     the full matrix replays bit-for-bit in DuckDB."""
     d = read_table(spark, sf_dir, "documents")
-    from ibc_spark.ext.dedup import shingles, tokens
+    from ibc_spark.ext.dedup import shingles, tokens, widen_for_compute
 
+    # tokenize→shingle→md5 is CPU-bound map work over a single-split
+    # scan at bench scale — widen first (no-op multi-split; r16)
     h = (
-        d.select(
+        widen_for_compute(d).select(
             "source", F.explode(shingles(tokens(F.col("text")), 3)).alias("g")
         )
         .select(
