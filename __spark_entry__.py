@@ -231,6 +231,12 @@ _FORCE_RECHECK: set[str] = {
 # ~40+ slots/round net of force sets, no green row's attestation can age
 # past 5 rounds; this round's oldest post-snapshot row will be r10 (5
 # rounds), shrinking again next round when the force pressure is gone.
+# Round-16 window arithmetic (optimization round, no new entries): 13
+# force-recheck slots (the r16 optimization pass's changed-path entries
+# — 5 suffix, 2 dedup PPJoin consumers, 2 KMV sketch consumers, 4
+# FLAC/Rice decode entries); no never-green entries remain, so the
+# other 37 slots drain the oldest-green pool (r10/r11 rows), keeping
+# the staleness bound shrinking.
 _DEFER_TO_NEXT_ROUND: set[str] = set()
 
 
