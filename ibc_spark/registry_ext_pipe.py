@@ -2427,11 +2427,14 @@ def multimodal_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments, CRC rejection) is pinned by hypothesis in
     tests/test_flaccodec.py. MP3/AAC remain the documented
     psychoacoustic seam. Narrow mapInPandas ×3, no shuffle; scan
-    widened to CPU width for the per-frame bit-writer kernel (no-op at
-    100 TB)."""
-    from ibc_spark.ext.dedup import widen_for_compute
+    widened to QUARTER width like the rest of the audio chains (r16 A/B:
+    32/8/none sorted 3-run sets [1.17,1.30,5.57]/[0.70,0.80,0.80]/
+    [1.78,1.87,1.87] — quarter width is both ~1.6× faster and free of
+    the full-width 5 s outlier mode, 32 workers × 3 chained Arrow stages
+    being the instability; no-op at 100 TB)."""
+    from ibc_spark.ext.dedup import widen_for_arrow_chain
 
-    d = widen_for_compute(read_table(spark, sf_dir, "documents"))
+    d = widen_for_arrow_chain(read_table(spark, sf_dir, "documents"))
     return multimodal.audio_features(
         multimodal.transcode_audio_flac(multimodal.attach_audio(d))
     )
@@ -2453,10 +2456,11 @@ def multimodal_audio_stereo_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed the assignment up (or lost the side channel's extra bit)
     would hash-mismatch the channel-aware features oracle. Lossless ⇒
     the oracle reads the raw synthetic samples directly. Scan widened
-    to CPU width (no-op at 100 TB)."""
-    from ibc_spark.ext.dedup import widen_for_compute
+    to QUARTER width like the mono twin (r16 A/B — see
+    ``multimodal_audio_flac``; no-op at 100 TB)."""
+    from ibc_spark.ext.dedup import widen_for_arrow_chain
 
-    d = widen_for_compute(read_table(spark, sf_dir, "documents"))
+    d = widen_for_arrow_chain(read_table(spark, sf_dir, "documents"))
     return multimodal.audio_features(
         multimodal.transcode_audio_flac(
             multimodal.attach_audio(d, channels=2), mid_side=True
